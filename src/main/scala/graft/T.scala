@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Shared helpers for the query catalog.
+  *
+  * Determinism conventions (the driver hash-compares our parquet against a
+  * DuckDB oracle, so results must be bit-identical):
+  *  - every catalog query ends with a total ORDER BY over its output columns
+  *    (Spark default asc = NULLS FIRST; oracle SQL says NULLS FIRST explicitly);
+  *  - floating-point aggregates are computed in exact DECIMAL arithmetic and
+  *    cast to DOUBLE at the end, so sum order cannot perturb low bits.
+  */
+object T {
+  def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  def lineitem(s: SparkSession, dir: String): DataFrame = t(s, dir, "lineitem")
+  def orders(s: SparkSession, dir: String): DataFrame   = t(s, dir, "orders")
+  def customer(s: SparkSession, dir: String): DataFrame = t(s, dir, "customer")
+  def supplier(s: SparkSession, dir: String): DataFrame = t(s, dir, "supplier")
+  def part(s: SparkSession, dir: String): DataFrame     = t(s, dir, "part")
+  def nation(s: SparkSession, dir: String): DataFrame   = t(s, dir, "nation")
+  def region(s: SparkSession, dir: String): DataFrame   = t(s, dir, "region")
+  /** events.parquet stores ts as TIMESTAMP(NANOS), which Spark cannot read
+    * natively. The session sets spark.sql.legacy.parquet.nanosAsLong, so the
+    * raw column arrives as Long nanos; convert (integer division — doubles
+    * can't hold epoch-nanos exactly) to a micros TimestampType here. */
+  def events(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  def documents(s: SparkSession, dir: String): DataFrame  = t(s, dir, "documents")
+  def embeddings(s: SparkSession, dir: String): DataFrame = t(s, dir, "embeddings")
+
+  val dec2: DecimalType = DecimalType(18, 2)
+  /** Exact 2-decimal view of a double column. */
+  def d2(c: Column): Column = c.cast(dec2)
+  /** Order-insensitive exact sum of a 2-decimal-valued double column. */
+  def dsum(c: Column): Column = sum(d2(c)).cast(DoubleType)
+  /** Exact deterministic mean (exact decimal sum / non-null count). */
+  def davg(c: Column): Column = (sum(d2(c)).cast(DoubleType) / count(c)).as("avg")
+
+  /** Oracle-SQL spellings of the same helpers. */
+  def sqlDsum(x: String): String = s"CAST(SUM(CAST($x AS DECIMAL(18,2))) AS DOUBLE)"
+  def sqlDavg(x: String): String = s"(CAST(SUM(CAST($x AS DECIMAL(18,2))) AS DOUBLE) / COUNT($x))"
+}
+
+/** One catalog entry: a Spark query plus (optionally) its DuckDB oracle SQL.
+  * `bench` marks it as part of the headline benchmark set. */
+final case class Q(
+    name: String,
+    sql: Option[String],
+    bench: Boolean = true)(
+    val fn: (SparkSession, String) => DataFrame)

@@ -1,0 +1,530 @@
+package graft.relational
+
+import graft.{Q, T}
+import graft.T._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Relational operator catalog over the driver's TPC-H-ish tables.
+  *
+  * Each entry exercises one operator row of SURVEY.md §2 (scan/filter/join/
+  * aggregate/sort/set-op/expression), expressed Spark-first: declarative
+  * DataFrame plans that Catalyst can push down, prune, and codegen. The
+  * DuckDB oracle SQL is the semantic contract.
+  */
+object RelationalQueries {
+
+  private def q(name: String, sql: String, bench: Boolean = true)(
+      fn: (SparkSession, String) => DataFrame): Q =
+    Q(name, Some(sql), bench)(fn)
+
+  val all: Seq[Q] = Seq(
+    // ---- §2.4 aggregation: GROUP BY with SUM/AVG/COUNT (TPC-H Q1 shape).
+    // Partial (map-side) aggregation + 2-col group key: shuffles only the
+    // pre-aggregated rows; at 100 TB the combine happens before the exchange.
+    q("q01_agg_pricing",
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${sqlDsum("l_quantity")} AS sum_qty,
+         |  ${sqlDsum("l_extendedprice")} AS sum_base_price,
+         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+         |  ${sqlDavg("l_quantity")} AS avg_qty,
+         |  ${sqlDavg("l_discount")} AS avg_disc,
+         |  COUNT(*) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) {
+      (s, dir) =>
+        lineitem(s, dir)
+          .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast(TimestampType))
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            dsum(col("l_quantity")).as("sum_qty"),
+            dsum(col("l_extendedprice")).as("sum_base_price"),
+            sum(d2(col("l_extendedprice")) * (lit(1).cast(dec2) - d2(col("l_discount"))))
+              .cast(DoubleType).as("sum_disc_price"),
+            (sum(d2(col("l_quantity"))).cast(DoubleType) / count(col("l_quantity"))).as("avg_qty"),
+            (sum(d2(col("l_discount"))).cast(DoubleType) / count(col("l_discount"))).as("avg_disc"),
+            count(lit(1)).as("count_order"))
+          .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+
+    // ---- §2.2 scan + filter + projection. Both the predicate and the
+    // 3-column ReadSchema reach the parquet scan (verified via explain).
+    q("q02_filter_project",
+      """SELECT l_orderkey, l_linenumber, l_quantity
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-03-01 00:00:00'
+        |  AND l_quantity < 4
+        |ORDER BY l_orderkey NULLS FIRST, l_linenumber NULLS FIRST""".stripMargin) {
+      (s, dir) =>
+        lineitem(s, dir)
+          .filter(col("l_shipdate") >= lit("1997-01-01 00:00:00").cast(TimestampType)
+            && col("l_shipdate") < lit("1997-03-01 00:00:00").cast(TimestampType)
+            && col("l_quantity") < 4)
+          .select("l_orderkey", "l_linenumber", "l_quantity")
+          .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // ---- §2.3 joins + §2.6 top-k (TPC-H Q3 shape). customer is small →
+    // broadcast; only the orders⋈lineitem shuffle survives at scale.
+    q("q03_join_topk",
+      s"""SELECT o.o_orderkey,
+         |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+         |  o.o_orderdate
+         |FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+         |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+         |WHERE c.c_mktsegment = 'BUILDING' AND o.o_orderdate < TIMESTAMP '1997-06-01 00:00:00'
+         |GROUP BY o.o_orderkey, o.o_orderdate
+         |ORDER BY revenue DESC NULLS LAST, o_orderkey NULLS FIRST
+         |LIMIT 10""".stripMargin) {
+      (s, dir) =>
+        val c = customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+        val o = orders(s, dir)
+          .filter(col("o_orderdate") < lit("1997-06-01 00:00:00").cast(TimestampType))
+        val l = lineitem(s, dir)
+        l.join(o, l("l_orderkey") === o("o_orderkey"))
+          .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .groupBy(col("o_orderkey"), col("o_orderdate"))
+          .agg(sum(d2(col("l_extendedprice")) * (lit(1).cast(dec2) - d2(col("l_discount"))))
+            .cast(DoubleType).as("revenue"))
+          .select(col("o_orderkey"), col("revenue"), col("o_orderdate"))
+          .orderBy(col("revenue").desc_nulls_last, col("o_orderkey"))
+          .limit(10)
+    },
+
+    // ---- §2.3 EXISTS → left-semi join (no row duplication, smaller shuffle
+    // than inner+distinct).
+    q("q04_exists_semijoin",
+      """SELECT o_orderkey, o_orderpriority
+        |FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 48)
+        |ORDER BY o_orderkey NULLS FIRST""".stripMargin) {
+      (s, dir) =>
+        val o = orders(s, dir)
+        val l = lineitem(s, dir).filter(col("l_quantity") > 48)
+        o.join(l, o("o_orderkey") === l("l_orderkey"), "left_semi")
+          .select("o_orderkey", "o_orderpriority")
+          .orderBy("o_orderkey")
+    },
+
+    // ---- §2.3 NOT EXISTS / MINUS → left-anti join.
+    q("q05_not_exists_antijoin",
+      """SELECT c_custkey, c_name
+        |FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |ORDER BY c_custkey NULLS FIRST""".stripMargin) {
+      (s, dir) =>
+        val c = customer(s, dir)
+        val o = orders(s, dir)
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+          .select("c_custkey", "c_name")
+          .orderBy("c_custkey")
+    },
+
+    // ---- §2.3 OPTIONAL → left outer join (null-preserving count).
+    q("q06_left_join",
+      """SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
+        |FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        |GROUP BY c.c_custkey
+        |ORDER BY c_custkey NULLS FIRST""".stripMargin) {
+      (s, dir) =>
+        val c = customer(s, dir)
+        val o = orders(s, dir)
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+          .groupBy(col("c_custkey"))
+          .agg(count(col("o_orderkey")).as("n_orders"))
+          .orderBy("c_custkey")
+    },
+
+    // ---- §2.6 UNION ALL (bag semantics — the SPARQL-correct one; the
+    // reference dedups, a documented divergence).
+    q("q07_union_all",
+      """SELECT o_orderkey AS okey, 'high' AS bucket FROM orders WHERE o_totalprice > 300000
+        |UNION ALL
+        |SELECT o_orderkey AS okey, 'urgent' AS bucket FROM orders WHERE o_orderpriority = '1-URGENT'
+        |ORDER BY okey NULLS FIRST, bucket NULLS FIRST""".stripMargin) {
+      (s, dir) =>
+        val o = orders(s, dir)
+        val hi = o.filter(col("o_totalprice") > 300000)
+          .select(col("o_orderkey").as("okey"), lit("high").as("bucket"))
+        val ur = o.filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_orderkey").as("okey"), lit("urgent").as("bucket"))
+        hi.unionByName(ur).orderBy("okey", "bucket")
+    },
+
+    // ---- §2.6 UNION + DISTINCT (the reference's dedup-union quirk).
+    q("q08_union_distinct",
+      """SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 200000
+        |UNION
+        |SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 9000
+        |ORDER BY custkey NULLS FIRST""".stripMargin) {
+      (s, dir) =>
+        orders(s, dir).filter(col("o_totalprice") > 200000)
+          .select(col("o_custkey").as("custkey"))
+          .unionByName(customer(s, dir).filter(col("c_acctbal") > 9000)
+            .select(col("c_custkey").as("custkey")))
+          .distinct()
+          .orderBy("custkey")
+    },
+
+    // ---- §2.6 DISTINCT.
+    q("q09_distinct",
+      """SELECT DISTINCT c_mktsegment, c_nationkey
+        |FROM customer
+        |ORDER BY c_mktsegment NULLS FIRST, c_nationkey NULLS FIRST""".stripMargin) {
+      (s, dir) =>
+        customer(s, dir).select("c_mktsegment", "c_nationkey").distinct()
+          .orderBy("c_mktsegment", "c_nationkey")
+    },
+
+    // ---- §2.6 ORDER BY multi-key asc/desc + LIMIT (top-k: Spark plans
+    // TakeOrderedAndProject — no full sort at scale).
+    q("q10_orderby_limit",
+      """SELECT o_orderkey, o_totalprice, o_orderdate
+        |FROM orders
+        |ORDER BY o_totalprice DESC NULLS LAST, o_orderdate ASC NULLS FIRST, o_orderkey NULLS FIRST
+        |LIMIT 25""".stripMargin) {
+      (s, dir) =>
+        orders(s, dir).select("o_orderkey", "o_totalprice", "o_orderdate")
+          .orderBy(col("o_totalprice").desc_nulls_last, col("o_orderdate").asc_nulls_first,
+            col("o_orderkey"))
+          .limit(25)
+    },
+
+    // ---- §2.4 HAVING (filter over aggregate).
+    q("q11_having",
+      s"""SELECT l_suppkey, ${sqlDsum("l_quantity")} AS total_qty
+         |FROM lineitem
+         |GROUP BY l_suppkey
+         |HAVING ${sqlDsum("l_quantity")} > 300
+         |ORDER BY l_suppkey NULLS FIRST""".stripMargin) {
+      (s, dir) =>
+        lineitem(s, dir).groupBy(col("l_suppkey"))
+          .agg(dsum(col("l_quantity")).as("total_qty"))
+          .filter(col("total_qty") > 300)
+          .orderBy("l_suppkey")
+    },
+
+    // ---- §2.4 COUNT DISTINCT (+ plain count side by side).
+    q("q12_count_distinct",
+      """SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_cust, COUNT(*) AS n_orders
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority NULLS FIRST""".stripMargin) {
+      (s, dir) =>
+        orders(s, dir).groupBy(col("o_orderpriority"))
+          .agg(countDistinct(col("o_custkey")).as("n_cust"), count(lit(1)).as("n_orders"))
+          .orderBy("o_orderpriority")
+    },
+
+    // ---- §2.4 GROUP_CONCAT (sorted for determinism; reference
+    // lazy_aggregate.rs:113-157).
+    q("q13_group_concat",
+      """SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS names
+        |FROM nation
+        |GROUP BY n_regionkey
+        |ORDER BY n_regionkey NULLS FIRST""".stripMargin) {
+      (s, dir) =>
+        nation(s, dir).groupBy(col("n_regionkey"))
+          .agg(concat_ws(",", sort_array(collect_list(col("n_name")))).as("names"))
+          .orderBy("n_regionkey")
+    },
+
+    // ---- §2.4 SAMPLE → deterministic first-by-order (row_number window).
+    q("q14_first_per_group",
+      """SELECT c_nationkey, c_custkey, c_name FROM (
+        |  SELECT c_nationkey, c_custkey, c_name,
+        |         ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_custkey) AS rn
+        |  FROM customer) WHERE rn = 1
+        |ORDER BY c_nationkey NULLS FIRST""".stripMargin) {
+      (s, dir) =>
+        val w = Window.partitionBy(col("c_nationkey")).orderBy(col("c_custkey"))
+        customer(s, dir)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select("c_nationkey", "c_custkey", "c_name")
+          .orderBy("c_nationkey")
+    },
+
+    // ---- §2.4 custom nestAggregation → collect_list (reference
+    // lazy_aggregate.rs:171-191); sorted array for determinism.
+    q("q15_nest_agg",
+      """SELECT n_regionkey, list(n_nationkey ORDER BY n_nationkey) AS nations
+        |FROM nation
+        |GROUP BY n_regionkey
+        |ORDER BY n_regionkey NULLS FIRST""".stripMargin) {
+      (s, dir) =>
+        nation(s, dir).groupBy(col("n_regionkey"))
+          .agg(sort_array(collect_list(col("n_nationkey"))).as("nations"))
+          .orderBy("n_regionkey")
+    },
+
+    // ---- §2.5 window: ranking within partition.
+    q("q16_window_rank",
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders) WHERE rk <= 2
+        |ORDER BY o_custkey NULLS FIRST, o_orderkey NULLS FIRST""".stripMargin) {
+      (s, dir) =>
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        orders(s, dir)
+          .withColumn("rk", rank().over(w))
+          .filter(col("rk") <= 2)
+          .select("o_custkey", "o_orderkey", "o_totalprice")
+          .orderBy("o_custkey", "o_orderkey")
+    },
+
+    // ---- §2.5 window: running (cumulative) sum, exact decimal.
+    q("q17_window_running_sum",
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |       OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+        |FROM orders
+        |ORDER BY o_custkey NULLS FIRST, o_orderkey NULLS FIRST""".stripMargin) {
+      (s, dir) =>
+        val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        orders(s, dir)
+          .select(col("o_custkey"), col("o_orderkey"),
+            sum(d2(col("o_totalprice"))).over(w).cast(DoubleType).as("running_total"))
+          .orderBy("o_custkey", "o_orderkey")
+    },
+
+    // ---- §2.5 time-bucketed grouping over the events stream table — the
+    // reference's FLOOR(minutes/10) idiom (query_execution_benchmark_case.rs:114-124)
+    // expressed as an epoch floor-div; bucket emitted as epoch seconds (no tz
+    // ambiguity in the oracle compare).
+    q("q18_time_bucket",
+      s"""SELECT event_type,
+         |  CAST(FLOOR(epoch(ts)/600)*600 AS BIGINT) AS bucket,
+         |  COUNT(*) AS n, ${sqlDsum("value")} AS sum_value
+         |FROM events
+         |GROUP BY event_type, bucket
+         |ORDER BY event_type NULLS FIRST, bucket NULLS FIRST""".stripMargin) {
+      (s, dir) =>
+        events(s, dir)
+          .withColumn("bucket", (floor(unix_timestamp(col("ts")) / 600) * 600).cast(LongType))
+          .groupBy(col("event_type"), col("bucket"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+          .orderBy("event_type", "bucket")
+    },
+
+    // ---- §2.7 datetime part extraction (YEAR/MONTH/DAY/HOURS..., reference
+    // lazy_expressions.rs:447-506).
+    q("q19_datetime_parts",
+      """SELECT CAST(year(o_orderdate) AS INT) AS y, CAST(month(o_orderdate) AS INT) AS m,
+        |       COUNT(*) AS n
+        |FROM orders
+        |GROUP BY y, m
+        |ORDER BY y NULLS FIRST, m NULLS FIRST""".stripMargin) {
+      (s, dir) =>
+        orders(s, dir)
+          .groupBy(year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("m"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy("y", "m")
+    },
+
+    // ---- §2.7 IF / CASE WHEN (reference lazy_expressions.rs:365-394).
+    q("q20_case_when",
+      """SELECT o_orderkey,
+        |  CASE WHEN o_totalprice > 250000 THEN 'big'
+        |       WHEN o_totalprice > 100000 THEN 'mid'
+        |       ELSE 'small' END AS size_class
+        |FROM orders
+        |ORDER BY o_orderkey NULLS FIRST""".stripMargin) {
+      (s, dir) =>
+        orders(s, dir).select(col("o_orderkey"),
+          when(col("o_totalprice") > 250000, "big")
+            .when(col("o_totalprice") > 100000, "mid")
+            .otherwise("small").as("size_class"))
+          .orderBy("o_orderkey")
+    },
+
+    // ---- §2.7 COALESCE over outer-join nulls (lazy_expressions.rs:395-428).
+    q("q21_coalesce",
+      """SELECT c.c_custkey, COALESCE(CAST(o.o_orderkey AS VARCHAR), 'none') AS first_order
+        |FROM customer c
+        |LEFT JOIN (SELECT o_custkey, MIN(o_orderkey) AS o_orderkey FROM orders GROUP BY o_custkey) o
+        |  ON c.c_custkey = o.o_custkey
+        |ORDER BY c_custkey NULLS FIRST""".stripMargin) {
+      (s, dir) =>
+        val firstOrd = orders(s, dir).groupBy(col("o_custkey"))
+          .agg(min(col("o_orderkey")).as("o_orderkey"))
+        val c = customer(s, dir)
+        c.join(firstOrd, c("c_custkey") === firstOrd("o_custkey"), "left_outer")
+          .select(col("c_custkey"),
+            coalesce(col("o_orderkey").cast(StringType), lit("none")).as("first_order"))
+          .orderBy("c_custkey")
+    },
+
+    // ---- §2.7 IN list (lazy_expressions.rs:173-212).
+    q("q22_in_filter",
+      """SELECT s_suppkey, s_name, s_nationkey
+        |FROM supplier
+        |WHERE s_nationkey IN (1, 3, 5, 7)
+        |ORDER BY s_suppkey NULLS FIRST""".stripMargin) {
+      (s, dir) =>
+        supplier(s, dir)
+          .filter(col("s_nationkey").isin(1, 3, 5, 7))
+          .select("s_suppkey", "s_name", "s_nationkey")
+          .orderBy("s_suppkey")
+    },
+
+    // ---- §2.7 string functions: CONCAT/UPPER/SUBSTR/LENGTH/REPLACE.
+    q("q23_string_funcs",
+      """SELECT p_partkey,
+        |  upper(p_brand) AS brand_uc,
+        |  substr(p_name, 1, 8) AS name8,
+        |  length(p_name) AS name_len,
+        |  concat(p_brand, ':', p_type) AS brand_type,
+        |  replace(p_type, ' ', '_') AS type_u
+        |FROM part
+        |ORDER BY p_partkey NULLS FIRST""".stripMargin) {
+      (s, dir) =>
+        part(s, dir).select(col("p_partkey"),
+          upper(col("p_brand")).as("brand_uc"),
+          substring(col("p_name"), 1, 8).as("name8"),
+          length(col("p_name")).as("name_len"),
+          concat(col("p_brand"), lit(":"), col("p_type")).as("brand_type"),
+          regexp_replace(col("p_type"), " ", "_").as("type_u"))
+          .orderBy("p_partkey")
+    },
+
+    // ---- §2.7 arithmetic + ABS/CEIL/FLOOR/ROUND (lazy_expressions.rs:213-320,
+    // 507-546). Integer-valued math only → no float-rounding hazard.
+    q("q24_arithmetic",
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(l_quantity AS BIGINT) * 100 + l_linenumber AS qcode,
+        |  abs(l_linenumber - 4) AS adist,
+        |  CAST(ceil(l_quantity / 7.0) AS BIGINT) AS q7,
+        |  CAST(floor(l_quantity / 7.0) AS BIGINT) AS q7f
+        |FROM lineitem
+        |WHERE l_orderkey <= 200
+        |ORDER BY l_orderkey NULLS FIRST, l_linenumber NULLS FIRST""".stripMargin) {
+      (s, dir) =>
+        lineitem(s, dir).filter(col("l_orderkey") <= 200)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            (col("l_quantity").cast(LongType) * 100 + col("l_linenumber")).as("qcode"),
+            abs(col("l_linenumber") - 4).as("adist"),
+            ceil(col("l_quantity") / 7.0).cast(LongType).as("q7"),
+            floor(col("l_quantity") / 7.0).cast(LongType).as("q7f"))
+          .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // ---- §2.6 EXCEPT (set difference on keys).
+    q("q25_except",
+      """SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |EXCEPT
+        |SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '5-LOW'
+        |ORDER BY custkey NULLS FIRST""".stripMargin) {
+      (s, dir) =>
+        val o = orders(s, dir)
+        o.filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey").as("custkey"))
+          .except(o.filter(col("o_orderpriority") === "5-LOW").select(col("o_custkey").as("custkey")))
+          .orderBy("custkey")
+    },
+
+    // ---- §2.6 INTERSECT.
+    q("q26_intersect",
+      """SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |INTERSECT
+        |SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 200000
+        |ORDER BY custkey NULLS FIRST""".stripMargin) {
+      (s, dir) =>
+        val o = orders(s, dir)
+        o.filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey").as("custkey"))
+          .intersect(o.filter(col("o_totalprice") > 200000).select(col("o_custkey").as("custkey")))
+          .orderBy("custkey")
+    },
+
+    // ---- §2.2 VALUES inline table joined against data (combiner.rs:346-352).
+    q("q27_values_join",
+      """SELECT o.o_orderkey, v.prio_rank
+        |FROM orders o
+        |JOIN (VALUES ('1-URGENT', 1), ('2-HIGH', 2), ('3-MEDIUM', 3)) AS v(prio, prio_rank)
+        |  ON o.o_orderpriority = v.prio
+        |WHERE o.o_orderkey <= 500
+        |ORDER BY o_orderkey NULLS FIRST""".stripMargin) {
+      (s, dir) =>
+        import s.implicits._
+        val v = Seq(("1-URGENT", 1), ("2-HIGH", 2), ("3-MEDIUM", 3)).toDF("prio", "prio_rank")
+        val o = orders(s, dir).filter(col("o_orderkey") <= 500)
+        o.join(broadcast(v), o("o_orderpriority") === v("prio"))
+          .select(col("o_orderkey"), col("prio_rank"))
+          .orderBy("o_orderkey")
+    },
+
+    // ---- §2.3 theta-join (non-equi condition; reference does join+filter,
+    // query_execution.rs:170-217). Kept small via the nation equi-conjunct.
+    q("q28_theta_join",
+      """SELECT a.s_suppkey AS sk1, b.s_suppkey AS sk2
+        |FROM supplier a JOIN supplier b
+        |  ON a.s_nationkey = b.s_nationkey AND a.s_acctbal > b.s_acctbal + 4000
+        |ORDER BY sk1 NULLS FIRST, sk2 NULLS FIRST""".stripMargin) {
+      (s, dir) =>
+        val a = supplier(s, dir).select(col("s_suppkey").as("sk1"),
+          col("s_nationkey").as("nk1"), col("s_acctbal").as("ab1"))
+        val b = supplier(s, dir).select(col("s_suppkey").as("sk2"),
+          col("s_nationkey").as("nk2"), col("s_acctbal").as("ab2"))
+        a.join(b, col("nk1") === col("nk2") && col("ab1") > col("ab2") + 4000)
+          .select("sk1", "sk2")
+          .orderBy("sk1", "sk2")
+    },
+
+    // ---- scalar subquery / aggregate-vs-row comparison (TPC-H Q17 shape).
+    // The per-brand avg is tiny → broadcast back against part.
+    q("q29_scalar_subquery",
+      s"""SELECT p.p_partkey, p.p_retailprice
+         |FROM part p
+         |JOIN (SELECT p_brand, ${sqlDavg("p_retailprice")} AS avg_price
+         |      FROM part GROUP BY p_brand) b
+         |  ON p.p_brand = b.p_brand
+         |WHERE p.p_retailprice > b.avg_price * 1.4
+         |ORDER BY p_partkey NULLS FIRST""".stripMargin) {
+      (s, dir) =>
+        val p = part(s, dir)
+        val b = p.groupBy(col("p_brand").as("b_brand"))
+          .agg((sum(d2(col("p_retailprice"))).cast(DoubleType) / count(col("p_retailprice")))
+            .as("avg_price"))
+        p.join(broadcast(b), p("p_brand") === b("b_brand"))
+          .filter(col("p_retailprice") > col("avg_price") * 1.4)
+          .select("p_partkey", "p_retailprice")
+          .orderBy("p_partkey")
+    },
+
+    // ---- multi-way star join through the full dimension chain
+    // (region→nation→supplier/customer), all dims broadcast.
+    q("q30_star_join",
+      s"""SELECT r.r_name AS region, n.n_name AS nation,
+         |  COUNT(*) AS n_items,
+         |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+         |FROM lineitem l
+         |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         |JOIN nation n ON s.s_nationkey = n.n_nationkey
+         |JOIN region r ON n.n_regionkey = r.r_regionkey
+         |GROUP BY r.r_name, n.n_name
+         |ORDER BY region NULLS FIRST, nation NULLS FIRST""".stripMargin) {
+      (s, dir) =>
+        val l = lineitem(s, dir)
+        val sup = supplier(s, dir)
+        val n = nation(s, dir)
+        val r = region(s, dir)
+        l.join(broadcast(sup), l("l_suppkey") === sup("s_suppkey"))
+          .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+          .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+          .groupBy(col("r_name").as("region"), col("n_name").as("nation"))
+          .agg(count(lit(1)).as("n_items"),
+            sum(d2(col("l_extendedprice")) * (lit(1).cast(dec2) - d2(col("l_discount"))))
+              .cast(DoubleType).as("revenue"))
+          .orderBy("region", "nation")
+    }
+  )
+}
