@@ -69,8 +69,9 @@ object RelationalQueries {
           .orderBy("l_orderkey", "l_linenumber")
     },
 
-    // ---- §2.3 joins + §2.6 top-k (TPC-H Q3 shape). customer is small →
-    // broadcast; only the orders⋈lineitem shuffle survives at scale.
+    // ---- §2.3 joins + §2.6 top-k (TPC-H Q3 shape). No broadcast hints:
+    // customer grows with SF, so AQE + autoBroadcastJoinThreshold decide at
+    // runtime — broadcast when genuinely small, shuffle hash join at 100 TB.
     q("q03_join_topk",
       s"""SELECT o.o_orderkey,
          |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
@@ -87,7 +88,7 @@ object RelationalQueries {
           .filter(col("o_orderdate") < lit("1997-06-01 00:00:00").cast(TimestampType))
         val l = lineitem(s, dir)
         l.join(o, l("l_orderkey") === o("o_orderkey"))
-          .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .join(c, o("o_custkey") === c("c_custkey"))
           .groupBy(col("o_orderkey"), col("o_orderdate"))
           .agg(sum(d2(col("l_extendedprice")) * (lit(1).cast(dec2) - d2(col("l_discount"))))
             .cast(DoubleType).as("revenue"))
@@ -252,15 +253,18 @@ object RelationalQueries {
     },
 
     // ---- §2.4 custom nestAggregation → collect_list (reference
-    // lazy_aggregate.rs:171-191); sorted array for determinism.
+    // lazy_aggregate.rs:171-191). Emitted as a canonical sorted CSV string:
+    // the driver's pandas comparator cannot hash ARRAY columns, so both
+    // sides serialize the nested list identically.
     q("q15_nest_agg",
-      """SELECT n_regionkey, list(n_nationkey ORDER BY n_nationkey) AS nations
+      """SELECT n_regionkey,
+        |  array_to_string(list(n_nationkey ORDER BY n_nationkey), ',') AS nations
         |FROM nation
         |GROUP BY n_regionkey
         |ORDER BY n_regionkey NULLS FIRST""".stripMargin) {
       (s, dir) =>
         nation(s, dir).groupBy(col("n_regionkey"))
-          .agg(sort_array(collect_list(col("n_nationkey"))).as("nations"))
+          .agg(concat_ws(",", sort_array(collect_list(col("n_nationkey")))).as("nations"))
           .orderBy("n_regionkey")
     },
 
@@ -501,7 +505,8 @@ object RelationalQueries {
     },
 
     // ---- multi-way star join through the full dimension chain
-    // (region→nation→supplier/customer), all dims broadcast.
+    // (region→nation→supplier). Only the bounded dims (nation=25, region=5)
+    // keep broadcast hints; supplier scales with SF, so AQE decides.
     q("q30_star_join",
       s"""SELECT r.r_name AS region, n.n_name AS nation,
          |  COUNT(*) AS n_items,
@@ -517,7 +522,7 @@ object RelationalQueries {
         val sup = supplier(s, dir)
         val n = nation(s, dir)
         val r = region(s, dir)
-        l.join(broadcast(sup), l("l_suppkey") === sup("s_suppkey"))
+        l.join(sup, l("l_suppkey") === sup("s_suppkey"))
           .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
           .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
           .groupBy(col("r_name").as("region"), col("n_name").as("nation"))
