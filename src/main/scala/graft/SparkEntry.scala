@@ -29,5 +29,6 @@ object SparkEntry {
 /** Central registry of all catalog modules. */
 object Catalog {
   def all: Seq[Q] =
-    graft.relational.RelationalQueries.all
+    graft.relational.RelationalQueries.all ++
+      graft.sparql.SparqlQueries.all
 }

@@ -1,0 +1,128 @@
+package graft.algebra
+
+import graft.rdf.Term
+
+/** SPARQL SELECT algebra.
+  *
+  * The shape follows the spargebra algebra the reference engine walks
+  * (/root/reference/hybrid/src/combiner.rs:33-86 dispatches on the same node
+  * set: Bgp/Path/Join/LeftJoin/Filter/Union/Extend/Minus/Values/OrderBy/
+  * Project/Distinct/Reduced/Slice/Group), but is our own minimal ADT —
+  * the executor translates it to a single Spark DataFrame plan.
+  */
+object Algebra {
+
+  // --------------------------------------------------------------- terms
+  sealed trait VarOrTerm
+  final case class V(name: String) extends VarOrTerm
+  final case class T(term: Term) extends VarOrTerm
+
+  // --------------------------------------------------------------- paths
+  sealed trait Path
+  final case class PLink(iri: String) extends Path
+  /** Variable in predicate position (`?s ?p ?o`). */
+  final case class PVar(name: String) extends Path
+  final case class PInverse(p: Path) extends Path
+  final case class PSeq(a: Path, b: Path) extends Path
+  final case class PAlt(a: Path, b: Path) extends Path
+  final case class PZeroOrMore(p: Path) extends Path
+  final case class POneOrMore(p: Path) extends Path
+  final case class PZeroOrOne(p: Path) extends Path
+
+  final case class TriplePattern(s: VarOrTerm, p: Path, o: VarOrTerm)
+
+  // --------------------------------------------------------- expressions
+  sealed trait Expr
+  final case class EVar(name: String) extends Expr
+  final case class ETerm(term: Term) extends Expr
+  final case class ENot(e: Expr) extends Expr
+  final case class EAnd(l: Expr, r: Expr) extends Expr
+  final case class EOr(l: Expr, r: Expr) extends Expr
+  final case class ECmp(op: String, l: Expr, r: Expr) extends Expr // = != < <= > >=
+  final case class EArith(op: Char, l: Expr, r: Expr) extends Expr // + - * /
+  final case class ENeg(e: Expr) extends Expr
+  final case class EIn(e: Expr, list: Seq[Expr], negated: Boolean) extends Expr
+  final case class EFunc(name: String, args: Seq[Expr]) extends Expr
+  final case class EIf(c: Expr, t: Expr, f: Expr) extends Expr
+  final case class ECoalesce(args: Seq[Expr]) extends Expr
+  final case class EBound(v: String) extends Expr
+  final case class EExists(pattern: Pattern, negated: Boolean) extends Expr
+  /** An aggregate call inside a projection/HAVING/ORDER BY expression. */
+  final case class EAgg(agg: Aggregate) extends Expr
+
+  final case class Aggregate(
+      fn: String, // count | sum | avg | min | max | group_concat | sample | nest
+      expr: Option[Expr], // None = COUNT(*)
+      distinct: Boolean,
+      separator: Option[String])
+
+  // ------------------------------------------------------------ patterns
+  sealed trait Pattern
+  final case class Bgp(triples: Seq[TriplePattern]) extends Pattern
+  final case class Join(l: Pattern, r: Pattern) extends Pattern
+  final case class LeftJoin(l: Pattern, r: Pattern, cond: Option[Expr]) extends Pattern
+  final case class Filter(expr: Expr, inner: Pattern) extends Pattern
+  final case class Union(l: Pattern, r: Pattern) extends Pattern
+  final case class Minus(l: Pattern, r: Pattern) extends Pattern
+  final case class Extend(inner: Pattern, v: String, expr: Expr) extends Pattern
+  final case class ValuesPattern(vars: Seq[String], rows: Seq[Seq[Option[Term]]])
+      extends Pattern
+  /** A nested SELECT (sub-query). */
+  final case class SubSelect(query: SelectQuery) extends Pattern
+
+  final case class OrderKey(expr: Expr, asc: Boolean)
+
+  /** One projection item: a plain variable or (expr AS ?v). */
+  final case class ProjItem(v: String, expr: Option[Expr])
+
+  final case class SelectQuery(
+      projection: Seq[ProjItem], // empty = SELECT *
+      distinct: Boolean,
+      reduced: Boolean,
+      where: Pattern,
+      groupBy: Seq[ProjItem], // GROUP BY ?v or GROUP BY (expr AS ?v)
+      having: Option[Expr],
+      orderBy: Seq[OrderKey],
+      limit: Option[Long],
+      offset: Option[Long]) {
+
+    def hasAggregates: Boolean = {
+      def exprHas(e: Expr): Boolean = e match {
+        case EAgg(_) => true
+        case ENot(x) => exprHas(x)
+        case EAnd(l, r) => exprHas(l) || exprHas(r)
+        case EOr(l, r) => exprHas(l) || exprHas(r)
+        case ECmp(_, l, r) => exprHas(l) || exprHas(r)
+        case EArith(_, l, r) => exprHas(l) || exprHas(r)
+        case ENeg(x) => exprHas(x)
+        case EIn(x, list, _) => exprHas(x) || list.exists(exprHas)
+        case EFunc(_, args) => args.exists(exprHas)
+        case EIf(c, t, f) => exprHas(c) || exprHas(t) || exprHas(f)
+        case ECoalesce(args) => args.exists(exprHas)
+        case _ => false
+      }
+      groupBy.nonEmpty || having.nonEmpty ||
+        projection.exists(_.expr.exists(exprHas)) ||
+        orderBy.exists(k => exprHas(k.expr))
+    }
+  }
+
+  /** All variables syntactically bound by a pattern (used for join-key
+    * discovery and SELECT-* expansion). */
+  def boundVars(p: Pattern): Set[String] = p match {
+    case Bgp(ts) =>
+      ts.flatMap { t =>
+        val so = Seq(t.s, t.o).collect { case V(n) => n }
+        t.p match { case PVar(n) => so :+ n; case _ => so }
+      }.toSet
+    case Join(l, r) => boundVars(l) ++ boundVars(r)
+    case LeftJoin(l, r, _) => boundVars(l) ++ boundVars(r)
+    case Filter(_, inner) => boundVars(inner)
+    case Union(l, r) => boundVars(l) ++ boundVars(r)
+    case Minus(l, _) => boundVars(l)
+    case Extend(inner, v, _) => boundVars(inner) + v
+    case ValuesPattern(vars, _) => vars.toSet
+    case SubSelect(q) =>
+      if (q.projection.isEmpty) boundVars(q.where) else q.projection.map(_.v).toSet
+  }
+}

@@ -1,0 +1,752 @@
+package graft.exec
+
+import graft.algebra.Algebra._
+import graft.graph.{OKind, PredicateSlice, TriplesGraph}
+import graft.rdf._
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import scala.collection.mutable.ArrayBuffer
+
+/** SPARQL algebra → one Spark DataFrame plan.
+  *
+  * The reference executes the same algebra three times over (combiner /
+  * prepper / backends — SURVEY §2 preamble); here a single translation pass
+  * emits a declarative plan and Catalyst does pushdown, pruning, join
+  * selection and codegen. Graph patterns become joins over per-predicate
+  * slices; the time-series vocabulary (`hasDataPoint`/`hasTimestamp`/
+  * `hasValue`, virtual in the reference: never materialized as triples —
+  * /root/reference/hybrid/src/preprocessing.rs:329-392) is routed to the
+  * TsSource: consecutive virtual triples over one data-point variable
+  * collapse into a single time-series scan (cf. the reference's
+  * BasicTimeSeriesQuery, hybrid/src/timeseries_query.rs:12-19).
+  */
+final class SparqlExecutor(
+    graph: TriplesGraph,
+    extraFunctions: Map[String, Seq[Column] => Column] = Map.empty) {
+
+  import SparqlExecutor._
+
+  private val spark = graph.spark
+  private var fresh = 0
+  private def freshName(p: String): String = { fresh += 1; s"__${p}$fresh" }
+
+  def execute(query: SelectQuery): DataFrame = translateQuery(query, unitSol).df
+
+  def execute(sparql: String): DataFrame =
+    execute(graft.parser.SparqlParser.parse(sparql))
+
+  // ------------------------------------------------------------ solutions
+  /** A partial solution: DataFrame whose visible columns are SPARQL vars (in
+    * first-bound order). Hidden helper columns (`__`-prefixed, `<v>__lang`)
+    * may also be present. */
+  private case class Sol(df: DataFrame, vars: Seq[String])
+
+  private def unitSol: Sol = Sol(spark.range(1).select(), Nil)
+  private def isUnit(s: Sol): Boolean = s.vars.isEmpty && s.df.columns.isEmpty
+
+  private def emptySol(vars: Seq[String]): Sol = {
+    val schema = StructType(vars.map(v => StructField(v, StringType)))
+    Sol(spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema), vars)
+  }
+
+  /** Natural (inner) join on shared visible variables. */
+  private def joinSols(a: Sol, b: Sol): Sol = {
+    if (isUnit(a)) return b
+    if (isUnit(b)) return a
+    val shared = a.vars.intersect(b.vars)
+    // drop colliding hidden companions (columns that are not visible vars,
+    // e.g. <v>__lang) from the right side
+    val dupHidden = b.df.columns.filter(c =>
+      !b.vars.contains(c) && a.df.columns.contains(c))
+    val bdf = dupHidden.foldLeft(b.df)(_.drop(_))
+    val df =
+      if (shared.isEmpty) a.df.crossJoin(bdf)
+      else a.df.join(bdf, shared, "inner")
+    Sol(df, a.vars ++ b.vars.diff(a.vars))
+  }
+
+  // ------------------------------------------------------------- patterns
+  private def translatePattern(p: Pattern, input: Sol): Sol = p match {
+    case Bgp(triples) => translateBgp(triples, input)
+    case Join(l, r) => translatePattern(r, translatePattern(l, input))
+    case Filter(e, inner) =>
+      val s0 = translatePattern(inner, input)
+      val (e2, s1, markers) = materializeExists(e, s0)
+      Sol(s1.df.filter(translateExpr(e2, s1)).drop(markers: _*), s0.vars)
+    case Union(l, r) =>
+      val ls = translatePattern(l, input)
+      val rs = translatePattern(r, input)
+      val vars = ls.vars ++ rs.vars.diff(ls.vars)
+      Sol(ls.df.unionByName(rs.df, allowMissingColumns = true), vars)
+    case Extend(inner, v, e) =>
+      val s0 = translatePattern(inner, input)
+      Sol(s0.df.withColumn(v, translateExpr(e, s0)), s0.vars :+ v)
+    case Minus(l, r) =>
+      val ls = translatePattern(l, input)
+      val rs = translatePattern(r, unitSol)
+      val shared = ls.vars.intersect(rs.vars)
+      if (shared.isEmpty) ls // SPARQL MINUS with disjoint domains removes nothing
+      else Sol(ls.df.join(rs.df.select(shared.map(col): _*).distinct(), shared, "left_anti"),
+        ls.vars)
+    case lj: LeftJoin => translateLeftJoin(lj, input)
+    case ValuesPattern(vars, rows) => joinSols(input, valuesSol(vars, rows))
+    case SubSelect(q) => joinSols(input, translateQuery(q, unitSol))
+  }
+
+  private def valuesSol(vars: Seq[String], rows: Seq[Seq[Option[Term]]]): Sol = {
+    val kinds: Seq[OKind] = vars.indices.map { i =>
+      rows.flatMap(r => r.lift(i).flatten).collectFirst {
+        case Lit(_, dt, _) => OKind.ofDatatype(dt)
+        case _: Iri | _: Blank => OKind.KIri
+      }.getOrElse(OKind.KStr)
+    }
+    val schema = StructType(vars.zip(kinds).map { case (v, k) =>
+      StructField(v, OKind.sparkType(k))
+    })
+    val data = rows.map { r =>
+      Row(vars.indices.map { i =>
+        r.lift(i).flatten.map(t => termToScala(t, kinds(i))).orNull
+      }: _*)
+    }
+    Sol(spark.createDataFrame(spark.sparkContext.parallelize(data, 1), schema), vars)
+  }
+
+  // ------------------------------------------------------------ left join
+  private def translateLeftJoin(lj: LeftJoin, input: Sol): Sol = {
+    val LeftJoin(l, r, cond) = lj
+    val ls = translatePattern(l, input)
+    if (freeVars(r).isEmpty) {
+      // Self-contained optional side: a plain left-outer join with the
+      // condition folded into the ON clause (SURVEY §2.3 — the reference's
+      // 89-line cumsum/anti-join machinery collapses into this).
+      val rs = translatePattern(r, unitSol)
+      val shared = ls.vars.intersect(rs.vars)
+      val renames = shared.map(v => v -> s"__r_$v").toMap
+      var rdf = rs.df
+      for ((v, rv) <- renames) rdf = rdf.withColumnRenamed(v, rv)
+      val dupHidden = rdf.columns.filter(c => c.contains("__lang") && ls.df.columns.contains(c))
+      rdf = dupHidden.foldLeft(rdf)(_.drop(_))
+      val joinSol = Sol(rdf, rs.vars.map(v => renames.getOrElse(v, v)))
+      val eqCond = shared.map(v => ls.df(v) === rdf(renames(v)))
+      val condCol = cond.map { e =>
+        val remapped = remapExprVars(e, renames.filter { case (v, _) => !rs.vars.contains(v) })
+        translateExprJoined(remapped, ls, joinSol)
+      }
+      val onCond = (eqCond ++ condCol.toSeq).reduceOption(_ && _).getOrElse(lit(true))
+      val joined = ls.df.join(rdf, onCond, "left_outer")
+      // keep left's copy of shared vars; drop right's renamed copies
+      val out = renames.values.foldLeft(joined)(_.drop(_))
+      Sol(out, ls.vars ++ rs.vars.diff(ls.vars))
+    } else {
+      // Optional side references outer bindings (e.g. BIND over a left var):
+      // dependent evaluation with a row-id, the reference combiner's own
+      // strategy (hybrid/src/combiner.rs:128-216), kept only for this case.
+      val rid = freshName("rid")
+      val ldf = ls.df.withColumn(rid, monotonically_increasing_id()).persist()
+      val lsol = Sol(ldf, ls.vars)
+      val rs = translatePattern(r, lsol)
+      val rdf = cond match {
+        case Some(e) =>
+          val (e2, s1, markers) = materializeExists(e, rs)
+          s1.df.filter(translateExpr(e2, s1)).drop(markers: _*)
+        case None => rs.df
+      }
+      val newVars = rs.vars.diff(ls.vars)
+      val hidden = rdf.columns.filter(c => newVars.exists(v => c == s"${v}__lang"))
+      val right = rdf.select((rid +: (newVars ++ hidden)).map(col): _*)
+      Sol(ldf.join(right, Seq(rid), "left_outer").drop(rid), ls.vars ++ newVars)
+    }
+  }
+
+  /** Rename variables inside an expression (for join-side disambiguation). */
+  private def remapExprVars(e: Expr, m: Map[String, String]): Expr = {
+    def go(x: Expr): Expr = x match {
+      case EVar(v) => EVar(m.getOrElse(v, v))
+      case ENot(a) => ENot(go(a))
+      case EAnd(a, b) => EAnd(go(a), go(b))
+      case EOr(a, b) => EOr(go(a), go(b))
+      case ECmp(op, a, b) => ECmp(op, go(a), go(b))
+      case EArith(op, a, b) => EArith(op, go(a), go(b))
+      case ENeg(a) => ENeg(go(a))
+      case EIn(a, list, n) => EIn(go(a), list.map(go), n)
+      case EFunc(n, args) => EFunc(n, args.map(go))
+      case EIf(c, t, f) => EIf(go(c), go(t), go(f))
+      case ECoalesce(args) => ECoalesce(args.map(go))
+      case EBound(v) => EBound(m.getOrElse(v, v))
+      case other => other
+    }
+    go(e)
+  }
+
+  // ----------------------------------------------------------------- BGP
+  private def translateBgp(triples: Seq[TriplePattern], input: Sol): Sol = {
+    if (triples.isEmpty) return input
+    // 1. normalize property paths into simple (constant-predicate) triples
+    //    plus complex components (alternation → union, closures → fixpoint)
+    val simple = ArrayBuffer.empty[(VarOrTerm, String, VarOrTerm)]
+    val complex = ArrayBuffer.empty[Sol]
+    def expand(s: VarOrTerm, path: Path, o: VarOrTerm): Unit = path match {
+      case PLink(iri) => simple += ((s, iri, o))
+      case PVar(pv) => complex += scanVarPredicate(s, pv, o)
+      case PInverse(p) => expandInverse(s, p, o)
+      case PSeq(a, b) =>
+        val m = V(freshName("p"))
+        expand(s, a, m); expand(m, b, o)
+      case PAlt(a, b) =>
+        complex += translatePattern(
+          Union(Bgp(Seq(TriplePattern(s, a, o))), Bgp(Seq(TriplePattern(s, b, o)))), unitSol)
+      case PZeroOrMore(p) => complex += translateClosure(s, p, o, ClosureMode.ZeroOrMore)
+      case POneOrMore(p) => complex += translateClosure(s, p, o, ClosureMode.OneOrMore)
+      case PZeroOrOne(p) => complex += translateClosure(s, p, o, ClosureMode.ZeroOrOne)
+    }
+    def expandInverse(s: VarOrTerm, p: Path, o: VarOrTerm): Unit = p match {
+      case PLink(iri) => simple += ((o, iri, s))
+      case PVar(pv) => complex += scanVarPredicate(o, pv, s)
+      case PInverse(q) => expand(s, q, o)
+      case PSeq(a, b) =>
+        val m = V(freshName("p"))
+        expandInverse(m, a, o); expandInverse(s, b, m)
+      case other => expand(o, other, s)
+    }
+    triples.foreach(t => expand(t.s, t.p, t.o))
+
+    // 2. hybrid rewrite: collapse virtual time-series triples
+    val (tsComponents, staticTriples) = extractTsComponents(simple.toSeq)
+
+    // 3. scan components for the static triples
+    val scans = staticTriples.map(t => scanTriple(t._1, t._2, t._3))
+
+    // 4. greedy join order: start from the most selective static component,
+    //    always join a component sharing variables (no accidental cartesian),
+    //    TS scans last so the static side prunes ids (SURVEY §4 "ID pruning")
+    val comps = ArrayBuffer.empty[(Sol, Int)] // (component, priority: lower = earlier)
+    scans.foreach { case (sol, nConst) => comps += ((sol, 2 - nConst)) }
+    complex.foreach(c => comps += ((c, 3)))
+    tsComponents.foreach(c => comps += ((c, 4)))
+    var acc = input
+    val remaining = comps.sortBy(_._2).map(_._1).toBuffer
+    while (remaining.nonEmpty) {
+      val idx0 = remaining.indexWhere(c => c.vars.exists(acc.vars.contains))
+      val idx = if (idx0 >= 0 || isUnit(acc)) math.max(idx0, 0) else 0
+      val next = remaining.remove(idx)
+      acc = joinSols(acc, next)
+    }
+    acc
+  }
+
+  /** Scan one constant- or variable-predicate triple against the graph. */
+  private def scanTriple(s: VarOrTerm, p: String, o: VarOrTerm): (Sol, Int) = {
+    graph.slice(p) match {
+      case None if !isVirtual(p) =>
+        // variable-predicate patterns land here too via expandVarPredicate
+        (emptyScanSol(s, o), nConst(s, o))
+      case None => (emptyScanSol(s, o), nConst(s, o)) // virtual but no ts source
+      case Some(slice) =>
+        var df = slice.df
+        val vars = ArrayBuffer.empty[String]
+        s match {
+          case T(t) => df = df.filter(col("s") === t.canonical)
+          case V(v) => df = df.withColumnRenamed("s", v); vars += v
+        }
+        o match {
+          case T(t) =>
+            df = df.filter(col("o") === lit(termToScala(t, slice.kind)))
+          case V(v) if vars.contains(v) => // ?x p ?x
+            df = df.filter(col(v) === col("o")).drop("o")
+          case V(v) =>
+            df = df.withColumnRenamed("o", v)
+            if (slice.hasLang) df = df.withColumnRenamed("o_lang", s"${v}__lang")
+            vars += v
+        }
+        if (s.isInstanceOf[T]) df = df.drop("s")
+        if (o.isInstanceOf[T]) { df = df.drop("o"); if (slice.hasLang) df = df.drop("o_lang") }
+        (Sol(df.select((vars.toSeq.map(col) ++
+          (if (slice.hasLang && vars.nonEmpty && df.columns.contains(s"${vars.last}__lang"))
+            Seq(col(s"${vars.last}__lang")) else Nil)): _*), vars.toSeq), nConst(s, o))
+    }
+  }
+
+  private def nConst(s: VarOrTerm, o: VarOrTerm): Int =
+    Seq(s, o).count(_.isInstanceOf[T])
+
+  /** Variable-predicate scan over the long-form triples view. */
+  private def scanVarPredicate(s: VarOrTerm, pv: String, o: VarOrTerm): Sol = {
+    var df = graph.allTriples.withColumnRenamed("p", pv)
+    val vars = ArrayBuffer[String]()
+    s match {
+      case T(t) => df = df.filter(col("s") === t.canonical).drop("s")
+      case V(v) => df = df.withColumnRenamed("s", v); vars += v
+    }
+    vars += pv
+    o match {
+      case T(t) => df = df.filter(col("o") === t.canonical).drop("o")
+      case V(v) if vars.contains(v) => df = df.filter(col(v) === col("o")).drop("o")
+      case V(v) => df = df.withColumnRenamed("o", v); vars += v
+    }
+    Sol(df.select(vars.toSeq.map(col): _*), vars.toSeq)
+  }
+
+  private def emptyScanSol(s: VarOrTerm, o: VarOrTerm): Sol = {
+    val vars = Seq(s, o).collect { case V(v) => v }
+    emptySol(vars)
+  }
+
+  private def isVirtual(p: String): Boolean =
+    p == Otit.hasDataPoint || p == Otit.hasTimestamp || p == Otit.hasValue
+
+  // ------------------------------------------------- time-series rewrite
+  /** Group virtual triples by data-point variable; emit one TS scan per
+    * chain, with the graph's `hasExternalId` slice providing the
+    * entity→series-id binding (mirrors the reference's injected
+    * `?ts otit_swt:hasExternalId ?id` triples, rewriting/graph_patterns/
+    * bgp_pattern.rs:26-77 — but here it is one join in one plan).
+    *
+    * Data points are bound to a synthetic stable key `id@epochMicros` so a
+    * dangling `?dp otit_swt:hasValue ?v` in another scope (MINUS, EXISTS)
+    * still joins correctly on ?dp.
+    */
+  private def extractTsComponents(
+      triples: Seq[(VarOrTerm, String, VarOrTerm)])
+    : (Seq[Sol], Seq[(VarOrTerm, String, VarOrTerm)]) = {
+    val ts = graph.ts
+    if (ts.isEmpty || !triples.exists(t => isVirtual(t._2)))
+      return (Nil, triples)
+    val tsDf = ts.get.df
+    val dpKey = concat(col("id"), lit("@"), unix_micros(col("ts")).cast(StringType))
+
+    val virtualT = triples.filter(t => isVirtual(t._2))
+    val static = ArrayBuffer.empty[(VarOrTerm, String, VarOrTerm)]
+    static ++= triples.filterNot(t => isVirtual(t._2))
+
+    // chains keyed by dp variable name
+    case class Chain(var tsEnt: Option[VarOrTerm] = None,
+        var tVar: Option[String] = None, var vVar: Option[String] = None)
+    val chains = scala.collection.mutable.LinkedHashMap.empty[String, Chain]
+    def chainOf(dp: String): Chain = chains.getOrElseUpdate(dp, Chain())
+    virtualT.foreach {
+      case (s, p, o) if p == Otit.hasDataPoint =>
+        val dp = o match {
+          case V(v) => v
+          case T(_) => throw new IllegalArgumentException("constant data point")
+        }
+        chainOf(dp).tsEnt = Some(s)
+      case (s, p, V(ov)) if p == Otit.hasTimestamp =>
+        chainOf(varName(s)).tVar = Some(ov)
+      case (s, p, V(ov)) if p == Otit.hasValue =>
+        chainOf(varName(s)).vVar = Some(ov)
+      case other =>
+        throw new IllegalArgumentException(s"unsupported virtual triple $other")
+    }
+
+    val comps = chains.map { case (dpVar, c) =>
+      val cols = ArrayBuffer[Column](dpKey.as(dpVar))
+      val vars = ArrayBuffer[String](dpVar)
+      c.tVar.foreach { t => cols += col("ts").as(t); vars += t }
+      c.vVar.foreach { v => cols += col("value").as(v); vars += v }
+      c.tsEnt match {
+        case Some(ent) =>
+          // bind the series entity through hasExternalId
+          val extSlice = graph.slice(Otit.hasExternalId).getOrElse(
+            throw new IllegalArgumentException(
+              s"graph has no ${Otit.hasExternalId} triples but a TS chain needs them"))
+          var ext = extSlice.df
+          val entVars = ArrayBuffer.empty[String]
+          ent match {
+            case V(ev) => ext = ext.withColumnRenamed("s", ev); entVars += ev
+            case T(t) => ext = ext.filter(col("s") === t.canonical).drop("s")
+          }
+          val scan = tsDf.select((col("id") +: cols.toSeq): _*)
+          val joined = ext.join(scan, ext("o") === scan("id"), "inner")
+            .drop("o").drop("id")
+          Sol(joined, entVars.toSeq ++ vars.toSeq)
+        case None =>
+          Sol(tsDf.select(cols.toSeq: _*), vars.toSeq)
+      }
+    }.toSeq
+    (comps, static.toSeq)
+  }
+
+  private def varName(v: VarOrTerm): String = v match {
+    case V(n) => n
+    case T(t) => throw new IllegalArgumentException(s"expected variable, got $t")
+  }
+
+  // ------------------------------------------------------------- closures
+  private object ClosureMode extends Enumeration {
+    val ZeroOrMore, OneOrMore, ZeroOrOne = Value
+  }
+
+  /** Iterative fixpoint for `*`/`+` paths (SURVEY §7.2 item 5: the genuinely
+    * hard new piece — DataFrame join-until-fixpoint with localCheckpoint to
+    * cut lineage; the reference delegates paths to its external endpoint).
+    */
+  private def translateClosure(s: VarOrTerm, p: Path, o: VarOrTerm,
+      mode: ClosureMode.Value, maxIters: Int = 32): Sol = {
+    val a = freshName("ca"); val b = freshName("cb")
+    val stepSol = translatePattern(Bgp(Seq(TriplePattern(V(a), p, V(b)))), unitSol)
+    val edges = stepSol.df.select(col(a).as("src"), col(b).as("dst")).distinct()
+      .localCheckpoint()
+    var acc = edges
+    if (mode == ClosureMode.ZeroOrMore || mode == ClosureMode.OneOrMore) {
+      var frontier = edges
+      var i = 0
+      var done = false
+      while (!done && i < maxIters) {
+        val stepped = frontier.join(
+            edges.withColumnRenamed("src", "m").withColumnRenamed("dst", "d2"),
+            col("dst") === col("m"))
+          .select(col("src"), col("d2").as("dst")).distinct()
+        val next = stepped.except(acc).localCheckpoint()
+        if (next.isEmpty) done = true
+        else {
+          acc = acc.union(next).distinct().localCheckpoint()
+          frontier = next
+          i += 1
+        }
+      }
+    }
+    if (mode == ClosureMode.ZeroOrMore || mode == ClosureMode.ZeroOrOne) {
+      val identity = graph.nodes.select(col("node").as("src"), col("node").as("dst"))
+      acc = identity.union(acc).distinct()
+    }
+    // constrain endpoints
+    var df = acc
+    val vars = ArrayBuffer.empty[String]
+    s match {
+      case T(t) => df = df.filter(col("src") === t.canonical)
+      case V(v) => df = df.withColumnRenamed("src", v); vars += v
+    }
+    o match {
+      case T(t) => df = df.filter(col("dst") === t.canonical)
+      case V(v) if vars.contains(v) => df = df.filter(col(v) === col("dst")).drop("dst")
+      case V(v) => df = df.withColumnRenamed("dst", v); vars += v
+    }
+    if (s.isInstanceOf[T]) df = df.drop("src")
+    if (o.isInstanceOf[T]) df = df.drop("dst")
+    Sol(df.select(vars.toSeq.map(col): _*), vars.toSeq)
+  }
+
+  // ---------------------------------------------------------- expressions
+  /** Replace EXISTS sub-expressions with marker columns computed via
+    * distinct semi-marker joins; returns the rewritten expr, the augmented
+    * solution and the marker column names to drop afterwards. */
+  private def materializeExists(e: Expr, sol: Sol): (Expr, Sol, Seq[String]) = {
+    var cur = sol
+    val markers = ArrayBuffer.empty[String]
+    def go(x: Expr): Expr = x match {
+      case EExists(p, negated) =>
+        val inner = translatePattern(p, unitSol)
+        val shared = cur.vars.intersect(inner.vars)
+        val m = freshName("exists")
+        markers += m
+        if (shared.isEmpty) {
+          val nonEmpty = !inner.df.isEmpty
+          ETerm(Lit(if (nonEmpty != negated) "true" else "false", Xsd.boolean))
+        } else {
+          val flagDf = inner.df.select(shared.map(col): _*).distinct()
+            .withColumn(m, lit(true))
+          cur = Sol(cur.df.join(flagDf, shared, "left_outer"), cur.vars)
+          if (negated) EFunc("__marker_null", Seq(EVar(m)))
+          else EFunc("__marker_notnull", Seq(EVar(m)))
+        }
+      case ENot(a) => ENot(go(a))
+      case EAnd(a, b) => EAnd(go(a), go(b))
+      case EOr(a, b) => EOr(go(a), go(b))
+      case ECmp(op, a, b) => ECmp(op, go(a), go(b))
+      case EArith(op, a, b) => EArith(op, go(a), go(b))
+      case ENeg(a) => ENeg(go(a))
+      case EIn(a, list, n) => EIn(go(a), list.map(go), n)
+      case EFunc(n, args) => EFunc(n, args.map(go))
+      case EIf(c, t, f) => EIf(go(c), go(t), go(f))
+      case ECoalesce(args) => ECoalesce(args.map(go))
+      case other => other
+    }
+    val e2 = go(e)
+    (e2, cur, markers.toSeq)
+  }
+
+  private def translateExprJoined(e: Expr, l: Sol, r: Sol): Column =
+    translateExpr(e, Sol(l.df.crossJoin(r.df.limit(0)), l.vars ++ r.vars))
+
+  private[graft] def translateExpr(e: Expr, sol: Sol): Column = {
+    def langColOf(v: String): Column =
+      if (sol.df.columns.contains(s"${v}__lang"))
+        coalesce(col(s"${v}__lang"), lit("")) else lit("")
+    def c(x: Expr): Column = x match {
+      case EVar(v) => col(v)
+      case ETerm(t) => termLit(t)
+      case ENot(a) => !c(a)
+      case EAnd(a, b) => c(a) && c(b)
+      case EOr(a, b) => c(a) || c(b)
+      case ECmp("=", a, b) => c(a) === c(b)
+      case ECmp("!=", a, b) => c(a) =!= c(b)
+      case ECmp("<", a, b) => c(a) < c(b)
+      case ECmp("<=", a, b) => c(a) <= c(b)
+      case ECmp(">", a, b) => c(a) > c(b)
+      case ECmp(">=", a, b) => c(a) >= c(b)
+      case ECmp(op, _, _) => throw new IllegalArgumentException(s"cmp $op")
+      case EArith('+', a, b) => c(a) + c(b)
+      case EArith('-', a, b) => c(a) - c(b)
+      case EArith('*', a, b) => c(a) * c(b)
+      case EArith('/', a, b) => c(a) / c(b)
+      case EArith(op, _, _) => throw new IllegalArgumentException(s"arith $op")
+      case ENeg(a) => -c(a)
+      case EIn(a, list, negated) =>
+        val any = list.map(e0 => c(a) === c(e0)).reduceOption(_ || _).getOrElse(lit(false))
+        if (negated) !any else any
+      case EIf(cc, t, f) => when(c(cc), c(t)).otherwise(c(f))
+      case ECoalesce(args) => coalesce(args.map(c): _*)
+      case EBound(v) => col(v).isNotNull // fixes reference bug (SURVEY §2.7 BOUND)
+      case EExists(_, _) =>
+        throw new IllegalStateException("EXISTS must be materialized before translation")
+      case EAgg(_) =>
+        throw new IllegalStateException("aggregate outside grouped query")
+      case EFunc(name, args) => fn(name, args)
+    }
+    def fn(name: String, args: Seq[Expr]): Column = {
+      val a = args.map(c)
+      name match {
+        case "__marker_notnull" => a(0).isNotNull
+        case "__marker_null" => a(0).isNull
+        case "year" => year(a(0))
+        case "month" => month(a(0))
+        case "day" => dayofmonth(a(0))
+        case "hours" | "hour" => hour(a(0))
+        case "minutes" | "minute" => minute(a(0))
+        case "seconds" | "second" => second(a(0))
+        case "floor" => floor(a(0))
+        case "ceil" => ceil(a(0))
+        case "abs" => abs(a(0))
+        case "round" => round(a(0))
+        case "concat" => concat(a.map(_.cast(StringType)): _*)
+        case "substr" =>
+          if (a.size >= 3) a(0).substr(a(1), a(2))
+          else a(0).substr(a(1), length(a(0)))
+        case "strlen" => length(a(0))
+        case "ucase" => upper(a(0))
+        case "lcase" => lower(a(0))
+        case "contains" => a(0).contains(a(1))
+        case "strstarts" => a(0).startsWith(a(1))
+        case "strends" => a(0).endsWith(a(1))
+        case "replace" =>
+          if (a.size >= 4) regexp_replace(a(0), a(1), a(2)) // flags unsupported
+          else regexp_replace(a(0), a(1), a(2))
+        case "regex" =>
+          if (args.size >= 3) regexp_like(a(0), concat(lit("(?"), a(2), lit(")"), a(1)))
+          else regexp_like(a(0), a(1))
+        case "str" => a(0).cast(StringType)
+        case "lang" => args.head match {
+          case EVar(v) => langColOf(v)
+          case _ => lit("")
+        }
+        case "sameterm" => a(0).cast(StringType) === a(1).cast(StringType)
+        case "isnumeric" => a(0).cast(DoubleType).isNotNull
+        case "isiri" | "isuri" => a(0).cast(StringType).startsWith("http")
+        case Xsd.integer | Xsd.int | Xsd.long | Xsd.unsignedInt | Xsd.unsignedLong =>
+          a(0).cast(LongType)
+        case Xsd.double | Xsd.float | Xsd.decimal => a(0).cast(DoubleType)
+        case Xsd.string => a(0).cast(StringType)
+        case Xsd.boolean => a(0).cast(BooleanType)
+        case Xsd.dateTime => a(0).cast(TimestampType)
+        case Otit.dateTimeAsSeconds => unix_timestamp(a(0))
+        case Otit.secondsAsDateTime => timestamp_seconds(a(0))
+        case Otit.dateTimeAsNanos => unix_micros(a(0)) * 1000L
+        case Otit.nanosAsDateTime => timestamp_micros((a(0) / 1000L).cast(LongType))
+        case other if extraFunctions.contains(other) => extraFunctions(other)(a)
+        case other => throw new IllegalArgumentException(s"unknown function $other")
+      }
+    }
+    c(e)
+  }
+
+  private def termLit(t: Term): Column = t match {
+    case Iri(v) => lit(v)
+    case Blank(id) => lit("_:" + id)
+    case Lit(lex, dt, _) =>
+      if (Xsd.numericLong(dt)) lit(lex.toLong)
+      else if (Xsd.numericDouble(dt)) lit(lex.toDouble)
+      else if (dt == Xsd.boolean) lit(lex.toBoolean)
+      else if (dt == Xsd.dateTime || dt == Xsd.date)
+        lit(java.sql.Timestamp.valueOf(java.time.LocalDateTime.parse(lex.replace("Z", ""))))
+      else lit(lex)
+  }
+
+  // ------------------------------------------------------------- queries
+  private def translateQuery(q: SelectQuery, input: Sol): Sol = {
+    val whereSol = translatePattern(q.where, input)
+    val projected =
+      if (q.hasAggregates) translateGrouped(q, whereSol)
+      else translateSimple(q, whereSol)
+    projected
+  }
+
+  private def translateSimple(q: SelectQuery, whereSol: Sol): Sol = {
+    var sol = whereSol
+    // computed projections
+    q.projection.filter(_.expr.isDefined).foreach { pi =>
+      sol = Sol(sol.df.withColumn(pi.v, translateExpr(pi.expr.get, sol)),
+        sol.vars :+ pi.v)
+    }
+    val projVars = if (q.projection.isEmpty) sol.vars else q.projection.map(_.v)
+    finishQuery(q, sol, projVars)
+  }
+
+  private def translateGrouped(q: SelectQuery, whereSol: Sol): Sol = {
+    var df = whereSol.df
+    // group keys (vars or computed)
+    val keyNames = ArrayBuffer.empty[String]
+    q.groupBy.foreach { k =>
+      k.expr match {
+        case Some(e) =>
+          df = df.withColumn(k.v, translateExpr(e, Sol(df, whereSol.vars)))
+        case None =>
+      }
+      keyNames += k.v
+    }
+    // collect aggregates from projection / having / order keys
+    val aggMap = scala.collection.mutable.LinkedHashMap.empty[Aggregate, String]
+    def collectAggs(e: Expr): Unit = e match {
+      case EAgg(a) => if (!aggMap.contains(a)) aggMap(a) = freshName("agg")
+      case ENot(x) => collectAggs(x)
+      case EAnd(l, r) => collectAggs(l); collectAggs(r)
+      case EOr(l, r) => collectAggs(l); collectAggs(r)
+      case ECmp(_, l, r) => collectAggs(l); collectAggs(r)
+      case EArith(_, l, r) => collectAggs(l); collectAggs(r)
+      case ENeg(x) => collectAggs(x)
+      case EIn(x, list, _) => collectAggs(x); list.foreach(collectAggs)
+      case EFunc(_, args) => args.foreach(collectAggs)
+      case EIf(c0, t, f) => collectAggs(c0); collectAggs(t); collectAggs(f)
+      case ECoalesce(args) => args.foreach(collectAggs)
+      case _ =>
+    }
+    q.projection.flatMap(_.expr).foreach(collectAggs)
+    q.having.foreach(collectAggs)
+    q.orderBy.map(_.expr).foreach(collectAggs)
+
+    val preSol = Sol(df, whereSol.vars ++ keyNames.diff(whereSol.vars))
+    val aggCols = aggMap.map { case (a, name) => translateAgg(a, preSol).as(name) }.toSeq
+    val grouped =
+      if (keyNames.isEmpty) df.groupBy().agg(aggCols.head, aggCols.tail: _*)
+      else df.groupBy(keyNames.toSeq.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
+
+    // rewrite aggregates to their generated columns in downstream expressions
+    def rewrite(e: Expr): Expr = e match {
+      case EAgg(a) => EVar(aggMap(a))
+      case ENot(x) => ENot(rewrite(x))
+      case EAnd(l, r) => EAnd(rewrite(l), rewrite(r))
+      case EOr(l, r) => EOr(rewrite(l), rewrite(r))
+      case ECmp(op, l, r) => ECmp(op, rewrite(l), rewrite(r))
+      case EArith(op, l, r) => EArith(op, rewrite(l), rewrite(r))
+      case ENeg(x) => ENeg(rewrite(x))
+      case EIn(x, list, n) => EIn(rewrite(x), list.map(rewrite), n)
+      case EFunc(n, args) => EFunc(n, args.map(rewrite))
+      case EIf(c0, t, f) => EIf(rewrite(c0), rewrite(t), rewrite(f))
+      case ECoalesce(args) => ECoalesce(args.map(rewrite))
+      case other => other
+    }
+
+    var sol = Sol(grouped, keyNames.toSeq ++ aggMap.values)
+    q.projection.filter(_.expr.isDefined).foreach { pi =>
+      sol = Sol(sol.df.withColumn(pi.v, translateExpr(rewrite(pi.expr.get), sol)),
+        sol.vars :+ pi.v)
+    }
+    q.having.foreach { h =>
+      sol = Sol(sol.df.filter(translateExpr(rewrite(h), sol)), sol.vars)
+    }
+    val projVars = if (q.projection.isEmpty) keyNames.toSeq else q.projection.map(_.v)
+    finishQuery(q.copy(having = None,
+      orderBy = q.orderBy.map(k => k.copy(expr = rewrite(k.expr)))), sol, projVars)
+  }
+
+  private def finishQuery(q: SelectQuery, sol0: Sol, projVars: Seq[String]): Sol = {
+    var df = sol0.df
+    if (q.distinct || q.reduced) {
+      df = df.select(projVars.map(col): _*).distinct()
+      if (q.orderBy.nonEmpty)
+        df = df.orderBy(q.orderBy.map(orderCol(_, Sol(df, projVars))): _*)
+    } else {
+      if (q.orderBy.nonEmpty)
+        df = df.orderBy(q.orderBy.map(orderCol(_, sol0)): _*)
+      df = df.select(projVars.map(col): _*)
+    }
+    q.offset.foreach(n => df = df.offset(n.toInt))
+    q.limit.foreach(n => df = df.limit(n.toInt))
+    Sol(df, projVars)
+  }
+
+  private def orderCol(k: OrderKey, sol: Sol): Column = {
+    val c = translateExpr(k.expr, sol)
+    if (k.asc) c.asc_nulls_first else c.desc_nulls_last
+  }
+
+  private def translateAgg(a: Aggregate, sol: Sol): Column = {
+    val arg = a.expr.map(translateExpr(_, sol))
+    a.fn match {
+      case "count" =>
+        arg match {
+          case None => count(lit(1))
+          case Some(x) => if (a.distinct) countDistinct(x) else count(x)
+        }
+      case "sum" => if (a.distinct) sum_distinct(arg.get) else sum(arg.get)
+      case "avg" =>
+        if (a.distinct) sum_distinct(arg.get) / countDistinct(arg.get) else avg(arg.get)
+      case "min" => min(arg.get)
+      case "max" => max(arg.get)
+      case "group_concat" =>
+        val sep = a.separator.getOrElse(" ")
+        val base = if (a.distinct) array_distinct(collect_list(arg.get)) else collect_list(arg.get)
+        array_join(transform(sort_array(base), _.cast(StringType)), sep)
+      case "sample" => first(arg.get)
+      case "nest" => sort_array(collect_list(arg.get))
+      case other => throw new IllegalArgumentException(s"unknown aggregate $other")
+    }
+  }
+}
+
+object SparqlExecutor {
+
+  /** Variables referenced by a pattern but not bound inside it — used to
+    * decide whether an OPTIONAL side needs dependent evaluation. */
+  def freeVars(p: Pattern): Set[String] = p match {
+    case Bgp(_) => Set.empty
+    case Join(l, r) => freeVars(l) ++ freeVars(r)
+    case Filter(e, inner) => freeVars(inner) ++ (exprVars(e) -- boundVars(inner))
+    case Extend(inner, _, e) => freeVars(inner) ++ (exprVars(e) -- boundVars(inner))
+    case Union(l, r) => freeVars(l) ++ freeVars(r)
+    case Minus(l, _) => freeVars(l)
+    case LeftJoin(l, r, cond) =>
+      freeVars(l) ++ freeVars(r) ++
+        cond.map(exprVars(_) -- (boundVars(l) ++ boundVars(r))).getOrElse(Set.empty)
+    case ValuesPattern(_, _) => Set.empty
+    case SubSelect(_) => Set.empty
+  }
+
+  def exprVars(e: Expr): Set[String] = e match {
+    case EVar(v) => Set(v)
+    case ENot(a) => exprVars(a)
+    case EAnd(a, b) => exprVars(a) ++ exprVars(b)
+    case EOr(a, b) => exprVars(a) ++ exprVars(b)
+    case ECmp(_, a, b) => exprVars(a) ++ exprVars(b)
+    case EArith(_, a, b) => exprVars(a) ++ exprVars(b)
+    case ENeg(a) => exprVars(a)
+    case EIn(a, list, _) => exprVars(a) ++ list.flatMap(exprVars)
+    case EFunc(_, args) => args.flatMap(exprVars).toSet
+    case EIf(c, t, f) => exprVars(c) ++ exprVars(t) ++ exprVars(f)
+    case ECoalesce(args) => args.flatMap(exprVars).toSet
+    case EBound(v) => Set(v)
+    case EAgg(a) => a.expr.map(exprVars).getOrElse(Set.empty)
+    case EExists(_, _) => Set.empty // handled via marker joins on shared vars
+    case ETerm(_) => Set.empty
+  }
+
+  def termToScala(t: Term, kind: OKind): Any = (kind, t) match {
+    case (OKind.KLong, Lit(lex, _, _)) => lex.toLong
+    case (OKind.KDbl, Lit(lex, _, _)) => lex.toDouble
+    case (OKind.KBool, Lit(lex, _, _)) => lex.toBoolean
+    case (OKind.KTs, Lit(lex, _, _)) =>
+      java.sql.Timestamp.valueOf(java.time.LocalDateTime.parse(lex.replace("Z", "")))
+    case (_, t0) => t0.canonical
+  }
+}

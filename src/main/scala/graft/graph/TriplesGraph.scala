@@ -1,0 +1,140 @@
+package graft.graph
+
+import graft.rdf._
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Kind of the object column of one predicate slice. */
+sealed trait OKind
+object OKind {
+  case object KIri extends OKind
+  case object KStr extends OKind
+  case object KLong extends OKind
+  case object KDbl extends OKind
+  case object KBool extends OKind
+  case object KTs extends OKind
+
+  def ofDatatype(dt: String): OKind = dt match {
+    case d if Xsd.numericLong(d) => KLong
+    case d if Xsd.numericDouble(d) => KDbl
+    case Xsd.boolean => KBool
+    case Xsd.dateTime | Xsd.date => KTs
+    case _ => KStr
+  }
+  def sparkType(k: OKind): DataType = k match {
+    case KIri | KStr => StringType
+    case KLong => LongType
+    case KDbl => DoubleType
+    case KBool => BooleanType
+    case KTs => TimestampType
+  }
+  def xsdOf(k: OKind): Option[String] = k match {
+    case KIri => None
+    case KStr => Some(Xsd.string)
+    case KLong => Some(Xsd.long)
+    case KDbl => Some(Xsd.double)
+    case KBool => Some(Xsd.boolean)
+    case KTs => Some(Xsd.dateTime)
+  }
+}
+
+/** One vertical partition of the graph: all triples of a single predicate,
+  * as a DataFrame with columns `s: String`, `o: <typed>` and optionally
+  * `o_lang: String`.
+  *
+  * Vertical partitioning (one table per predicate) is the published scheme
+  * for RDF-on-relational engines (S2RDF / Sempala lineage): a triple pattern
+  * with a constant predicate becomes a scan of just that slice — at 100 TB,
+  * predicate-partitioned parquet means partition pruning does this for free.
+  */
+final case class PredicateSlice(df: DataFrame, kind: OKind, hasLang: Boolean = false)
+
+/** A time-series source for the hybrid engine: long-format
+  * `(id: String, ts: Timestamp, value: numeric)` — SURVEY §1.1. The external
+  * ids stored in the graph under `otit_swt:hasExternalId` join against `id`.
+  */
+final case class TsSource(df: DataFrame) {
+  require(Seq("id", "ts", "value").forall(df.columns.contains),
+    s"TsSource needs id/ts/value columns, got ${df.columns.mkString(",")}")
+}
+
+/** An RDF graph held as per-predicate DataFrame slices + an optional
+  * time-series source for the virtual `hasDataPoint/hasTimestamp/hasValue`
+  * vocabulary (SURVEY §3.1 stage 2 — the one piece of reference "magic" we
+  * reimplement as a logical rewrite).
+  */
+final class TriplesGraph(
+    val spark: SparkSession,
+    val slices: Map[String, PredicateSlice],
+    val ts: Option[TsSource] = None) {
+
+  def slice(predicate: String): Option[PredicateSlice] = slices.get(predicate)
+
+  /** Long-form view for variable-predicate patterns: (s, p, o) with o as the
+    * canonical string. */
+  lazy val allTriples: DataFrame = {
+    val parts = slices.map { case (p, sl) =>
+      sl.df.select(col("s"), lit(p).as("p"), col("o").cast(StringType).as("o"))
+    }
+    parts.reduceOption(_.unionByName(_)).getOrElse {
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+        StructType(Seq(StructField("s", StringType), StructField("p", StringType),
+          StructField("o", StringType))))
+    }
+  }
+
+  /** All nodes of the graph (for zero-length path semantics). */
+  lazy val nodes: DataFrame = {
+    val subj = allTriples.select(col("s").as("node"))
+    val objIris = slices.collect {
+      case (_, sl) if sl.kind == OKind.KIri => sl.df.select(col("o").as("node"))
+    }
+    objIris.foldLeft(subj)(_.unionByName(_)).distinct()
+  }
+}
+
+object TriplesGraph {
+
+  /** Build from an in-memory triple list (fixtures, mapper output). */
+  def fromTerms(spark: SparkSession, triples: Seq[(Term, String, Term)],
+      ts: Option[TsSource] = None): TriplesGraph = {
+    val byPred = triples.groupBy(_._2)
+    val slices = byPred.map { case (p, ts0) =>
+      val kinds = ts0.map {
+        case (_, _, Iri(_)) | (_, _, Blank(_)) => OKind.KIri
+        case (_, _, Lit(_, dt, _)) => OKind.ofDatatype(dt)
+      }.distinct
+      // Mixed object kinds degrade to string (rare; reference stores plain Utf8)
+      val kind = if (kinds.size == 1) kinds.head else OKind.KStr
+      val hasLang = ts0.exists { case (_, _, Lit(_, _, l)) => l.isDefined; case _ => false }
+      val sparkT = OKind.sparkType(kind)
+      val rows = ts0.map { case (s, _, o) =>
+        val ov: Any = (kind, o) match {
+          case (OKind.KLong, Lit(lex, _, _)) => lex.toLong
+          case (OKind.KDbl, Lit(lex, _, _)) => lex.toDouble
+          case (OKind.KBool, Lit(lex, _, _)) => lex.toBoolean
+          case (OKind.KTs, Lit(lex, _, _)) => java.sql.Timestamp.valueOf(
+            java.time.LocalDateTime.parse(lex.replace("Z", "")))
+          case (_, t) => t.canonical
+        }
+        val lang: Any = o match { case Lit(_, _, l) => l.orNull; case _ => null }
+        if (hasLang) Row(s.canonical, ov, lang) else Row(s.canonical, ov)
+      }
+      val schema = StructType(
+        Seq(StructField("s", StringType), StructField("o", sparkT)) ++
+          (if (hasLang) Seq(StructField("o_lang", StringType)) else Nil))
+      p -> PredicateSlice(
+        spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq, 1), schema),
+        kind, hasLang)
+    }
+    new TriplesGraph(spark, slices, ts)
+  }
+
+  /** Build from already-distributed per-predicate DataFrames (each with
+    * columns s, o) — the scale path: derive slices from source tables with
+    * Spark transforms, no driver-side materialization. */
+  def fromSlices(spark: SparkSession, slices: Map[String, PredicateSlice],
+      ts: Option[TsSource] = None): TriplesGraph =
+    new TriplesGraph(spark, slices, ts)
+}

@@ -1,0 +1,67 @@
+package graft.rdf
+
+/** RDF term model.
+  *
+  * Mirrors the surface the reference engine consumes through oxrdf/spargebra
+  * (see /root/reference/hybrid/src/sparql_result_to_polars.rs:69-117 for its
+  * literal→column mapping), re-expressed as a plain Scala ADT. Literals carry
+  * their lexical form plus datatype IRI and optional language tag.
+  */
+sealed trait Term {
+  /** Canonical string form used when a term must live in a string column. */
+  def canonical: String = this match {
+    case Iri(v)            => v
+    case Blank(id)         => "_:" + id
+    case Lit(lex, _, _)    => lex
+  }
+}
+
+final case class Iri(value: String) extends Term
+final case class Blank(id: String) extends Term
+final case class Lit(lexical: String, datatype: String, lang: Option[String] = None)
+    extends Term
+
+object Xsd {
+  val ns = "http://www.w3.org/2001/XMLSchema#"
+  val string: String = ns + "string"
+  val integer: String = ns + "integer"
+  val int: String = ns + "int"
+  val long: String = ns + "long"
+  val unsignedInt: String = ns + "unsignedInt"
+  val unsignedLong: String = ns + "unsignedLong"
+  val double: String = ns + "double"
+  val float: String = ns + "float"
+  val decimal: String = ns + "decimal"
+  val boolean: String = ns + "boolean"
+  val dateTime: String = ns + "dateTime"
+  val date: String = ns + "date"
+  val anyURI: String = ns + "anyURI"
+  val langString = "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
+
+  val numericLong: Set[String] = Set(integer, int, long, unsignedInt, unsignedLong)
+  val numericDouble: Set[String] = Set(double, float, decimal)
+}
+
+object Rdf {
+  val ns = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+  val typ: String = ns + "type"
+}
+
+/** The reference's custom function/vocabulary namespace
+  * (/root/reference/hybrid/src/constants.rs). The engine recognizes these
+  * IRIs both as virtual time-series predicates and as scalar functions.
+  */
+object Otit {
+  val ns = "https://github.com/magbak/otit_swt#"
+  val hasTimeseries: String = ns + "hasTimeseries"
+  val hasDataPoint: String = ns + "hasDataPoint"
+  val hasTimestamp: String = ns + "hasTimestamp"
+  val hasValue: String = ns + "hasValue"
+  val hasExternalId: String = ns + "hasExternalId"
+  val hasDatatype: String = ns + "hasDatatype"
+  val dateTimeAsNanos: String = ns + "DateTimeAsNanos"
+  val nanosAsDateTime: String = ns + "NanosAsDateTime"
+  val dateTimeAsSeconds: String = ns + "DateTimeAsSeconds"
+  val secondsAsDateTime: String = ns + "SecondsAsDateTime"
+  val nestAggregation: String = ns + "nestAggregation"
+}

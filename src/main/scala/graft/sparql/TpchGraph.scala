@@ -1,0 +1,97 @@
+package graft.sparql
+
+import graft.T
+import graft.graph.{OKind, PredicateSlice, TriplesGraph, TsSource}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Distributed triples view over the driver's TPC-H-ish parquet tables.
+  *
+  * Slices are derived with Spark transforms only (no driver-side collect), so
+  * the same construction scales to a 100 TB lake: each predicate slice is a
+  * projection of a source table, Catalyst prunes the untouched ones, and a
+  * BGP over n predicates reads only its n slices.
+  *
+  * The `events` table doubles as the time-series source (id = event_type),
+  * with series metadata published into the graph under the reference's
+  * vocabulary (hasTimeseries/hasExternalId — testdata.sparql's shape).
+  */
+object TpchGraph {
+
+  val ns = "urn:graft:"
+  private def iri(kind: String, c: Column): Column =
+    concat(lit(s"$ns$kind:"), c.cast(StringType))
+  /** Oracle-SQL spelling of the same IRI construction. */
+  def sqlIri(kind: String, expr: String): String =
+    s"'$ns$kind:' || CAST($expr AS VARCHAR)"
+
+  val name = s"${ns}name"
+  val inRegion = s"${ns}inRegion"
+  val nationOf = s"${ns}nation"
+  val acctbal = s"${ns}acctbal"
+  val locatedIn = s"${ns}locatedIn"
+  val ofSupplier = s"${ns}ofSupplier"
+  val quantity = s"${ns}quantity"
+  val typeNation = s"${ns}Nation"
+  val typeRegion = s"${ns}Region"
+  val typeSupplier = s"${ns}Supplier"
+  val typeSensor = s"${ns}Sensor"
+
+  def graph(s: SparkSession, dir: String): TriplesGraph = {
+    val nation = T.nation(s, dir)
+    val region = T.region(s, dir)
+    val supplier = T.supplier(s, dir)
+    // (l_orderkey, l_linenumber) is NOT unique in the driver's synthetic
+    // data; mint line-row IRIs from the stable parquet row index so the two
+    // lineitem slices self-join 1:1.
+    val lineitem = T.lineitem(s, dir)
+      .withColumn("__rid", col("_metadata.row_index"))
+    val events = T.events(s, dir)
+
+    val nIri = iri("nation", col("n_nationkey"))
+    val rIri = iri("region", col("r_regionkey"))
+    val sIri = iri("supplier", col("s_suppkey"))
+    val sNIri = iri("nation", col("s_nationkey"))
+    val nRIri = iri("region", col("n_regionkey"))
+    val lIri = iri("line", col("__rid"))
+
+    def sl(df: DataFrame, s0: Column, o: Column, kind: OKind): PredicateSlice =
+      PredicateSlice(df.select(s0.as("s"), o.as("o")), kind)
+
+    val names = nation.select(nIri.as("s"), col("n_name").as("o"))
+      .unionByName(region.select(rIri.as("s"), col("r_name").as("o")))
+      .unionByName(supplier.select(sIri.as("s"), col("s_name").as("o")))
+
+    val types = nation.select(nIri.as("s"), lit(typeNation).as("o"))
+      .unionByName(region.select(rIri.as("s"), lit(typeRegion).as("o")))
+      .unionByName(supplier.select(sIri.as("s"), lit(typeSupplier).as("o")))
+      .unionByName(events.select(iri("sensor", col("event_type")).as("s"),
+        lit(typeSensor).as("o")).distinct())
+
+    val located = supplier.select(sIri.as("s"), sNIri.as("o"))
+      .unionByName(nation.select(nIri.as("s"), nRIri.as("o")))
+
+    // time-series metadata: one series per event_type
+    val sensors = events.select(col("event_type")).distinct()
+    val hasTs = sensors.select(iri("sensor", col("event_type")).as("s"),
+      iri("series", col("event_type")).as("o"))
+    val extId = sensors.select(iri("series", col("event_type")).as("s"),
+      col("event_type").as("o"))
+
+    val slices = Map(
+      name -> PredicateSlice(names, OKind.KStr),
+      graft.rdf.Rdf.typ -> PredicateSlice(types, OKind.KIri),
+      inRegion -> sl(nation, nIri, nRIri, OKind.KIri),
+      nationOf -> sl(supplier, sIri, sNIri, OKind.KIri),
+      acctbal -> sl(supplier, sIri, col("s_acctbal"), OKind.KDbl),
+      locatedIn -> PredicateSlice(located, OKind.KIri),
+      ofSupplier -> sl(lineitem, lIri, iri("supplier", col("l_suppkey")), OKind.KIri),
+      quantity -> sl(lineitem, lIri, col("l_quantity").cast(LongType), OKind.KLong),
+      graft.rdf.Otit.hasTimeseries -> PredicateSlice(hasTs, OKind.KIri),
+      graft.rdf.Otit.hasExternalId -> PredicateSlice(extId, OKind.KStr),
+    )
+    val ts = TsSource(events.select(col("event_type").as("id"), col("ts"), col("value")))
+    TriplesGraph.fromSlices(s, slices, Some(ts))
+  }
+}
