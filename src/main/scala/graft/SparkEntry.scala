@@ -30,5 +30,6 @@ object SparkEntry {
 object Catalog {
   def all: Seq[Q] =
     graft.relational.RelationalQueries.all ++
-      graft.sparql.SparqlQueries.all
+      graft.sparql.SparqlQueries.all ++
+      graft.llm.LlmQueries.all
 }

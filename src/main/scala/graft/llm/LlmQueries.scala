@@ -1,0 +1,191 @@
+package graft.llm
+
+import graft.{Q, T}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Training-data pipeline catalog entries over the provisioned `documents`
+  * and `embeddings` tables: dedup (exact + MinHash-LSH), text analysis,
+  * SimHash, ANN (query-batch top-k + LSH threshold join), multimodal binary
+  * plumbing. Every entry has a DuckDB oracle.
+  */
+object LlmQueries {
+
+  private def q(name: String, sql: String, bench: Boolean = true)(
+      fn: (SparkSession, String) => DataFrame): Q = Q(name, Some(sql), bench)(fn)
+
+  // DuckDB spelling of TextOps.tokens / wordShingles(3)
+  private val sqlToks = "string_split(trim(text), ' ')"
+  private val sqlShingles =
+    s"list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)])"
+
+  // Oracle spelling of TextOps.simhash (64 md5-derived bit sums)
+  private def simhashOracle: String = {
+    val sums = (0 until 64).map { b =>
+      val k = b / 4 + 1
+      val div = 1 << (3 - (b % 4))
+      s"SUM(2 * ((CAST(strpos('0123456789abcdef', substr(md5(t), $k, 1)) - 1 AS INT) // $div) % 2) - 1) AS s$b"
+    }
+    val bits = (0 until 64).map(b => s"(CASE WHEN s$b >= 0 THEN '1' ELSE '0' END)")
+    s"""SELECT doc_id, ${bits.mkString(" || ")} AS simhash FROM (
+       |  SELECT doc_id, ${sums.mkString(", ")}
+       |  FROM (SELECT doc_id, unnest(list_distinct($sqlToks)) AS t FROM documents)
+       |  GROUP BY doc_id)
+       |ORDER BY doc_id NULLS FIRST""".stripMargin
+  }
+
+  // Oracle spelling of AnnOps.lshThresholdPairs band keys
+  private def lshBandKeySql(emb: String, j: Int, bitsPerBand: Int, dim: Int): String =
+    (0 until bitsPerBand).map { r =>
+      val i = j * bitsPerBand + r
+      val lo = i * dim + 1
+      s"(CASE WHEN list_dot_product(CAST($emb AS DOUBLE[]), [sin(CAST(m AS DOUBLE)) for m in range($lo, ${lo + dim})]) >= 0 THEN '1' ELSE '0' END)"
+    }.mkString(" || ")
+
+  private def annLshOracle(numBands: Int, bitsPerBand: Int, dim: Int,
+      threshold: Double): String = {
+    val keys = (0 until numBands)
+      .map(j => s"${lshBandKeySql("embedding", j, bitsPerBand, dim)} AS b$j")
+    val anyBand = (0 until numBands).map(j => s"a.b$j = b.b$j").mkString(" OR ")
+    s"""WITH s AS (SELECT vec_id AS id, embedding AS emb, ${keys.mkString(", ")} FROM embeddings)
+       |SELECT a.id AS ida, b.id AS idb FROM s a, s b
+       |WHERE a.id < b.id AND ($anyBand)
+       |  AND list_cosine_similarity(CAST(a.emb AS DOUBLE[]), CAST(b.emb AS DOUBLE[])) >= $threshold
+       |ORDER BY ida NULLS FIRST, idb NULLS FIRST""".stripMargin
+  }
+
+  val all: Seq[Q] = Seq(
+
+    // ---- exact dedup: hash-groupBy on the order-insensitive token-set
+    // fingerprint; one shuffle on the 128-bit key at any scale.
+    q("q44_dedup_exact",
+      s"""SELECT fp, COUNT(*) AS n_dups, MIN(doc_id) AS keep_id,
+         |  array_to_string(list(doc_id ORDER BY doc_id), ',') AS all_ids
+         |FROM (SELECT doc_id,
+         |        md5(array_to_string(list_sort(list_distinct($sqlToks)), ' ')) AS fp
+         |      FROM documents)
+         |GROUP BY fp HAVING COUNT(*) > 1
+         |ORDER BY fp NULLS FIRST""".stripMargin) { (s, dir) =>
+      T.documents(s, dir)
+        .select(col("doc_id"), TextOps.tokenSetFingerprint(col("text")).as("fp"))
+        .groupBy(col("fp"))
+        .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("keep_id"),
+          concat_ws(",", sort_array(collect_list(col("doc_id")))).as("all_ids"))
+        .filter(col("n_dups") > 1)
+        .orderBy("fp")
+    },
+
+    // ---- MinHash-LSH near-dup pairs (3-gram shingles, 128 hashes, 64
+    // bands of 2): banded bucket join + exact-Jaccard verification; oracle
+    // is the brute-force Jaccard at this SF (2*|I| >= |U| is the integer
+    // spelling of J >= 0.5, so both sides agree bit-for-bit).
+    q("q45_dedup_minhash_lsh",
+      s"""WITH sh AS (
+         |  SELECT doc_id, $sqlShingles AS shingles
+         |  FROM (SELECT doc_id, $sqlToks AS toks FROM documents)
+         |)
+         |SELECT a.doc_id AS ida, b.doc_id AS idb,
+         |  CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+         |    / len(list_distinct(list_concat(a.shingles, b.shingles))) AS jaccard
+         |FROM sh a, sh b
+         |WHERE a.doc_id < b.doc_id
+         |  AND len(list_intersect(a.shingles, b.shingles)) * 2
+         |      >= len(list_distinct(list_concat(a.shingles, b.shingles)))
+         |ORDER BY ida NULLS FIRST, idb NULLS FIRST""".stripMargin) { (s, dir) =>
+      TextOps.minhashLshPairs(T.documents(s, dir), "doc_id", "text",
+          shingleN = 3, numHashes = 128, rowsPerBand = 2, threshold = 0.5)
+        .orderBy("ida", "idb")
+    },
+
+    // ---- per-document text statistics + quality flag (integer arithmetic
+    // only, so the flag is engine-exact).
+    q("q46_text_stats",
+      s"""SELECT doc_id,
+         |  len($sqlToks) AS n_tokens,
+         |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_lex,
+         |  length(text) AS n_chars,
+         |  len(list_filter($sqlToks, t -> t IN ('the', 'a', 'of', 'and'))) AS n_stop,
+         |  (len(list_filter($sqlToks, t -> t IN ('the', 'a', 'of', 'and'))) * 10
+         |     >= len($sqlToks) AND length(text) >= 100) AS is_quality
+         |FROM documents ORDER BY doc_id NULLS FIRST""".stripMargin) { (s, dir) =>
+      val toks = TextOps.tokens(col("text"))
+      val nStop = size(filter(toks,
+        t => TextOps.enMarkers.map(w => t === w).reduce(_ || _)))
+      T.documents(s, dir).select(
+        col("doc_id"),
+        size(toks).as("n_tokens"),
+        TextOps.lexTokenCount(col("text")).as("n_lex"),
+        length(col("text")).as("n_chars"),
+        nStop.as("n_stop"),
+        (nStop * 10 >= size(toks) && length(col("text")) >= 100).as("is_quality"))
+        .orderBy("doc_id")
+    },
+
+    // ---- stopword-profile language ID vs the declared lang column.
+    q("q47_lang_id",
+      s"""SELECT doc_id, lang,
+         |  CASE WHEN en >= de AND en >= es AND en > 0 THEN 'en'
+         |       WHEN de > en AND de >= es THEN 'de'
+         |       WHEN es > en AND es > de THEN 'es'
+         |       ELSE 'und' END AS lang_guess
+         |FROM (SELECT doc_id, lang,
+         |        len(list_filter($sqlToks, t -> t IN ('the', 'a', 'of', 'and'))) AS en,
+         |        len(list_filter($sqlToks, t -> t IN ('der', 'die', 'das', 'und'))) AS de,
+         |        len(list_filter($sqlToks, t -> t IN ('el', 'la', 'los', 'y'))) AS es
+         |      FROM documents)
+         |ORDER BY doc_id NULLS FIRST""".stripMargin) { (s, dir) =>
+      T.documents(s, dir).select(col("doc_id"), col("lang"),
+        TextOps.langId(col("text")).as("lang_guess"))
+        .orderBy("doc_id")
+    },
+
+    // ---- 64-bit SimHash fingerprints (md5-bit-derived, engine-portable).
+    q("q48_simhash", simhashOracle) { (s, dir) =>
+      TextOps.simhash(T.documents(s, dir), "doc_id", "text").orderBy("doc_id")
+    },
+
+    // ---- exact cosine top-k for a bounded query batch: broadcast batch ×
+    // corpus + per-query top-k window (the ANN baseline; ids only in the
+    // output so float formatting never enters the compare).
+    q("q49_ann_topk",
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 20),
+        |p AS (SELECT q.qid, e.vec_id AS nid,
+        |        list_cosine_similarity(CAST(q.qe AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS cos
+        |      FROM q, embeddings e WHERE e.vec_id != q.qid),
+        |r AS (SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk FROM p)
+        |SELECT qid, rk, nid FROM r WHERE rk <= 3
+        |ORDER BY qid NULLS FIRST, rk NULLS FIRST""".stripMargin) { (s, dir) =>
+      val emb = T.embeddings(s, dir)
+      AnnOps.topKForQueries(emb, emb.filter(col("vec_id") < 20), 3)
+        .orderBy("qid", "rk")
+    },
+
+    // ---- random-hyperplane LSH cosine threshold self-join (the scale
+    // path): (band, key) bucket join + exact verification; the oracle
+    // regenerates the same hyperplanes from sin(i), so both engines run the
+    // identical algorithm independently.
+    q("q50_ann_lsh_threshold", annLshOracle(16, 8, 64, 0.4)) { (s, dir) =>
+      AnnOps.lshThresholdPairs(T.embeddings(s, dir), dim = 64,
+          numBands = 16, bitsPerBand = 8, threshold = 0.4)
+        .orderBy("ida", "idb")
+    },
+
+    // ---- multimodal binary plumbing: opaque payload + typed metadata
+    // (decode stub exercised in MultimodalOpsSpec; this entry checks the
+    // SQL-visible surface).
+    q("q51_multimodal_binary",
+      """SELECT doc_id AS media_id, 'application/x-fake' AS mime,
+        |  octet_length(encode(text)) AS n_bytes,
+        |  lower(substr(hex(encode(text)), 1, 16)) AS head_hex,
+        |  md5(text) AS digest
+        |FROM documents ORDER BY media_id NULLS FIRST""".stripMargin) { (s, dir) =>
+      MultimodalOps.asMediaTable(T.documents(s, dir), "doc_id", "text")
+        .select(col("media_id"), col("meta.mime").as("mime"),
+          col("meta.n_bytes").as("n_bytes"),
+          lower(substring(hex(col("payload")), 1, 16)).as("head_hex"),
+          md5(col("payload")).as("digest"))
+        .orderBy("media_id")
+    },
+  )
+}

@@ -1,0 +1,128 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis / deduplication building blocks for training-data
+  * pipelines, all expressed as codegen-friendly Column transforms (no UDFs,
+  * SURVEY "Functions, not UDFs").
+  *
+  * Scale notes (100 TB): every operator here is embarrassingly parallel per
+  * document except the LSH band join, which shuffles once on
+  * (band, signature) — the published MinHash-LSH layout. Nothing does an
+  * all-pairs crossJoin.
+  */
+object TextOps {
+
+  /** Whitespace tokens of a trimmed document. */
+  def tokens(text: Column): Column = split(trim(text), " ")
+
+  /** Distinct word n-gram shingles. Documents shorter than n tokens get an
+    * empty set (guard needed: sequence() would run backwards). */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) >= n,
+      array_distinct(transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+      .otherwise(array().cast(ArrayType(StringType)))
+  }
+
+  /** Order-insensitive document fingerprint: md5 over the sorted distinct
+    * token set. Exact-duplicate detection under bag-of-words equality. */
+  def tokenSetFingerprint(text: Column): Column =
+    md5(concat_ws(" ", sort_array(array_distinct(tokens(text)))))
+
+  /** Number of BPE-ish lexical tokens (letter runs / digit runs / single
+    * punctuation) — the regex stand-in for a real tokenizer's pre-split. */
+  def lexTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+
+  private def countIn(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => words.map(w => t === w).reduce(_ || _)))
+
+  val enMarkers = Seq("the", "a", "of", "and")
+  val deMarkers = Seq("der", "die", "das", "und")
+  val esMarkers = Seq("el", "la", "los", "y")
+
+  /** n-gram/stopword language-ID heuristic: argmax of per-language marker
+    * token counts, integer arithmetic only (deterministic across engines). */
+  def langId(text: Column): Column = {
+    val t = tokens(text)
+    val en = countIn(t, enMarkers)
+    val de = countIn(t, deMarkers)
+    val es = countIn(t, esMarkers)
+    when(en >= de && en >= es && en > 0, "en")
+      .when(de > en && de >= es, "de")
+      .when(es > en && es > de, "es")
+      .otherwise("und")
+  }
+
+  /** 64-bit SimHash over the distinct token set, bit b derived from bit b of
+    * md5(token) (first 16 hex digits = 64 bits), emitted as a 64-char
+    * '0'/'1' string so any engine can reproduce it without a shared 64-bit
+    * hash function. Input: a DataFrame with (id, text); output (id, simhash).
+    */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol),
+        explode(array_distinct(tokens(col(textCol)))).as("t"))
+      .withColumn("h", md5(col("t")))
+    val sums = (0 until 64).map { b =>
+      val k = b / 4 + 1
+      val shift = 3 - (b % 4)
+      val d = conv(substring(col("h"), k, 1), 16, 10).cast(IntegerType)
+      val bit = shiftright(d, shift) % 2
+      sum(bit * 2 - 1).as(s"s$b")
+    }
+    val agg = tok.groupBy(col(idCol)).agg(sums.head, sums.tail: _*)
+    val bits = (0 until 64).map(b => when(col(s"s$b") >= 0, "1").otherwise("0"))
+    agg.select(col(idCol), concat(bits: _*).as("simhash"))
+  }
+
+  /** MinHash signatures + banded LSH candidate pairs + exact-Jaccard
+    * verification. Returns (id_a, id_b, jaccard) for pairs with
+    * J(shingles) >= threshold. numHashes hash functions in bands of
+    * rowsPerBand; recall for J >= t is 1-(1-t^r)^b (0.5^4/32 bands:
+    * ~1-6e-8 at J=0.8, ~0.999.. at J=0.5 with r=2).
+    *
+    * The only shuffle joins are on (band, bandHash) buckets and on doc ids —
+    * no all-pairs product anywhere.
+    */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 128, rowsPerBand: Int = 2,
+      threshold: Double = 0.5): DataFrame = {
+    val numBands = numHashes / rowsPerBand
+    val shingled = df.select(col(idCol).as("id"),
+      wordShingles(col(textCol), shingleN).as("shingles"))
+    val exploded = shingled.select(col("id"), explode(col("shingles")).as("sh"))
+    // numHashes independent hash functions: xxhash64 seeded by index
+    val minAggs = (0 until numHashes).map(i =>
+      min(xxhash64(lit(i), col("sh"))).as(s"m$i"))
+    val sigs = exploded.groupBy(col("id")).agg(minAggs.head, minAggs.tail: _*)
+    // bands: hash of rowsPerBand consecutive signature slots
+    val bandCols = (0 until numBands).map { j =>
+      val slots = (0 until rowsPerBand).map(r => col(s"m${j * rowsPerBand + r}"))
+      xxhash64((lit(j) +: slots): _*).as(s"b$j")
+    }
+    val banded = sigs.select((col("id") +: bandCols): _*)
+    val bandLong = banded.select(col("id"),
+      posexplode(array((0 until numBands).map(j => col(s"b$j")): _*))
+        .as(Seq("band", "bh")))
+    val a = bandLong.select(col("id").as("ida"), col("band"), col("bh"))
+    val b = bandLong.select(col("id").as("idb"), col("band").as("band2"), col("bh").as("bh2"))
+    val candidates = a.join(b,
+        col("band") === col("band2") && col("bh") === col("bh2") &&
+          col("ida") < col("idb"))
+      .select(col("ida"), col("idb")).distinct()
+    // exact verification: Jaccard from the true shingle sets (integer
+    // counts -> division is bit-identical across engines)
+    val sa = shingled.select(col("id").as("ida"), col("shingles").as("sha"))
+    val sb = shingled.select(col("id").as("idb"), col("shingles").as("shb"))
+    candidates.join(sa, "ida").join(sb, "idb")
+      .withColumn("jaccard",
+        size(array_intersect(col("sha"), col("shb"))).cast(DoubleType) /
+          size(array_union(col("sha"), col("shb"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("ida"), col("idb"), col("jaccard"))
+  }
+}

@@ -1,0 +1,59 @@
+package graft.llm
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class LlmOpsSpec extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("multimodal decode stub: schema, batch plumbing, deterministic features") {
+    import spark.implicits._
+    val docs = Seq((1L, "ab"), (2L, "hello world")).toDF("doc_id", "text")
+    val media = MultimodalOps.asMediaTable(docs, "doc_id", "text")
+    // names/types must match the declared contract (nullability may tighten)
+    assert(media.schema.map(f => (f.name, f.dataType.simpleString)) ==
+      MultimodalOps.mediaSchema.map(f => (f.name, f.dataType.simpleString)))
+    val byId = MultimodalOps.decodeStub(media).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(3), r.getInt(4), r.getLong(5)))).toMap
+    // "ab": width = 'a'+1 = 98, height = 'b'+1 = 99, checksum = 97+98
+    assert(byId(1L) == ((98, 99, 195L)))
+    assert(byId(2L)._3 == "hello world".getBytes("UTF-8").map(_ & 0xff).sum.toLong)
+  }
+
+  test("minhash LSH pairs: full recall vs brute force at this scale") {
+    val docs = graft.T.documents(spark, sf)
+    val lsh = TextOps.minhashLshPairs(docs, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force over the true shingle sets
+    val sh = docs.select(col("doc_id").as("id"),
+      TextOps.wordShingles(col("text"), 3).as("s"))
+    val a = sh.select(col("id").as("ida"), col("s").as("sa"))
+    val b = sh.select(col("id").as("idb"), col("s").as("sb"))
+    val brute = a.join(b, col("ida") < col("idb"))
+      .filter(size(array_intersect(col("sa"), col("sb"))) * 2 >=
+        size(array_union(col("sa"), col("sb"))))
+      .select("ida", "idb").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == brute, s"LSH missed ${brute.diff(lsh)} / extra ${lsh.diff(brute)}")
+  }
+
+  test("simhash is stable and discriminative") {
+    import spark.implicits._
+    val docs = Seq((1L, "the cat sat"), (2L, "the cat sat"), (3L, "a dog ran fast"))
+      .toDF("doc_id", "text")
+    val out = TextOps.simhash(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == out(2L))
+    assert(out(1L) != out(3L))
+    assert(out(1L).length == 64 && out(1L).forall(c => c == '0' || c == '1'))
+  }
+
+  test("ann top-k agrees with brute-force ranking") {
+    val emb = graft.T.embeddings(spark, sf)
+    val got = AnnOps.topKForQueries(emb, emb.filter(col("vec_id") < 5), 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got.size == 15) // 5 queries x 3 neighbors
+    assert(got.groupBy(_._1).forall(_._2.map(_._2) == Set(1L, 2L, 3L)))
+  }
+}
