@@ -244,27 +244,34 @@ final class SparqlExecutor(
         (emptyScanSol(s, o), nConst(s, o))
       case None => (emptyScanSol(s, o), nConst(s, o)) // virtual but no ts source
       case Some(slice) =>
+        // one-shot filter+aliased-select: immune to query vars that shadow
+        // the slice's physical column names (s/o/o_lang)
         var df = slice.df
-        val vars = ArrayBuffer.empty[String]
         s match {
           case T(t) => df = df.filter(col("s") === t.canonical)
-          case V(v) => df = df.withColumnRenamed("s", v); vars += v
+          case V(_) =>
         }
         o match {
-          case T(t) =>
-            df = df.filter(col("o") === lit(termToScala(t, slice.kind)))
-          case V(v) if vars.contains(v) => // ?x p ?x
-            df = df.filter(col(v) === col("o")).drop("o")
-          case V(v) =>
-            df = df.withColumnRenamed("o", v)
-            if (slice.hasLang) df = df.withColumnRenamed("o_lang", s"${v}__lang")
-            vars += v
+          case T(t) => df = df.filter(col("o") === lit(termToScala(t, slice.kind)))
+          case V(v) => s match {
+            case V(sv) if sv == v => df = df.filter(col("s") === col("o"))
+            case _ =>
+          }
         }
-        if (s.isInstanceOf[T]) df = df.drop("s")
-        if (o.isInstanceOf[T]) { df = df.drop("o"); if (slice.hasLang) df = df.drop("o_lang") }
-        (Sol(df.select((vars.toSeq.map(col) ++
-          (if (slice.hasLang && vars.nonEmpty && df.columns.contains(s"${vars.last}__lang"))
-            Seq(col(s"${vars.last}__lang")) else Nil)): _*), vars.toSeq), nConst(s, o))
+        val vars = ArrayBuffer.empty[String]
+        val cols = ArrayBuffer.empty[Column]
+        s match {
+          case V(v) => vars += v; cols += col("s").as(v)
+          case T(_) =>
+        }
+        o match {
+          case V(v) if !vars.contains(v) =>
+            vars += v
+            cols += col("o").as(v)
+            if (slice.hasLang) cols += col("o_lang").as(s"${v}__lang")
+          case _ =>
+        }
+        (Sol(df.select(cols.toSeq: _*), vars.toSeq), nConst(s, o))
     }
   }
 
@@ -273,19 +280,25 @@ final class SparqlExecutor(
 
   /** Variable-predicate scan over the long-form triples view. */
   private def scanVarPredicate(s: VarOrTerm, pv: String, o: VarOrTerm): Sol = {
-    var df = graph.allTriples.withColumnRenamed("p", pv)
-    val vars = ArrayBuffer[String]()
+    var df = graph.allTriples
     s match {
-      case T(t) => df = df.filter(col("s") === t.canonical).drop("s")
-      case V(v) => df = df.withColumnRenamed("s", v); vars += v
+      case T(t) => df = df.filter(col("s") === t.canonical)
+      case V(v) if o == V(v) => df = df.filter(col("s") === col("o"))
+      case _ =>
     }
-    vars += pv
     o match {
-      case T(t) => df = df.filter(col("o") === t.canonical).drop("o")
-      case V(v) if vars.contains(v) => df = df.filter(col(v) === col("o")).drop("o")
-      case V(v) => df = df.withColumnRenamed("o", v); vars += v
+      case T(t) => df = df.filter(col("o") === t.canonical)
+      case _ =>
     }
-    Sol(df.select(vars.toSeq.map(col): _*), vars.toSeq)
+    val vars = ArrayBuffer.empty[String]
+    val cols = ArrayBuffer.empty[Column]
+    s match { case V(v) => vars += v; cols += col("s").as(v); case _ => }
+    vars += pv; cols += col("p").as(pv)
+    o match {
+      case V(v) if !vars.contains(v) => vars += v; cols += col("o").as(v)
+      case _ =>
+    }
+    Sol(df.select(cols.toSeq: _*), vars.toSeq)
   }
 
   private def emptyScanSol(s: VarOrTerm, o: VarOrTerm): Sol = {
@@ -351,15 +364,18 @@ final class SparqlExecutor(
           val extSlice = graph.slice(Otit.hasExternalId).getOrElse(
             throw new IllegalArgumentException(
               s"graph has no ${Otit.hasExternalId} triples but a TS chain needs them"))
-          var ext = extSlice.df
+          val extKey = freshName("extid")
           val entVars = ArrayBuffer.empty[String]
-          ent match {
-            case V(ev) => ext = ext.withColumnRenamed("s", ev); entVars += ev
-            case T(t) => ext = ext.filter(col("s") === t.canonical).drop("s")
+          val ext = ent match {
+            case V(ev) =>
+              entVars += ev
+              extSlice.df.select(col("s").as(ev), col("o").as(extKey))
+            case T(t) =>
+              extSlice.df.filter(col("s") === t.canonical).select(col("o").as(extKey))
           }
           val scan = tsDf.select((col("id") +: cols.toSeq): _*)
-          val joined = ext.join(scan, ext("o") === scan("id"), "inner")
-            .drop("o").drop("id")
+          val joined = ext.join(scan, col(extKey) === scan("id"), "inner")
+            .drop(extKey).drop("id")
           Sol(joined, entVars.toSeq ++ vars.toSeq)
         case None =>
           Sol(tsDf.select(cols.toSeq: _*), vars.toSeq)
@@ -411,21 +427,25 @@ final class SparqlExecutor(
       val identity = graph.nodes.select(col("node").as("src"), col("node").as("dst"))
       acc = identity.union(acc).distinct()
     }
-    // constrain endpoints
+    // constrain endpoints (aliased one-shot select, see scanTriple)
     var df = acc
-    val vars = ArrayBuffer.empty[String]
     s match {
       case T(t) => df = df.filter(col("src") === t.canonical)
-      case V(v) => df = df.withColumnRenamed("src", v); vars += v
+      case V(v) if o == V(v) => df = df.filter(col("src") === col("dst"))
+      case _ =>
     }
     o match {
       case T(t) => df = df.filter(col("dst") === t.canonical)
-      case V(v) if vars.contains(v) => df = df.filter(col(v) === col("dst")).drop("dst")
-      case V(v) => df = df.withColumnRenamed("dst", v); vars += v
+      case _ =>
     }
-    if (s.isInstanceOf[T]) df = df.drop("src")
-    if (o.isInstanceOf[T]) df = df.drop("dst")
-    Sol(df.select(vars.toSeq.map(col): _*), vars.toSeq)
+    val vars = ArrayBuffer.empty[String]
+    val cols = ArrayBuffer.empty[Column]
+    s match { case V(v) => vars += v; cols += col("src").as(v); case _ => }
+    o match {
+      case V(v) if !vars.contains(v) => vars += v; cols += col("dst").as(v)
+      case _ =>
+    }
+    Sol(df.select(cols.toSeq: _*), vars.toSeq)
   }
 
   // ---------------------------------------------------------- expressions

@@ -18,24 +18,30 @@ import org.apache.spark.sql.types._
   */
 object AnnOps {
 
-  /** Sequential-fold double-precision dot product (same evaluation order as
-    * a plain loop, so independent engines agree bit-for-bit). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
-      lit(0.0), (acc, v) => acc + v)
+  /** Sequential left-fold double-precision dot product, unrolled to a plain
+    * 64-term arithmetic expression: whole-stage codegen applies (the
+    * zip_with/aggregate higher-order spelling is interpreted per row and
+    * benched ~20x slower), and the evaluation order is the same sequential
+    * fold, so independent engines agree bit-for-bit. */
+  def dot(a: Column, b: Column, dim: Int): Column =
+    (1 to dim).map(k =>
+      element_at(a, k).cast(DoubleType) * element_at(b, k).cast(DoubleType))
+      .reduce(_ + _)
 
-  def norm(a: Column): Column = sqrt(dot(a, a))
-
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  def norm(a: Column, dim: Int): Column = sqrt(dot(a, a, dim))
 
   /** Exact top-k neighbors for a small query set: broadcast queries × corpus
-    * scoring + per-query top-k window. Output (qid, rk, nid). */
-  def topKForQueries(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    * scoring + per-query top-k window; norms precomputed once per side.
+    * Output (qid, rk, nid). */
+  def topKForQueries(corpus: DataFrame, queries: DataFrame, k: Int,
+      dim: Int = 64): DataFrame = {
     val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+      .withColumn("qn", norm(col("qemb"), dim))
     val c = corpus.select(col("vec_id").as("nid"), col("embedding").as("nemb"))
+      .withColumn("cn", norm(col("nemb"), dim))
     val scored = c.crossJoin(broadcast(q)) // bounded batch: |q| rows broadcast
       .filter(col("qid") =!= col("nid"))
-      .withColumn("cos", cosine(col("qemb"), col("nemb")))
+      .withColumn("cos", dot(col("qemb"), col("nemb"), dim) / (col("qn") * col("cn")))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
     scored.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
@@ -59,14 +65,44 @@ object AnnOps {
   def lshThresholdPairs(df: DataFrame, dim: Int, numBands: Int = 16,
       bitsPerBand: Int = 8, threshold: Double = 0.4): DataFrame = {
     val base = df.select(col("vec_id").as("id"), col("embedding").as("emb"))
-    val bandKeys = (0 until numBands).map { j =>
-      val bits = (0 until bitsPerBand).map { r =>
-        val plane = typedLit(hyperplane(j * bitsPerBand + r, dim))
-        when(dot(col("emb"), plane) >= 0, "1").otherwise("0")
+    // Signature kernel as per-partition imperative code: numBands×bitsPerBand
+    // dot products per row in a tight loop. A Column spelling of the same
+    // math is a ~25k-node expression tree that costs more in optimizer and
+    // codegen time than the arithmetic itself — this is the one place the
+    // RDD escape hatch genuinely wins (SURVEY §0 "RDDs only for genuine
+    // per-partition imperative logic").
+    val nPlanes = numBands * bitsPerBand
+    val planes: Array[Array[Double]] =
+      (0 until nPlanes).map(i => hyperplane(i, dim).toArray).toArray
+    val sigSchema = StructType(StructField("id", LongType) +:
+      (0 until numBands).map(j => StructField(s"b$j", StringType)))
+    val sigRdd = base.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val emb = r.getSeq[Float](1)
+        val keys = new Array[Any](numBands + 1)
+        keys(0) = id
+        var j = 0
+        while (j < numBands) {
+          val sb = new StringBuilder(bitsPerBand)
+          var b = 0
+          while (b < bitsPerBand) {
+            val w = planes(j * bitsPerBand + b)
+            var d = 0.0
+            var k = 0
+            while (k < dim) { d += emb(k).toDouble * w(k); k += 1 }
+            sb.append(if (d >= 0) '1' else '0')
+            b += 1
+          }
+          keys(j + 1) = sb.toString
+          j += 1
+        }
+        org.apache.spark.sql.Row(keys: _*)
       }
-      concat(bits: _*).as(s"b$j")
     }
-    val banded = base.select((col("id") +: bandKeys): _*)
+    // materialized once: both sides of the bucket self-join reuse it (the
+    // persisted signature index you'd write to parquet at lake scale)
+    val banded = df.sparkSession.createDataFrame(sigRdd, sigSchema).localCheckpoint()
     val bandLong = banded.select(col("id"),
       posexplode(array((0 until numBands).map(j => col(s"b$j")): _*))
         .as(Seq("band", "key")))
@@ -76,10 +112,11 @@ object AnnOps {
         col("band") === col("band2") && col("key") === col("key2") &&
           col("ida") < col("idb"))
       .select("ida", "idb").distinct()
-    val ea = base.select(col("id").as("ida"), col("emb").as("ea"))
-    val eb = base.select(col("id").as("idb"), col("emb").as("eb"))
+    val withNorm = base.withColumn("nrm", norm(col("emb"), dim))
+    val ea = withNorm.select(col("id").as("ida"), col("emb").as("ea"), col("nrm").as("na"))
+    val eb = withNorm.select(col("id").as("idb"), col("emb").as("eb"), col("nrm").as("nb"))
     candidates.join(ea, "ida").join(eb, "idb")
-      .filter(cosine(col("ea"), col("eb")) >= threshold)
+      .filter(dot(col("ea"), col("eb"), dim) / (col("na") * col("nb")) >= threshold)
       .select(col("ida"), col("idb"))
   }
 }

@@ -94,17 +94,50 @@ object TextOps {
     val numBands = numHashes / rowsPerBand
     val shingled = df.select(col(idCol).as("id"),
       wordShingles(col(textCol), shingleN).as("shingles"))
-    val exploded = shingled.select(col("id"), explode(col("shingles")).as("sh"))
-    // numHashes independent hash functions: xxhash64 seeded by index
-    val minAggs = (0 until numHashes).map(i =>
-      min(xxhash64(lit(i), col("sh"))).as(s"m$i"))
-    val sigs = exploded.groupBy(col("id")).agg(minAggs.head, minAggs.tail: _*)
-    // bands: hash of rowsPerBand consecutive signature slots
-    val bandCols = (0 until numBands).map { j =>
-      val slots = (0 until rowsPerBand).map(r => col(s"m${j * rowsPerBand + r}"))
-      xxhash64((lit(j) +: slots): _*).as(s"b$j")
+    // Minhash + banding as a per-partition imperative kernel: numHashes
+    // seeded FNV-1a-style hashes per shingle in a tight loop, map-only (no
+    // explode/groupBy shuffle, no giant expression tree — the same
+    // rationale as AnnOps signature computation). The hash family is an
+    // internal detail: only the exact-Jaccard verification below defines
+    // the result, so any deterministic 64-bit hash is sound.
+    val bandSchema = StructType(StructField("id", LongType) +:
+      (0 until numBands).map(j => StructField(s"b$j", LongType)))
+    val bandRdd = shingled.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val shingles = r.getSeq[String](1)
+        val sig = Array.fill(numHashes)(Long.MaxValue)
+        shingles.foreach { s =>
+          // base FNV-1a 64 of the shingle, then one mix per hash index
+          var h = 0xcbf29ce484222325L
+          var ci = 0
+          while (ci < s.length) { h = (h ^ s.charAt(ci)) * 0x100000001b3L; ci += 1 }
+          var i = 0
+          while (i < numHashes) {
+            var m = h ^ (i * 0x9E3779B97F4A7C15L)
+            m ^= (m >>> 33); m *= 0xff51afd7ed558ccdL; m ^= (m >>> 33)
+            if (m < sig(i)) sig(i) = m
+            i += 1
+          }
+        }
+        val out = new Array[Any](numBands + 1)
+        out(0) = id
+        var j = 0
+        while (j < numBands) {
+          var bh = 0xcbf29ce484222325L ^ j
+          var r0 = 0
+          while (r0 < rowsPerBand) {
+            bh = (bh ^ sig(j * rowsPerBand + r0)) * 0x100000001b3L
+            r0 += 1
+          }
+          out(j + 1) = bh
+          j += 1
+        }
+        org.apache.spark.sql.Row(out: _*)
+      }
     }
-    val banded = sigs.select((col("id") +: bandCols): _*)
+    // materialized once; both sides of the bucket self-join reuse it
+    val banded = df.sparkSession.createDataFrame(bandRdd, bandSchema).localCheckpoint()
     val bandLong = banded.select(col("id"),
       posexplode(array((0 until numBands).map(j => col(s"b$j")): _*))
         .as(Seq("band", "bh")))

@@ -1,0 +1,241 @@
+package graft.mapper
+
+import graft.graph.{OKind, PredicateSlice, TriplesGraph}
+import graft.rdf._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** OTTR template expansion over DataFrames → RDF triples.
+  *
+  * The dataflow mirrors the reference mapper's lifecycle
+  * (mapper/src/mapping.rs:245-317: validate → recurse to ottr:Triple leaves
+  * → concatenate into the store), re-expressed as Spark column transforms:
+  * each ottr:Triple leaf is a `select` over the input frame, list expanders
+  * are `explode`, nested template calls are column renames — all lazy, so a
+  * whole document expands into one union plan that scales with the input.
+  *
+  * The expanded store doubles as a queryable [[TriplesGraph]], which is the
+  * engine's native fixture-ingest path (SURVEY §3.2).
+  */
+final class Mapping(doc: Stottr.Document, spark: SparkSession) {
+
+  import Stottr._
+
+  /** Accumulated triples: s, p, o_lex, o_dt (null = IRI object), o_lang. */
+  private var store: Option[DataFrame] = None
+
+  private val tripleSchema = StructType(Seq(
+    StructField("s", StringType), StructField("p", StringType),
+    StructField("o_lex", StringType), StructField("o_dt", StringType),
+    StructField("o_lang", StringType)))
+
+  def triplesDf: DataFrame = store.getOrElse(
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      tripleSchema))
+
+  /** Expand `templateIri` over `df` (one column per template parameter).
+    * `languageTags` optionally tags string parameters with a language
+    * (reference ExpandOptions.language_tags). */
+  def expand(templateIri: String, df: DataFrame,
+      languageTags: Map[String, String] = Map.empty): Unit = {
+    val t = doc.templates.getOrElse(templateIri,
+      throw new IllegalArgumentException(s"unknown template $templateIri"))
+    val out = expandTemplate(t, df, languageTags)
+    store = Some(store.fold(out)(_.unionByName(out)))
+  }
+
+  private var tmpCounter = 0
+  private def tmpCol(): String = { tmpCounter += 1; s"__expand$tmpCounter" }
+
+  private def expandTemplate(t: Template, df: DataFrame,
+      languageTags: Map[String, String]): DataFrame = {
+    val parts = t.instances.map(i => expandInstance(t, i, df, languageTags))
+    parts.reduceOption(_.unionByName(_)).getOrElse(triplesDf.limit(0))
+  }
+
+  private def expandInstance(owner: Template, inst: Instance, df0: DataFrame,
+      languageTags: Map[String, String]): DataFrame = {
+    // list expanders: explode list-valued args into fresh columns
+    var df = df0
+    val args = inst.args.map {
+      case AList(items) if inst.expander.isDefined =>
+        val c = tmpCol()
+        val arr = array(items.map {
+          case ALit(l) => litColumn(l)._1
+          case AIri(i) => lit(i)
+          case AVar(v) => col(v)
+          case other => throw new IllegalArgumentException(s"nested list $other")
+        }: _*)
+        // cross: cartesian with the list; zipMin/zipMax degenerate to the
+        // same per-row explode for constant lists
+        df = df.withColumn(c, explode(arr))
+        // element datatype: from the first literal item (constants) or var
+        val elemDt = items.collectFirst { case ALit(l) => l.datatype }
+        AVarTyped(c, elemDt)
+      case a => a
+    }
+    if (inst.template == ottrTriple ||
+        inst.template == "http://ns.ottr.xyz/0.4/Triple") {
+      val Seq(sArg, pArg, oArg) = args
+      val sCol = termColumnIri(owner, sArg)
+      val pCol = termColumnIri(owner, pArg)
+      val (oLex, oDt, oLang) = objectColumns(owner, oArg, df, languageTags)
+      df.select(sCol.as("s"), pCol.as("p"), oLex.as("o_lex"),
+        oDt.as("o_dt"), oLang.as("o_lang"))
+    } else {
+      val callee = doc.templates.getOrElse(inst.template,
+        throw new IllegalArgumentException(s"unknown template ${inst.template}"))
+      // bind callee params to caller columns/constants
+      val bound = callee.params.zip(args).map { case (p, a) =>
+        (a match {
+          case AVar(v) => col(v)
+          case AVarTyped(v, _) => col(v)
+          case AIri(i) => lit(i)
+          case ALit(l) => litColumn(l)._1
+          case AList(items) => array(items.map {
+            case ALit(l) => litColumn(l)._1
+            case AIri(i) => lit(i)
+            case AVar(v) => col(v)
+            case other => throw new IllegalArgumentException(s"nested list $other")
+          }: _*)
+        }).as(p.name)
+      }
+      // language tags follow the caller's column names through the call
+      val renamedTags = callee.params.zip(args).flatMap { case (p, a) =>
+        a match {
+          case AVar(v) => languageTags.get(v).map(p.name -> _)
+          case _ => None
+        }
+      }.toMap
+      expandTemplate(callee, df.select(bound: _*), renamedTags)
+    }
+  }
+
+  /** Internal marker for exploded list elements carrying a datatype. */
+  private case class AVarTyped(name: String, dt: Option[String]) extends Stottr.Arg
+
+  private def litColumn(l: Lit): (Column, String) = {
+    val c =
+      if (Xsd.numericLong(l.datatype)) lit(l.lexical.toLong)
+      else if (Xsd.numericDouble(l.datatype)) lit(l.lexical.toDouble)
+      else if (l.datatype == Xsd.boolean) lit(l.lexical.toBoolean)
+      else lit(l.lexical)
+    (c, l.datatype)
+  }
+
+  private def paramType(owner: Template, v: String): Option[String] =
+    owner.params.find(_.name == v).flatMap(_.ptype)
+
+  private def termColumnIri(owner: Template, a: Arg): Column = a match {
+    case AVar(v) => col(v)
+    case AVarTyped(v, _) => col(v)
+    case AIri(i) => lit(i)
+    case ALit(l) => lit(l.lexical)
+    case AList(_) => throw new IllegalArgumentException("list in IRI position")
+  }
+
+  private def xsdOfSpark(dt: DataType): String = dt match {
+    case IntegerType => Xsd.int
+    case LongType => Xsd.long
+    case DoubleType => Xsd.double
+    case FloatType => Xsd.float
+    case BooleanType => Xsd.boolean
+    case TimestampType => Xsd.dateTime
+    case _ => Xsd.string
+  }
+
+  private def objectColumns(owner: Template, a: Arg, df: DataFrame,
+      languageTags: Map[String, String]): (Column, Column, Column) = a match {
+    case AIri(i) => (lit(i), lit(null: String), lit(null: String))
+    case ALit(l) if l.lang.isDefined =>
+      (lit(l.lexical), lit(null: String), lit(l.lang.get))
+    case ALit(l) => (lit(l.lexical), lit(l.datatype), lit(null: String))
+    case AVar(v) =>
+      paramType(owner, v) match {
+        case Some(Xsd.anyURI) => (col(v), lit(null: String), lit(null: String))
+        case Some(t0) => (col(v).cast(StringType), lit(t0), lit(null: String))
+        case None =>
+          languageTags.get(v) match {
+            case Some(lang) =>
+              (col(v).cast(StringType), lit(null: String), lit(lang))
+            case None =>
+              val sparkDt = df.schema(v).dataType
+              (col(v).cast(StringType), lit(xsdOfSpark(sparkDt)), lit(null: String))
+          }
+      }
+    case AVarTyped(v, dtOpt) =>
+      val dt = dtOpt.getOrElse(xsdOfSpark(df.schema.fields
+        .find(_.name == v).map(_.dataType).getOrElse(StringType)))
+      if (dt == Xsd.anyURI) (col(v), lit(null: String), lit(null: String))
+      else (col(v).cast(StringType), lit(dt), lit(null: String))
+    case AList(_) =>
+      throw new IllegalArgumentException("un-expanded list in object position")
+  }
+
+  // ------------------------------------------------------------- exports
+  /** N-Triples serialization (reference: mapping/ntriples_write.rs:52). */
+  def toNTriples: Seq[String] =
+    triplesDf.collect().toSeq.map { r =>
+      val s = r.getString(0); val p = r.getString(1)
+      val oLex = r.getString(2); val oDt = r.getString(3); val oLang = r.getString(4)
+      val o =
+        if (oDt == null && oLang == null) s"<$oLex>"
+        else if (oLang != null) "\"" + escape(oLex) + "\"@" + oLang
+        else "\"" + escape(oLex) + "\"^^<" + oDt + ">"
+      s"<$s> <$p> $o ."
+    }
+
+  def writeNTriples(path: String): Unit =
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      toNTriples.mkString("", "\n", "\n").getBytes("UTF-8"))
+
+  /** In-memory term export (reference: mapping/export_triples.rs:7-121). */
+  def exportTriples: Seq[(Term, String, Term)] =
+    triplesDf.collect().toSeq.map { r =>
+      val o: Term =
+        if (r.isNullAt(3) && r.isNullAt(4)) Iri(r.getString(2))
+        else if (!r.isNullAt(4)) Lit(r.getString(2), Xsd.langString, Some(r.getString(4)))
+        else Lit(r.getString(2), r.getString(3))
+      (Iri(r.getString(0)), r.getString(1), o)
+    }
+
+  /** Distributed handoff to the query engine: per-predicate typed slices
+    * (predicate list is metadata-small; the slice frames stay lazy). */
+  def toGraph: TriplesGraph = {
+    val preds = triplesDf.select("p", "o_dt").distinct().collect()
+      .groupBy(_.getString(0))
+      .map { case (p, rows) => p -> rows.map(r => Option(r.getString(1))).toSeq }
+    val slices = preds.map { case (p, dts) =>
+      val base = triplesDf.filter(col("p") === p)
+      val kind =
+        if (dts.forall(_.isEmpty)) OKind.KIri
+        else if (dts.flatten.distinct.sizeIs == 1 && dts.forall(_.isDefined))
+          OKind.ofDatatype(dts.flatten.head)
+        else OKind.KStr
+      val hasLang = true // o_lang column always present
+      val o = kind match {
+        case OKind.KIri | OKind.KStr => col("o_lex")
+        case k => col("o_lex").cast(OKind.sparkType(k))
+      }
+      p -> PredicateSlice(
+        base.select(col("s"), o.as("o"), col("o_lang")), kind, hasLang)
+    }
+    TriplesGraph.fromSlices(spark, slices)
+  }
+
+  private def escape(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c => c.toString
+    }
+}
+
+object Mapping {
+  def fromString(stottr: String, spark: SparkSession): Mapping =
+    new Mapping(Stottr.parse(stottr), spark)
+}

@@ -1,0 +1,133 @@
+package graft.mapper
+
+import graft.SparkTestBase
+import graft.rdf.{Iri, Lit, Term, Xsd}
+import graft.sources.RdfData
+
+/** Golden tests mirroring the reference mapper suite
+  * (/root/reference/mapper/tests/test_mapper.rs:30,74,124,187,261). */
+class MapperSpec extends SparkTestBase {
+
+  private val ex = "http://example.net/ns#"
+
+  private def tripleSet(m: Mapping): Set[(Term, String, Term)] =
+    m.exportTriples.toSet
+
+  test("easy case: two int columns -> typed triples (test_mapper.rs:30)") {
+    import spark.implicits._
+    val t =
+      s"""@prefix ex:<$ex>.
+         |ex:ExampleTemplate [?myVar1 , ?myVar2]
+         |  :: {
+         |    ottr:Triple(ex:anObject, ex:hasNumber, ?myVar1) ,
+         |    ottr:Triple(ex:anObject, ex:hasOtherNumber, ?myVar2)
+         |  } .""".stripMargin
+    val df = Seq(("KeyOne", 1, 3), ("KeyTwo", 2, 4)).toDF("Key", "myVar1", "myVar2")
+    val m = Mapping.fromString(t, spark)
+    m.expand(s"${ex}ExampleTemplate", df)
+    // golden file check via our N-Triples writer + ground parser round-trip
+    val expected = RdfData.parseInsertData(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(
+        "/root/reference/mapper/tests/mapper_testdata/expected_easy_case.ttl")))
+      .toSet
+    val actual = RdfData.parseInsertData(m.toNTriples.mkString("\n")).toSet
+    assert(actual == expected)
+  }
+
+  test("all-IRI case: xsd:anyURI parameter binds IRIs (test_mapper.rs:74)") {
+    import spark.implicits._
+    val t =
+      s"""@prefix ex:<$ex>.
+         |ex:ExampleTemplate [xsd:anyURI ?myVar1]
+         |  :: {
+         |    ottr:Triple(ex:anObject, ex:relatesTo, ?myVar1)
+         |  } .""".stripMargin
+    val df = Seq(("KeyOne", s"${ex}OneThing"), ("KeyTwo", s"${ex}AnotherThing"))
+      .toDF("Key", "myVar1")
+    val m = Mapping.fromString(t, spark)
+    m.expand(s"${ex}ExampleTemplate", df)
+    assert(tripleSet(m) == Set[(Term, String, Term)](
+      (Iri(s"${ex}anObject"), s"${ex}relatesTo", Iri(s"${ex}OneThing")),
+      (Iri(s"${ex}anObject"), s"${ex}relatesTo", Iri(s"${ex}AnotherThing"))))
+  }
+
+  test("language tags: option-tagged column + constant tagged literal (test_mapper.rs:124)") {
+    import spark.implicits._
+    val t =
+      s"""@prefix ex:<$ex>.
+         |ex:ExampleTemplate [?myString]
+         |  :: {
+         |    ottr:Triple(ex:anObject, ex:hasString, ?myString) ,
+         |    ottr:Triple(ex:anotherObject, ex:hasString, ""@ar-SA)
+         |  } .""".stripMargin
+    val df = Seq(("KeyOne", "one"), ("KeyTwo", "two")).toDF("Key", "myString")
+    val m = Mapping.fromString(t, spark)
+    m.expand(s"${ex}ExampleTemplate", df, languageTags = Map("myString" -> "bn-BD"))
+    assert(tripleSet(m) == Set[(Term, String, Term)](
+      (Iri(s"${ex}anObject"), s"${ex}hasString", Lit("one", Xsd.langString, Some("bn-BD"))),
+      (Iri(s"${ex}anObject"), s"${ex}hasString", Lit("two", Xsd.langString, Some("bn-BD"))),
+      (Iri(s"${ex}anotherObject"), s"${ex}hasString", Lit("", Xsd.langString, Some("ar-SA")))))
+  }
+
+  test("const list + cross expander (test_mapper.rs:187)") {
+    import spark.implicits._
+    val t =
+      s"""@prefix ex:<$ex>.
+         |ex:ExampleTemplate [xsd:anyURI ?var1]
+         |  :: {
+         |    cross | ottr:Triple(?var1, ex:hasNumber, ++(1,2))
+         |  } .""".stripMargin
+    val df = Seq(("KeyOne", s"${ex}OneThing"), ("KeyTwo", s"${ex}AnotherThing"))
+      .toDF("Key", "var1")
+    val m = Mapping.fromString(t, spark)
+    m.expand(s"${ex}ExampleTemplate", df)
+    val int = Xsd.integer
+    assert(tripleSet(m) == Set[(Term, String, Term)](
+      (Iri(s"${ex}OneThing"), s"${ex}hasNumber", Lit("1", int)),
+      (Iri(s"${ex}OneThing"), s"${ex}hasNumber", Lit("2", int)),
+      (Iri(s"${ex}AnotherThing"), s"${ex}hasNumber", Lit("1", int)),
+      (Iri(s"${ex}AnotherThing"), s"${ex}hasNumber", Lit("2", int))))
+  }
+
+  test("nested templates (test_mapper.rs:261)") {
+    import spark.implicits._
+    val t =
+      s"""@prefix ex:<$ex>.
+         |ex:ExampleTemplate [?myVar1 , ?myVar2] :: {
+         |    ex:Nested(?myVar1),
+         |    ottr:Triple(ex:anObject, ex:hasOtherNumber, ?myVar2)
+         |  } .
+         |ex:Nested [?myVar] :: {
+         |    ottr:Triple(ex:anObject, ex:hasNumber, ?myVar)
+         |} .""".stripMargin
+    val df = Seq(("KeyOne", 1, 3), ("KeyTwo", 2, 4)).toDF("Key", "myVar1", "myVar2")
+    val m = Mapping.fromString(t, spark)
+    m.expand(s"${ex}ExampleTemplate", df)
+    val int = Xsd.int
+    assert(tripleSet(m) == Set[(Term, String, Term)](
+      (Iri(s"${ex}anObject"), s"${ex}hasNumber", Lit("1", int)),
+      (Iri(s"${ex}anObject"), s"${ex}hasNumber", Lit("2", int)),
+      (Iri(s"${ex}anObject"), s"${ex}hasOtherNumber", Lit("3", int)),
+      (Iri(s"${ex}anObject"), s"${ex}hasOtherNumber", Lit("4", int))))
+  }
+
+  test("mapper output is queryable: expand then SPARQL over toGraph") {
+    import spark.implicits._
+    val t =
+      s"""@prefix ex:<$ex>.
+         |ex:T [xsd:anyURI ?subj , ?name , ?score] :: {
+         |    ottr:Triple(?subj, ex:hasName, ?name) ,
+         |    ottr:Triple(?subj, ex:hasScore, ?score)
+         |} .""".stripMargin
+    val df = Seq(("KeyOne", s"${ex}p1", "alice", 10L), ("KeyTwo", s"${ex}p2", "bob", 3L))
+      .toDF("Key", "subj", "name", "score")
+    val m = Mapping.fromString(t, spark)
+    m.expand(s"${ex}T", df)
+    val exec = new graft.exec.SparqlExecutor(m.toGraph)
+    val rows = exec.execute(
+      s"""PREFIX ex:<$ex>
+         |SELECT ?n WHERE { ?o ex:hasName ?n . ?o ex:hasScore ?s . FILTER(?s > 5) }""".stripMargin)
+      .collect().map(_.getString(0)).toSet
+    assert(rows == Set("alice"))
+  }
+}
