@@ -222,5 +222,58 @@ object SparqlQueries {
         |} GROUP BY ?sensor ?y ?m ?d
         |HAVING (COUNT(?v) > 5)
         |ORDER BY ?sensor ?y ?m ?d""".stripMargin),
+
+    // ---- the otit_swt datetime conversion functions + the reference's
+    // FLOOR time-bucket idiom, hourly buckets round-tripped through
+    // SecondsAsDateTime (lazy_expressions.rs:565-600).
+    sq("q52_sparql_ts_convert",
+      """SELECT 'urn:graft:sensor:' || event_type AS sensor,
+        |  CAST(FLOOR(epoch(ts) / 3600) * 3600 AS BIGINT) AS bucket_sec,
+        |  to_timestamp(CAST(FLOOR(epoch(ts) / 3600) * 3600 AS BIGINT)) AS bucket_ts,
+        |  COUNT(*) AS n
+        |FROM events
+        |GROUP BY sensor, bucket_sec, bucket_ts
+        |HAVING COUNT(*) >= 3
+        |ORDER BY sensor NULLS FIRST, bucket_sec NULLS FIRST""".stripMargin,
+      """SELECT ?sensor ?bucket_sec ?bucket_ts (COUNT(?v) AS ?n) WHERE {
+        |  ?sensor otit_swt:hasTimeseries ?ts .
+        |  ?ts otit_swt:hasDataPoint ?dp .
+        |  ?dp otit_swt:hasTimestamp ?t .
+        |  ?dp otit_swt:hasValue ?v .
+        |  BIND(xsd:integer(FLOOR(otit_swt:DateTimeAsSeconds(?t) / 3600)) * 3600 AS ?bucket_sec)
+        |  BIND(otit_swt:SecondsAsDateTime(?bucket_sec) AS ?bucket_ts)
+        |} GROUP BY ?sensor ?bucket_sec ?bucket_ts
+        |HAVING (COUNT(?v) >= 3)
+        |ORDER BY ?sensor ?bucket_sec""".stripMargin),
+
+    // ---- expression gap-fill: BOUND (spec semantics — the reference's
+    // is_null is a bug, SURVEY §2.7), ROUND, STR cast, sameTerm, COALESCE
+    // over an OPTIONAL.
+    sq("q53_sparql_bound_round_str",
+      """SELECT n.n_name AS nname,
+        |  (s.s_name IS NOT NULL) AS has_rich,
+        |  COALESCE(s.s_name, 'none') AS rich_name,
+        |  CASE WHEN s.s_name IS NOT NULL THEN CAST(ROUND(s.s_acctbal * 4) AS BIGINT) ELSE -1 END AS rb4,
+        |  CAST(n.n_nationkey AS VARCHAR) AS nk_str,
+        |  (n.n_name = n.n_name) AS self_same
+        |FROM nation n LEFT JOIN supplier s
+        |  ON s.s_nationkey = n.n_nationkey AND s.s_acctbal > 9900
+        |ORDER BY nname NULLS FIRST, rich_name NULLS FIRST""".stripMargin,
+      """SELECT ?nname ?has_rich ?rich_name ?rb4 ?nk_str ?self_same WHERE {
+        |  ?n rdf:type g:Nation .
+        |  ?n g:name ?nname .
+        |  ?n g:key ?nk .
+        |  OPTIONAL {
+        |    ?s g:nation ?n .
+        |    ?s g:acctbal ?b .
+        |    ?s g:name ?sname .
+        |    FILTER(?b > 9900)
+        |  }
+        |  BIND(BOUND(?sname) AS ?has_rich)
+        |  BIND(COALESCE(?sname, "none") AS ?rich_name)
+        |  BIND(IF(BOUND(?sname), xsd:integer(ROUND(?b * 4)), -1) AS ?rb4)
+        |  BIND(STR(?nk) AS ?nk_str)
+        |  BIND(sameTerm(?nname, ?nname) AS ?self_same)
+        |} ORDER BY ?nname ?rich_name""".stripMargin),
   )
 }

@@ -27,6 +27,7 @@ object TpchGraph {
     s"'$ns$kind:' || CAST($expr AS VARCHAR)"
 
   val name = s"${ns}name"
+  val key = s"${ns}key"
   val inRegion = s"${ns}inRegion"
   val nationOf = s"${ns}nation"
   val acctbal = s"${ns}acctbal"
@@ -81,6 +82,7 @@ object TpchGraph {
 
     val slices = Map(
       name -> PredicateSlice(names, OKind.KStr),
+      key -> sl(nation, nIri, col("n_nationkey"), OKind.KLong),
       graft.rdf.Rdf.typ -> PredicateSlice(types, OKind.KIri),
       inRegion -> sl(nation, nIri, nRIri, OKind.KIri),
       nationOf -> sl(supplier, sIri, sNIri, OKind.KIri),

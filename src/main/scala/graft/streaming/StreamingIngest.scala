@@ -1,0 +1,54 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured Streaming sensor ingest (beyond-reference north star — the
+  * reference is batch-only, SURVEY §2.8): file-source stream of events
+  * → watermark → tumbling-window aggregates. The same transform runs on a
+  * live directory (micro-batches as sensors land files) or catch-up style
+  * with Trigger.AvailableNow.
+  */
+object StreamingIngest {
+
+  /** Raw events schema as stored (ts is TIMESTAMP(NANOS) surfaced as Long
+    * nanos under spark.sql.legacy.parquet.nanosAsLong). */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** Streaming read of an events directory → typed TS frame (id, ts, value). */
+  def readEvents(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(rawSchema).parquet(dir)
+      .select(col("event_type").as("id"),
+        timestamp_micros(expr("ts DIV 1000")).as("ts"),
+        col("value"))
+
+  /** Tumbling-window per-series aggregates with late-data handling: the
+    * watermark bounds state so the query runs indefinitely at fleet scale
+    * (state is per (window, id), pruned as the watermark advances). */
+  def windowedAgg(events: DataFrame, windowDur: String = "1 hour",
+      watermarkDelay: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowDur).as("w"), col("id"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"),
+        min(col("value")).as("lo"), max(col("value")).as("hi"))
+      .select(col("w.start").as("window_start"), col("id"), col("n"),
+        col("sum_value"), col("lo"), col("hi"))
+
+  /** Drain all currently-available input into an in-memory table and return
+    * the result (test/backfill entry point). */
+  def runAvailableNow(agg: DataFrame, name: String): DataFrame = {
+    val q = agg.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    agg.sparkSession.table(name)
+  }
+}
