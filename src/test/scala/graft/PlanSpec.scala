@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+
+/** Guards the scale-critical plan properties (SURVEY §4): filter pushdown,
+  * column pruning, and shuffle discipline. These are the properties the
+  * 100 TB deployment depends on — a regression here is a perf bug even if
+  * results stay correct. */
+class PlanSpec extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def executedPlan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q02: predicate and projection reach the parquet scan") {
+    val plan = executedPlan("q02_filter_project")
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      "shipdate filter must be pushed to parquet")
+    assert(plan.contains("GreaterThanOrEqual(l_shipdate"), "range filter pushed")
+    // column pruning: the scan reads only the 4 referenced columns
+    val readSchema = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(plan).get.group(1)
+    assert(readSchema.split(",").length == 4, s"pruned ReadSchema, got $readSchema")
+  }
+
+  test("q42 hybrid: the time-series scan is pruned to ts/event_type/value") {
+    val plan = executedPlan("q42_sparql_hybrid_ts")
+    val eventScans = "ReadSchema: struct<([^>]*)>".r.findAllMatchIn(plan)
+      .map(_.group(1)).toSeq
+    assert(eventScans.exists(s =>
+      s.contains("ts:") && s.contains("value:") && s.split(",").length == 3),
+      s"expected a 3-column events scan, got $eventScans")
+    // every scan is pruned: no scan reads the full 6-column events schema
+    assert(eventScans.forall(_.split(",").length <= 3),
+      s"unpruned scan present: $eventScans")
+  }
+
+  test("no forced broadcast of scale-factor-growing dimensions") {
+    // q03 (customer) and q30 (supplier) must leave join strategy to AQE
+    for (name <- Seq("q03_join_topk", "q30_star_join")) {
+      val analyzed = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.analyzed.toString
+      val hints = "ResolvedHint".r.findAllIn(analyzed).size
+      // q30 keeps hints only for bounded dims (nation=25, region=5)
+      val allowed = if (name == "q30_star_join") 2 else 0
+      assert(hints <= allowed, s"$name has $hints broadcast hints (allowed $allowed)")
+    }
+  }
+
+  test("dedup and LSH plans never do an all-pairs cartesian product") {
+    for (name <- Seq("q44_dedup_exact", "q45_dedup_minhash_lsh",
+        "q50_ann_lsh_threshold")) {
+      val plan = executedPlan(name)
+      assert(!plan.contains("CartesianProduct"),
+        s"$name contains a cartesian product")
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"$name contains a nested-loop join")
+    }
+  }
+
+  test("q01: aggregation is partial (map-side combine) before the exchange") {
+    val plan = executedPlan("q01_agg_pricing")
+    val firstAgg = plan.indexOf("HashAggregate")
+    val exchange = plan.indexOf("Exchange")
+    assert(firstAgg >= 0 && exchange >= 0,
+      "expected hash aggregate + exchange in the plan")
+    // partial aggregate appears below (after, in the printed tree) the final
+    // one, and an exchange sits between: merge_sum above, partial_sum below
+    assert(plan.contains("partial_sum") || plan.contains("partial sum") ||
+      "HashAggregate".r.findAllIn(plan).size >= 2,
+      "aggregation must have a partial (pre-shuffle) phase")
+  }
+}
