@@ -58,16 +58,39 @@ object GoldenCompare {
   }
 
   def assertMatchesGolden(df: DataFrame, csvPath: String,
-      multisetCols: Set[String] = Set.empty, sep: String = "-"): Unit = {
+      multisetCols: Set[String] = Set.empty, sep: String = "-",
+      approxCols: Set[String] = Set.empty, relTol: Double = 1e-9): Unit = {
     val cols = df.columns.toSeq
     val idx = multisetCols.map(cols.indexOf).filter(_ >= 0)
-    val got = dfRows(df, idx, sep).map(_.mkString("|")).sorted
-    val exp = csvRows(csvPath, cols, idx, sep).map(_.mkString("|")).sorted
-    assert(got == exp,
-      s"""golden mismatch for $csvPath
-         |got (${got.size}):
-         |${got.mkString("\n")}
-         |expected (${exp.size}):
-         |${exp.mkString("\n")}""".stripMargin)
+    val aIdx = approxCols.map(cols.indexOf).filter(_ >= 0)
+    val got = dfRows(df, idx, sep)
+    val exp = csvRows(csvPath, cols, idx, sep)
+    if (aIdx.isEmpty) {
+      val g = got.map(_.mkString("|")).sorted
+      val e = exp.map(_.mkString("|")).sorted
+      assert(g == e,
+        s"""golden mismatch for $csvPath
+           |got (${g.size}):
+           |${g.mkString("\n")}
+           |expected (${e.size}):
+           |${e.mkString("\n")}""".stripMargin)
+    } else {
+      // float aggregates (e.g. AVG) differ from the reference in the last
+      // ulp by fold order: compare approx columns with relative tolerance,
+      // matching rows on the exact (group-key) columns
+      def key(r: Seq[String]): String =
+        r.zipWithIndex.collect { case (v, i) if !aIdx(i) => v }.mkString("|")
+      val g = got.sortBy(key)
+      val e = exp.sortBy(key)
+      assert(g.map(key) == e.map(key),
+        s"golden key mismatch for $csvPath: got ${g.map(key).take(5)} exp ${e.map(key).take(5)}")
+      g.zip(e).foreach { case (gr, er) =>
+        aIdx.foreach { i =>
+          val gv = gr(i).toDouble; val ev = er(i).toDouble
+          assert(math.abs(gv - ev) <= relTol * math.max(1.0, math.max(math.abs(gv), math.abs(ev))),
+            s"approx mismatch in ${cols(i)} at ${key(gr)}: got $gv expected $ev")
+        }
+      }
+    }
   }
 }
