@@ -271,7 +271,13 @@ final class SparqlExecutor(
             if (slice.hasLang) cols += col("o_lang").as(s"${v}__lang")
           case _ =>
         }
-        (Sol(df.select(cols.toSeq: _*), vars.toSeq), nConst(s, o))
+        if (vars.isEmpty)
+          // fully-ground pattern: a boolean guard (at most one matching
+          // triple in a set graph) — keep a marker column so the component
+          // is not mistaken for the unit solution and dropped
+          (Sol(df.limit(1).select(lit(1).as(freshName("guard"))), Nil), nConst(s, o))
+        else
+          (Sol(df.select(cols.toSeq: _*), vars.toSeq), nConst(s, o))
     }
   }
 
@@ -303,7 +309,8 @@ final class SparqlExecutor(
 
   private def emptyScanSol(s: VarOrTerm, o: VarOrTerm): Sol = {
     val vars = Seq(s, o).collect { case V(v) => v }
-    emptySol(vars)
+    if (vars.isEmpty) emptySol(Seq(freshName("guard"))).copy(vars = Nil)
+    else emptySol(vars)
   }
 
   private def isVirtual(p: String): Boolean =
@@ -445,7 +452,8 @@ final class SparqlExecutor(
       case V(v) if !vars.contains(v) => vars += v; cols += col("dst").as(v)
       case _ =>
     }
-    Sol(df.select(cols.toSeq: _*), vars.toSeq)
+    if (vars.isEmpty) Sol(df.limit(1).select(lit(1).as(freshName("guard"))), Nil)
+    else Sol(df.select(cols.toSeq: _*), vars.toSeq)
   }
 
   // ---------------------------------------------------------- expressions

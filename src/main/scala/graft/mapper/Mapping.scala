@@ -34,14 +34,44 @@ final class Mapping(doc: Stottr.Document, spark: SparkSession) {
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       tripleSchema))
 
+  /** IRI minting for parameters absent from the input frame (reference
+    * ExpandOptions.mint_iris + MintingOptions, mapper/src/mapping/mint.rs):
+    * numbered IRIs `prefix + (startAt + rowIndex)` in key order. */
+  final case class MintingOptions(prefix: String, startAt: Long)
+
+  /** Minted-IRI frames of the last expand, keyed by parameter name: columns
+    * (Key, <param>) — the reference's report.minted_iris, usable to resolve
+    * the same entities in later expands. */
+  var mintedIris: Map[String, DataFrame] = Map.empty
+
   /** Expand `templateIri` over `df` (one column per template parameter).
     * `languageTags` optionally tags string parameters with a language
-    * (reference ExpandOptions.language_tags). */
+    * (reference ExpandOptions.language_tags); `mintIris` mints IRIs for
+    * parameters the frame does not provide. */
   def expand(templateIri: String, df: DataFrame,
-      languageTags: Map[String, String] = Map.empty): Unit = {
+      languageTags: Map[String, String] = Map.empty,
+      mintIris: Map[String, MintingOptions] = Map.empty): Unit = {
     val t = doc.templates.getOrElse(templateIri,
       throw new IllegalArgumentException(s"unknown template $templateIri"))
-    val out = expandTemplate(t, df, languageTags)
+    var input = df
+    mintIris.foreach { case (param, opts) =>
+      if (!input.columns.contains(param)) {
+        val keyCol = input.columns.headOption.getOrElse(
+          throw new IllegalArgumentException("minting needs a key column"))
+        val w = org.apache.spark.sql.expressions.Window.orderBy(col(keyCol))
+        input = input.withColumn(param,
+          concat(lit(opts.prefix),
+            (row_number().over(w) + (opts.startAt - 1)).cast(StringType)))
+        mintedIris += param -> input.select(col(keyCol), col(param))
+      }
+    }
+    // minted params are IRIs even without a declared xsd:anyURI type
+    val t2 =
+      if (mintIris.isEmpty) t
+      else t.copy(params = t.params.map(p =>
+        if (mintIris.contains(p.name) && p.ptype.isEmpty)
+          p.copy(ptype = Some(Xsd.anyURI)) else p))
+    val out = expandTemplate(t2, input, languageTags)
     store = Some(store.fold(out)(_.unionByName(out)))
   }
 

@@ -111,6 +111,27 @@ class MapperSpec extends SparkTestBase {
       (Iri(s"${ex}anObject"), s"${ex}hasOtherNumber", Lit("4", int))))
   }
 
+  test("IRI minting for absent parameters (test_mapper.rs:330)") {
+    import spark.implicits._
+    val t =
+      s"""@prefix ex:<$ex>.
+         |ex:ExampleTemplate [?myIRI1, ?myIRI2] :: {
+         |  ottr:Triple(?myIRI1, ex:relatesTo, ?myIRI2)
+         |} .""".stripMargin
+    val things = "http://example.net/things#"
+    val df = Seq(("KeyOne", s"${things}subject1"), ("KeyTwo", s"${things}subject2"))
+      .toDF("Key", "myIRI1")
+    val m = Mapping.fromString(t, spark)
+    m.expand(s"${ex}ExampleTemplate", df,
+      mintIris = Map("myIRI2" -> m.MintingOptions(things, 3L)))
+    assert(tripleSet(m) == Set[(Term, String, Term)](
+      (Iri(s"${things}subject1"), s"${ex}relatesTo", Iri(s"${things}3")),
+      (Iri(s"${things}subject2"), s"${ex}relatesTo", Iri(s"${things}4"))))
+    val minted = m.mintedIris("myIRI2").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(minted == Map("KeyOne" -> s"${things}3", "KeyTwo" -> s"${things}4"))
+  }
+
   test("mapper output is queryable: expand then SPARQL over toGraph") {
     import spark.implicits._
     val t =

@@ -1,0 +1,140 @@
+package graft.sparql
+
+import graft.SparkTestBase
+import graft.algebra.Algebra._
+import graft.exec.SparqlExecutor
+import graft.graph.TriplesGraph
+import graft.rdf.{Iri, Lit, Term, Xsd}
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** Property-based cross-check (SURVEY §5 test plan): random BGPs + filters
+  * over random small graphs, engine results compared against a naive
+  * in-memory unification evaluator. Catches join-order, duplicate-handling
+  * and type-coercion bugs that fixed goldens cannot. */
+class EnginePropertySpec extends SparkTestBase {
+
+  private val ex = "http://x#"
+  private val subjects = (0 until 5).map(i => s"${ex}s$i")
+  private val numPreds = Seq(s"${ex}p0", s"${ex}p1")
+  private val iriPred = s"${ex}p2"
+
+  private type G = Seq[(String, String, Any)] // (s, p, Long | String-iri)
+
+  private val genTriple: Gen[(String, String, Any)] = for {
+    s <- Gen.oneOf(subjects)
+    p <- Gen.oneOf(numPreds :+ iriPred)
+    o <- if (p == iriPred) Gen.oneOf(subjects) else Gen.choose(0L, 9L)
+  } yield (s, p, o)
+
+  private val genGraph: Gen[G] =
+    Gen.chooseNum(2, 14).flatMap(n => Gen.listOfN(n, genTriple)).map(_.distinct)
+
+  // variables partitioned by type so unification never crosses types:
+  // a/b/c bind IRIs, x/y bind numbers
+  private case class TP(s: Either[String, String], p: String, o: Either[String, Any])
+  // Left = var name, Right = constant
+
+  private val iriVars = Seq("a", "b", "c")
+  private val numVars = Seq("x", "y")
+
+  private val genPattern: Gen[TP] = for {
+    p <- Gen.oneOf(numPreds :+ iriPred)
+    s <- Gen.oneOf(iriVars.map(Left(_): Either[String, String]) ++
+      subjects.map(Right(_): Either[String, String]))
+    o <- if (p == iriPred)
+      Gen.oneOf(iriVars.map(Left(_): Either[String, Any]) ++
+        subjects.map(v => Right(v): Either[String, Any]))
+    else
+      Gen.oneOf(numVars.map(Left(_): Either[String, Any]) ++
+        (0L to 9L).map(v => Right(v): Either[String, Any]))
+  } yield TP(s, p, o)
+
+  private val genBgp: Gen[List[TP]] = Gen.chooseNum(1, 3).flatMap(Gen.listOfN(_, genPattern))
+
+  private val genFilter: Gen[Option[(String, String, Long)]] = Gen.option(for {
+    v <- Gen.oneOf(numVars)
+    op <- Gen.oneOf("<", "<=", ">", ">=", "=", "!=")
+    c <- Gen.choose(0L, 9L)
+  } yield (v, op, c))
+
+  private def naive(g: G, bgp: List[TP], filt: Option[(String, String, Long)])
+    : Seq[Map[String, Any]] = {
+    def matchTriple(tp: TP, t: (String, String, Any), b: Map[String, Any])
+      : Option[Map[String, Any]] = {
+      if (t._2 != tp.p) return None
+      val b1 = tp.s match {
+        case Right(c) => if (t._1 == c) Some(b) else None
+        case Left(v) => b.get(v) match {
+          case Some(x) => if (x == t._1) Some(b) else None
+          case None => Some(b + (v -> t._1))
+        }
+      }
+      b1.flatMap { bb =>
+        tp.o match {
+          case Right(c) => if (t._3 == c) Some(bb) else None
+          case Left(v) => bb.get(v) match {
+            case Some(x) => if (x == t._3) Some(bb) else None
+            case None => Some(bb + (v -> t._3))
+          }
+        }
+      }
+    }
+    var sols: Seq[Map[String, Any]] = Seq(Map.empty)
+    bgp.foreach { tp =>
+      sols = sols.flatMap(b => g.flatMap(t => matchTriple(tp, t, b)))
+    }
+    filt match {
+      case Some((v, op, c)) => sols.filter { b =>
+        b.get(v) match {
+          case Some(x: Long) => op match {
+            case "<" => x < c; case "<=" => x <= c; case ">" => x > c
+            case ">=" => x >= c; case "=" => x == c; case _ => x != c
+          }
+          case _ => false // unbound var in filter -> SPARQL error -> row dropped
+        }
+      }
+      case None => sols
+    }
+  }
+
+  test("random BGP+filter agrees with a naive unification evaluator") {
+    val prop = Prop.forAll(genGraph, genBgp, genFilter) { (g, bgp, filt) =>
+      val vars = bgp.flatMap(tp =>
+        Seq(tp.s.left.toOption, tp.o.left.toOption).flatten).distinct
+      val filtOk = filt.forall(f => vars.contains(f._1))
+      if (g.isEmpty || vars.isEmpty || !filtOk) Prop.undecided
+      else {
+        val terms: Seq[(Term, String, Term)] = g.map {
+          case (s, p, o: Long) => (Iri(s), p, Lit(o.toString, Xsd.integer))
+          case (s, p, o) => (Iri(s), p, Iri(o.toString))
+        }
+        val graph = TriplesGraph.fromTerms(spark, terms)
+        val triples = bgp.map { tp =>
+          val sv = tp.s.fold(V(_), c => T(Iri(c)))
+          val ov = tp.o.fold(V(_), {
+            case c: Long => T(Lit(c.toString, Xsd.integer))
+            case c => T(Iri(c.toString))
+          })
+          TriplePattern(sv, PLink(tp.p), ov)
+        }
+        val base: Pattern = Bgp(triples)
+        val where = filt match {
+          case Some((v, op, c)) =>
+            Filter(ECmp(op, EVar(v), ETerm(Lit(c.toString, Xsd.integer))), base)
+          case None => base
+        }
+        val q = SelectQuery(vars.map(ProjItem(_, None)), distinct = false,
+          reduced = false, where, Nil, None, Nil, None, None)
+        val got = new SparqlExecutor(graph).execute(q).collect().toSeq
+          .map(r => vars.indices.map(i => String.valueOf(r.get(i))).mkString("|"))
+          .sorted
+        val exp = naive(g, bgp, filt)
+          .map(b => vars.map(v => String.valueOf(b(v))).mkString("|")).sorted
+        Prop(got == exp) :| s"got=$got exp=$exp graph=$g bgp=$bgp filt=$filt"
+      }
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(25).withMaxDiscardRatio(10), prop)
+    assert(res.passed, res.status.toString)
+  }
+}
