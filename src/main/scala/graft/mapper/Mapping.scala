@@ -65,6 +65,20 @@ final class Mapping(doc: Stottr.Document, spark: SparkSession) {
         mintedIris += param -> input.select(col(keyCol), col(param))
       }
     }
+    // declared-type validation (reference validation_inference.rs:38-137):
+    // a typed parameter's column must be coercible to the declared XSD type
+    t.params.foreach { p =>
+      (p.ptype, input.schema.fields.find(_.name == p.name)) match {
+        case (Some(Xsd.anyURI), Some(f)) if f.dataType != StringType =>
+          throw new IllegalArgumentException(
+            s"parameter ${p.name}: xsd:anyURI needs a string column, got ${f.dataType.simpleString}")
+        case (Some(dt), Some(f)) if Xsd.numericLong(dt) =>
+          if (!Seq(IntegerType, LongType, ShortType, ByteType).contains(elemType(f.dataType)))
+            throw new IllegalArgumentException(
+              s"parameter ${p.name}: $dt needs an integral column, got ${f.dataType.simpleString}")
+        case _ =>
+      }
+    }
     // minted params are IRIs even without a declared xsd:anyURI type
     val t2 =
       if (mintIris.isEmpty) t
@@ -78,6 +92,11 @@ final class Mapping(doc: Stottr.Document, spark: SparkSession) {
   private var tmpCounter = 0
   private def tmpCol(): String = { tmpCounter += 1; s"__expand$tmpCounter" }
 
+  private def elemType(dt: DataType): DataType = dt match {
+    case ArrayType(e, _) => e
+    case other => other
+  }
+
   private def expandTemplate(t: Template, df: DataFrame,
       languageTags: Map[String, String]): DataFrame = {
     val parts = t.instances.map(i => expandInstance(t, i, df, languageTags))
@@ -88,7 +107,29 @@ final class Mapping(doc: Stottr.Document, spark: SparkSession) {
       languageTags: Map[String, String]): DataFrame = {
     // list expanders: explode list-valued args into fresh columns
     var df = df0
+    val expander = inst.expander.map(_.toLowerCase)
+    // zipMin/zipMax over list COLUMNS zip positionally in one arrays_zip
+    // explode; cross explodes each list independently (cartesian per row)
+    val zipListVars = inst.args.collect { case AListVar(v) => v }
+    val zipRenames: Map[String, String] =
+      if (zipListVars.nonEmpty &&
+          (expander.contains("zipmin") || expander.contains("zipmax"))) {
+        val z = tmpCol()
+        df = df.withColumn(z, explode(arrays_zip(zipListVars.map(col): _*)))
+        if (expander.contains("zipmin"))
+          df = df.filter(zipListVars.map(v => col(z)(v).isNotNull).reduce(_ && _))
+        zipListVars.map { v =>
+          val c = tmpCol()
+          df = df.withColumn(c, col(z)(v))
+          v -> c
+        }.toMap
+      } else Map.empty
     val args = inst.args.map {
+      case AListVar(v) if zipRenames.contains(v) => AVarTyped(zipRenames(v), None)
+      case AListVar(v) =>
+        val c = tmpCol()
+        df = df.withColumn(c, explode(col(v)))
+        AVarTyped(c, None)
       case AList(items) if inst.expander.isDefined =>
         val c = tmpCol()
         val arr = array(items.map {
@@ -97,8 +138,6 @@ final class Mapping(doc: Stottr.Document, spark: SparkSession) {
           case AVar(v) => col(v)
           case other => throw new IllegalArgumentException(s"nested list $other")
         }: _*)
-        // cross: cartesian with the list; zipMin/zipMax degenerate to the
-        // same per-row explode for constant lists
         df = df.withColumn(c, explode(arr))
         // element datatype: from the first literal item (constants) or var
         val elemDt = items.collectFirst { case ALit(l) => l.datatype }

@@ -25,6 +25,8 @@ object Stottr {
 
   trait Arg // open: the expander adds internal typed-element args
   final case class AVar(name: String) extends Arg
+  /** `++?v` — a list-typed column to be expanded (cross/zipMin/zipMax). */
+  final case class AListVar(name: String) extends Arg
   final case class AIri(iri: String) extends Arg
   final case class ALit(lit: Lit) extends Arg
   final case class AList(items: Seq[Arg]) extends Arg
@@ -175,14 +177,19 @@ object Stottr {
           ALit(Lit(v, Xsd.langString, Some(lang)))
         } else ALit(Lit(v, Xsd.string))
       case TPunct("+") =>
-        advance(); eatPunct("+"); eatPunct("(")
-        val items = ArrayBuffer.empty[Arg]
-        if (!tryPunct(")")) {
-          var more = true
-          while (more) { items += parseArg(); more = tryPunct(",") }
-          eatPunct(")")
+        advance(); eatPunct("+")
+        cur match {
+          case TVar(v) => advance(); AListVar(v)
+          case _ =>
+            eatPunct("(")
+            val items = ArrayBuffer.empty[Arg]
+            if (!tryPunct(")")) {
+              var more = true
+              while (more) { items += parseArg(); more = tryPunct(",") }
+              eatPunct(")")
+            }
+            AList(items.toSeq)
         }
-        AList(items.toSeq)
       case TWord(w) if w.equalsIgnoreCase("true") || w.equalsIgnoreCase("false") =>
         advance(); ALit(Lit(w.toLowerCase, Xsd.boolean))
       case t => fail(s"unexpected argument token $t")

@@ -50,7 +50,7 @@ object RdfData {
         tryPunct(".")
       }
       if (isWord("INSERT")) { advance(); if (isWord("DATA")) advance() else fail("DATA") }
-      val braced = tryPunct("{")
+      tryPunct("{")
       var done = false
       while (!done) {
         cur match {
@@ -71,7 +71,6 @@ object RdfData {
             tryPunct(".")
         }
       }
-      if (braced && false) () // brace already consumed above
       acc.toSeq
     }
 

@@ -132,6 +132,54 @@ class MapperSpec extends SparkTestBase {
     assert(minted == Map("KeyOne" -> s"${things}3", "KeyTwo" -> s"${things}4"))
   }
 
+  test("list-column argument with cross expander (test_mapper.rs:926)") {
+    import spark.implicits._
+    val t =
+      s"""@prefix ex:<$ex>.
+         |ex:AnotherExampleTemplate [?object, ?predicate, ?myList] :: {
+         |    cross | ottr:Triple(?object, ?predicate, ++?myList)
+         |  } .""".stripMargin
+    val df = Seq(
+      ("KeyOne", s"${ex}obj1", s"${ex}hasNumberFromList1", Seq(1, 2)),
+      ("KeyTwo", s"${ex}obj2", s"${ex}hasNumberFromList2", Seq(3, 4)))
+      .toDF("Key", "object", "predicate", "myList")
+    val m = Mapping.fromString(t, spark)
+    m.expand(s"${ex}AnotherExampleTemplate", df)
+    val int = Xsd.int
+    assert(tripleSet(m) == Set[(Term, String, Term)](
+      (Iri(s"${ex}obj1"), s"${ex}hasNumberFromList1", Lit("1", int)),
+      (Iri(s"${ex}obj1"), s"${ex}hasNumberFromList1", Lit("2", int)),
+      (Iri(s"${ex}obj2"), s"${ex}hasNumberFromList2", Lit("3", int)),
+      (Iri(s"${ex}obj2"), s"${ex}hasNumberFromList2", Lit("4", int))))
+  }
+
+  test("two list-column arguments: zipMin pairs positionally") {
+    import spark.implicits._
+    val t =
+      s"""@prefix ex:<$ex>.
+         |ex:T [?subject, ?l1, ?l2] :: {
+         |    zipMin | ex:Nested(?subject, ++?l1, ++?l2)
+         |  } .
+         |ex:Nested [?subject, ?a, ?b] :: {
+         |    ottr:Triple(?subject, ex:hasNumber, ?a),
+         |    ottr:Triple(?subject, ex:hasOtherNumber, ?b)
+         |} .""".stripMargin
+    val df = Seq((s"${ex}obj1", Seq(1, 2), Seq(5, 6, 7)))
+      .toDF("subject", "l1", "l2")
+      // subject must resolve as an IRI: declare via anyURI-typed param? the
+      // template has no type, so pass IRIs as plain strings (subject
+      // position is taken verbatim)
+    val m = Mapping.fromString(t, spark)
+    m.expand(s"${ex}T", df)
+    val int = Xsd.int
+    // zipMin: (1,5), (2,6) — the unmatched 7 is dropped
+    assert(tripleSet(m) == Set[(Term, String, Term)](
+      (Iri(s"${ex}obj1"), s"${ex}hasNumber", Lit("1", int)),
+      (Iri(s"${ex}obj1"), s"${ex}hasNumber", Lit("2", int)),
+      (Iri(s"${ex}obj1"), s"${ex}hasOtherNumber", Lit("5", int)),
+      (Iri(s"${ex}obj1"), s"${ex}hasOtherNumber", Lit("6", int))))
+  }
+
   test("mapper output is queryable: expand then SPARQL over toGraph") {
     import spark.implicits._
     val t =
