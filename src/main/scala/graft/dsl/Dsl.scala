@@ -27,7 +27,7 @@ object Dsl {
       name: Option[String])
   final case class DslPath(elements: Seq[PathElement], connectives: Seq[String])
   final case class ConditionedPath(path: DslPath, op: Option[String],
-      literal: Option[Term])
+      literal: Option[Term], optional: Boolean = false)
   final case class TsDslQuery(paths: Seq[ConditionedPath], group: Seq[String],
       from: Option[java.time.Instant], to: Option[java.time.Instant],
       aggregation: Option[(String, Long)]) // (fn, bucketSeconds)
@@ -68,13 +68,17 @@ object Dsl {
     }
   }
 
-  private def parseConditionedPath(line: String): ConditionedPath = {
+  private def parseConditionedPath(line0: String): ConditionedPath = {
+    // a trailing '?' (reference questionable_path) marks the path OPTIONAL
+    val (line, optional) =
+      if (line0.trim.endsWith("?")) (line0.trim.dropRight(1).trim, true)
+      else (line0.trim, false)
     // split off a trailing condition: <path> <op> <literal>
     val condRe = "(.*?)\\s*(>=|<=|!=|=|>|<)\\s*(\\S+)\\s*$".r
     line match {
       case condRe(p, op, litStr) if !p.endsWith("\"") || litLike(litStr) =>
-        ConditionedPath(parsePath(p.trim), Some(op), Some(parseLiteral(litStr)))
-      case _ => ConditionedPath(parsePath(line), None, None)
+        ConditionedPath(parsePath(p.trim), Some(op), Some(parseLiteral(litStr)), optional)
+      case _ => ConditionedPath(parsePath(line), None, None, optional)
     }
   }
 
@@ -140,13 +144,16 @@ object Dsl {
     /** Translate to our SPARQL algebra; executing the result on a
       * [[graft.exec.SparqlExecutor]] runs the DSL query end-to-end. */
     def translate(q: TsDslQuery): SelectQuery = {
-      val triples = ArrayBuffer.empty[TriplePattern]
       val filters = ArrayBuffer.empty[Expr]
       val valueVars = ArrayBuffer.empty[String]
       val glueVars = scala.collection.mutable.LinkedHashMap.empty[String, String]
       val tsVar = "timestamp"
 
-      q.paths.zipWithIndex.foreach { case (cp, pi) =>
+      // one triple buffer per path; optional paths become LeftJoins
+      // (reference translator.rs:113-170 add_optional_parts)
+      case class Part(triples: Seq[TriplePattern], cond: Option[Expr], optional: Boolean)
+      val parts = q.paths.zipWithIndex.map { case (cp, pi) =>
+        val triples = ArrayBuffer.empty[TriplePattern]
         var prev: Option[String] = None
         cp.path.elements.zipWithIndex.foreach { case (el, ei) =>
           val v = el.glue match {
@@ -181,20 +188,23 @@ object Dsl {
         triples += TriplePattern(V(series), PLink(Otit.hasDataPoint), V(dp))
         triples += TriplePattern(V(dp), PLink(Otit.hasTimestamp), V(tsVar))
         triples += TriplePattern(V(dp), PLink(Otit.hasValue), V(value))
-        (cp.op, cp.literal) match {
-          case (Some(op), Some(lit)) =>
-            val cmpOp = if (op == "=") "=" else op
-            filters += ECmp(cmpOp, EVar(value), ETerm(lit))
-          case _ =>
+        val cond = (cp.op, cp.literal) match {
+          case (Some(op), Some(lit)) => Some(ECmp(op, EVar(value), ETerm(lit)))
+          case _ => None
         }
+        Part(triples.toSeq, cond, cp.optional)
       }
+      val (optional, required) = parts.partition(_.optional)
+      required.flatMap(_.cond).foreach(filters += _)
       q.from.foreach(f => filters += ECmp(">=", EVar(tsVar),
         ETerm(Lit(instantLex(f), Xsd.dateTime))))
       q.to.foreach(t => filters += ECmp("<=", EVar(tsVar),
         ETerm(Lit(instantLex(t), Xsd.dateTime))))
 
-      val base: Pattern =
-        filters.foldLeft(Bgp(triples.toSeq): Pattern)((p, e) => Filter(e, p))
+      val requiredBgp: Pattern = Bgp(required.flatMap(_.triples))
+      val filtered: Pattern = filters.foldLeft(requiredBgp)((p, e) => Filter(e, p))
+      val base: Pattern = optional.foldLeft(filtered)((acc, part) =>
+        LeftJoin(acc, Bgp(part.triples), part.cond))
 
       q.aggregation match {
         case Some((fn, seconds)) =>

@@ -99,6 +99,21 @@ class DslSpec extends SparkTestBase {
     assert(rows.map(r => (r.getLong(1), r.getLong(2))).contains((1L, 2L)))
   }
 
+  test("end-to-end: optional path keeps unmatched rows with null values") {
+    val q = Dsl.parse(
+      """ABC-[valve]"HLV"."Mvm"."stVal"
+        |[valve]."PosPct"."mag" > 200 ?""".stripMargin)
+    assert(q.paths(1).optional)
+    val algebra = new Dsl.Translator(config).translate(q)
+    val df = new SparqlExecutor(graph).execute(algebra)
+    val rows = df.collect()
+    // all 8 stVal points survive; value_1 only bound where ts2 > 200 at the
+    // same timestamp (201,202,203,204,206 at :55-:59)
+    assert(rows.length == 8)
+    val bound = rows.count(!_.isNullAt(df.columns.indexOf("value_1")))
+    assert(bound == 5, s"expected 5 matched optional values, got $bound")
+  }
+
   test("end-to-end: condition + aggregation buckets") {
     val q = Dsl.parse(
       """ABC-[valve]"HLV"."Mvm"."stVal" < 300
