@@ -18,15 +18,14 @@ import org.apache.spark.sql.types._
   */
 object AnnOps {
 
-  /** Sequential left-fold double-precision dot product, unrolled to a plain
-    * 64-term arithmetic expression: whole-stage codegen applies (the
-    * zip_with/aggregate higher-order spelling is interpreted per row and
-    * benched ~20x slower), and the evaluation order is the same sequential
-    * fold, so independent engines agree bit-for-bit. */
+  /** Double-precision dot product via the native codegen'd
+    * [[graft.functions.ArrayDotProduct]] expression — a tight generated
+    * loop in the same sequential fold order as a plain external loop, so
+    * independent engines agree bit-for-bit. (The zip_with/aggregate
+    * higher-order spelling is interpreted per row and benched ~20x slower;
+    * a dim-sized element_at chain codegens but bloats the plan.) */
   def dot(a: Column, b: Column, dim: Int): Column =
-    (1 to dim).map(k =>
-      element_at(a, k).cast(DoubleType) * element_at(b, k).cast(DoubleType))
-      .reduce(_ + _)
+    call_function(graft.functions.ArrayDotProduct.name, a, b)
 
   def norm(a: Column, dim: Int): Column = sqrt(dot(a, a, dim))
 
@@ -35,6 +34,7 @@ object AnnOps {
     * Output (qid, rk, nid). */
   def topKForQueries(corpus: DataFrame, queries: DataFrame, k: Int,
       dim: Int = 64): DataFrame = {
+    graft.functions.ArrayDotProduct.register(corpus.sparkSession)
     val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qemb"))
       .withColumn("qn", norm(col("qemb"), dim))
     val c = corpus.select(col("vec_id").as("nid"), col("embedding").as("nemb"))
@@ -64,6 +64,7 @@ object AnnOps {
     */
   def lshThresholdPairs(df: DataFrame, dim: Int, numBands: Int = 16,
       bitsPerBand: Int = 8, threshold: Double = 0.4): DataFrame = {
+    graft.functions.ArrayDotProduct.register(df.sparkSession)
     val base = df.select(col("vec_id").as("id"), col("embedding").as("emb"))
     // Signature kernel as per-partition imperative code: numBands×bitsPerBand
     // dot products per row in a tight loop. A Column spelling of the same
