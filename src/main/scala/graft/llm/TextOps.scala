@@ -92,8 +92,10 @@ object TextOps {
       shingleN: Int = 3, numHashes: Int = 128, rowsPerBand: Int = 2,
       threshold: Double = 0.5): DataFrame = {
     val numBands = numHashes / rowsPerBand
+    // materialized once: the signature kernel and both verification sides
+    // reuse the shingle sets instead of re-deriving them from raw text
     val shingled = df.select(col(idCol).as("id"),
-      wordShingles(col(textCol), shingleN).as("shingles"))
+      wordShingles(col(textCol), shingleN).as("shingles")).localCheckpoint()
     // Minhash + banding as a per-partition imperative kernel: numHashes
     // seeded FNV-1a-style hashes per shingle in a tight loop, map-only (no
     // explode/groupBy shuffle, no giant expression tree — the same
