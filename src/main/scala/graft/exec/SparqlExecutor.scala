@@ -215,8 +215,12 @@ final class SparqlExecutor(
     // 2. hybrid rewrite: collapse virtual time-series triples
     val (tsComponents, staticTriples) = extractTsComponents(simple.toSeq)
 
-    // 3. scan components for the static triples
-    val scans = staticTriples.map(t => scanTriple(t._1, t._2, t._3))
+    // 3. property-table fusion: same-subject patterns whose slices share a
+    //    wide source collapse into one scan (n-ary star reads the table
+    //    once instead of self-joining n slices); the rest scan per slice
+    val (fusedScans, unfusedTriples) = fuseSameSubject(staticTriples)
+    val scans = unfusedTriples.map(t => scanTriple(t._1, t._2, t._3)) ++
+      fusedScans.map(s => (s, 0))
 
     // 4. greedy join order: start from the most selective static component,
     //    always join a component sharing variables (no accidental cartesian),
@@ -283,6 +287,58 @@ final class SparqlExecutor(
 
   private def nConst(s: VarOrTerm, o: VarOrTerm): Int =
     Seq(s, o).count(_.isInstanceOf[T])
+
+  /** Group same-subject-variable triples whose slices all belong to common
+    * property-table groups; emit one wide scan (union over the common
+    * groups) per fused set. */
+  private def fuseSameSubject(
+      triples: Seq[(VarOrTerm, String, VarOrTerm)])
+    : (Seq[Sol], Seq[(VarOrTerm, String, VarOrTerm)]) = {
+    val fusable = triples.filter {
+      case (V(sv), p, o) =>
+        graph.slice(p).exists(sl => sl.fused.nonEmpty && !sl.hasLang) &&
+          (o match { case V(ov) => ov != sv; case _ => true })
+      case _ => false
+    }
+    val rest = ArrayBuffer(triples.filterNot(fusable.contains): _*)
+    val fusedSols = ArrayBuffer.empty[Sol]
+    fusable.groupBy { case (V(sv), _, _) => sv }.foreach { case (sv, group) =>
+      val distinctPreds = group.map(_._2).distinct
+      if (group.size < 2 || distinctPreds.size != group.size) {
+        rest ++= group // repeated predicates or singleton: scan per slice
+      } else {
+        val memberSets = group.map { case (_, p, _) =>
+          graph.slice(p).get.fused.map(_.groupId).toSet
+        }
+        val common = memberSets.reduce(_ intersect _)
+        if (common.isEmpty) rest ++= group
+        else {
+          val parts = common.toSeq.sorted.map { g =>
+            val members = group.map { case (_, p, o) =>
+              (graph.slice(p).get, graph.slice(p).get.fused.find(_.groupId == g).get, o)
+            }
+            var df = members.head._2.df
+            val cols = ArrayBuffer[Column](col("s").as(sv))
+            val vars = ArrayBuffer[String](sv)
+            members.foreach { case (slice, m, o) =>
+              df = df.filter(col(m.objCol).isNotNull)
+              o match {
+                case V(ov) =>
+                  vars += ov; cols += col(m.objCol).as(ov)
+                case T(t) =>
+                  df = df.filter(col(m.objCol) === lit(termToScala(t, slice.kind)))
+              }
+            }
+            Sol(df.select(cols.toSeq: _*), vars.toSeq)
+          }
+          fusedSols += parts.reduce { (a, b) =>
+            Sol(a.df.unionByName(b.df, allowMissingColumns = false), a.vars)
+          }
+        }
+      }
+    }
+    (fusedSols.toSeq, rest.toSeq)
+  }
 
   /** Variable-predicate scan over the long-form triples view. */
   private def scanVarPredicate(s: VarOrTerm, pv: String, o: VarOrTerm): Sol = {

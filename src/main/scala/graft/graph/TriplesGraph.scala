@@ -39,6 +39,16 @@ object OKind {
   }
 }
 
+/** Membership of a predicate slice in a wide "property table": `df` holds
+  * one row per subject of `groupId`'s entity space with column `s` plus one
+  * object column per member predicate — so same-subject patterns over
+  * members read ONE table instead of self-joining n slices.
+  *
+  * Builder contract: group subject spaces are disjoint, and any subject
+  * space shared between two fusable slices is declared on both.
+  */
+final case class FusedMember(groupId: String, df: DataFrame, objCol: String)
+
 /** One vertical partition of the graph: all triples of a single predicate,
   * as a DataFrame with columns `s: String`, `o: <typed>` and optionally
   * `o_lang: String`.
@@ -47,8 +57,12 @@ object OKind {
   * for RDF-on-relational engines (S2RDF / Sempala lineage): a triple pattern
   * with a constant predicate becomes a scan of just that slice — at 100 TB,
   * predicate-partitioned parquet means partition pruning does this for free.
+  * `fused` optionally links the slice into property tables for same-subject
+  * scan fusion (SURVEY §4 custom-rule candidate #1, done as a logical
+  * rewrite before Catalyst).
   */
-final case class PredicateSlice(df: DataFrame, kind: OKind, hasLang: Boolean = false)
+final case class PredicateSlice(df: DataFrame, kind: OKind,
+    hasLang: Boolean = false, fused: Seq[FusedMember] = Nil)
 
 /** A time-series source for the hybrid engine: long-format
   * `(id: String, ts: Timestamp, value: numeric)` — SURVEY §1.1. The external

@@ -1,7 +1,7 @@
 package graft.sparql
 
 import graft.T
-import graft.graph.{OKind, PredicateSlice, TriplesGraph, TsSource}
+import graft.graph.{FusedMember, OKind, PredicateSlice, TriplesGraph, TsSource}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -80,16 +80,45 @@ object TpchGraph {
     val extId = sensors.select(iri("series", col("event_type")).as("s"),
       col("event_type").as("o"))
 
+    // wide property tables for same-subject scan fusion: one row per entity
+    // with a column per predicate, so an n-predicate star over one entity
+    // type reads the source table once (the executor fuses automatically)
+    val nationWide = nation.select(nIri.as("s"), col("n_name").as("name"),
+      col("n_nationkey").as("key"), nRIri.as("inRegion"),
+      nRIri.as("locatedIn"), lit(typeNation).as("rdftype"))
+    val regionWide = region.select(rIri.as("s"), col("r_name").as("name"),
+      lit(typeRegion).as("rdftype"))
+    val supplierWide = supplier.select(sIri.as("s"), col("s_name").as("name"),
+      col("s_acctbal").as("acctbal"), sNIri.as("nationOf"),
+      sNIri.as("locatedIn"), lit(typeSupplier).as("rdftype"))
+    val lineitemWide = lineitem.select(lIri.as("s"),
+      iri("supplier", col("l_suppkey")).as("ofSupplier"),
+      col("l_quantity").cast(LongType).as("quantity"))
+    def fm(g: String, df: DataFrame, c: String) = FusedMember(g, df, c)
+    val nF = fm("nation", nationWide, _: String)
+    val rF = fm("region", regionWide, _: String)
+    val sF = fm("supplier", supplierWide, _: String)
+    val lF = fm("lineitem", lineitemWide, _: String)
+
     val slices = Map(
-      name -> PredicateSlice(names, OKind.KStr),
-      key -> sl(nation, nIri, col("n_nationkey"), OKind.KLong),
-      graft.rdf.Rdf.typ -> PredicateSlice(types, OKind.KIri),
-      inRegion -> sl(nation, nIri, nRIri, OKind.KIri),
-      nationOf -> sl(supplier, sIri, sNIri, OKind.KIri),
-      acctbal -> sl(supplier, sIri, col("s_acctbal"), OKind.KDbl),
-      locatedIn -> PredicateSlice(located, OKind.KIri),
-      ofSupplier -> sl(lineitem, lIri, iri("supplier", col("l_suppkey")), OKind.KIri),
-      quantity -> sl(lineitem, lIri, col("l_quantity").cast(LongType), OKind.KLong),
+      name -> PredicateSlice(names, OKind.KStr,
+        fused = Seq(nF("name"), rF("name"), sF("name"))),
+      key -> sl(nation, nIri, col("n_nationkey"), OKind.KLong)
+        .copy(fused = Seq(nF("key"))),
+      graft.rdf.Rdf.typ -> PredicateSlice(types, OKind.KIri,
+        fused = Seq(nF("rdftype"), rF("rdftype"), sF("rdftype"))),
+      inRegion -> sl(nation, nIri, nRIri, OKind.KIri)
+        .copy(fused = Seq(nF("inRegion"))),
+      nationOf -> sl(supplier, sIri, sNIri, OKind.KIri)
+        .copy(fused = Seq(sF("nationOf"))),
+      acctbal -> sl(supplier, sIri, col("s_acctbal"), OKind.KDbl)
+        .copy(fused = Seq(sF("acctbal"))),
+      locatedIn -> PredicateSlice(located, OKind.KIri,
+        fused = Seq(nF("locatedIn"), sF("locatedIn"))),
+      ofSupplier -> sl(lineitem, lIri, iri("supplier", col("l_suppkey")), OKind.KIri)
+        .copy(fused = Seq(lF("ofSupplier"))),
+      quantity -> sl(lineitem, lIri, col("l_quantity").cast(LongType), OKind.KLong)
+        .copy(fused = Seq(lF("quantity"))),
       graft.rdf.Otit.hasTimeseries -> PredicateSlice(hasTs, OKind.KIri),
       graft.rdf.Otit.hasExternalId -> PredicateSlice(extId, OKind.KStr),
     )

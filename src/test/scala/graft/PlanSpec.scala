@@ -58,6 +58,20 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("property-table fusion: same-subject SPARQL stars read the source once") {
+    def scanFiles(name: String): Seq[String] = {
+      val plan = executedPlan(name)
+      "Location: [^,]*\\[([^\\]]*)\\]".r.findAllMatchIn(plan)
+        .map(_.group(1).split("/").last).toSeq
+    }
+    // q35: ?l g:ofSupplier ?s . ?l g:quantity ?q — one lineitem scan, not a
+    // self-join of two slices (the 100 TB fact-table case)
+    assert(scanFiles("q35_sparql_agg_having") == Seq("lineitem.parquet"))
+    // q32: ?s g:acctbal ?b . ?s g:name ?n — the name union collapses to the
+    // single supplier branch
+    assert(scanFiles("q32_sparql_filter_bind") == Seq("supplier.parquet"))
+  }
+
   test("q01: aggregation is partial (map-side combine) before the exchange") {
     val plan = executedPlan("q01_agg_pricing")
     val firstAgg = plan.indexOf("HashAggregate")
