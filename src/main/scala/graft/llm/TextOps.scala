@@ -92,54 +92,63 @@ object TextOps {
       shingleN: Int = 3, numHashes: Int = 128, rowsPerBand: Int = 2,
       threshold: Double = 0.5): DataFrame = {
     val numBands = numHashes / rowsPerBand
-    // materialized once: the signature kernel and both verification sides
-    // reuse the shingle sets instead of re-deriving them from raw text
-    val shingled = df.select(col(idCol).as("id"),
-      wordShingles(col(textCol), shingleN).as("shingles")).localCheckpoint()
-    // Minhash + banding as a per-partition imperative kernel: numHashes
-    // seeded FNV-1a-style hashes per shingle in a tight loop, map-only (no
-    // explode/groupBy shuffle, no giant expression tree — the same
-    // rationale as AnnOps signature computation). The hash family is an
-    // internal detail: only the exact-Jaccard verification below defines
-    // the result, so any deterministic 64-bit hash is sound.
-    val bandSchema = StructType(StructField("id", LongType) +:
-      (0 until numBands).map(j => StructField(s"b$j", LongType)))
-    val bandRdd = shingled.rdd.mapPartitions { rows =>
-      rows.map { r =>
-        val id = r.getLong(0)
-        val shingles = r.getSeq[String](1)
-        val sig = Array.fill(numHashes)(Long.MaxValue)
-        shingles.foreach { s =>
-          // base FNV-1a 64 of the shingle, then one mix per hash index
-          var h = 0xcbf29ce484222325L
-          var ci = 0
-          while (ci < s.length) { h = (h ^ s.charAt(ci)) * 0x100000001b3L; ci += 1 }
-          var i = 0
-          while (i < numHashes) {
-            var m = h ^ (i * 0x9E3779B97F4A7C15L)
-            m ^= (m >>> 33); m *= 0xff51afd7ed558ccdL; m ^= (m >>> 33)
-            if (m < sig(i)) sig(i) = m
-            i += 1
+    // Shingling + minhash + banding as ONE per-partition imperative kernel:
+    // word n-grams, numHashes seeded FNV-1a-style hashes and band hashes in
+    // tight loops, map-only (no explode/groupBy shuffle, no giant
+    // expression tree — the same rationale as AnnOps signatures). The hash
+    // family is an internal detail: only the exact-Jaccard verification
+    // below defines the result, so any deterministic 64-bit hash is sound.
+    // Shingle definition matches wordShingles()/the oracle: trim, split on
+    // single spaces, n-gram join with spaces, distinct.
+    val bandSchema = StructType(
+      StructField("id", LongType) +:
+        StructField("shingles", ArrayType(StringType)) +:
+        (0 until numBands).map(j => StructField(s"b$j", LongType)))
+    val bandRdd = df.select(col(idCol).cast(LongType).as("id"), col(textCol))
+      .rdd.mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val toks = r.getString(1).trim.split(" ", -1)
+          val shingles = new scala.collection.mutable.LinkedHashSet[String]
+          var t = 0
+          while (t + shingleN <= toks.length) {
+            shingles += toks.slice(t, t + shingleN).mkString(" ")
+            t += 1
           }
-        }
-        val out = new Array[Any](numBands + 1)
-        out(0) = id
-        var j = 0
-        while (j < numBands) {
-          var bh = 0xcbf29ce484222325L ^ j
-          var r0 = 0
-          while (r0 < rowsPerBand) {
-            bh = (bh ^ sig(j * rowsPerBand + r0)) * 0x100000001b3L
-            r0 += 1
+          val sig = Array.fill(numHashes)(Long.MaxValue)
+          shingles.foreach { s =>
+            // base FNV-1a 64 of the shingle, then one mix per hash index
+            var h = 0xcbf29ce484222325L
+            var ci = 0
+            while (ci < s.length) { h = (h ^ s.charAt(ci)) * 0x100000001b3L; ci += 1 }
+            var i = 0
+            while (i < numHashes) {
+              var m = h ^ (i * 0x9E3779B97F4A7C15L)
+              m ^= (m >>> 33); m *= 0xff51afd7ed558ccdL; m ^= (m >>> 33)
+              if (m < sig(i)) sig(i) = m
+              i += 1
+            }
           }
-          out(j + 1) = bh
-          j += 1
+          val out = new Array[Any](numBands + 2)
+          out(0) = id
+          out(1) = shingles.toSeq
+          var j = 0
+          while (j < numBands) {
+            var bh = 0xcbf29ce484222325L ^ j
+            var r0 = 0
+            while (r0 < rowsPerBand) {
+              bh = (bh ^ sig(j * rowsPerBand + r0)) * 0x100000001b3L
+              r0 += 1
+            }
+            out(j + 2) = bh
+            j += 1
+          }
+          org.apache.spark.sql.Row(out: _*)
         }
-        org.apache.spark.sql.Row(out: _*)
       }
-    }
-    // materialized once; both sides of the bucket self-join reuse it
+    // materialized once; band join and both verification sides reuse it
     val banded = df.sparkSession.createDataFrame(bandRdd, bandSchema).localCheckpoint()
+    val shingled = banded.select(col("id"), col("shingles"))
     val bandLong = banded.select(col("id"),
       posexplode(array((0 until numBands).map(j => col(s"b$j")): _*))
         .as(Seq("band", "bh")))
