@@ -45,10 +45,17 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val nFail = results.count(!_._3)
-    val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ok":$status,"failed":$nFail,"sf":"$sfDir"}"""
-    println(line)
-    Files.writeString(Paths.get("bench.json"), line + "\n")
+    // Full detail (per-query ok map) goes to bench.json; the stdout line is
+    // kept SHORT and printed LAST (after spark.stop()) because the driver
+    // captures only a bounded tail of sbt stdout — in rounds 1–3 the long
+    // line fell off the window and "parsed" came back null.
+    val full =
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"ok":$status,"failed":$nFail,"sf":"$sfDir"}"""
+    Files.writeString(Paths.get("bench.json"), full + "\n")
     spark.stop()
+    val line =
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"failed":$nFail,"sf":"$sfDir"}"""
+    println(line)
+    Console.out.flush()
   }
 }

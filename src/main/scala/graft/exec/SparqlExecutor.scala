@@ -143,8 +143,13 @@ final class SparqlExecutor(
       // Optional side references outer bindings (e.g. BIND over a left var):
       // dependent evaluation with a row-id, the reference combiner's own
       // strategy (hybrid/src/combiner.rs:128-216), kept only for this case.
+      // localCheckpoint (not persist): the row-id is nondeterministic, so
+      // the diamond (ldf feeds both the optional side and the final join)
+      // must read one materialization — but persist() registers in the
+      // CacheManager and leaks for the session's lifetime, while a local
+      // checkpoint is reclaimed by the ContextCleaner once unreferenced.
       val rid = freshName("rid")
-      val ldf = ls.df.withColumn(rid, monotonically_increasing_id()).persist()
+      val ldf = ls.df.withColumn(rid, monotonically_increasing_id()).localCheckpoint()
       val lsol = Sol(ldf, ls.vars)
       val rs = translatePattern(r, lsol)
       val rdf = cond match {
@@ -460,9 +465,15 @@ final class SparqlExecutor(
   /** Iterative fixpoint for `*`/`+` paths (SURVEY §7.2 item 5: the genuinely
     * hard new piece — DataFrame join-until-fixpoint with localCheckpoint to
     * cut lineage; the reference delegates paths to its external endpoint).
+    *
+    * Runs to TRUE fixpoint (frontier empty). `maxIters` is a runaway guard
+    * only — hitting it throws rather than silently returning the partial
+    * closure (a chain deeper than the cap would otherwise be a wrong-answer
+    * bug that only shows at scale). Iterations grow the frontier one hop per
+    * round, so the cap bounds graph *diameter*, not size.
     */
   private def translateClosure(s: VarOrTerm, p: Path, o: VarOrTerm,
-      mode: ClosureMode.Value, maxIters: Int = 32): Sol = {
+      mode: ClosureMode.Value, maxIters: Int = 1000): Sol = {
     val a = freshName("ca"); val b = freshName("cb")
     val stepSol = translatePattern(Bgp(Seq(TriplePattern(V(a), p, V(b)))), unitSol)
     val edges = stepSol.df.select(col(a).as("src"), col(b).as("dst")).distinct()
@@ -472,7 +483,11 @@ final class SparqlExecutor(
       var frontier = edges
       var i = 0
       var done = false
-      while (!done && i < maxIters) {
+      while (!done) {
+        if (i >= maxIters)
+          throw new IllegalStateException(
+            s"property-path closure did not converge within $maxIters iterations " +
+              "(graph diameter exceeds the runaway guard; raise maxIters)")
         val stepped = frontier.join(
             edges.withColumnRenamed("src", "m").withColumnRenamed("dst", "d2"),
             col("dst") === col("m"))
@@ -526,8 +541,14 @@ final class SparqlExecutor(
         val m = freshName("exists")
         markers += m
         if (shared.isEmpty) {
-          val nonEmpty = !inner.df.isEmpty
-          ETerm(Lit(if (nonEmpty != negated) "true" else "false", Xsd.boolean))
+          // No shared vars: EXISTS is a single global boolean, but deciding
+          // it here would run a job mid-planning. Stay lazy: left-join every
+          // row against limit(1) of the inner pattern — the marker is
+          // non-null for all rows iff the pattern has any solution.
+          val flagDf = inner.df.limit(1).select(lit(true).as(m))
+          cur = Sol(cur.df.join(flagDf, lit(true), "left_outer"), cur.vars)
+          if (negated) EFunc("__marker_null", Seq(EVar(m)))
+          else EFunc("__marker_notnull", Seq(EVar(m)))
         } else {
           val flagDf = inner.df.select(shared.map(col): _*).distinct()
             .withColumn(m, lit(true))

@@ -54,13 +54,37 @@ object AnnOps {
   def hyperplane(i: Int, dim: Int): Seq[Double] =
     (0 until dim).map(k => math.sin(i.toDouble * dim + k + 1))
 
+  /** Band width sized to the corpus so bucket occupancy stays bounded.
+    *
+    * Occupancy math: b sign bits split a band into 2^b buckets; under the
+    * (worst-case, uniform) assumption the expected bucket holds n/2^b rows
+    * and the per-band candidate join emits ~n^2/2^b pairs. Targeting an
+    * expected occupancy of at most `targetOccupancy` rows per bucket gives
+    * b = ceil(log2(n / targetOccupancy)). At n=10^9 and target 1024 that is
+    * 20 bits (1M buckets/band, ~10^9·1024 candidate rows per band — linear
+    * in n), where a fixed 8-bit band would hold ~4M rows per bucket and the
+    * self-join degenerates toward all-pairs. Floor of 8 keeps the small-SF
+    * recall identical to the published default; ceiling of 30 bounds key
+    * width. Recall follows 1-(1-cos_sim_collision^b)^numBands — callers
+    * raising b should raise numBands in tandem if they need the same recall
+    * at threshold (the standard LSH trade: more, narrower bands).
+    */
+  def bitsPerBandFor(corpusSize: Long, targetOccupancy: Long = 1024L): Int = {
+    require(corpusSize > 0 && targetOccupancy > 0)
+    val b = math.ceil(
+      math.log(corpusSize.toDouble / targetOccupancy) / math.log(2.0)).toInt
+    math.min(30, math.max(8, b))
+  }
+
   /** Random-hyperplane LSH threshold self-join: numBands bands of
     * bitsPerBand sign bits each (band key = the bit string), candidates from
     * the bucket join, verified with exact cosine >= threshold.
     *
     * Band parameters are tuned for the production regime (cos >= 0.9 dups:
     * recall 1-(1-0.857^8)^16 ~ 0.996); at this dataset's max cos ~0.5 the
-    * LSH is exercised for correctness, not recall.
+    * LSH is exercised for correctness, not recall. At lake scale pass
+    * `bitsPerBand = bitsPerBandFor(corpusCount)` — one `count()` of the
+    * signature input is the legitimate price of a right-sized index.
     */
   def lshThresholdPairs(df: DataFrame, dim: Int, numBands: Int = 16,
       bitsPerBand: Int = 8, threshold: Double = 0.4): DataFrame = {

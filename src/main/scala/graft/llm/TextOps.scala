@@ -92,6 +92,27 @@ object TextOps {
       shingleN: Int = 3, numHashes: Int = 128, rowsPerBand: Int = 2,
       threshold: Double = 0.5): DataFrame = {
     val numBands = numHashes / rowsPerBand
+    val banded = minhashBandTable(df, idCol, textCol, shingleN, numHashes, rowsPerBand)
+    val shingled = banded.select(col("id"), col("shingles"))
+    val candidates = bandCandidates(banded, numBands)
+    // exact verification: Jaccard from the true shingle sets (integer
+    // counts -> division is bit-identical across engines)
+    val sa = shingled.select(col("id").as("ida"), col("shingles").as("sha"))
+    val sb = shingled.select(col("id").as("idb"), col("shingles").as("shb"))
+    candidates.join(sa, "ida").join(sb, "idb")
+      .withColumn("jaccard",
+        size(array_intersect(col("sha"), col("shb"))).cast(DoubleType) /
+          size(array_union(col("sha"), col("shb"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("ida"), col("idb"), col("jaccard"))
+  }
+
+  /** Shingling + minhash + banding as one map-only kernel, materialized once
+    * (localCheckpoint): columns (id, shingles, b0..b{numBands-1}). */
+  private[graft] def minhashBandTable(df: DataFrame, idCol: String,
+      textCol: String, shingleN: Int, numHashes: Int, rowsPerBand: Int)
+    : DataFrame = {
+    val numBands = numHashes / rowsPerBand
     // Shingling + minhash + banding as ONE per-partition imperative kernel:
     // word n-grams, numHashes seeded FNV-1a-style hashes and band hashes in
     // tight loops, map-only (no explode/groupBy shuffle, no giant
@@ -147,26 +168,27 @@ object TextOps {
         }
       }
     // materialized once; band join and both verification sides reuse it
-    val banded = df.sparkSession.createDataFrame(bandRdd, bandSchema).localCheckpoint()
-    val shingled = banded.select(col("id"), col("shingles"))
-    val bandLong = banded.select(col("id"),
+    df.sparkSession.createDataFrame(bandRdd, bandSchema).localCheckpoint()
+  }
+
+  /** Banded LSH candidate pairs (ida < idb) from a [[minhashBandTable]].
+    *
+    * Skew guard: docs with < shingleN tokens have an EMPTY shingle set, so
+    * every one of them carries the identical all-MaxValue signature and
+    * identical band hashes — at lake scale billions of short docs would
+    * pile into the same numBands buckets and the candidate join goes
+    * quadratic. They can never pass the Jaccard threshold (|union|=0), so
+    * dropping them from the band join changes nothing in the result.
+    */
+  private[graft] def bandCandidates(banded: DataFrame, numBands: Int): DataFrame = {
+    val bandLong = banded.filter(size(col("shingles")) > 0).select(col("id"),
       posexplode(array((0 until numBands).map(j => col(s"b$j")): _*))
         .as(Seq("band", "bh")))
     val a = bandLong.select(col("id").as("ida"), col("band"), col("bh"))
     val b = bandLong.select(col("id").as("idb"), col("band").as("band2"), col("bh").as("bh2"))
-    val candidates = a.join(b,
+    a.join(b,
         col("band") === col("band2") && col("bh") === col("bh2") &&
           col("ida") < col("idb"))
       .select(col("ida"), col("idb")).distinct()
-    // exact verification: Jaccard from the true shingle sets (integer
-    // counts -> division is bit-identical across engines)
-    val sa = shingled.select(col("id").as("ida"), col("shingles").as("sha"))
-    val sb = shingled.select(col("id").as("idb"), col("shingles").as("shb"))
-    candidates.join(sa, "ida").join(sb, "idb")
-      .withColumn("jaccard",
-        size(array_intersect(col("sha"), col("shb"))).cast(DoubleType) /
-          size(array_union(col("sha"), col("shb"))))
-      .filter(col("jaccard") >= threshold)
-      .select(col("ida"), col("idb"), col("jaccard"))
   }
 }

@@ -58,10 +58,23 @@ final class Mapping(doc: Stottr.Document, spark: SparkSession) {
       if (!input.columns.contains(param)) {
         val keyCol = input.columns.headOption.getOrElse(
           throw new IllegalArgumentException("minting needs a key column"))
-        val w = org.apache.spark.sql.expressions.Window.orderBy(col(keyCol))
-        input = input.withColumn(param,
-          concat(lit(opts.prefix),
-            (row_number().over(w) + (opts.startAt - 1)).cast(StringType)))
+        // Global numbering in key order WITHOUT a global Window (which is a
+        // single-task sort at scale): range-partition by key so partition i
+        // holds strictly smaller keys than partition i+1, sort within, then
+        // zipWithIndex — the index is the global key rank, computed with one
+        // lightweight partition-size count job.
+        val sorted = input.repartitionByRange(col(keyCol))
+          .sortWithinPartitions(col(keyCol))
+        val schema2 = sorted.schema.add(StructField(param, StringType))
+        // capture only primitives: MintingOptions is an inner class whose
+        // $outer (this Mapping, holding the SparkSession) is unserializable
+        val prefix = opts.prefix
+        val startAt = opts.startAt
+        val rdd = sorted.rdd.zipWithIndex.map { case (r, i) =>
+          org.apache.spark.sql.Row.fromSeq(
+            r.toSeq :+ (prefix + (startAt + i).toString))
+        }
+        input = spark.createDataFrame(rdd, schema2)
         mintedIris += param -> input.select(col(keyCol), col(param))
       }
     }
@@ -243,7 +256,43 @@ final class Mapping(doc: Stottr.Document, spark: SparkSession) {
   }
 
   // ------------------------------------------------------------- exports
-  /** N-Triples serialization (reference: mapping/ntriples_write.rs:52). */
+  /** One formatted N-Triples line per triple, as a codegen'd Column —
+    * the distributed serialization kernel shared by [[ntriplesLines]] and
+    * [[writeNTriplesDistributed]]. */
+  private def ntLineCol: Column = {
+    // escape backslash FIRST, then quote/newline/cr/tab (N-Triples string
+    // escaping; reference streams the same per-triple formatting,
+    // mapping/ntriples_write.rs:52)
+    def esc(c: Column): Column = {
+      val b0 = regexp_replace(c, "\\\\", "\\\\\\\\")
+      val b1 = regexp_replace(b0, "\"", "\\\\\"")
+      val b2 = regexp_replace(b1, "\n", "\\\\n")
+      val b3 = regexp_replace(b2, "\r", "\\\\r")
+      regexp_replace(b3, "\t", "\\\\t")
+    }
+    val o =
+      when(col("o_dt").isNull && col("o_lang").isNull,
+        concat(lit("<"), col("o_lex"), lit(">")))
+      .when(col("o_lang").isNotNull,
+        concat(lit("\""), esc(col("o_lex")), lit("\"@"), col("o_lang")))
+      .otherwise(
+        concat(lit("\""), esc(col("o_lex")), lit("\"^^<"), col("o_dt"), lit(">")))
+    concat(lit("<"), col("s"), lit("> <"), col("p"), lit("> "), o, lit(" ."))
+  }
+
+  /** Distributed N-Triples view: one string line per triple, still lazy. */
+  def ntriplesLines: DataFrame = triplesDf.select(ntLineCol.as("value"))
+
+  /** Distributed N-Triples sink: every executor writes its partitions in
+    * parallel (`text` sink) — the path a 100 TB graph takes out of the
+    * engine. The driver-side [[writeNTriples]] remains as the small-result
+    * convenience. */
+  def writeNTriplesDistributed(path: String): Unit =
+    ntriplesLines.write.mode("overwrite").text(path)
+
+  /** N-Triples serialization (reference: mapping/ntriples_write.rs:52).
+    * Driver-side convenience — collects; use [[writeNTriplesDistributed]]
+    * for anything big. */
   def toNTriples: Seq[String] =
     triplesDf.collect().toSeq.map { r =>
       val s = r.getString(0); val p = r.getString(1)

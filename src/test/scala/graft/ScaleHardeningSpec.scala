@@ -1,0 +1,97 @@
+package graft
+
+import graft.exec.SparqlExecutor
+import graft.graph.TriplesGraph
+import graft.llm.{AnnOps, TextOps}
+import graft.rdf.{Iri, Term}
+import org.apache.spark.sql.functions._
+
+/** Round-4 scale-hardening regressions: behaviors that are invisible at
+  * small SF but wrong or quadratic at 100 TB (VERDICT r3 "What's wrong").
+  */
+class ScaleHardeningSpec extends SparkTestBase {
+
+  private val ex = "http://example.net/ns#"
+
+  test("closure runs past 32 hops to true fixpoint (deep chain)") {
+    // 41-node / 40-edge chain: full `+` closure has 40*41/2 = 820 pairs and
+    // needs 39 fixpoint iterations — the old silent 32-iteration cap
+    // returned a partial answer here.
+    val edges: Seq[(Term, String, Term)] = (0 until 40).map { i =>
+      (Iri(s"${ex}n$i"), s"${ex}next", Iri(s"${ex}n${i + 1}"))
+    }
+    val g = TriplesGraph.fromTerms(spark, edges)
+    val exec = new SparqlExecutor(g)
+    val n = exec.execute(
+      s"""PREFIX ex:<$ex>
+         |SELECT ?a ?b WHERE { ?a ex:next+ ?b }""".stripMargin).count()
+    assert(n == 820L)
+    // and the deepest pair is reachable
+    val deepest = exec.execute(
+      s"""PREFIX ex:<$ex>
+         |SELECT ?b WHERE { ex:n0 ex:next+ ?b . FILTER(?b = ex:n40) }""".stripMargin)
+      .count()
+    assert(deepest == 1L)
+  }
+
+  test("minhash banding drops empty-shingle docs: candidates stay linear") {
+    import spark.implicits._
+    // 500 short docs (1 token < shingleN=3) + 2 genuine near-dups. Without
+    // the skew guard the short docs share identical band hashes and the
+    // candidate join emits ~500*499/2 * bands pairs; with it, only the one
+    // real pair (plus none from short docs) survives.
+    val shorts = (0 until 500).map(i => (i.toLong, s"tok$i"))
+    val dups = Seq(
+      (1000L, "the quick brown fox jumps over the lazy dog"),
+      (1001L, "the quick brown fox jumps over the lazy cat"))
+    val docs = (shorts ++ dups).toDF("doc_id", "text")
+    val banded = TextOps.minhashBandTable(docs, "doc_id", "text", 3, 128, 2)
+    val candidates = TextOps.bandCandidates(banded, 64).count()
+    assert(candidates <= 10L,
+      s"candidate blowup: $candidates pairs from 500 empty-shingle docs")
+    // end-to-end result still finds the real near-dup pair
+    val pairs = TextOps.minhashLshPairs(docs, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1000L, 1001L)))
+  }
+
+  test("ann lsh band width scales with corpus size (occupancy bound)") {
+    // floor at the published small-SF default
+    assert(AnnOps.bitsPerBandFor(100000L) == 8)
+    // lake scale: 2^b buckets keep expected occupancy <= target
+    val b = AnnOps.bitsPerBandFor(1000000000L)
+    assert(b == 20)
+    assert(1000000000L.toDouble / (1L << b) <= 1024.0)
+    // monotone in corpus size, bounded key width
+    assert(AnnOps.bitsPerBandFor(1L << 45) == 30)
+    assert(AnnOps.bitsPerBandFor(1) == 8)
+  }
+
+  test("EXISTS with no shared vars plans lazily (no job during execute)") {
+    val triples: Seq[(Term, String, Term)] = Seq(
+      (Iri(s"${ex}a"), s"${ex}p", Iri(s"${ex}b")),
+      (Iri(s"${ex}c"), s"${ex}q", Iri(s"${ex}d")))
+    val g = TriplesGraph.fromTerms(spark, triples)
+    val exec = new SparqlExecutor(g)
+    val sc = spark.sparkContext
+    sc.setJobGroup("plan-check", "EXISTS laziness probe")
+    val df = exec.execute(
+      s"""PREFIX ex:<$ex>
+         |SELECT ?x WHERE { ?x ex:p ?y . FILTER(EXISTS { ex:c ex:q ex:d }) }""".stripMargin)
+    val plannedJobs = sc.statusTracker.getJobIdsForGroup("plan-check")
+    sc.clearJobGroup()
+    assert(plannedJobs.isEmpty,
+      s"plan construction ran ${plannedJobs.length} job(s)")
+    // semantics: inner pattern non-empty -> all rows kept
+    assert(df.collect().map(_.getString(0)).toSeq == Seq(s"${ex}a"))
+    // inner pattern empty + NOT EXISTS -> all rows kept; EXISTS -> none
+    val kept = exec.execute(
+      s"""PREFIX ex:<$ex>
+         |SELECT ?x WHERE { ?x ex:p ?y . FILTER(NOT EXISTS { ex:c ex:q ex:missing }) }""".stripMargin)
+    assert(kept.count() == 1L)
+    val dropped = exec.execute(
+      s"""PREFIX ex:<$ex>
+         |SELECT ?x WHERE { ?x ex:p ?y . FILTER(EXISTS { ex:c ex:q ex:missing }) }""".stripMargin)
+    assert(dropped.count() == 0L)
+  }
+}

@@ -180,6 +180,26 @@ class MapperSpec extends SparkTestBase {
       (Iri(s"${ex}obj1"), s"${ex}hasOtherNumber", Lit("6", int))))
   }
 
+  test("distributed N-Triples sink round-trips (file sink == driver path)") {
+    import spark.implicits._
+    val t =
+      s"""@prefix ex:<$ex>.
+         |ex:T [xsd:anyURI ?subj , ?name , ?score] :: {
+         |    ottr:Triple(?subj, ex:hasName, ?name) ,
+         |    ottr:Triple(?subj, ex:hasScore, ?score)
+         |} .""".stripMargin
+    val df = Seq(
+      ("KeyOne", s"${ex}p1", "line\nbreak \"and\" tab\t\\slash", 10L),
+      ("KeyTwo", s"${ex}p2", "plain", 3L)).toDF("Key", "subj", "name", "score")
+    val m = Mapping.fromString(t, spark)
+    m.expand(s"${ex}T", df)
+    val dir = java.nio.file.Files.createTempDirectory("ntriples").toString
+    m.writeNTriplesDistributed(dir)
+    val fromSink = spark.read.text(dir).collect().map(_.getString(0)).sorted.toSeq
+    assert(fromSink == m.toNTriples.sorted)
+    assert(fromSink.forall(_.endsWith(" .")))
+  }
+
   test("mapper output is queryable: expand then SPARQL over toGraph") {
     import spark.implicits._
     val t =
