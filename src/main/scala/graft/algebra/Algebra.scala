@@ -28,6 +28,9 @@ object Algebra {
   final case class PZeroOrMore(p: Path) extends Path
   final case class POneOrMore(p: Path) extends Path
   final case class PZeroOrOne(p: Path) extends Path
+  /** Negated property set `!(iri1 | ^iri2 | …)`: matches any predicate NOT
+    * in the forward set (s→o) plus any not in the inverse set (o→s). */
+  final case class PNegatedPropSet(fwd: Seq[String], inv: Seq[String]) extends Path
 
   final case class TriplePattern(s: VarOrTerm, p: Path, o: VarOrTerm)
 

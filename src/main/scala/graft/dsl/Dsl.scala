@@ -73,9 +73,14 @@ object Dsl {
     val (line, optional) =
       if (line0.trim.endsWith("?")) (line0.trim.dropRight(1).trim, true)
       else (line0.trim, false)
-    // split off a trailing condition: <path> <op> <literal>
+    // split off a trailing condition: <path> <op> <literal>; `like` needs
+    // surrounding whitespace (it is a word, not a symbol — reference
+    // dsl/src/parser.rs:163 boolean_operator)
+    val likeRe = "(?i)(.*?)\\s+(like)\\s+(\\S+)\\s*$".r
     val condRe = "(.*?)\\s*(>=|<=|!=|=|>|<)\\s*(\\S+)\\s*$".r
     line match {
+      case likeRe(p, op, litStr) =>
+        ConditionedPath(parsePath(p.trim), Some(op.toLowerCase), Some(parseLiteral(litStr)), optional)
       case condRe(p, op, litStr) if !p.endsWith("\"") || litLike(litStr) =>
         ConditionedPath(parsePath(p.trim), Some(op), Some(parseLiteral(litStr)), optional)
       case _ => ConditionedPath(parsePath(line), None, None, optional)
@@ -189,6 +194,11 @@ object Dsl {
         triples += TriplePattern(V(dp), PLink(Otit.hasTimestamp), V(tsVar))
         triples += TriplePattern(V(dp), PLink(Otit.hasValue), V(value))
         val cond = (cp.op, cp.literal) match {
+          case (Some("like"), Some(lit)) =>
+            // reference lowers LIKE to the custom otit_swt#like function
+            // (dsl/src/translator/graph_pattern.rs:235); here it executes as
+            // a regex match on the value
+            Some(EFunc(Otit.like, Seq(EVar(value), ETerm(lit))))
           case (Some(op), Some(lit)) => Some(ECmp(op, EVar(value), ETerm(lit)))
           case _ => None
         }

@@ -205,6 +205,16 @@ final class SparqlExecutor(
       case PZeroOrMore(p) => complex += translateClosure(s, p, o, ClosureMode.ZeroOrMore)
       case POneOrMore(p) => complex += translateClosure(s, p, o, ClosureMode.OneOrMore)
       case PZeroOrOne(p) => complex += translateClosure(s, p, o, ClosureMode.ZeroOrOne)
+      case PNegatedPropSet(fwd, inv) =>
+        // !(a|^b): forward triples with p ∉ {a} UNION inverse triples with
+        // p ∉ {b} (SPARQL 1.1 §9.1 NPS semantics)
+        val parts = Seq(
+          if (fwd.nonEmpty || inv.isEmpty) Some(scanNegated(s, fwd, o)) else None,
+          if (inv.nonEmpty) Some(scanNegated(o, inv, s)) else None).flatten
+        complex += parts.reduce { (x, y) =>
+          Sol(x.df.unionByName(y.df, allowMissingColumns = true),
+            x.vars ++ y.vars.diff(x.vars))
+        }
     }
     def expandInverse(s: VarOrTerm, p: Path, o: VarOrTerm): Unit = p match {
       case PLink(iri) => simple += ((o, iri, s))
@@ -343,6 +353,32 @@ final class SparqlExecutor(
       }
     }
     (fusedSols.toSeq, rest.toSeq)
+  }
+
+  /** Negated-property-set scan: all triples whose predicate is NOT in
+    * `excluded`. Long-form view scan; at 100 TB with predicate-partitioned
+    * parquet the NOT IN prunes to the complement partition set. */
+  private def scanNegated(s: VarOrTerm, excluded: Seq[String], o: VarOrTerm): Sol = {
+    var df = graph.allTriples
+    if (excluded.nonEmpty) df = df.filter(!col("p").isin(excluded: _*))
+    s match {
+      case T(t) => df = df.filter(col("s") === t.canonical)
+      case V(v) if o == V(v) => df = df.filter(col("s") === col("o"))
+      case _ =>
+    }
+    o match {
+      case T(t) => df = df.filter(col("o") === t.canonical)
+      case _ =>
+    }
+    val vars = ArrayBuffer.empty[String]
+    val cols = ArrayBuffer.empty[Column]
+    s match { case V(v) => vars += v; cols += col("s").as(v); case _ => }
+    o match {
+      case V(v) if !vars.contains(v) => vars += v; cols += col("o").as(v)
+      case _ =>
+    }
+    if (vars.isEmpty) Sol(df.limit(1).select(lit(1).as(freshName("guard"))), Nil)
+    else Sol(df.select(cols.toSeq: _*), vars.toSeq)
   }
 
   /** Variable-predicate scan over the long-form triples view. */
@@ -646,6 +682,39 @@ final class SparqlExecutor(
           case EVar(v) => langColOf(v)
           case _ => lit("")
         }
+        case "langmatches" =>
+          // RFC 4647 basic filtering: "*" matches any non-empty tag; a range
+          // matches the tag exactly or as a prefix followed by '-',
+          // case-insensitively
+          val tag = lower(a(0))
+          val range = lower(a(1))
+          when(range === "*", tag =!= "")
+            .otherwise(tag === range || tag.startsWith(concat(range, lit("-"))))
+        case "iri" | "uri" =>
+          // no BASE in this engine: the argument's string form IS the IRI
+          a(0).cast(StringType)
+        case "strdt" =>
+          // STRDT(lexical, datatypeIRI): the datatype must be a constant IRI
+          val dt = args(1) match {
+            case ETerm(Iri(d)) => d
+            case other =>
+              throw new IllegalArgumentException(s"STRDT needs a constant datatype IRI, got $other")
+          }
+          a(0).cast(StringType).cast(OKind.sparkType(OKind.ofDatatype(dt)))
+        case "datatype" => args.head match {
+          case EVar(v) =>
+            // literal datatype from the column's Spark type; lang-tagged
+            // strings (non-empty companion) are rdf:langString
+            val base = lit(xsdOfSparkType(sol.df.schema(v).dataType))
+            if (sol.df.columns.contains(s"${v}__lang"))
+              when(langColOf(v) =!= "", lit(Xsd.langString)).otherwise(base)
+            else base
+          case ETerm(Lit(_, dt, lang)) =>
+            lit(lang.map(_ => Xsd.langString).getOrElse(dt))
+          case other =>
+            throw new IllegalArgumentException(
+              s"datatype() supports variables and literals, got $other")
+        }
         case "sameterm" => a(0).cast(StringType) === a(1).cast(StringType)
         case "isnumeric" => a(0).cast(DoubleType).isNotNull
         case "isiri" | "isuri" => a(0).cast(StringType).startsWith("http")
@@ -655,6 +724,7 @@ final class SparqlExecutor(
         case Xsd.string => a(0).cast(StringType)
         case Xsd.boolean => a(0).cast(BooleanType)
         case Xsd.dateTime => a(0).cast(TimestampType)
+        case Otit.like => regexp_like(a(0).cast(StringType), a(1))
         case Otit.dateTimeAsSeconds => unix_timestamp(a(0))
         case Otit.secondsAsDateTime => timestamp_seconds(a(0))
         case Otit.dateTimeAsNanos => unix_micros(a(0)) * 1000L
@@ -664,6 +734,15 @@ final class SparqlExecutor(
       }
     }
     c(e)
+  }
+
+  private def xsdOfSparkType(dt: DataType): String = dt match {
+    case LongType | IntegerType | ShortType | ByteType => Xsd.integer
+    case DoubleType | FloatType => Xsd.double
+    case _: DecimalType => Xsd.decimal
+    case BooleanType => Xsd.boolean
+    case TimestampType => Xsd.dateTime
+    case _ => Xsd.string
   }
 
   private def termLit(t: Term): Column = t match {

@@ -64,4 +64,7 @@ object Otit {
   val dateTimeAsSeconds: String = ns + "DateTimeAsSeconds"
   val secondsAsDateTime: String = ns + "SecondsAsDateTime"
   val nestAggregation: String = ns + "nestAggregation"
+  /** The DSL's LIKE lowers to this custom function (reference
+    * dsl/src/costants.rs:1 LIKE_FUNCTION). */
+  val like: String = ns + "like"
 }

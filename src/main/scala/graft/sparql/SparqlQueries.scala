@@ -275,5 +275,51 @@ object SparqlQueries {
         |  BIND(STR(?nk) AS ?nk_str)
         |  BIND(sameTerm(?nname, ?nname) AS ?self_same)
         |} ORDER BY ?nname ?rich_name""".stripMargin),
+
+    // ---- blank-node query syntax: `[ … ]` property lists rename to fresh
+    // variables (the reference preprocessor's strategy,
+    // hybrid/src/preprocessing.rs:394-410). Same semantics as q31.
+    sq("q54_sparql_blank_nodes",
+      """SELECT n_name AS nname, r_name AS rname
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY nname NULLS FIRST, rname NULLS FIRST""".stripMargin,
+      """SELECT ?nname ?rname WHERE {
+        |  [ g:name ?nname ; g:inRegion [ g:name ?rname ] ] .
+        |} ORDER BY ?nname ?rname""".stripMargin),
+
+    // ---- negated property set !(…): every edge out of a nation that is
+    // neither its name nor its key (SPARQL 1.1 §9.1 NPS).
+    sq("q55_sparql_negated_propset",
+      s"""SELECT DISTINCT * FROM (
+         |  SELECT ${sqlIri("nation", "n_nationkey")} AS n, ${sqlIri("region", "n_regionkey")} AS o FROM nation
+         |  UNION
+         |  SELECT ${sqlIri("nation", "n_nationkey")} AS n, 'urn:graft:Nation' AS o FROM nation
+         |) ORDER BY n NULLS FIRST, o NULLS FIRST""".stripMargin,
+      """SELECT DISTINCT ?n ?o WHERE {
+        |  ?n rdf:type g:Nation .
+        |  ?n !(g:name|g:key) ?o .
+        |} ORDER BY ?n ?o""".stripMargin),
+
+    // ---- datatype() / langMatches() / IRI() / STRDT — the function
+    // gap-fill beyond the reference (it todo!()s these).
+    sq("q56_sparql_datatype_lang",
+      s"""SELECT s_name AS sname,
+         |  'http://www.w3.org/2001/XMLSchema#double' AS dt_bal,
+         |  'http://www.w3.org/2001/XMLSchema#string' AS dt_name,
+         |  false AS anylang,
+         |  ${sqlIri("supplier", "s_suppkey")} AS re_iri,
+         |  CAST(7 AS BIGINT) AS seven
+         |FROM supplier
+         |ORDER BY sname NULLS FIRST""".stripMargin,
+      """SELECT ?sname ?dt_bal ?dt_name ?anylang ?re_iri ?seven WHERE {
+        |  ?s rdf:type g:Supplier .
+        |  ?s g:name ?sname .
+        |  ?s g:acctbal ?b .
+        |  BIND(DATATYPE(?b) AS ?dt_bal)
+        |  BIND(DATATYPE(?sname) AS ?dt_name)
+        |  BIND(LANGMATCHES(LANG(?sname), "*") AS ?anylang)
+        |  BIND(IRI(STR(?s)) AS ?re_iri)
+        |  BIND(STRDT("7", xsd:integer) AS ?seven)
+        |} ORDER BY ?sname""".stripMargin),
   )
 }

@@ -114,6 +114,16 @@ class DslSpec extends SparkTestBase {
     assert(bound == 5, s"expected 5 matched optional values, got $bound")
   }
 
+  test("LIKE condition lowers to the otit_swt#like function and filters") {
+    val q = Dsl.parse("""ABC-[valve]"HLV"."Mvm"."stVal" like "^10"""")
+    assert(q.paths.head.op.contains("like"))
+    val algebra = new Dsl.Translator(config).translate(q)
+    val df = new SparqlExecutor(graph).execute(algebra)
+    // ts1 values starting with "10": 10, 100, 102, 105
+    val vals = df.collect().map(r => r.getLong(df.columns.indexOf("value_0"))).sorted
+    assert(vals.toSeq == Seq(10L, 100L, 102L, 105L))
+  }
+
   test("end-to-end: condition + aggregation buckets") {
     val q = Dsl.parse(
       """ABC-[valve]"HLV"."Mvm"."stVal" < 300

@@ -79,4 +79,78 @@ class ExprSpec extends SparkTestBase {
       .collect().map(_.getString(0)).toSeq
     assert(got == Seq(s"${ex}a", s"${ex}c"))
   }
+
+  test("DATATYPE over typed, plain and lang-tagged literals") {
+    val got = run(
+      """SELECT ?s ?dt WHERE { ?s ex:num ?n . BIND(DATATYPE(?n) AS ?dt) } ORDER BY ?s""")
+      .collect().map(_.getString(1)).toSet
+    assert(got == Set(Xsd.integer))
+    val lang = run(
+      """SELECT ?s ?dt WHERE { ?s ex:label ?v . BIND(DATATYPE(?v) AS ?dt) } ORDER BY ?s""")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(lang == Set(
+      (s"${ex}a", Xsd.langString), (s"${ex}b", Xsd.langString),
+      (s"${ex}c", Xsd.string)))
+  }
+
+  test("LANGMATCHES basic filtering incl. wildcard and subtag prefix") {
+    val got = run(
+      """SELECT ?s WHERE { ?s ex:label ?v . FILTER(LANGMATCHES(LANG(?v), "en")) }""")
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq(s"${ex}a"))
+    val any = run(
+      """SELECT ?s WHERE { ?s ex:label ?v . FILTER(LANGMATCHES(LANG(?v), "*")) } ORDER BY ?s""")
+      .collect().map(_.getString(0)).toSeq
+    assert(any == Seq(s"${ex}a", s"${ex}b")) // plain literal has no tag
+    // range is a prefix of the full tag: "de" matches "de-AT"-style tags
+    val prefix = run(
+      """SELECT ?m WHERE { ?s ex:label ?v . BIND(LANGMATCHES("de-at", "DE") AS ?m) FILTER(?m) }""")
+      .collect()
+    assert(prefix.length == 3) // constant true per row
+  }
+
+  test("IRI() and STRDT construct terms") {
+    val got = run(
+      s"""PREFIX xsd:<${Xsd.ns}>
+         |SELECT ?i ?n WHERE {
+         |  ?s ex:num ?x . FILTER(?x = 1)
+         |  BIND(IRI(CONCAT("$ex", "minted")) AS ?i)
+         |  BIND(STRDT("42", xsd:integer) AS ?n)
+         |}""".stripMargin)
+      .collect()
+    assert(got.length == 1)
+    assert(got(0).getString(0) == s"${ex}minted")
+    assert(got(0).getLong(1) == 42L)
+  }
+
+  test("blank nodes in query syntax rename to variables") {
+    // [] in subject position + _:labeled shared across patterns
+    val anon = run(
+      """SELECT ?n WHERE { [ ex:num ?n ; ex:group ex:g1 ] } ORDER BY ?n""")
+      .collect().map(_.getLong(0)).toSeq
+    assert(anon == Seq(1L, 2L))
+    val labeled = run(
+      """SELECT ?n WHERE { _:x ex:num ?n . _:x ex:group ex:g2 . }""")
+      .collect().map(_.getLong(0)).toSeq
+    assert(labeled == Seq(3L))
+  }
+
+  test("negated property sets: forward, set, and inverse members") {
+    // everything reachable from ?s by a predicate other than label/num
+    val got = run(
+      """SELECT ?s ?o WHERE { ?s !(ex:label|ex:num) ?o } ORDER BY ?s""")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(
+      (s"${ex}a", s"${ex}g1"), (s"${ex}b", s"${ex}g1"), (s"${ex}c", s"${ex}g2"),
+      (s"${ex}a", "2022-06-01 08:00:00")))
+    val single = run(
+      """SELECT ?o WHERE { ex:c !ex:label ?o }""")
+      .collect().map(_.getString(0)).toSet
+    assert(single == Set("3", s"${ex}g2"))
+    // inverse member: ?x !(^ex:group) ?y == triples y p x with p != group
+    val inv = run(
+      """SELECT ?x WHERE { ?x !(^ex:num) ex:a }""")
+      .collect().map(_.getString(0)).toSet
+    assert(inv == Set("Hello", "2022-06-01 08:00:00", s"${ex}g1"))
+  }
 }
