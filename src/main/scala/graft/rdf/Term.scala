@@ -34,6 +34,7 @@ object Xsd {
   val decimal: String = ns + "decimal"
   val boolean: String = ns + "boolean"
   val dateTime: String = ns + "dateTime"
+  val dateTimeStamp: String = ns + "dateTimeStamp"
   val date: String = ns + "date"
   val anyURI: String = ns + "anyURI"
   val langString = "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"

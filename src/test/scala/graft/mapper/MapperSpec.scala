@@ -127,9 +127,257 @@ class MapperSpec extends SparkTestBase {
     assert(tripleSet(m) == Set[(Term, String, Term)](
       (Iri(s"${things}subject1"), s"${ex}relatesTo", Iri(s"${things}3")),
       (Iri(s"${things}subject2"), s"${ex}relatesTo", Iri(s"${things}4"))))
-    val minted = m.mintedIris("myIRI2").collect()
+    // minted frames are keyed by template (the reference's minted_iris)
+    val minted = m.mintedIris(s"${ex}ExampleTemplate")
+      .select("Key", "myIRI2").collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
     assert(minted == Map("KeyOne" -> s"${things}3", "KeyTwo" -> s"${things}4"))
+  }
+
+  test("IRI resolution across templates by foreign key (test_mapper.rs:401)") {
+    import spark.implicits._
+    val t1 =
+      s"""@prefix ex:<$ex>.
+         |ex:ExampleTemplate1 [?myIRI1, ?myIRI2] :: {
+         |  ottr:Triple(?myIRI1, ex:relatesTo, ?myIRI2)
+         |} .""".stripMargin
+    val t2 =
+      s"""@prefix ex:<$ex>.
+         |ex:ExampleTemplate2 [?myIRI1, ?myIRI2] :: {
+         |  ottr:Triple(?myIRI1, ex:relatesDifferentlyTo, ?myIRI2)
+         |} .""".stripMargin
+    val things = "http://example.net/things#"
+    val m = Mapping.fromStrings(Seq(t1, t2), spark)
+    val df1 = Seq(("KeyOne", s"${things}subject1"), ("KeyTwo", s"${things}subject2"))
+      .toDF("Key", "myIRI1")
+    m.expand(s"${ex}ExampleTemplate1", df1,
+      mintIris = Map("myIRI2" -> m.MintingOptions(things, 3L)))
+    val df2 = Seq(
+      ("KeyOne2", s"${things}otherSubject1", "KeyOne"),
+      ("KeyTwo2", s"${things}otherSubject2", "KeyTwo"))
+      .toDF("Key", "myIRI1", "myIRI2ForeignKey")
+    m.expand(s"${ex}ExampleTemplate2", df2,
+      resolveIris = Map("myIRI2" ->
+        m.ResolveIri("myIRI2ForeignKey", s"${ex}ExampleTemplate1", "myIRI2")))
+    assert(tripleSet(m) == Set[(Term, String, Term)](
+      (Iri(s"${things}subject1"), s"${ex}relatesTo", Iri(s"${things}3")),
+      (Iri(s"${things}subject2"), s"${ex}relatesTo", Iri(s"${things}4")),
+      (Iri(s"${things}otherSubject1"), s"${ex}relatesDifferentlyTo", Iri(s"${things}3")),
+      (Iri(s"${things}otherSubject2"), s"${ex}relatesDifferentlyTo", Iri(s"${things}4"))))
+  }
+
+  test("IRI resolution with list-valued foreign key (test_mapper.rs:509)") {
+    import spark.implicits._
+    val t1 =
+      s"""@prefix ex:<$ex>.
+         |ex:ExampleTemplate1 [?myIRI1, ?myIRI2] :: {
+         |  ottr:Triple(?myIRI1, ex:relatesTo, ?myIRI2)
+         |} .""".stripMargin
+    val t2 =
+      s"""@prefix ex:<$ex>.
+         |ex:ExampleTemplate2 [?myIRI1, ?myIRI2] :: {
+         |  cross | ottr:Triple(?myIRI1, ex:relatesDifferentlyTo, ++?myIRI2)
+         |} .""".stripMargin
+    val things = "http://example.net/things#"
+    val m = Mapping.fromStrings(Seq(t1, t2), spark)
+    val df1 = Seq(("KeyOne", s"${things}subject1"), ("KeyTwo", s"${things}subject2"))
+      .toDF("Key", "myIRI1")
+    m.expand(s"${ex}ExampleTemplate1", df1,
+      mintIris = Map("myIRI2" -> m.MintingOptions(things, 3L)))
+    val df2 = Seq(
+      ("KeyOne2", s"${things}otherSubject1", Seq("KeyOne", "KeyTwo")),
+      ("KeyTwo2", s"${things}otherSubject2", Seq("KeyOne", "KeyTwo")))
+      .toDF("Key", "myIRI1", "myIRI2ForeignKey")
+    m.expand(s"${ex}ExampleTemplate2", df2,
+      resolveIris = Map("myIRI2" ->
+        m.ResolveIri("myIRI2ForeignKey", s"${ex}ExampleTemplate1", "myIRI2")))
+    assert(tripleSet(m) == Set[(Term, String, Term)](
+      (Iri(s"${things}subject1"), s"${ex}relatesTo", Iri(s"${things}3")),
+      (Iri(s"${things}subject2"), s"${ex}relatesTo", Iri(s"${things}4")),
+      (Iri(s"${things}otherSubject1"), s"${ex}relatesDifferentlyTo", Iri(s"${things}3")),
+      (Iri(s"${things}otherSubject1"), s"${ex}relatesDifferentlyTo", Iri(s"${things}4")),
+      (Iri(s"${things}otherSubject2"), s"${ex}relatesDifferentlyTo", Iri(s"${things}3")),
+      (Iri(s"${things}otherSubject2"), s"${ex}relatesDifferentlyTo", Iri(s"${things}4"))))
+  }
+
+  test("derived datatypes incl. datetime lexical forms (test_mapper.rs:643)") {
+    import spark.implicits._
+    val t =
+      s"""@prefix ex:<$ex>.
+         |ex:ExampleTemplate [?Boolean, ?Int32, ?Int64, ?Float32, ?Float64,
+         |                    ?Utf8, ?Instant, ?Naive] :: {
+         |    ottr:Triple(ex:anObject, ex:hasVal, ?Boolean),
+         |    ottr:Triple(ex:anObject, ex:hasVal, ?Int32),
+         |    ottr:Triple(ex:anObject, ex:hasVal, ?Int64),
+         |    ottr:Triple(ex:anotherObject, ex:hasValVal, ?Float32),
+         |    ottr:Triple(ex:anotherObject, ex:hasValVal, ?Float64),
+         |    ottr:Triple(ex:yetAnotherObject, ex:hasString, ?Utf8),
+         |    ottr:Triple(ex:yetAnotherObject, ex:hasDateTime, ?Instant),
+         |    ottr:Triple(ex:yetAnotherObject, ex:hasDateTime, ?Naive)
+         |  } .""".stripMargin
+    // Instants chosen so the Oslo lexicals equal the reference goldens
+    // (2022-07-03T10:06:20.123+02:00 = epoch 1656835580123 ms). Documented
+    // divergence: the reference's hack_format_timestamp_with_timezone stamps
+    // the UTC wall-clock with the zone's offset WITHOUT shifting (its golden
+    // denotes a different instant than its input); we render the true
+    // instant in the serialization zone — same policy as the BOUND bug fix.
+    val df = Seq(
+      ("KeyOne", true, -13, -15L, 17.18f, 21.22, "abcde",
+        new java.sql.Timestamp(1656835580123L),
+        java.time.LocalDateTime.parse("2022-07-03T10:06:30.789")),
+      ("KeyTwo", false, -14, -16L, 19.20f, 23.24, "fghij",
+        new java.sql.Timestamp(1656835581456L),
+        java.time.LocalDateTime.parse("2022-07-03T10:06:31.101")))
+      .toDF("Key", "Boolean", "Int32", "Int64", "Float32", "Float64", "Utf8",
+        "Instant", "Naive")
+    val m = new Mapping(Stottr.parse(t), spark, serializationZone = "Europe/Oslo")
+    m.expand(s"${ex}ExampleTemplate", df)
+    val an = Iri(s"${ex}anObject"); val another = Iri(s"${ex}anotherObject")
+    val yet = Iri(s"${ex}yetAnotherObject")
+    val expected = Set[(Term, String, Term)](
+      (an, s"${ex}hasVal", Lit("true", Xsd.boolean)),
+      (an, s"${ex}hasVal", Lit("false", Xsd.boolean)),
+      (an, s"${ex}hasVal", Lit("-13", Xsd.int)),
+      (an, s"${ex}hasVal", Lit("-14", Xsd.int)),
+      (an, s"${ex}hasVal", Lit("-15", Xsd.long)),
+      (an, s"${ex}hasVal", Lit("-16", Xsd.long)),
+      (another, s"${ex}hasValVal", Lit("17.18", Xsd.float)),
+      (another, s"${ex}hasValVal", Lit("19.2", Xsd.float)),
+      (another, s"${ex}hasValVal", Lit("21.22", Xsd.double)),
+      (another, s"${ex}hasValVal", Lit("23.24", Xsd.double)),
+      (yet, s"${ex}hasString", Lit("abcde", Xsd.string)),
+      (yet, s"${ex}hasString", Lit("fghij", Xsd.string)),
+      (yet, s"${ex}hasDateTime", Lit("2022-07-03T10:06:20.123+02:00", Xsd.dateTimeStamp)),
+      (yet, s"${ex}hasDateTime", Lit("2022-07-03T10:06:21.456+02:00", Xsd.dateTimeStamp)),
+      (yet, s"${ex}hasDateTime", Lit("2022-07-03T10:06:30.789", Xsd.dateTime)),
+      (yet, s"${ex}hasDateTime", Lit("2022-07-03T10:06:31.101", Xsd.dateTime)))
+    assert(tripleSet(m) == expected)
+  }
+
+  test("LUB type inference propagates callee types to callers (templates.rs:173)") {
+    val t =
+      s"""@prefix ex:<$ex>.
+         |ex:Outer [?x, ?xs] :: {
+         |    ex:TakesIri(?x),
+         |    cross | ex:TakesInt(++?xs)
+         |} .
+         |ex:TakesIri [xsd:anyURI ?i] :: {
+         |    ottr:Triple(?i, ex:touched, true)
+         |} .
+         |ex:TakesInt [xsd:int ?n] :: {
+         |    ottr:Triple(ex:thing, ex:hasNumber, ?n)
+         |} .""".stripMargin
+    val doc = Stottr.parse(t)
+    val outer = doc.templates(s"${ex}Outer")
+    assert(outer.params.find(_.name == "x").flatMap(_.ptype)
+      .contains(Stottr.PBasic(Xsd.anyURI)))
+    assert(outer.params.find(_.name == "xs").flatMap(_.ptype)
+      .contains(Stottr.PNEList(Stottr.PBasic(Xsd.int))))
+    // inferred anyURI makes the nested call bind IRIs end-to-end
+    import spark.implicits._
+    val m = new Mapping(doc, spark)
+    m.expand(s"${ex}Outer",
+      Seq(("K1", s"${ex}someThing", Seq(4, 5))).toDF("Key", "x", "xs"))
+    assert(tripleSet(m) == Set[(Term, String, Term)](
+      (Iri(s"${ex}someThing"), s"${ex}touched", Lit("true", Xsd.boolean)),
+      (Iri(s"${ex}thing"), s"${ex}hasNumber", Lit("4", Xsd.int)),
+      (Iri(s"${ex}thing"), s"${ex}hasNumber", Lit("5", Xsd.int))))
+  }
+
+  test("grammar: modes, list types, defaults, annotations, blank nodes, none") {
+    val t =
+      s"""@prefix ex:<$ex>.
+         |ex:T [!xsd:anyURI ?s, ? xsd:string ?opt = "fallback",
+         |      List<xsd:int> ?nums, ? ?unused = none]
+         |  @@ ex:Audit(ex:T, "v1")
+         |  :: {
+         |    ottr:Triple(?s, ex:hasOpt, ?opt),
+         |    cross | ottr:Triple(?s, ex:hasNum, ++?nums),
+         |    ottr:Triple(_:b1, ex:anon, [])
+         |} .""".stripMargin
+    val doc = Stottr.parse(t)
+    val tpl = doc.templates(s"${ex}T")
+    val byName = tpl.params.map(p => p.name -> p).toMap
+    assert(byName("s").nonBlank && !byName("s").optional)
+    assert(byName("opt").optional &&
+      byName("opt").default.contains(Stottr.ALit(graft.rdf.Lit("fallback", Xsd.string))))
+    assert(byName("nums").ptype.contains(Stottr.PList(Stottr.PBasic(Xsd.int))))
+    assert(byName("unused").default.contains(Stottr.ANone))
+    assert(tpl.annotations.size == 1 &&
+      tpl.annotations.head.template == s"${ex}Audit")
+    // blank nodes flow through expansion and exports keep the _: form
+    import spark.implicits._
+    val m = new Mapping(doc, spark)
+    m.expand(s"${ex}T",
+      Seq(("K1", s"${ex}thing", "given", Seq(1))).toDF("Key", "s", "opt", "nums"))
+    val triples = tripleSet(m)
+    assert(triples.contains(
+      (Iri(s"${ex}thing"), s"${ex}hasOpt", Lit("given", Xsd.string))))
+    assert(triples.contains(
+      (Iri(s"${ex}thing"), s"${ex}hasNum", Lit("1", Xsd.int))))
+    assert(triples.exists {
+      case (graft.rdf.Blank("b1"), p, graft.rdf.Blank(_)) => p == s"${ex}anon"
+      case _ => false
+    })
+    val nt = m.toNTriples.find(_.startsWith("_:b1"))
+    assert(nt.exists(l => l.contains(s"<${ex}anon>") && l.contains(" _:Anonymous")))
+  }
+
+  test("default fills absent column; explicit column wins over default") {
+    import spark.implicits._
+    val t =
+      s"""@prefix ex:<$ex>.
+         |ex:T [xsd:anyURI ?s, ?score = 42] :: {
+         |    ottr:Triple(?s, ex:hasScore, ?score)
+         |} .""".stripMargin
+    val m = Mapping.fromString(t, spark)
+    m.expand(s"${ex}T", Seq(("K1", s"${ex}a")).toDF("Key", "s"))
+    assert(tripleSet(m) == Set[(Term, String, Term)](
+      (Iri(s"${ex}a"), s"${ex}hasScore", Lit("42", Xsd.integer))))
+  }
+
+  test("validation negatives: nulls, type mismatch, blank in non-blank, empty NEList") {
+    import spark.implicits._
+    // non-optional null
+    val t1 =
+      s"""@prefix ex:<$ex>.
+         |ex:T [xsd:anyURI ?s, ?v] :: { ottr:Triple(?s, ex:p, ?v) } .""".stripMargin
+    val m1 = Mapping.fromString(t1, spark)
+    val withNull = Seq(("K1", s"${ex}a", Some("x")), ("K2", s"${ex}b", None))
+      .toDF("Key", "s", "v")
+    val e1 = intercept[IllegalArgumentException] {
+      m1.expand(s"${ex}T", withNull)
+    }
+    assert(e1.getMessage.contains("non-optional"))
+    // declared-type vs column-type mismatch (xsd:long needs LongType)
+    val t2 =
+      s"""@prefix ex:<$ex>.
+         |ex:T [xsd:anyURI ?s, xsd:long ?v] :: { ottr:Triple(?s, ex:p, ?v) } .""".stripMargin
+    val m2 = Mapping.fromString(t2, spark)
+    val e2 = intercept[IllegalArgumentException] {
+      m2.expand(s"${ex}T", Seq(("K1", s"${ex}a", 1)).toDF("Key", "s", "v"))
+    }
+    assert(e2.getMessage.contains("incompatible"))
+    // blank node in a non-blank (!) parameter
+    val t3 =
+      s"""@prefix ex:<$ex>.
+         |ex:T [!xsd:anyURI ?s, ?v] :: { ottr:Triple(?s, ex:p, ?v) } .""".stripMargin
+    val m3 = Mapping.fromString(t3, spark)
+    val e3 = intercept[IllegalArgumentException] {
+      m3.expand(s"${ex}T", Seq(("K1", "_:blanky", "x")).toDF("Key", "s", "v"))
+    }
+    assert(e3.getMessage.contains("non-blank"))
+    // empty list in an NEList parameter
+    val t4 =
+      s"""@prefix ex:<$ex>.
+         |ex:T [xsd:anyURI ?s, NEList<xsd:int> ?xs] :: {
+         |  cross | ottr:Triple(?s, ex:p, ++?xs)
+         |} .""".stripMargin
+    val m4 = Mapping.fromString(t4, spark)
+    val e4 = intercept[IllegalArgumentException] {
+      m4.expand(s"${ex}T", Seq(("K1", s"${ex}a", Seq.empty[Int])).toDF("Key", "s", "xs"))
+    }
+    assert(e4.getMessage.contains("NEList"))
   }
 
   test("list-column argument with cross expander (test_mapper.rs:926)") {
