@@ -359,8 +359,7 @@ final class SparqlExecutor(
     * `excluded`. Long-form view scan; at 100 TB with predicate-partitioned
     * parquet the NOT IN prunes to the complement partition set. */
   private def scanNegated(s: VarOrTerm, excluded: Seq[String], o: VarOrTerm): Sol = {
-    var df = graph.allTriples
-    if (excluded.nonEmpty) df = df.filter(!col("p").isin(excluded: _*))
+    var df = graph.triplesExcept(excluded)
     s match {
       case T(t) => df = df.filter(col("s") === t.canonical)
       case V(v) if o == V(v) => df = df.filter(col("s") === col("o"))

@@ -87,9 +87,17 @@ final class TriplesGraph(
 
   /** Long-form view for variable-predicate patterns: (s, p, o) with o as the
     * canonical string. */
-  lazy val allTriples: DataFrame = {
-    val parts = slices.map { case (p, sl) =>
-      sl.df.select(col("s"), lit(p).as("p"), col("o").cast(StringType).as("o"))
+  lazy val allTriples: DataFrame = triplesExcept(Nil)
+
+  /** Long-form view skipping the `excluded` predicate slices — negated
+    * property sets prune their complement at plan-construction time instead
+    * of trusting the optimizer to fold `lit(p) NOT IN (…)` per union branch
+    * (at 100 TB with predicate-partitioned storage this is partition
+    * pruning, stated explicitly). */
+  def triplesExcept(excluded: Seq[String]): DataFrame = {
+    val parts = slices.collect {
+      case (p, sl) if !excluded.contains(p) =>
+        sl.df.select(col("s"), lit(p).as("p"), col("o").cast(StringType).as("o"))
     }
     parts.reduceOption(_.unionByName(_)).getOrElse {
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row],

@@ -59,24 +59,51 @@ object TextOps {
   }
 
   /** 64-bit SimHash over the distinct token set, bit b derived from bit b of
-    * md5(token) (first 16 hex digits = 64 bits), emitted as a 64-char
-    * '0'/'1' string so any engine can reproduce it without a shared 64-bit
-    * hash function. Input: a DataFrame with (id, text); output (id, simhash).
+    * md5(token) (first 16 hex digits = 64 bits, MSB-first), emitted as a
+    * 64-char '0'/'1' string so any engine can reproduce it without a shared
+    * 64-bit hash function. Input: a DataFrame with (id, text); output
+    * (id, simhash).
+    *
+    * Computed as ONE map-only per-partition kernel — per document: tokenize,
+    * md5 each distinct token, accumulate 64 ±1 votes, emit the sign bits.
+    * Zero shuffle at any scale (the earlier explode + 64-partial-agg
+    * spelling shuffled |tokens| rows per document). Semantics are identical:
+    * vote b = 2·bit_b(md5(token)) − 1 summed over distinct tokens,
+    * bit = sum ≥ 0 — exactly the DuckDB oracle's arithmetic.
     */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = df.select(col(idCol),
-        explode(array_distinct(tokens(col(textCol)))).as("t"))
-      .withColumn("h", md5(col("t")))
-    val sums = (0 until 64).map { b =>
-      val k = b / 4 + 1
-      val shift = 3 - (b % 4)
-      val d = conv(substring(col("h"), k, 1), 16, 10).cast(IntegerType)
-      val bit = shiftright(d, shift) % 2
-      sum(bit * 2 - 1).as(s"s$b")
-    }
-    val agg = tok.groupBy(col(idCol)).agg(sums.head, sums.tail: _*)
-    val bits = (0 until 64).map(b => when(col(s"s$b") >= 0, "1").otherwise("0"))
-    agg.select(col(idCol), concat(bits: _*).as("simhash"))
+    val schema = StructType(Seq(
+      StructField(idCol, LongType), StructField("simhash", StringType)))
+    val rdd = df.select(col(idCol).cast(LongType), col(textCol))
+      .rdd.mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.map { r =>
+          val votes = new Array[Int](64)
+          val seen = new scala.collection.mutable.HashSet[String]
+          // same tokenization as tokens(): trim, split on single spaces
+          r.getString(1).trim.split(" ", -1).foreach { t =>
+            if (seen.add(t)) {
+              md.reset()
+              val d = md.digest(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              // first 8 md5 bytes as a big-endian 64-bit word = the oracle's
+              // "first 16 hex digits, MSB-first" bit stream
+              var h = 0L
+              var i = 0
+              while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+              var b = 0
+              while (b < 64) {
+                if (((h >>> (63 - b)) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+                b += 1
+              }
+            }
+          }
+          val sb = new StringBuilder(64)
+          var b = 0
+          while (b < 64) { sb.append(if (votes(b) >= 0) '1' else '0'); b += 1 }
+          org.apache.spark.sql.Row(r.getLong(0), sb.toString)
+        }
+      }
+    df.sparkSession.createDataFrame(rdd, schema)
   }
 
   /** MinHash signatures + banded LSH candidate pairs + exact-Jaccard
