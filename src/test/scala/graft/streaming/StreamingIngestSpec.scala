@@ -35,4 +35,30 @@ class StreamingIngestSpec extends SparkTestBase {
     assert(s.nonEmpty && s == b,
       s"stream rows=${s.size} batch rows=${b.size}")
   }
+
+  test("streaming dedup emits exactly one document per fingerprint (stream == batch)") {
+    val src = java.nio.file.Files.createTempDirectory("graft-docs").toString
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.write.mode("overwrite").parquet(src)
+
+    val streamed = StreamingDedup.runAvailableNow(
+      StreamingDedup.dedupStream(StreamingDedup.readDocuments(spark, src)),
+      "docs_dedup").collect()
+
+    // batch truth: the distinct fingerprint set
+    val batchFps = docs
+      .select(graft.llm.TextOps.tokenSetFingerprint(col("text")).as("fp"))
+      .distinct().collect().map(_.getString(0)).toSet
+    val fpOf = docs
+      .select(col("doc_id"), graft.llm.TextOps.tokenSetFingerprint(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+
+    val emittedFps = streamed.map(_.getString(1))
+    assert(emittedFps.length == emittedFps.distinct.length, "a fingerprint was emitted twice")
+    assert(emittedFps.toSet == batchFps, "stream missed or invented fingerprints")
+    // every emitted (doc_id, fp) pair is consistent with the batch fingerprint
+    assert(streamed.forall(r => fpOf(r.getLong(0)) == r.getString(1)))
+    // and duplicates were actually suppressed (sf0.001 has dup families)
+    assert(emittedFps.length < docs.count())
+  }
 }
