@@ -404,7 +404,8 @@ final class SparqlExecutor(
   }
 
   private def emptyScanSol(s: VarOrTerm, o: VarOrTerm): Sol = {
-    val vars = Seq(s, o).collect { case V(v) => v }
+    // distinct: `?a p ?a` must yield ONE column, not an ambiguous pair
+    val vars = Seq(s, o).collect { case V(v) => v }.distinct
     if (vars.isEmpty) emptySol(Seq(freshName("guard"))).copy(vars = Nil)
     else emptySol(vars)
   }

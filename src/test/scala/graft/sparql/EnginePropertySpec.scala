@@ -137,4 +137,53 @@ class EnginePropertySpec extends SparkTestBase {
       SCTest.Parameters.default.withMinSuccessfulTests(25).withMaxDiscardRatio(10), prop)
     assert(res.passed, res.status.toString)
   }
+
+  test("random negated-property-set patterns agree with the naive evaluator") {
+    val allPreds = numPreds :+ iriPred
+    val genNps: Gen[(Seq[String], Either[String, String], Boolean)] = for {
+      n <- Gen.chooseNum(1, 2)
+      excl <- Gen.pick(n, allPreds)
+      s <- Gen.oneOf(iriVars.take(1).map(Left(_): Either[String, String]) ++
+        subjects.map(Right(_): Either[String, String]))
+      inverse <- Gen.oneOf(false, true)
+    } yield (excl.toSeq, s, inverse)
+
+    val prop = Prop.forAll(genGraph, genNps) { case (g, (excl, s, inverse)) =>
+      if (g.isEmpty) Prop.undecided
+      else {
+        val terms: Seq[(Term, String, Term)] = g.map {
+          case (s0, p, o: Long) => (Iri(s0), p, Lit(o.toString, Xsd.integer))
+          case (s0, p, o) => (Iri(s0), p, Iri(o.toString))
+        }
+        val graph = TriplesGraph.fromTerms(spark, terms)
+        val sv = s.fold(V(_), c => T(Iri(c)))
+        val nps =
+          if (inverse) PNegatedPropSet(Nil, excl) else PNegatedPropSet(excl, Nil)
+        val vars = s.left.toOption.toSeq :+ "o"
+        val q = SelectQuery(vars.map(ProjItem(_, None)), distinct = false,
+          reduced = false,
+          Bgp(Seq(TriplePattern(sv, nps, V("o")))),
+          Nil, None, Nil, None, None)
+        val got = new SparqlExecutor(graph).execute(q).collect().toSeq
+          .map(r => vars.indices.map(i => String.valueOf(r.get(i))).mkString("|"))
+          .sorted
+        // naive: forward matches (s,o) of triples with p ∉ excl; inverse
+        // matches (s,o) iff (o, p, s) is a triple with p ∉ excl
+        val kept = g.filterNot(t => excl.contains(t._2))
+        val exp = kept.flatMap { t =>
+          val (subjVal, objVal) = if (inverse) (t._3, t._1: Any) else (t._1: Any, t._3)
+          s match {
+            case Right(c) if String.valueOf(subjVal) != c => None
+            case Right(_) => Some(Seq(String.valueOf(objVal)).mkString("|"))
+            case Left(_) =>
+              Some(Seq(String.valueOf(subjVal), String.valueOf(objVal)).mkString("|"))
+          }
+        }.sorted
+        Prop(got == exp) :| s"got=$got exp=$exp graph=$g excl=$excl s=$s inv=$inverse"
+      }
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(25).withMaxDiscardRatio(10), prop)
+    assert(res.passed, res.status.toString)
+  }
 }

@@ -80,6 +80,15 @@ class ExprSpec extends SparkTestBase {
     assert(got == Seq(s"${ex}a", s"${ex}c"))
   }
 
+  test("same var in subject and object over an absent predicate is empty, not ambiguous") {
+    // regression: EnginePropertySpec found `?a <absent> ?a` crashing with
+    // AMBIGUOUS_REFERENCE (emptyScanSol built a two-`a` schema)
+    val got = run("""SELECT ?a WHERE { ?a ex:absentPredicate ?a }""").collect()
+    assert(got.isEmpty)
+    val selfMatch = run("""SELECT ?a WHERE { ?a ex:group ?a }""").collect()
+    assert(selfMatch.isEmpty) // no node is its own group
+  }
+
   test("DATATYPE over typed, plain and lang-tagged literals") {
     val got = run(
       """SELECT ?s ?dt WHERE { ?s ex:num ?n . BIND(DATATYPE(?n) AS ?dt) } ORDER BY ?s""")
