@@ -693,6 +693,11 @@ final class SparqlExecutor(
         case "iri" | "uri" =>
           // no BASE in this engine: the argument's string form IS the IRI
           a(0).cast(StringType)
+        case "bnode" =>
+          // BNODE(): fresh id per row; BNODE(str): stable id per lexical
+          if (a.isEmpty)
+            concat(lit("_:b"), abs(monotonically_increasing_id()).cast(StringType))
+          else concat(lit("_:b"), md5(a(0).cast(StringType)))
         case "strdt" =>
           // STRDT(lexical, datatypeIRI): the datatype must be a constant IRI
           val dt = args(1) match {

@@ -132,6 +132,21 @@ class ExprSpec extends SparkTestBase {
     assert(got(0).getLong(1) == 42L)
   }
 
+  test("BNODE() mints per-row ids; BNODE(str) is stable per lexical") {
+    val rows = run(
+      """SELECT ?f ?s1 ?s2 WHERE {
+        |  ?x ex:num ?n .
+        |  BIND(BNODE() AS ?f)
+        |  BIND(BNODE("k") AS ?s1)
+        |  BIND(BNODE(STR(?n)) AS ?s2)
+        |}""".stripMargin).collect()
+    assert(rows.length == 3)
+    val fresh = rows.map(_.getString(0))
+    assert(fresh.distinct.length == 3 && fresh.forall(_.startsWith("_:")))
+    assert(rows.map(_.getString(1)).distinct.length == 1) // same lexical -> same id
+    assert(rows.map(_.getString(2)).distinct.length == 3) // distinct lexicals
+  }
+
   test("blank nodes in query syntax rename to variables") {
     // [] in subject position + _:labeled shared across patterns
     val anon = run(
