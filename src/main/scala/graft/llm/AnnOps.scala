@@ -76,6 +76,102 @@ object AnnOps {
     math.min(30, math.max(8, b))
   }
 
+  /** IVF (inverted-file) ANN top-k for a bounded query batch — the
+    * cell-pruned scale path complementing [[lshThresholdPairs]].
+    *
+    * Index build: a coarse quantizer of `nCentroids` centroids; every corpus
+    * vector is assigned to its nearest centroid (cosine, ties to the lowest
+    * centroid id) by a per-partition kernel — `nCentroids` dot products per
+    * row, no shuffle. The resulting (cid, vector) assignment IS the inverted
+    * index; at lake scale it is written once, `partitionBy("cid")`, and every
+    * query after that reads only its probed cells (partition pruning on cid).
+    *
+    * Query: each query ranks the centroids, keeps the best `nProbe` cells,
+    * and scores exactly ONLY the vectors assigned to those cells — the
+    * corpus fraction touched is ~nProbe/nCentroids instead of 1. The probe
+    * set (|queries|·nProbe rows) is broadcast, so the candidate join is a
+    * map-side hash join against the index, never a shuffle of the corpus.
+    *
+    * Centroids here are deterministic seeds (the `nCentroids` lowest
+    * vec_ids) so an independent engine can rebuild the identical index for
+    * verification; production swaps in k-means|| centroids — the index
+    * layout, probe path, and plan shape are unchanged. With
+    * `nProbe = nCentroids` the result equals exact brute-force top-k (every
+    * cell probed), which the spec asserts.
+    *
+    * Output (qid, rk, nid), ids only — float formatting never enters the
+    * driver compare. */
+  def ivfTopKForQueries(corpus: DataFrame, queries: DataFrame, k: Int,
+      dim: Int = 64, nCentroids: Int = 16, nProbe: Int = 2): DataFrame = {
+    val spark = corpus.sparkSession
+    graft.functions.ArrayDotProduct.register(spark)
+    // --- coarse quantizer: nCentroids rows collected once at index-build
+    // time (the same driver-side materialization k-means would need).
+    val cents: Array[(Long, Array[Float], Double)] = corpus
+      .select(col("vec_id"), col("embedding")).orderBy("vec_id").limit(nCentroids)
+      .collect().map { r =>
+        val ce = r.getSeq[Float](1).toArray
+        var n = 0.0; var i = 0
+        while (i < dim) { n += ce(i).toDouble * ce(i).toDouble; i += 1 }
+        (r.getLong(0), ce, math.sqrt(n))
+      }
+    // --- cell assignment kernel: argmax cosine over the broadcast
+    // centroids, first-wins on exact ties (centroids iterate in cid order).
+    val centsB = spark.sparkContext.broadcast(cents)
+    val asgSchema = StructType(Seq(StructField("cid", LongType),
+      StructField("nid", LongType),
+      StructField("nemb", ArrayType(FloatType))))
+    val asgRdd = corpus.select(col("vec_id"), col("embedding")).rdd
+      .mapPartitions { rows =>
+        val cs = centsB.value
+        rows.map { r =>
+          val emb = r.getSeq[Float](1)
+          var en = 0.0; var i = 0
+          while (i < dim) { en += emb(i).toDouble * emb(i).toDouble; i += 1 }
+          val enorm = math.sqrt(en)
+          var bestCid = cs(0)._1; var bestCos = Double.NegativeInfinity
+          var j = 0
+          while (j < cs.length) {
+            val (cid, ce, cn) = cs(j)
+            var d = 0.0; var m = 0
+            while (m < dim) { d += emb(m).toDouble * ce(m); m += 1 }
+            val cos = d / (enorm * cn)
+            if (cos > bestCos) { bestCos = cos; bestCid = cid }
+            j += 1
+          }
+          org.apache.spark.sql.Row(bestCid, r.getLong(0), emb)
+        }
+      }
+    // the inverted index; at scale: .write.partitionBy("cid").parquet(...)
+    val index = spark.createDataFrame(asgRdd, asgSchema)
+    // --- probe: rank centroids per query, keep nProbe cells. The centroid
+    // table is nCentroids rows — broadcast by construction.
+    val centDf = spark.createDataFrame(cents.toSeq.map { case (cid, ce, cn) =>
+      (cid, ce.toSeq, cn)
+    }).toDF("cid", "cemb", "cnorm")
+    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+      .withColumn("qn", norm(col("qemb"), dim))
+    val pw = Window.partitionBy(col("qid"))
+      .orderBy(col("pcos").desc, col("cid"))
+    val probes = q.crossJoin(broadcast(centDf))
+      .withColumn("pcos",
+        dot(col("qemb"), col("cemb").cast(ArrayType(FloatType)), dim) /
+          (col("qn") * col("cnorm")))
+      .withColumn("pr", row_number().over(pw))
+      .filter(col("pr") <= nProbe)
+      .select(col("qid"), col("qemb"), col("qn"), col("cid"))
+    // --- exact scoring restricted to probed cells: broadcast probe set ×
+    // inverted index on cid, then per-query top-k.
+    val scored = index.join(broadcast(probes), "cid")
+      .filter(col("nid") =!= col("qid"))
+      .withColumn("cos", dot(col("qemb"), col("nemb"), dim) /
+        (col("qn") * norm(col("nemb"), dim)))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("rk").cast(LongType), col("nid"))
+  }
+
   /** Random-hyperplane LSH threshold self-join: numBands bands of
     * bitsPerBand sign bits each (band key = the bit string), candidates from
     * the bucket join, verified with exact cosine >= threshold.

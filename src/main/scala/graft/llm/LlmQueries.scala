@@ -55,6 +55,41 @@ object LlmQueries {
        |ORDER BY ida NULLS FIRST, idb NULLS FIRST""".stripMargin
   }
 
+  // Oracle spelling of AnnOps.ivfTopKForQueries: same deterministic seed
+  // centroids, same argmax-cosine cell assignment (ties to lowest cid),
+  // same nProbe cell pruning, same exact top-k within probed cells.
+  private def annIvfOracle(nCentroids: Int, nProbe: Int, k: Int): String =
+    s"""WITH cent AS (
+       |  SELECT vec_id AS cid, embedding AS ce FROM embeddings
+       |  ORDER BY vec_id LIMIT $nCentroids),
+       |asg AS (
+       |  SELECT nid, ne, cid FROM (
+       |    SELECT e.vec_id AS nid, e.embedding AS ne, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+       |                                        CAST(c.ce AS DOUBLE[])) DESC,
+       |                 c.cid) AS r
+       |    FROM embeddings e, cent c) WHERE r = 1),
+       |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 20),
+       |probe AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT q.qid, c.cid,
+       |      row_number() OVER (PARTITION BY q.qid
+       |        ORDER BY list_cosine_similarity(CAST(q.qe AS DOUBLE[]),
+       |                                        CAST(c.ce AS DOUBLE[])) DESC,
+       |                 c.cid) AS r
+       |    FROM q, cent c) WHERE r <= $nProbe),
+       |p AS (
+       |  SELECT pr.qid, a.nid,
+       |    list_cosine_similarity(CAST(q.qe AS DOUBLE[]), CAST(a.ne AS DOUBLE[])) AS cos
+       |  FROM probe pr JOIN asg a USING (cid) JOIN q USING (qid)
+       |  WHERE a.nid != pr.qid),
+       |r AS (SELECT qid, nid,
+       |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk
+       |      FROM p)
+       |SELECT qid, rk, nid FROM r WHERE rk <= $k
+       |ORDER BY qid NULLS FIRST, rk NULLS FIRST""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     // ---- exact dedup: hash-groupBy on the order-insensitive token-set
@@ -169,6 +204,17 @@ object LlmQueries {
       AnnOps.lshThresholdPairs(T.embeddings(s, dir), dim = 64,
           numBands = 16, bitsPerBand = 8, threshold = 0.4)
         .orderBy("ida", "idb")
+    },
+
+    // ---- IVF (inverted-file) ANN: coarse-quantizer cell assignment builds
+    // the inverted index; queries probe only their nProbe nearest cells, so
+    // the scored corpus fraction is ~nProbe/nCentroids. Both engines build
+    // the identical index from the same deterministic seed centroids.
+    q("q57_ann_ivf", annIvfOracle(nCentroids = 16, nProbe = 2, k = 3)) { (s, dir) =>
+      val emb = T.embeddings(s, dir)
+      AnnOps.ivfTopKForQueries(emb, emb.filter(col("vec_id") < 20), k = 3,
+          dim = 64, nCentroids = 16, nProbe = 2)
+        .orderBy("qid", "rk")
     },
 
     // ---- multimodal binary plumbing: opaque payload + typed metadata
