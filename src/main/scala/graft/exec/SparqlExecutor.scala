@@ -188,13 +188,22 @@ final class SparqlExecutor(
   // ----------------------------------------------------------------- BGP
   private def translateBgp(triples: Seq[TriplePattern], input: Sol): Sol = {
     if (triples.isEmpty) return input
+    // 0. rdf:type constraints pinned by this BGP — variable-predicate and
+    //    NPS scans use them to prune vertical partitions whose declared
+    //    subject classes can't match (see TriplesGraph.triplesExcept)
+    val typeOf: Map[String, String] = triples.collect {
+      case TriplePattern(V(v), PLink(p), T(cls)) if p == graft.rdf.Rdf.typ =>
+        v -> cls.canonical
+    }.toMap
+    def clsOf(vt: VarOrTerm): Option[String] =
+      vt match { case V(v) => typeOf.get(v); case _ => None }
     // 1. normalize property paths into simple (constant-predicate) triples
     //    plus complex components (alternation → union, closures → fixpoint)
     val simple = ArrayBuffer.empty[(VarOrTerm, String, VarOrTerm)]
     val complex = ArrayBuffer.empty[Sol]
     def expand(s: VarOrTerm, path: Path, o: VarOrTerm): Unit = path match {
       case PLink(iri) => simple += ((s, iri, o))
-      case PVar(pv) => complex += scanVarPredicate(s, pv, o)
+      case PVar(pv) => complex += scanVarPredicate(s, pv, o, clsOf(s))
       case PInverse(p) => expandInverse(s, p, o)
       case PSeq(a, b) =>
         val m = V(freshName("p"))
@@ -209,8 +218,8 @@ final class SparqlExecutor(
         // !(a|^b): forward triples with p ∉ {a} UNION inverse triples with
         // p ∉ {b} (SPARQL 1.1 §9.1 NPS semantics)
         val parts = Seq(
-          if (fwd.nonEmpty || inv.isEmpty) Some(scanNegated(s, fwd, o)) else None,
-          if (inv.nonEmpty) Some(scanNegated(o, inv, s)) else None).flatten
+          if (fwd.nonEmpty || inv.isEmpty) Some(scanNegated(s, fwd, o, clsOf(s))) else None,
+          if (inv.nonEmpty) Some(scanNegated(o, inv, s, clsOf(o))) else None).flatten
         complex += parts.reduce { (x, y) =>
           Sol(x.df.unionByName(y.df, allowMissingColumns = true),
             x.vars ++ y.vars.diff(x.vars))
@@ -218,7 +227,7 @@ final class SparqlExecutor(
     }
     def expandInverse(s: VarOrTerm, p: Path, o: VarOrTerm): Unit = p match {
       case PLink(iri) => simple += ((o, iri, s))
-      case PVar(pv) => complex += scanVarPredicate(o, pv, s)
+      case PVar(pv) => complex += scanVarPredicate(o, pv, s, clsOf(o))
       case PInverse(q) => expand(s, q, o)
       case PSeq(a, b) =>
         val m = V(freshName("p"))
@@ -357,9 +366,12 @@ final class SparqlExecutor(
 
   /** Negated-property-set scan: all triples whose predicate is NOT in
     * `excluded`. Long-form view scan; at 100 TB with predicate-partitioned
-    * parquet the NOT IN prunes to the complement partition set. */
-  private def scanNegated(s: VarOrTerm, excluded: Seq[String], o: VarOrTerm): Sol = {
-    var df = graph.triplesExcept(excluded)
+    * parquet the NOT IN prunes to the complement partition set, and
+    * `subjectClass` (an rdf:type pinned elsewhere in the BGP) additionally
+    * drops slices whose declared subject classes can't match. */
+  private def scanNegated(s: VarOrTerm, excluded: Seq[String], o: VarOrTerm,
+      subjectClass: Option[String] = None): Sol = {
+    var df = graph.triplesExcept(excluded, subjectClass)
     s match {
       case T(t) => df = df.filter(col("s") === t.canonical)
       case V(v) if o == V(v) => df = df.filter(col("s") === col("o"))
@@ -380,9 +392,11 @@ final class SparqlExecutor(
     else Sol(df.select(cols.toSeq: _*), vars.toSeq)
   }
 
-  /** Variable-predicate scan over the long-form triples view. */
-  private def scanVarPredicate(s: VarOrTerm, pv: String, o: VarOrTerm): Sol = {
-    var df = graph.allTriples
+  /** Variable-predicate scan over the long-form triples view (slice-pruned
+    * by the subject's pinned rdf:type, when known). */
+  private def scanVarPredicate(s: VarOrTerm, pv: String, o: VarOrTerm,
+      subjectClass: Option[String] = None): Sol = {
+    var df = graph.triplesExcept(Nil, subjectClass)
     s match {
       case T(t) => df = df.filter(col("s") === t.canonical)
       case V(v) if o == V(v) => df = df.filter(col("s") === col("o"))

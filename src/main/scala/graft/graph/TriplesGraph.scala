@@ -62,7 +62,9 @@ final case class FusedMember(groupId: String, df: DataFrame, objCol: String)
   * rewrite before Catalyst).
   */
 final case class PredicateSlice(df: DataFrame, kind: OKind,
-    hasLang: Boolean = false, fused: Seq[FusedMember] = Nil)
+    hasLang: Boolean = false, fused: Seq[FusedMember] = Nil,
+    subjectClasses: Set[String] = Set.empty,
+    byClass: Map[String, DataFrame] = Map.empty)
 
 /** A time-series source for the hybrid engine: long-format
   * `(id: String, ts: Timestamp, value: numeric)` — SURVEY §1.1. The external
@@ -93,11 +95,27 @@ final class TriplesGraph(
     * property sets prune their complement at plan-construction time instead
     * of trusting the optimizer to fold `lit(p) NOT IN (…)` per union branch
     * (at 100 TB with predicate-partitioned storage this is partition
-    * pruning, stated explicitly). */
-  def triplesExcept(excluded: Seq[String]): DataFrame = {
+    * pruning, stated explicitly).
+    *
+    * `subjectClass`, when set, additionally drops every slice that DECLARES
+    * subject classes not containing it (slices with an empty declaration are
+    * always kept): a BGP that pins a variable to `rdf:type C` lets its
+    * variable-predicate / NPS scans skip the vertical partitions whose
+    * subjects can never be of class C — the catalog-driven pruning that
+    * keeps `?n !(…) ?o` from scanning fact-table slices for a
+    * dimension-typed `?n`. Sound because those rows are dropped by the
+    * rdf:type join anyway (builder contract: a non-empty `subjectClasses`
+    * lists EVERY class its subjects may have). A mixed-class slice that
+    * also declares `byClass` sub-frames contributes only its matching
+    * class partition — (predicate, subject_class)-partitioned storage. */
+  def triplesExcept(excluded: Seq[String],
+      subjectClass: Option[String] = None): DataFrame = {
     val parts = slices.collect {
-      case (p, sl) if !excluded.contains(p) =>
-        sl.df.select(col("s"), lit(p).as("p"), col("o").cast(StringType).as("o"))
+      case (p, sl) if !excluded.contains(p) &&
+          subjectClass.forall(c =>
+            sl.subjectClasses.isEmpty || sl.subjectClasses.contains(c)) =>
+        val src = subjectClass.flatMap(sl.byClass.get).getOrElse(sl.df)
+        src.select(col("s"), lit(p).as("p"), col("o").cast(StringType).as("o"))
     }
     parts.reduceOption(_.unionByName(_)).getOrElse {
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row],

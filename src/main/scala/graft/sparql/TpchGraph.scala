@@ -60,18 +60,24 @@ object TpchGraph {
     def sl(df: DataFrame, s0: Column, o: Column, kind: OKind): PredicateSlice =
       PredicateSlice(df.select(s0.as("s"), o.as("o")), kind)
 
-    val names = nation.select(nIri.as("s"), col("n_name").as("o"))
-      .unionByName(region.select(rIri.as("s"), col("r_name").as("o")))
-      .unionByName(supplier.select(sIri.as("s"), col("s_name").as("o")))
+    // mixed-class slices keep their per-class branches: a typed NPS /
+    // variable-predicate scan reads just the matching branch (see
+    // PredicateSlice.byClass — (predicate, subject_class) partitioning)
+    val nameN = nation.select(nIri.as("s"), col("n_name").as("o"))
+    val nameR = region.select(rIri.as("s"), col("r_name").as("o"))
+    val nameS = supplier.select(sIri.as("s"), col("s_name").as("o"))
+    val names = nameN.unionByName(nameR).unionByName(nameS)
 
-    val types = nation.select(nIri.as("s"), lit(typeNation).as("o"))
-      .unionByName(region.select(rIri.as("s"), lit(typeRegion).as("o")))
-      .unionByName(supplier.select(sIri.as("s"), lit(typeSupplier).as("o")))
-      .unionByName(events.select(iri("sensor", col("event_type")).as("s"),
-        lit(typeSensor).as("o")).distinct())
+    val typN = nation.select(nIri.as("s"), lit(typeNation).as("o"))
+    val typR = region.select(rIri.as("s"), lit(typeRegion).as("o"))
+    val typS = supplier.select(sIri.as("s"), lit(typeSupplier).as("o"))
+    val typE = events.select(iri("sensor", col("event_type")).as("s"),
+      lit(typeSensor).as("o")).distinct()
+    val types = typN.unionByName(typR).unionByName(typS).unionByName(typE)
 
-    val located = supplier.select(sIri.as("s"), sNIri.as("o"))
-      .unionByName(nation.select(nIri.as("s"), nRIri.as("o")))
+    val locS = supplier.select(sIri.as("s"), sNIri.as("o"))
+    val locN = nation.select(nIri.as("s"), nRIri.as("o"))
+    val located = locS.unionByName(locN)
 
     // time-series metadata: one series per event_type
     val sensors = events.select(col("event_type")).distinct()
@@ -100,27 +106,45 @@ object TpchGraph {
     val sF = fm("supplier", supplierWide, _: String)
     val lF = fm("lineitem", lineitemWide, _: String)
 
+    // declared subject classes per slice (complete — builder contract in
+    // TriplesGraph): lets typed variable-predicate / NPS scans prune the
+    // vertical partitions whose subjects can't match. Line rows and series
+    // nodes carry no rdf:type triple, so their marker classes never match a
+    // pinned type — a fact-table slice is never unioned into a
+    // dimension-typed NPS scan.
+    val typeLine = s"${ns}Line"
+    val typeSeries = s"${ns}Series"
     val slices = Map(
       name -> PredicateSlice(names, OKind.KStr,
-        fused = Seq(nF("name"), rF("name"), sF("name"))),
+        fused = Seq(nF("name"), rF("name"), sF("name")),
+        subjectClasses = Set(typeNation, typeRegion, typeSupplier),
+        byClass = Map(typeNation -> nameN, typeRegion -> nameR,
+          typeSupplier -> nameS)),
       key -> sl(nation, nIri, col("n_nationkey"), OKind.KLong)
-        .copy(fused = Seq(nF("key"))),
+        .copy(fused = Seq(nF("key")), subjectClasses = Set(typeNation)),
       graft.rdf.Rdf.typ -> PredicateSlice(types, OKind.KIri,
-        fused = Seq(nF("rdftype"), rF("rdftype"), sF("rdftype"))),
+        fused = Seq(nF("rdftype"), rF("rdftype"), sF("rdftype")),
+        subjectClasses = Set(typeNation, typeRegion, typeSupplier, typeSensor),
+        byClass = Map(typeNation -> typN, typeRegion -> typR,
+          typeSupplier -> typS, typeSensor -> typE)),
       inRegion -> sl(nation, nIri, nRIri, OKind.KIri)
-        .copy(fused = Seq(nF("inRegion"))),
+        .copy(fused = Seq(nF("inRegion")), subjectClasses = Set(typeNation)),
       nationOf -> sl(supplier, sIri, sNIri, OKind.KIri)
-        .copy(fused = Seq(sF("nationOf"))),
+        .copy(fused = Seq(sF("nationOf")), subjectClasses = Set(typeSupplier)),
       acctbal -> sl(supplier, sIri, col("s_acctbal"), OKind.KDbl)
-        .copy(fused = Seq(sF("acctbal"))),
+        .copy(fused = Seq(sF("acctbal")), subjectClasses = Set(typeSupplier)),
       locatedIn -> PredicateSlice(located, OKind.KIri,
-        fused = Seq(nF("locatedIn"), sF("locatedIn"))),
+        fused = Seq(nF("locatedIn"), sF("locatedIn")),
+        subjectClasses = Set(typeSupplier, typeNation),
+        byClass = Map(typeSupplier -> locS, typeNation -> locN)),
       ofSupplier -> sl(lineitem, lIri, iri("supplier", col("l_suppkey")), OKind.KIri)
-        .copy(fused = Seq(lF("ofSupplier"))),
+        .copy(fused = Seq(lF("ofSupplier")), subjectClasses = Set(typeLine)),
       quantity -> sl(lineitem, lIri, col("l_quantity").cast(LongType), OKind.KLong)
-        .copy(fused = Seq(lF("quantity"))),
-      graft.rdf.Otit.hasTimeseries -> PredicateSlice(hasTs, OKind.KIri),
-      graft.rdf.Otit.hasExternalId -> PredicateSlice(extId, OKind.KStr),
+        .copy(fused = Seq(lF("quantity")), subjectClasses = Set(typeLine)),
+      graft.rdf.Otit.hasTimeseries -> PredicateSlice(hasTs, OKind.KIri,
+        subjectClasses = Set(typeSensor)),
+      graft.rdf.Otit.hasExternalId -> PredicateSlice(extId, OKind.KStr,
+        subjectClasses = Set(typeSeries)),
     )
     val ts = TsSource(events.select(col("event_type").as("id"), col("ts"), col("value")))
     TriplesGraph.fromSlices(s, slices, Some(ts))

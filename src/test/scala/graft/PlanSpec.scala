@@ -72,6 +72,17 @@ class PlanSpec extends SparkTestBase {
     assert(scanFiles("q32_sparql_filter_bind") == Seq("supplier.parquet"))
   }
 
+  test("NPS scan prunes slices whose declared subject class can't match") {
+    // q55 pins ?n to rdf:type g:Nation, so the !(name|key) complement scan
+    // must union only nation-compatible slices — at 100 TB this is the
+    // difference between touching 3 dimension partitions and the whole lake
+    val plan = executedPlan("q55_sparql_negated_propset")
+    val files = "Location: [^,]*\\[([^\\]]*)\\]".r.findAllMatchIn(plan)
+      .map(_.group(1).split("/").last).toSet
+    assert(!files.contains("lineitem.parquet") && !files.contains("events.parquet"),
+      s"fact/sensor slices must be pruned from a Nation-typed NPS scan, got $files")
+  }
+
   test("q01: aggregation is partial (map-side combine) before the exchange") {
     val plan = executedPlan("q01_agg_pricing")
     val firstAgg = plan.indexOf("HashAggregate")
