@@ -321,5 +321,17 @@ object SparqlQueries {
         |  BIND(IRI(STR(?s)) AS ?re_iri)
         |  BIND(STRDT("7", xsd:integer) AS ?seven)
         |} ORDER BY ?sname""".stripMargin),
+
+    // ---- sub-SELECT (SPARQL 1.1 §12): an aggregating subquery joined with
+    // an outer pattern on its projected variable.
+    sq("q58_sparql_subselect",
+      """SELECT r_name AS rname, cnt FROM (
+        |  SELECT n_regionkey AS rk, COUNT(*) AS cnt FROM nation GROUP BY 1
+        |) JOIN region ON rk = r_regionkey
+        |ORDER BY rname NULLS FIRST, cnt NULLS FIRST""".stripMargin,
+      """SELECT ?rname ?cnt WHERE {
+        |  { SELECT ?r (COUNT(?n) AS ?cnt) WHERE { ?n g:inRegion ?r } GROUP BY ?r }
+        |  ?r g:name ?rname .
+        |} ORDER BY ?rname ?cnt""".stripMargin),
   )
 }

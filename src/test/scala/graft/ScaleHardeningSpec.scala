@@ -94,4 +94,23 @@ class ScaleHardeningSpec extends SparkTestBase {
          |SELECT ?x WHERE { ?x ex:p ?y . FILTER(EXISTS { ex:c ex:q ex:missing }) }""".stripMargin)
     assert(dropped.count() == 0L)
   }
+
+  test("TpchGraph byClass branches exactly partition their slice") {
+    // the builder contract class-aware pruning depends on: for every slice
+    // declaring byClass, the class branches are disjoint and union to the
+    // full slice — otherwise a typed NPS/var-predicate scan would silently
+    // drop or duplicate rows
+    val g = graft.sparql.TpchGraph.graph(spark, "/root/testdata/sf0.001")
+    for ((p, sl) <- g.slices if sl.byClass.nonEmpty) {
+      val full = sl.df.count()
+      val parts = sl.byClass.values.map(_.count()).sum
+      assert(parts == full, s"$p: byClass rows $parts != slice rows $full")
+      val distinctUnion = sl.byClass.values
+        .map(_.select("s"))
+        .reduce(_.unionByName(_)).distinct().count()
+      val fullDistinct = sl.df.select("s").distinct().count()
+      assert(distinctUnion == fullDistinct,
+        s"$p: byClass subjects diverge from slice subjects")
+    }
+  }
 }
