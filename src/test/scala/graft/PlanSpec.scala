@@ -72,6 +72,15 @@ class PlanSpec extends SparkTestBase {
     assert(scanFiles("q32_sparql_filter_bind") == Seq("supplier.parquet"))
   }
 
+  test("IVF: cell-restricted scoring joins by hash on cid, never cartesian") {
+    val plan = executedPlan("q57_ann_ivf")
+    assert(!plan.contains("CartesianProduct"), "IVF must not do all-pairs")
+    // the inverted-index × probe-set join is an equi-join on cid with the
+    // small probe side broadcast — the shape that scales to 10^9 vectors
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("cid"),
+      "probe join must be a broadcast hash join on cid")
+  }
+
   test("NPS scan prunes slices whose declared subject class can't match") {
     // q55 pins ?n to rdf:type g:Nation, so the !(name|key) complement scan
     // must union only nation-compatible slices — at 100 TB this is the
