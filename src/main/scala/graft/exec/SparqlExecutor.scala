@@ -82,7 +82,17 @@ final class SparqlExecutor(
       Sol(ls.df.unionByName(rs.df, allowMissingColumns = true), vars)
     case Extend(inner, v, e) =>
       val s0 = translatePattern(inner, input)
-      Sol(s0.df.withColumn(v, translateExpr(e, s0)), s0.vars :+ v)
+      e match {
+        // STRLANG builds a language-tagged literal: bind the lexical form
+        // plus the __lang companion column LANG()/langMatches() read
+        case EFunc("strlang", Seq(lex, tag)) =>
+          val df = s0.df
+            .withColumn(v, translateExpr(lex, s0).cast(StringType))
+            .withColumn(s"${v}__lang", translateExpr(tag, s0).cast(StringType))
+          Sol(df, s0.vars :+ v)
+        case _ =>
+          Sol(s0.df.withColumn(v, translateExpr(e, s0)), s0.vars :+ v)
+      }
     case Minus(l, r) =>
       val ls = translatePattern(l, input)
       val rs = translatePattern(r, unitSol)
@@ -736,7 +746,39 @@ final class SparqlExecutor(
         }
         case "sameterm" => a(0).cast(StringType) === a(1).cast(StringType)
         case "isnumeric" => a(0).cast(DoubleType).isNotNull
-        case "isiri" | "isuri" => a(0).cast(StringType).startsWith("http")
+        // term-kind tests on the canonical string form: IRIs carry a scheme
+        // prefix, blank nodes "_:"; everything else is a literal
+        case "isiri" | "isuri" =>
+          regexp_like(a(0).cast(StringType), lit("^[A-Za-z][A-Za-z0-9+.-]*:"))
+        case "isblank" => a(0).cast(StringType).startsWith("_:")
+        case "isliteral" =>
+          a(0).isNotNull &&
+            !regexp_like(a(0).cast(StringType), lit("^[A-Za-z][A-Za-z0-9+.-]*:")) &&
+            !a(0).cast(StringType).startsWith("_:")
+        case "strbefore" =>
+          val pos = call_function("instr", a(0).cast(StringType), a(1).cast(StringType))
+          when(length(a(1)) === 0, lit(""))
+            .when(pos > 0, a(0).cast(StringType).substr(lit(1), pos - 1))
+            .otherwise(lit(""))
+        case "strafter" =>
+          val pos = call_function("instr", a(0).cast(StringType), a(1).cast(StringType))
+          when(length(a(1)) === 0, a(0).cast(StringType))
+            .when(pos > 0,
+              a(0).cast(StringType).substr(pos + length(a(1)), length(a(0))))
+            .otherwise(lit(""))
+        case "encode_for_uri" =>
+          // url_encode is form-encoding; RFC 3986 wants %20 for space
+          regexp_replace(url_encode(a(0).cast(StringType)), "\\+", "%20")
+        case "md5" => md5(a(0).cast(StringType))
+        case "sha1" => sha1(a(0).cast(StringType))
+        case "sha256" => sha2(a(0).cast(StringType), 256)
+        case "sha384" => sha2(a(0).cast(StringType), 384)
+        case "sha512" => sha2(a(0).cast(StringType), 512)
+        case "uuid" => concat(lit("urn:uuid:"), expr("uuid()"))
+        case "struuid" => expr("uuid()")
+        case "now" => current_timestamp() // query-constant in Spark
+        case "rand" => rand()
+        case "tz" => lit("Z") // every stored instant is UTC in this engine
         case Xsd.integer | Xsd.int | Xsd.long | Xsd.unsignedInt | Xsd.unsignedLong =>
           a(0).cast(LongType)
         case Xsd.double | Xsd.float | Xsd.decimal => a(0).cast(DoubleType)

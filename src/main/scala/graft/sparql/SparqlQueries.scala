@@ -333,5 +333,24 @@ object SparqlQueries {
         |  { SELECT ?r (COUNT(?n) AS ?cnt) WHERE { ?n g:inRegion ?r } GROUP BY ?r }
         |  ?r g:name ?rname .
         |} ORDER BY ?rname ?cnt""".stripMargin),
+
+    // ---- STRBEFORE/STRAFTER + cryptographic hash functions (SPARQL 1.1
+    // §17.4.3): both engines compute them independently.
+    sq("q59_sparql_str_hash",
+      """SELECT s_name AS sname,
+        |  CASE WHEN strpos(s_name, '#') > 0
+        |       THEN substring(s_name, 1, strpos(s_name, '#') - 1) ELSE '' END AS pre,
+        |  CASE WHEN strpos(s_name, '#') > 0
+        |       THEN substring(s_name, strpos(s_name, '#') + 1) ELSE '' END AS post,
+        |  md5(s_name) AS h1, sha256(s_name) AS h2
+        |FROM supplier ORDER BY sname NULLS FIRST""".stripMargin,
+      """SELECT ?sname ?pre ?post ?h1 ?h2 WHERE {
+        |  ?s rdf:type g:Supplier .
+        |  ?s g:name ?sname .
+        |  BIND(STRBEFORE(?sname, "#") AS ?pre)
+        |  BIND(STRAFTER(?sname, "#") AS ?post)
+        |  BIND(MD5(?sname) AS ?h1)
+        |  BIND(SHA256(?sname) AS ?h2)
+        |} ORDER BY ?sname""".stripMargin),
   )
 }

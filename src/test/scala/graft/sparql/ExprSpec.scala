@@ -147,6 +147,74 @@ class ExprSpec extends SparkTestBase {
     assert(rows.map(_.getString(2)).distinct.length == 3) // distinct lexicals
   }
 
+  test("STRBEFORE / STRAFTER incl. empty and absent separators") {
+    val rows = run(
+      """SELECT ?b ?af ?b0 ?a0 ?miss WHERE {
+        |  ex:a ex:num ?n .
+        |  BIND(STRBEFORE("abc", "b") AS ?b)
+        |  BIND(STRAFTER("abc", "b") AS ?af)
+        |  BIND(STRBEFORE("abc", "") AS ?b0)
+        |  BIND(STRAFTER("abc", "") AS ?a0)
+        |  BIND(STRAFTER("abc", "z") AS ?miss)
+        |}""".stripMargin).collect()
+    val r = rows.head
+    assert((r.getString(0), r.getString(1), r.getString(2), r.getString(3),
+      r.getString(4)) == (("a", "c", "", "abc", "")))
+  }
+
+  test("ENCODE_FOR_URI and hash functions") {
+    val r = run(
+      """SELECT ?e ?m ?s WHERE {
+        |  ex:a ex:num ?n .
+        |  BIND(ENCODE_FOR_URI("Los Angeles") AS ?e)
+        |  BIND(MD5("abc") AS ?m)
+        |  BIND(SHA256("abc") AS ?s)
+        |}""".stripMargin).collect().head
+    assert(r.getString(0) == "Los%20Angeles")
+    assert(r.getString(1) == "900150983cd24fb0d6963f7d28e17f72")
+    assert(r.getString(2) ==
+      "ba7816bf8f01cfea414140de5dae2223b00361a396177a9cb410ff61f20015ad")
+  }
+
+  test("STRLANG binds a language-tagged literal LANG() can read") {
+    val got = run(
+      """SELECT ?v ?l WHERE {
+        |  ex:a ex:num ?n .
+        |  BIND(STRLANG("chat", "en") AS ?v)
+        |  BIND(LANG(?v) AS ?l)
+        |}""".stripMargin).collect().head
+    assert(got.getString(0) == "chat" && got.getString(1) == "en")
+  }
+
+  test("isIRI / isBlank / isLiteral over the canonical term forms") {
+    val r = run(
+      """SELECT ?ii ?il ?ib ?ln WHERE {
+        |  ex:a ex:group ?g . ex:a ex:num ?n .
+        |  BIND(isIRI(?g) AS ?ii)
+        |  BIND(isLiteral(?g) AS ?il)
+        |  BIND(isBlank(BNODE("x")) AS ?ib)
+        |  BIND(isLiteral(?n) AS ?ln)
+        |}""".stripMargin).collect().head
+    assert(r.getBoolean(0) && !r.getBoolean(1) && r.getBoolean(2) && r.getBoolean(3))
+  }
+
+  test("UUID / STRUUID / NOW / RAND are well-formed and row-scoped") {
+    val rows = run(
+      """SELECT ?u ?su ?now ?rnd WHERE {
+        |  ?x ex:num ?n .
+        |  BIND(UUID() AS ?u)
+        |  BIND(STRUUID() AS ?su)
+        |  BIND(NOW() AS ?now)
+        |  BIND(RAND() AS ?rnd)
+        |}""".stripMargin).collect()
+    assert(rows.length == 3)
+    val hex = "[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}"
+    assert(rows.forall(_.getString(0).matches(s"urn:uuid:$hex")))
+    assert(rows.map(_.getString(1)).distinct.length == 3) // fresh per row
+    assert(rows.map(_.getTimestamp(2)).distinct.length == 1) // query-constant
+    assert(rows.forall { r => val d = r.getDouble(3); d >= 0.0 && d < 1.0 })
+  }
+
   test("blank nodes in query syntax rename to variables") {
     // [] in subject position + _:labeled shared across patterns
     val anon = run(
