@@ -206,6 +206,38 @@ object LlmQueries {
         .orderBy("ida", "idb")
     },
 
+    // ---- near-dup clustering: connected components over the verified
+    // near-dup pairs (transitive closure of "is a near-dup of"), cluster =
+    // min doc id — the keep-one-representative step of a dedup pipeline.
+    // Spark runs min-label propagation; the oracle computes the same
+    // closure with a recursive CTE over the same (brute-force) pair set.
+    q("q60_dedup_clusters",
+      s"""WITH RECURSIVE sh AS (
+         |  SELECT doc_id, $sqlShingles AS shingles
+         |  FROM (SELECT doc_id, $sqlToks AS toks FROM documents)
+         |),
+         |pr AS (
+         |  SELECT a.doc_id AS ida, b.doc_id AS idb FROM sh a, sh b
+         |  WHERE a.doc_id < b.doc_id
+         |    AND len(list_intersect(a.shingles, b.shingles)) * 2
+         |        >= len(list_distinct(list_concat(a.shingles, b.shingles)))
+         |),
+         |edges AS (SELECT ida AS a, idb AS b FROM pr
+         |          UNION SELECT idb AS a, ida AS b FROM pr),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+         |)
+         |SELECT a AS doc_id, least(a, MIN(b)) AS cluster FROM reach
+         |GROUP BY a ORDER BY doc_id NULLS FIRST""".stripMargin) { (s, dir) =>
+      val pairs = TextOps.minhashLshPairs(T.documents(s, dir), "doc_id", "text",
+        shingleN = 3, numHashes = 128, rowsPerBand = 2, threshold = 0.5)
+      TextOps.connectedComponents(pairs.select(col("ida"), col("idb")))
+        .select(col("id").as("doc_id"), col("cluster"))
+        .orderBy("doc_id")
+    },
+
     // ---- IVF (inverted-file) ANN: coarse-quantizer cell assignment builds
     // the inverted index; queries probe only their nProbe nearest cells, so
     // the scored corpus fraction is ~nProbe/nCentroids. Both engines build

@@ -218,4 +218,48 @@ object TextOps {
           col("ida") < col("idb"))
       .select(col("ida"), col("idb")).distinct()
   }
+
+  /** Connected components over an undirected near-duplicate pair set
+    * (`ida`, `idb`): dedup at pipeline level keeps ONE representative per
+    * cluster, and pairs alone don't define clusters — transitive closure
+    * does. Min-label propagation to fixpoint: every node starts as its own
+    * label; each round every node takes the minimum label among itself and
+    * its neighbors (one join + one partial-aggregated shuffle), rounds are
+    * localCheckpointed so plans stay flat. Converges in O(component
+    * diameter) rounds — near-dup clusters are shallow (dups of dups), so
+    * single digits in practice; `maxIters` is a runaway guard that throws
+    * rather than returning a silently unfinished clustering. At 10^9+ edges
+    * swap the propagation step for large-star/small-star (same join
+    * primitive, O(log n) rounds); the output contract is unchanged.
+    *
+    * Output: (id, cluster) for every node that appears in a pair, with
+    * cluster = min doc id of its component (the canonical keep-lowest-id
+    * rule). */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+    val half = pairs.select(col("ida").cast(LongType).as("a"),
+      col("idb").cast(LongType).as("b"))
+    val edges = half
+      .unionByName(half.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint()
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("lbl", col("id")).localCheckpoint()
+    var iter = 0
+    var changed = true
+    while (changed) {
+      iter += 1
+      if (iter > maxIters)
+        throw new IllegalStateException(
+          s"connectedComponents did not converge within $maxIters rounds")
+      val nbrMin = edges
+        .join(labels.select(col("id").as("b"), col("lbl").as("nlbl")), "b")
+        .groupBy(col("a").as("id")).agg(min(col("nlbl")).as("mn"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"), col("lbl"),
+          least(col("lbl"), coalesce(col("mn"), col("lbl"))).as("nlbl2"))
+        .localCheckpoint()
+      changed = next.filter(col("nlbl2") < col("lbl")).limit(1).count() > 0
+      labels = next.select(col("id"), col("nlbl2").as("lbl"))
+    }
+    labels.select(col("id"), col("lbl").as("cluster"))
+  }
 }

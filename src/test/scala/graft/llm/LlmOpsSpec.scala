@@ -57,6 +57,17 @@ class LlmOpsSpec extends SparkTestBase {
     assert(got.groupBy(_._1).forall(_._2.map(_._2) == Set(1L, 2L, 3L)))
   }
 
+  test("connected components: chain, cycle, and isolated pair cluster correctly") {
+    import spark.implicits._
+    // components: {1,2,3,4} (chain), {10,11,12} (cycle), {20,21} (pair)
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (20L, 21L)).toDF("ida", "idb")
+    val got = TextOps.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
   test("IVF with all cells probed equals exact brute-force top-k") {
     val emb = graft.T.embeddings(spark, sf)
     val queries = emb.filter(col("vec_id") < 10)
