@@ -206,6 +206,19 @@ object LlmQueries {
         .orderBy("ida", "idb")
     },
 
+    // ---- order-sensitive rolling-hash fingerprint (Rabin–Karp family):
+    // the modular fold keeps both engines in exact integer range.
+    q("q61_rolling_fingerprint",
+      """SELECT doc_id,
+        |  CASE WHEN length(text) = 0 THEN 0
+        |       ELSE list_reduce([CAST(ascii(c) AS BIGINT) for c in string_split(text, '')],
+        |                        (h, c) -> (h * 131 + c) % 1000000007) END AS fp
+        |FROM documents ORDER BY doc_id NULLS FIRST""".stripMargin) { (s, dir) =>
+      T.documents(s, dir)
+        .select(col("doc_id"), TextOps.rollingFingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")
+    },
+
     // ---- near-dup clustering: connected components over the verified
     // near-dup pairs (transitive closure of "is a near-dup of"), cluster =
     // min doc id — the keep-one-representative step of a dedup pipeline.

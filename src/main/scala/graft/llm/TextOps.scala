@@ -33,6 +33,23 @@ object TextOps {
   def tokenSetFingerprint(text: Column): Column =
     md5(concat_ws(" ", sort_array(array_distinct(tokens(text)))))
 
+  /** Order-SENSITIVE polynomial rolling-hash fingerprint (Rabin–Karp
+    * family): h = fold(chars, h*131 + code mod 1e9+7), seeded with the
+    * first character. Complements [[tokenSetFingerprint]]: byte-order
+    * changes flip this hash while the token-set hash is stable. The modulus
+    * keeps every intermediate inside exact integer range on any engine, so
+    * independent implementations agree bit-for-bit. One pass per document,
+    * embarrassingly parallel; at lake scale move the fold into a
+    * per-partition kernel (interpreted higher-order fns don't codegen). */
+  def rollingFingerprint(text: Column): Column = {
+    val codes = transform(split(text, ""), ch => ascii(ch).cast(LongType))
+    when(length(text) === 0, lit(0L)).otherwise(
+      aggregate(
+        slice(codes, lit(2), greatest(size(codes) - 1, lit(0))),
+        element_at(codes, 1),
+        (h, c) => (h * lit(131L) + c) % lit(1000000007L)))
+  }
+
   /** Number of BPE-ish lexical tokens (letter runs / digit runs / single
     * punctuation) — the regex stand-in for a real tokenizer's pre-split. */
   def lexTokenCount(text: Column): Column =

@@ -57,6 +57,17 @@ class LlmOpsSpec extends SparkTestBase {
     assert(got.groupBy(_._1).forall(_._2.map(_._2) == Set(1L, 2L, 3L)))
   }
 
+  test("rolling fingerprint: known value, order sensitivity, empty doc") {
+    import spark.implicits._
+    val docs = Seq((1L, "hello world"), (2L, "world hello"), (3L, ""))
+      .toDF("doc_id", "text")
+    val got = docs.select(col("doc_id"), TextOps.rollingFingerprint(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) == 285884129L) // independently computed reference value
+    assert(got(1L) != got(2L))    // order-sensitive, unlike tokenSetFingerprint
+    assert(got(3L) == 0L)
+  }
+
   test("connected components: chain, cycle, and isolated pair cluster correctly") {
     import spark.implicits._
     // components: {1,2,3,4} (chain), {10,11,12} (cycle), {20,21} (pair)
