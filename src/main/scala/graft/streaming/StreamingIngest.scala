@@ -39,6 +39,25 @@ object StreamingIngest {
       .select(col("w.start").as("window_start"), col("id"), col("n"),
         col("sum_value"), col("lo"), col("hi"))
 
+  /** Stream-static hybrid join: the streaming TS frame enriched against the
+    * static graph's sensor metadata (sensor → hasTimeseries → series →
+    * hasExternalId → external id, the reference's hybrid vocabulary). The
+    * static side is broadcast — a stream-static join keeps NO streaming
+    * state, so this scales to an unbounded firehose with the dimension side
+    * re-read per micro-batch (metadata updates picked up for free). This is
+    * the streaming spelling of the engine's static×TS hybrid join: the
+    * output carries the graph entity (`sensor`) next to every point. */
+  def enrichWithSensors(events: DataFrame,
+      graph: graft.graph.TriplesGraph): DataFrame = {
+    val hasTs = graph.slice(graft.rdf.Otit.hasTimeseries).get.df
+      .select(col("s").as("sensor"), col("o").as("series"))
+    val extId = graph.slice(graft.rdf.Otit.hasExternalId).get.df
+      .select(col("s").as("series2"), col("o").cast(StringType).as("id"))
+    val meta = hasTs.join(extId, col("series") === col("series2"))
+      .select(col("sensor"), col("id"))
+    events.join(broadcast(meta), "id")
+  }
+
   /** Drain all currently-available input into an in-memory table and return
     * the result (test/backfill entry point). */
   def runAvailableNow(agg: DataFrame, name: String): DataFrame = {

@@ -36,6 +36,41 @@ class StreamingIngestSpec extends SparkTestBase {
       s"stream rows=${s.size} batch rows=${b.size}")
   }
 
+  test("stream-static hybrid join: graph-enriched streaming agg equals batch") {
+    val src = java.nio.file.Files.createTempDirectory("graft-hybrid").toString
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .write.mode("overwrite").parquet(src)
+    val g = graft.sparql.TpchGraph.graph(spark, "/root/testdata/sf0.001")
+
+    // stream: events → static-graph sensor enrichment → per-sensor windows
+    val enriched = StreamingIngest
+      .enrichWithSensors(StreamingIngest.readEvents(spark, src), g)
+      .select(col("sensor").as("id"), col("ts"), col("value"))
+    val streamed = StreamingIngest.runAvailableNow(
+      StreamingIngest.windowedAgg(enriched), "hybrid_hourly")
+
+    // batch truth: identical transform over the batch frame
+    val batchEvents = graft.T.events(spark, "/root/testdata/sf0.001")
+      .select(col("event_type").as("id"), col("ts"), col("value"))
+    val batch = StreamingIngest.enrichWithSensors(batchEvents, g)
+      .select(col("sensor").as("id"), col("ts"), col("value"))
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("id"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"),
+        min(col("value")).as("lo"), max(col("value")).as("hi"))
+      .select(col("w.start").as("window_start"), col("id"), col("n"),
+        col("sum_value"), col("lo"), col("hi"))
+
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().toSeq
+        .map(r => Seq(r.get(0), r.get(1), r.get(2),
+          f"${r.getDouble(3)}%.6f", r.get(4), r.get(5)).mkString("|"))
+        .sorted
+    val s = canon(streamed)
+    assert(s.nonEmpty && s == canon(batch))
+    // the graph entity really is in the output (sensor IRIs, not raw ids)
+    assert(streamed.collect().forall(_.getString(1).startsWith("urn:graft:sensor:")))
+  }
+
   test("streaming dedup emits exactly one document per fingerprint (stream == batch)") {
     val src = java.nio.file.Files.createTempDirectory("graft-docs").toString
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
