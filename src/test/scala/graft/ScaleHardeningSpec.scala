@@ -95,6 +95,24 @@ class ScaleHardeningSpec extends SparkTestBase {
     assert(dropped.count() == 0L)
   }
 
+  test("salted join equals plain join on a skewed key distribution") {
+    import spark.implicits._
+    // 10k rows of one hot key + a long tail, joined against a small dim
+    val big = ((1 to 10000).map(i => (1L, i)) ++ (2 to 50).map(k => (k.toLong, k)))
+      .toDF("k", "payload")
+    val dim = (1 to 60).map(k => (k.toLong, s"d$k")).toDF("k", "attr")
+      .filter($"k" <= 40) // some big-side keys unmatched
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.mkString("|")).sorted.toSeq
+    val plainInner = big.join(dim, Seq("k"), "inner")
+    val saltedInner = graft.relational.Skew.saltedJoin(big, dim, "k", factor = 8)
+    assert(canon(saltedInner) == canon(plainInner))
+    val plainLeft = big.join(dim, Seq("k"), "left")
+    val saltedLeft = graft.relational.Skew.saltedJoin(big, dim, "k",
+      factor = 8, how = "left")
+    assert(canon(saltedLeft) == canon(plainLeft))
+  }
+
   test("TpchGraph byClass branches exactly partition their slice") {
     // the builder contract class-aware pruning depends on: for every slice
     // declaring byClass, the class branches are disjoint and union to the
