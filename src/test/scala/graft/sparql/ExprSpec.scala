@@ -162,6 +162,36 @@ class ExprSpec extends SparkTestBase {
       r.getString(4)) == (("a", "c", "", "abc", "")))
   }
 
+  test("STRBEFORE/STRAFTER match the spec model on seeded random inputs") {
+    val rnd = new scala.util.Random(4)
+    def word(max: Int) = (1 to rnd.nextInt(max + 1)).map(_ =>
+      ('a' + rnd.nextInt(4)).toChar).mkString // tiny alphabet → real overlaps
+    val pairs = (1 to 80).map { _ =>
+      val a = word(6)
+      val b = if (rnd.nextBoolean() && a.nonEmpty) {
+        val st = rnd.nextInt(a.length)
+        a.substring(st, st + 1 + rnd.nextInt(a.length - st))
+      } else word(2)
+      (a, b)
+    }.distinct
+    val values = pairs.map { case (x, y) => s"""("$x" "$y")""" }.mkString(" ")
+    val rows = run(
+      s"""SELECT ?a ?b ?pre ?post WHERE {
+         |  VALUES (?a ?b) { $values }
+         |  BIND(STRBEFORE(?a, ?b) AS ?pre)
+         |  BIND(STRAFTER(?a, ?b) AS ?post)
+         |}""".stripMargin).collect()
+    assert(rows.length == pairs.length)
+    rows.foreach { r =>
+      val (a, b) = (r.getString(0), r.getString(1))
+      val i = a.indexOf(b)
+      val expPre = if (b.isEmpty) "" else if (i >= 0) a.substring(0, i) else ""
+      val expPost = if (b.isEmpty) a else if (i >= 0) a.substring(i + b.length) else ""
+      assert(r.getString(2) == expPre, s"STRBEFORE($a, $b)")
+      assert(r.getString(3) == expPost, s"STRAFTER($a, $b)")
+    }
+  }
+
   test("ENCODE_FOR_URI and hash functions") {
     val r = run(
       """SELECT ?e ?m ?s WHERE {
