@@ -206,6 +206,40 @@ object LlmQueries {
         .orderBy("ida", "idb")
     },
 
+    // ---- KMV (k-minimum-values) distinct-count sketch over the global
+    // token vocabulary: hash every distinct token to a 60-bit integer (15
+    // md5 hex digits), keep the k smallest, estimate |V| ≈ (k-1)·2^60/h_k.
+    // The sketch state is k numbers regardless of scale — the way you
+    // profile cardinalities on 100 TB without a full distinct. Both engines
+    // fold the same md5 digits, so the estimate matches bit-for-bit; the
+    // exact count rides along as the error witness.
+    q("q62_kmv_distinct", {
+      val digitFold = (0 until 15).map { i =>
+        val w = BigInt(16).pow(14 - i)
+        s"CAST(strpos('0123456789abcdef', substr(md5(t), ${i + 1}, 1)) - 1 AS BIGINT) * $w"
+      }.mkString(" + ")
+      s"""WITH toks AS (SELECT DISTINCT unnest($sqlToks) AS t FROM documents),
+         |h AS (SELECT $digitFold AS h FROM toks),
+         |kth AS (SELECT h FROM h ORDER BY h LIMIT 256)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS k, MAX(h) AS hk,
+         |  (CAST(COUNT(*) - 1 AS DOUBLE) * 1152921504606846976.0)
+         |    / CAST(MAX(h) AS DOUBLE) AS est,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM toks) AS exact_distinct
+         |FROM kth""".stripMargin
+    }) { (s, dir) =>
+      val toks = T.documents(s, dir)
+        .select(explode(TextOps.tokens(col("text"))).as("t")).distinct()
+      val hashed = toks
+        .select(conv(substring(md5(col("t")), 1, 15), 16, 10).cast(LongType).as("h"))
+      val kth = hashed.orderBy("h").limit(256)
+      val exact = toks.agg(count(lit(1)).as("exact_distinct"))
+      kth.agg(count(lit(1)).as("k"), max(col("h")).as("hk"))
+        .select(col("k"), col("hk"),
+          ((col("k") - 1).cast(DoubleType) * lit(math.pow(2, 60)) /
+            col("hk").cast(DoubleType)).as("est"))
+        .crossJoin(exact)
+    },
+
     // ---- order-sensitive rolling-hash fingerprint (Rabin–Karp family):
     // the modular fold keeps both engines in exact integer range.
     q("q61_rolling_fingerprint",

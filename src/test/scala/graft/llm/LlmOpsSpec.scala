@@ -57,6 +57,15 @@ class LlmOpsSpec extends SparkTestBase {
     assert(got.groupBy(_._1).forall(_._2.map(_._2) == Set(1L, 2L, 3L)))
   }
 
+  test("KMV sketch estimates the distinct token count within its error bound") {
+    val r = graft.SparkEntry.queries("q62_kmv_distinct")(spark, sf).collect().head
+    val est = r.getDouble(2)
+    val exact = r.getLong(3)
+    // k=256 → standard error ~ 1/sqrt(k-1) ≈ 6%; assert a generous 4-sigma
+    assert(math.abs(est - exact) / exact < 0.25,
+      s"KMV estimate $est too far from exact $exact")
+  }
+
   test("rolling fingerprint: known value, order sensitivity, empty doc") {
     import spark.implicits._
     val docs = Seq((1L, "hello world"), (2L, "world hello"), (3L, ""))
