@@ -206,6 +206,20 @@ object LlmQueries {
         .orderBy("ida", "idb")
     },
 
+    // ---- heavy hitters: exact global top-k token frequencies (the
+    // profiling counterpart of the KMV cardinality sketch; one partial-agg
+    // shuffle + TakeOrdered at any scale).
+    q("q63_token_topk",
+      s"""SELECT t, CAST(COUNT(*) AS BIGINT) AS n
+         |FROM (SELECT unnest($sqlToks) AS t FROM documents)
+         |GROUP BY t ORDER BY n DESC, t NULLS FIRST LIMIT 20""".stripMargin) {
+      (s, dir) =>
+        T.documents(s, dir)
+          .select(explode(TextOps.tokens(col("text"))).as("t"))
+          .groupBy("t").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("t")).limit(20)
+    },
+
     // ---- KMV (k-minimum-values) distinct-count sketch over the global
     // token vocabulary: hash every distinct token to a 60-bit integer (15
     // md5 hex digits), keep the k smallest, estimate |V| ≈ (k-1)·2^60/h_k.

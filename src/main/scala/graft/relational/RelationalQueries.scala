@@ -530,6 +530,47 @@ object RelationalQueries {
             sum(d2(col("l_extendedprice")) * (lit(1).cast(dec2) - d2(col("l_discount"))))
               .cast(DoubleType).as("revenue"))
           .orderBy("region", "nation")
+    },
+
+    // ---- gap-based sessionization of the events stream: a session break
+    // when a user is idle > 30 min; session id = running count of breaks
+    // per user. All arithmetic in integer epoch-micros so both engines make
+    // identical break decisions; windows partition by user_id, so at lake
+    // scale this is one shuffle on the natural key with no global sort.
+    q("q64_sessionize",
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_ns(ts) // 1000 AS us FROM events
+        |), b AS (
+        |  SELECT event_id, user_id, us,
+        |    CASE WHEN us - LAG(us) OVER w > 1800000000 OR LAG(us) OVER w IS NULL
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+        |), s AS (
+        |  SELECT user_id, us,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |                   ROWS UNBOUNDED PRECEDING) AS sess
+        |  FROM b
+        |)
+        |SELECT user_id, CAST(sess AS BIGINT) AS sess,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  MIN(us) AS start_us, MAX(us) AS end_us
+        |FROM s GROUP BY user_id, sess
+        |ORDER BY user_id NULLS FIRST, sess NULLS FIRST""".stripMargin) {
+      (s, dir) =>
+        import org.apache.spark.sql.expressions.Window
+        val e = events(s, dir).select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("us"))
+        val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+        val b = e.withColumn("brk",
+          when(col("us") - lag(col("us"), 1).over(w) > 1800000000L || lag(col("us"), 1).over(w).isNull, 1L)
+            .otherwise(0L))
+        val sWin = Window.partitionBy("user_id").orderBy("us", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        b.withColumn("sess", sum(col("brk")).over(sWin))
+          .groupBy(col("user_id"), col("sess"))
+          .agg(count(lit(1)).as("n_events"),
+            min(col("us")).as("start_us"), max(col("us")).as("end_us"))
+          .orderBy("user_id", "sess")
     }
   )
 }
