@@ -571,6 +571,38 @@ object RelationalQueries {
           .agg(count(lit(1)).as("n_events"),
             min(col("us")).as("start_us"), max(col("us")).as("end_us"))
           .orderBy("user_id", "sess")
+    },
+
+    // ---- exact discrete quantiles per series (p50/p95/p99 of value):
+    // rank-based so the answer is determined by the multiset alone (the
+    // value at rank ceil(q·n) is the same under any tie order). One
+    // window shuffle on the series key — no global sort; at lake scale
+    // this is the exact-profiling companion to sketched quantiles.
+    q("q65_value_quantiles",
+      """WITH r AS (
+        |  SELECT event_type, value,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events
+        |)
+        |SELECT event_type,
+        |  MAX(CASE WHEN rn = CAST(ceil(0.50 * n) AS BIGINT) THEN value END) AS p50,
+        |  MAX(CASE WHEN rn = CAST(ceil(0.95 * n) AS BIGINT) THEN value END) AS p95,
+        |  MAX(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT) THEN value END) AS p99
+        |FROM r GROUP BY event_type
+        |ORDER BY event_type NULLS FIRST""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("event_type").orderBy("value")
+      val cw = Window.partitionBy("event_type")
+      val r = events(s, dir).select(col("event_type"), col("value"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(cw))
+      def pAt(q: Double, nameC: String) =
+        max(when(col("rn") === ceil(lit(q) * col("n")).cast(LongType), col("value")))
+          .as(nameC)
+      r.groupBy("event_type")
+        .agg(pAt(0.50, "p50"), pAt(0.95, "p95"), pAt(0.99, "p99"))
+        .orderBy("event_type")
     }
   )
 }
