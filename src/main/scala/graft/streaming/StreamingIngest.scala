@@ -39,6 +39,19 @@ object StreamingIngest {
       .select(col("w.start").as("window_start"), col("id"), col("n"),
         col("sum_value"), col("lo"), col("hi"))
 
+  /** Gap-based session windows over the stream — the streaming spelling of
+    * the batch sessionization entry (q64): sessions close when a series is
+    * idle past `gap`, state is merged per (id, session) and pruned by the
+    * watermark, so the query runs unbounded. */
+  def sessionAgg(events: DataFrame, gap: String = "30 minutes",
+      watermarkDelay: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(session_window(col("ts"), gap).as("w"), col("id"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("w.start").as("session_start"), col("w.end").as("session_end"),
+        col("id"), col("n"), col("sum_value"))
+
   /** Stream-static hybrid join: the streaming TS frame enriched against the
     * static graph's sensor metadata (sensor → hasTimeseries → series →
     * hasExternalId → external id, the reference's hybrid vocabulary). The

@@ -36,6 +36,31 @@ class StreamingIngestSpec extends SparkTestBase {
       s"stream rows=${s.size} batch rows=${b.size}")
   }
 
+  test("streaming session windows equal the batch session computation") {
+    val src = java.nio.file.Files.createTempDirectory("graft-sess").toString
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .write.mode("overwrite").parquet(src)
+
+    val streamed = StreamingIngest.runAvailableNow(
+      StreamingIngest.sessionAgg(StreamingIngest.readEvents(spark, src)),
+      "events_sessions")
+
+    val batch = graft.T.events(spark, "/root/testdata/sf0.001")
+      .select(col("event_type").as("id"), col("ts"), col("value"))
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("id"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("w.start").as("session_start"), col("w.end").as("session_end"),
+        col("id"), col("n"), col("sum_value"))
+
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().toSeq
+        .map(r => Seq(r.get(0), r.get(1), r.get(2), r.get(3),
+          f"${r.getDouble(4)}%.6f").mkString("|"))
+        .sorted
+    val s = canon(streamed)
+    assert(s.nonEmpty && s == canon(batch))
+  }
+
   test("stream-static hybrid join: graph-enriched streaming agg equals batch") {
     val src = java.nio.file.Files.createTempDirectory("graft-hybrid").toString
     spark.read.parquet("/root/testdata/sf0.001/events.parquet")
