@@ -262,8 +262,7 @@ object LlmQueries {
         |       ELSE list_reduce([CAST(ascii(c) AS BIGINT) for c in string_split(text, '')],
         |                        (h, c) -> (h * 131 + c) % 1000000007) END AS fp
         |FROM documents ORDER BY doc_id NULLS FIRST""".stripMargin) { (s, dir) =>
-      T.documents(s, dir)
-        .select(col("doc_id"), TextOps.rollingFingerprint(col("text")).as("fp"))
+      TextOps.rollingFingerprints(T.documents(s, dir), "doc_id", "text")
         .orderBy("doc_id")
     },
 

@@ -50,6 +50,29 @@ object TextOps {
         (h, c) => (h * lit(131L) + c) % lit(1000000007L)))
   }
 
+  /** [[rollingFingerprint]] as a per-partition kernel — same fold, but a
+    * tight char loop instead of an interpreted higher-order expression
+    * (~7× on the catalog entry; the production spelling per the engine's
+    * kernel-vs-expression-tree lesson). Spec asserts kernel == Column. */
+  def rollingFingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("fp", LongType)))
+    val rdd = df.select(col(idCol).cast(LongType), col(textCol)).rdd
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val s = r.getString(1)
+          var h = 0L
+          if (s.nonEmpty) {
+            h = s.charAt(0).toLong
+            var i = 1
+            while (i < s.length) { h = (h * 131L + s.charAt(i)) % 1000000007L; i += 1 }
+          }
+          org.apache.spark.sql.Row(r.getLong(0), h)
+        }
+      }
+    df.sparkSession.createDataFrame(rdd, schema)
+  }
+
   /** Number of BPE-ish lexical tokens (letter runs / digit runs / single
     * punctuation) — the regex stand-in for a real tokenizer's pre-split. */
   def lexTokenCount(text: Column): Column =

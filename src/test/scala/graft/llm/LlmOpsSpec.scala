@@ -75,6 +75,10 @@ class LlmOpsSpec extends SparkTestBase {
     assert(got(1L) == 285884129L) // independently computed reference value
     assert(got(1L) != got(2L))    // order-sensitive, unlike tokenSetFingerprint
     assert(got(3L) == 0L)
+    // the kernel spelling computes the identical fold
+    val kernel = TextOps.rollingFingerprints(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(kernel == got)
   }
 
   test("connected components: chain, cycle, and isolated pair cluster correctly") {
