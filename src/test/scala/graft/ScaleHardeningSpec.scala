@@ -95,6 +95,23 @@ class ScaleHardeningSpec extends SparkTestBase {
     assert(dropped.count() == 0L)
   }
 
+  test("closures over composite operands: inverse, alternation, sequence") {
+    val edges: Seq[(Term, String, Term)] = Seq(
+      (Iri(s"${ex}a"), s"${ex}next", Iri(s"${ex}b")),
+      (Iri(s"${ex}b"), s"${ex}next", Iri(s"${ex}c")),
+      (Iri(s"${ex}c"), s"${ex}alt", Iri(s"${ex}d")))
+    val exec = new SparqlExecutor(TriplesGraph.fromTerms(spark, edges))
+    def pairs(q: String) = exec.execute(s"PREFIX ex:<$ex>\n" + q).collect()
+      .map(r => (0 until r.length).map(i => r.getString(i).stripPrefix(ex)).mkString(","))
+      .toSet
+    assert(pairs("SELECT ?x ?y WHERE { ?x (^ex:next)+ ?y }") ==
+      Set("b,a", "c,a", "c,b"))
+    assert(pairs("SELECT ?x ?y WHERE { ?x (ex:next|ex:alt)+ ?y }") ==
+      Set("a,b", "a,c", "a,d", "b,c", "b,d", "c,d"))
+    assert(pairs("SELECT ?x ?y WHERE { ?x (ex:next/ex:next)+ ?y }") == Set("a,c"))
+    assert(pairs("SELECT ?y WHERE { ex:a (ex:next/ex:next)* ?y }") == Set("a", "c"))
+  }
+
   test("salted join equals plain join on a skewed key distribution") {
     import spark.implicits._
     // 10k rows of one hot key + a long tail, joined against a small dim
