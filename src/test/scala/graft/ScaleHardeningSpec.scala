@@ -3,7 +3,7 @@ package graft
 import graft.exec.SparqlExecutor
 import graft.graph.TriplesGraph
 import graft.llm.{AnnOps, TextOps}
-import graft.rdf.{Iri, Term}
+import graft.rdf.{Iri, Lit, Term, Xsd}
 import org.apache.spark.sql.functions._
 
 /** Round-4 scale-hardening regressions: behaviors that are invisible at
@@ -110,6 +110,25 @@ class ScaleHardeningSpec extends SparkTestBase {
       Set("a,b", "a,c", "a,d", "b,c", "b,d", "c,d"))
     assert(pairs("SELECT ?x ?y WHERE { ?x (ex:next/ex:next)+ ?y }") == Set("a,c"))
     assert(pairs("SELECT ?y WHERE { ex:a (ex:next/ex:next)* ?y }") == Set("a", "c"))
+  }
+
+  test("property paths compose with OPTIONAL, MINUS, and EXISTS") {
+    val edges: Seq[(Term, String, Term)] = Seq(
+      (Iri(s"${ex}a"), s"${ex}next", Iri(s"${ex}b")),
+      (Iri(s"${ex}b"), s"${ex}next", Iri(s"${ex}c")),
+      (Iri(s"${ex}a"), s"${ex}num", Lit("1", Xsd.integer)),
+      (Iri(s"${ex}b"), s"${ex}num", Lit("2", Xsd.integer)))
+    val exec = new SparqlExecutor(TriplesGraph.fromTerms(spark, edges))
+    def rows(q: String) = exec.execute(s"PREFIX ex:<$ex>\n" + q).collect()
+    val opt = rows("SELECT ?x ?y WHERE { ?x ex:num ?n . OPTIONAL { ?x ex:next+ ?y } }")
+      .map(r => (r.getString(0).stripPrefix(ex), r.getString(1).stripPrefix(ex))).toSet
+    assert(opt == Set(("a", "b"), ("a", "c"), ("b", "c")))
+    val minus = rows("SELECT ?x WHERE { ?x ex:num ?n . MINUS { ?x ex:next/ex:next ?z } }")
+      .map(_.getString(0).stripPrefix(ex)).toSet
+    assert(minus == Set("b")) // a reaches c in two hops and is removed
+    val exist = rows("SELECT ?x WHERE { ?x ex:num ?n . FILTER(EXISTS { ?x ex:next+ ex:c }) }")
+      .map(_.getString(0).stripPrefix(ex)).toSet
+    assert(exist == Set("a", "b"))
   }
 
   test("salted join equals plain join on a skewed key distribution") {

@@ -245,6 +245,15 @@ class ExprSpec extends SparkTestBase {
     assert(rows.forall { r => val d = r.getDouble(3); d >= 0.0 && d < 1.0 })
   }
 
+  test("VALUES with UNDEF binds null") {
+    val rows = run(
+      """SELECT ?s ?v WHERE {
+        |  VALUES (?s ?v) { (ex:a UNDEF) (ex:b "x") }
+        |} ORDER BY ?s""".stripMargin).collect()
+    assert(rows.length == 2)
+    assert(rows(0).isNullAt(1) && rows(1).getString(1) == "x")
+  }
+
   test("blank nodes in query syntax rename to variables") {
     // [] in subject position + _:labeled shared across patterns
     val anon = run(
