@@ -138,6 +138,52 @@ class EnginePropertySpec extends SparkTestBase {
     assert(res.passed, res.status.toString)
   }
 
+  test("random OPTIONAL patterns agree with naive left-join semantics") {
+    def toTriples(bgp: List[TP]): Seq[TriplePattern] = bgp.map { tp =>
+      val sv = tp.s.fold(V(_), c => T(Iri(c)))
+      val ov = tp.o.fold(V(_), {
+        case c: Long => T(Lit(c.toString, Xsd.integer))
+        case c => T(Iri(c.toString))
+      })
+      TriplePattern(sv, PLink(tp.p), ov)
+    }
+    def compatible(a: Map[String, Any], b: Map[String, Any]): Boolean =
+      a.keySet.intersect(b.keySet).forall(k => a(k) == b(k))
+    val genSmall: Gen[List[TP]] = Gen.chooseNum(1, 2).flatMap(Gen.listOfN(_, genPattern))
+    val prop = Prop.forAll(genGraph, genSmall, genSmall) { (g, req, opt) =>
+      val reqVars = req.flatMap(tp => Seq(tp.s.left.toOption, tp.o.left.toOption).flatten).distinct
+      val optVars = opt.flatMap(tp => Seq(tp.s.left.toOption, tp.o.left.toOption).flatten).distinct
+      val vars = (reqVars ++ optVars).distinct
+      if (g.isEmpty || reqVars.isEmpty || optVars.diff(reqVars).isEmpty) Prop.undecided
+      else {
+        val terms: Seq[(Term, String, Term)] = g.map {
+          case (s, p, o: Long) => (Iri(s), p, Lit(o.toString, Xsd.integer))
+          case (s, p, o) => (Iri(s), p, Iri(o.toString))
+        }
+        val graph = TriplesGraph.fromTerms(spark, terms)
+        val q = SelectQuery(vars.map(ProjItem(_, None)), distinct = false,
+          reduced = false,
+          LeftJoin(Bgp(toTriples(req)), Bgp(toTriples(opt)), None),
+          Nil, None, Nil, None, None)
+        val got = new SparqlExecutor(graph).execute(q).collect().toSeq
+          .map(r => vars.indices.map(i => String.valueOf(r.get(i))).mkString("|"))
+          .sorted
+        // SPARQL §8.3 LeftJoin: μ extended by every compatible ν, or μ alone
+        val reqSols = naive(g, req, None)
+        val optSols = naive(g, opt, None)
+        val exp = reqSols.flatMap { mu =>
+          val exts = optSols.filter(compatible(mu, _)).map(nu => mu ++ nu)
+          if (exts.nonEmpty) exts else Seq(mu)
+        }.map(b => vars.map(v => String.valueOf(b.getOrElse(v, null))).mkString("|"))
+          .sorted
+        Prop(got == exp) :| s"got=$got exp=$exp graph=$g req=$req opt=$opt"
+      }
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(25).withMaxDiscardRatio(10), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("random negated-property-set patterns agree with the naive evaluator") {
     val allPreds = numPreds :+ iriPred
     val genNps: Gen[(Seq[String], Either[String, String], Boolean)] = for {
