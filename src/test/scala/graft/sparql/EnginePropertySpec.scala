@@ -184,6 +184,58 @@ class EnginePropertySpec extends SparkTestBase {
     assert(res.passed, res.status.toString)
   }
 
+  test("random MINUS and UNION patterns agree with the naive semantics") {
+    def toTriples(bgp: List[TP]): Seq[TriplePattern] = bgp.map { tp =>
+      val sv = tp.s.fold(V(_), c => T(Iri(c)))
+      val ov = tp.o.fold(V(_), {
+        case c: Long => T(Lit(c.toString, Xsd.integer))
+        case c => T(Iri(c.toString))
+      })
+      TriplePattern(sv, PLink(tp.p), ov)
+    }
+    val genSmall: Gen[List[TP]] = Gen.chooseNum(1, 2).flatMap(Gen.listOfN(_, genPattern))
+    val prop = Prop.forAll(genGraph, genSmall, genSmall, Gen.oneOf(true, false)) {
+      (g, l, r, isMinus) =>
+        val lVars = l.flatMap(tp => Seq(tp.s.left.toOption, tp.o.left.toOption).flatten).distinct
+        val rVars = r.flatMap(tp => Seq(tp.s.left.toOption, tp.o.left.toOption).flatten).distinct
+        if (g.isEmpty || lVars.isEmpty) Prop.undecided
+        else {
+          val terms: Seq[(Term, String, Term)] = g.map {
+            case (s, p, o: Long) => (Iri(s), p, Lit(o.toString, Xsd.integer))
+            case (s, p, o) => (Iri(s), p, Iri(o.toString))
+          }
+          val graph = TriplesGraph.fromTerms(spark, terms)
+          val vars = if (isMinus) lVars else (lVars ++ rVars).distinct
+          val where: Pattern =
+            if (isMinus) Minus(Bgp(toTriples(l)), Bgp(toTriples(r)))
+            else Union(Bgp(toTriples(l)), Bgp(toTriples(r)))
+          val q = SelectQuery(vars.map(ProjItem(_, None)), distinct = false,
+            reduced = false, where, Nil, None, Nil, None, None)
+          val got = new SparqlExecutor(graph).execute(q).collect().toSeq
+            .map(row => vars.indices.map(i => String.valueOf(row.get(i))).mkString("|"))
+            .sorted
+          val lSols = naive(g, l, None)
+          val rSols = naive(g, r, None)
+          val exp = (if (isMinus)
+            // SPARQL §8.3.3: drop μ only if some ν is compatible AND shares
+            // at least one variable (disjoint domains remove nothing)
+            lSols.filterNot { mu =>
+              rSols.exists { nu =>
+                val shared = mu.keySet.intersect(nu.keySet)
+                shared.nonEmpty && shared.forall(k => mu(k) == nu(k))
+              }
+            }
+          else lSols ++ rSols) // UNION: bag concat, absent vars null
+            .map(b => vars.map(v => String.valueOf(b.getOrElse(v, null))).mkString("|"))
+            .sorted
+          Prop(got == exp) :| s"minus=$isMinus got=$got exp=$exp graph=$g l=$l r=$r"
+        }
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(25).withMaxDiscardRatio(10), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("random negated-property-set patterns agree with the naive evaluator") {
     val allPreds = numPreds :+ iriPred
     val genNps: Gen[(Seq[String], Either[String, String], Boolean)] = for {
