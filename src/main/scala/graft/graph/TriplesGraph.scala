@@ -132,6 +132,60 @@ final class TriplesGraph(
     }
     objIris.foldLeft(subj)(_.unionByName(_)).distinct()
   }
+
+  /** Persist the graph as ONE parquet dataset partitioned by
+    * (predicate, object-kind, subject-class) — the 100 TB storage layout:
+    * a constant-predicate scan is partition pruning, a typed NPS scan
+    * prunes to the complement × matching-class partitions, and the typed
+    * object columns keep every slice's native type. Class branches come
+    * from `byClass` (single-class slices write their one class; slices
+    * with no declaration write `__all`). Reload with [[TriplesGraph.load]].
+    */
+  def save(path: String): Unit = {
+    def nullc(t: DataType) = lit(null).cast(t)
+    val parts = slices.toSeq.flatMap { case (p, sl) =>
+      val kindTag = sl.kind match {
+        case OKind.KIri => "iri"
+        case OKind.KStr => if (sl.hasLang) "strlang" else "str"
+        case OKind.KLong => "long"
+        case OKind.KDbl => "dbl"
+        case OKind.KBool => "bool"
+        case OKind.KTs => "ts"
+      }
+      val branches: Seq[(String, DataFrame)] =
+        if (sl.byClass.nonEmpty) sl.byClass.toSeq
+        else Seq((sl.subjectClasses.toSeq match {
+          case Seq(one) => one
+          case _ => "__all"
+        }) -> sl.df)
+      branches.map { case (cls, df) =>
+        val o = col("o")
+        val typed = sl.kind match {
+          case OKind.KIri | OKind.KStr => Seq(o.cast(StringType).as("o_str"),
+            nullc(LongType).as("o_long"), nullc(DoubleType).as("o_dbl"),
+            nullc(BooleanType).as("o_bool"), nullc(TimestampType).as("o_ts"))
+          case OKind.KLong => Seq(nullc(StringType).as("o_str"), o.cast(LongType).as("o_long"),
+            nullc(DoubleType).as("o_dbl"), nullc(BooleanType).as("o_bool"),
+            nullc(TimestampType).as("o_ts"))
+          case OKind.KDbl => Seq(nullc(StringType).as("o_str"), nullc(LongType).as("o_long"),
+            o.cast(DoubleType).as("o_dbl"), nullc(BooleanType).as("o_bool"),
+            nullc(TimestampType).as("o_ts"))
+          case OKind.KBool => Seq(nullc(StringType).as("o_str"), nullc(LongType).as("o_long"),
+            nullc(DoubleType).as("o_dbl"), o.cast(BooleanType).as("o_bool"),
+            nullc(TimestampType).as("o_ts"))
+          case OKind.KTs => Seq(nullc(StringType).as("o_str"), nullc(LongType).as("o_long"),
+            nullc(DoubleType).as("o_dbl"), nullc(BooleanType).as("o_bool"),
+            o.cast(TimestampType).as("o_ts"))
+        }
+        val lang = if (sl.hasLang) col("o_lang").cast(StringType) else nullc(StringType)
+        df.select(Seq(col("s").cast(StringType).as("s")) ++ typed ++ Seq(
+          lang.as("o_lang"), lit(p).as("p"), lit(kindTag).as("kind"),
+          lit(cls).as("cls")): _*)
+      }
+    }
+    parts.reduce(_.unionByName(_))
+      .write.mode("overwrite").partitionBy("p", "kind", "cls").parquet(path)
+  }
 }
 
 object TriplesGraph {
@@ -177,4 +231,48 @@ object TriplesGraph {
   def fromSlices(spark: SparkSession, slices: Map[String, PredicateSlice],
       ts: Option[TsSource] = None): TriplesGraph =
     new TriplesGraph(spark, slices, ts)
+
+  /** Reload a graph persisted by [[TriplesGraph#save]]. Slice frames are
+    * partition-pruned filters over the one dataset (a constant-predicate
+    * scan touches only its p=… directories); subject classes and byClass
+    * branches are rebuilt from the cls partition values, so class-aware
+    * NPS pruning works identically on a reloaded graph. The partition
+    * inventory is one metadata listing at catalog-build time. */
+  def load(spark: SparkSession, path: String,
+      ts: Option[TsSource] = None): TriplesGraph = {
+    val base = spark.read.parquet(path)
+    val inventory = base.select("p", "kind", "cls").distinct().collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    val slices = inventory.groupBy(_._1).map { case (p, rows) =>
+      val kindTag = rows.head._2
+      val classes = rows.map(_._3).filterNot(_ == "__all").toSet
+      val (kind, hasLang) = kindTag match {
+        case "iri" => (OKind.KIri, false)
+        case "str" => (OKind.KStr, false)
+        case "strlang" => (OKind.KStr, true)
+        case "long" => (OKind.KLong, false)
+        case "dbl" => (OKind.KDbl, false)
+        case "bool" => (OKind.KBool, false)
+        case "ts" => (OKind.KTs, false)
+        case other => throw new IllegalStateException(s"unknown kind tag $other")
+      }
+      val oCol = kind match {
+        case OKind.KIri | OKind.KStr => col("o_str")
+        case OKind.KLong => col("o_long")
+        case OKind.KDbl => col("o_dbl")
+        case OKind.KBool => col("o_bool")
+        case OKind.KTs => col("o_ts")
+      }
+      def sel(df: DataFrame): DataFrame = {
+        val cols = Seq(col("s"), oCol.as("o")) ++
+          (if (hasLang) Seq(col("o_lang")) else Nil)
+        df.select(cols: _*)
+      }
+      val whole = sel(base.filter(col("p") === p))
+      val byClass = classes.map(c =>
+        c -> sel(base.filter(col("p") === p && col("cls") === c))).toMap
+      p -> PredicateSlice(whole, kind, hasLang, Nil, classes, byClass)
+    }
+    new TriplesGraph(spark, slices, ts)
+  }
 }
