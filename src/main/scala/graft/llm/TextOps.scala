@@ -43,7 +43,7 @@ object TextOps {
     * per-partition kernel (interpreted higher-order fns don't codegen). */
   def rollingFingerprint(text: Column): Column = {
     val codes = transform(split(text, ""), ch => ascii(ch).cast(LongType))
-    when(length(text) === 0, lit(0L)).otherwise(
+    when(text.isNull || length(text) === 0, lit(0L)).otherwise(
       aggregate(
         slice(codes, lit(2), greatest(size(codes) - 1, lit(0))),
         element_at(codes, 1),
@@ -60,7 +60,7 @@ object TextOps {
     val rdd = df.select(col(idCol).cast(LongType), col(textCol)).rdd
       .mapPartitions { rows =>
         rows.map { r =>
-          val s = r.getString(1)
+          val s = if (r.isNullAt(1)) "" else r.getString(1)
           var h = 0L
           if (s.nonEmpty) {
             h = s.charAt(0).toLong

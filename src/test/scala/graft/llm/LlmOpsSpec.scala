@@ -68,13 +68,14 @@ class LlmOpsSpec extends SparkTestBase {
 
   test("rolling fingerprint: known value, order sensitivity, empty doc") {
     import spark.implicits._
-    val docs = Seq((1L, "hello world"), (2L, "world hello"), (3L, ""))
-      .toDF("doc_id", "text")
+    val docs = Seq((1L, "hello world"), (2L, "world hello"), (3L, ""),
+      (4L, null)).toDF("doc_id", "text")
     val got = docs.select(col("doc_id"), TextOps.rollingFingerprint(col("text")).as("fp"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got(1L) == 285884129L) // independently computed reference value
     assert(got(1L) != got(2L))    // order-sensitive, unlike tokenSetFingerprint
     assert(got(3L) == 0L)
+    assert(got(4L) == 0L) // null text
     // the kernel spelling computes the identical fold
     val kernel = TextOps.rollingFingerprints(docs, "doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
