@@ -98,8 +98,17 @@ final class SparqlExecutor(
       val rs = translatePattern(r, unitSol)
       val shared = ls.vars.intersect(rs.vars)
       if (shared.isEmpty) ls // SPARQL MINUS with disjoint domains removes nothing
-      else Sol(ls.df.join(rs.df.select(shared.map(col): _*).distinct(), shared, "left_anti"),
-        ls.vars)
+      else {
+        // alias the right side's columns: both sides often scan the same
+        // slice, and a left_anti on shared names over shared lineage trips
+        // Spark's ambiguous-self-join disambiguation (trivially-true
+        // predicate warning, fragile across upgrades)
+        val renames = shared.map(v => v -> freshName("m")).toMap
+        val rdf = rs.df
+          .select(shared.map(v => col(v).as(renames(v))): _*).distinct()
+        val cond = shared.map(v => ls.df(v) === rdf(renames(v))).reduce(_ && _)
+        Sol(ls.df.join(rdf, cond, "left_anti"), ls.vars)
+      }
     case lj: LeftJoin => translateLeftJoin(lj, input)
     case ValuesPattern(vars, rows) => joinSols(input, valuesSol(vars, rows))
     case SubSelect(q) => joinSols(input, translateQuery(q, unitSol))
@@ -435,7 +444,91 @@ final class SparqlExecutor(
   }
 
   private def isVirtual(p: String): Boolean =
-    p == Otit.hasDataPoint || p == Otit.hasTimestamp || p == Otit.hasValue
+    p == Otit.hasDataPoint || p == Otit.hasTimestamp || p == Otit.hasValue ||
+      p == Otit.hasDatatype
+
+  /** xsd datatype of the TS source's value column. */
+  private lazy val tsValueXsd: String =
+    xsdOfSparkType(graph.ts.get.df.schema("value").dataType)
+
+  /** Value-datatype consistency (the reference's InconsistentDatatype
+    * orchestration error, hybrid/src/engine.rs:155-176, + the validate()
+    * step at :124-128): every series a TS chain reads data for must declare
+    * (under `otit_swt:hasDatatype`) a datatype that stores as the value kind
+    * the TS source holds. Kind-level, not IRI-equality — the reference
+    * fixtures declare xsd:unsignedInt over integer storage.
+    *
+    * Split in two so the check happens AFTER the series⋈data join: a series
+    * declared with a foreign datatype but holding no data in this TS source
+    * (the wind-power case's boolean operational series) must not poison
+    * queries over the series that do — Catalyst would push a one-sided
+    * `raise_error` projection down into the metadata scan, so the guard
+    * expression must straddle the join (declared datatype from the metadata
+    * side, guarded column from the data side). */
+  private def attachDeclaredDatatype(df: DataFrame, entityCol: String)
+    : (DataFrame, Option[String]) = graph.slice(Otit.hasDatatype) match {
+    case None => (df, None)
+    case Some(dsl) =>
+      val ds = freshName("dts"); val dv = freshName("dtv")
+      val dmap = dsl.df.select(col("s").as(ds), col("o").cast(StringType).as(dv))
+      (df.join(dmap, df(entityCol) === dmap(ds), "left_outer").drop(ds), Some(dv))
+  }
+
+  /** `onCol`, guarded: raises when the declared datatype column `dv` is
+    * bound but stores as a different value kind than the TS source. */
+  private def datatypeGuarded(dv: String, onCol: Column): Column = {
+    val knownNonStr: Seq[String] =
+      (Xsd.numericLong ++ Xsd.numericDouble ++ Set(Xsd.boolean, Xsd.dateTime,
+        Xsd.date, Xsd.dateTimeStamp)).toSeq
+    val compatible: Column = OKind.ofDatatype(tsValueXsd) match {
+      case OKind.KLong => col(dv).isin(Xsd.numericLong.toSeq: _*)
+      case OKind.KDbl => col(dv).isin(Xsd.numericDouble.toSeq: _*)
+      case OKind.KBool => col(dv) === Xsd.boolean
+      case OKind.KTs => col(dv).isin(Xsd.dateTime, Xsd.date, Xsd.dateTimeStamp)
+      case _ => !col(dv).isin(knownNonStr: _*)
+    }
+    when(col(dv).isNotNull && !compatible,
+      raise_error(concat(
+        lit("inconsistent time-series datatypes: graph declares "), col(dv),
+        lit(s" under ${Otit.hasDatatype} but the time-series source stores " +
+          tsValueXsd))))
+      .otherwise(onCol)
+  }
+
+  /** Component for a `?ts otit_swt:hasDatatype ?dt` pattern when the graph
+    * declares NO hasDatatype triples of its own: series entities come from
+    * the hasExternalId slice, the datatype is the TS source's actual value
+    * type. (When the graph does declare them, the pattern scans that slice
+    * like any other — binding the graph-declared IRI, reference behavior —
+    * and the kind-level consistency check above has already run.) */
+  private def datatypeSol(s: VarOrTerm, o: VarOrTerm): Sol = {
+    val extSlice = graph.slice(Otit.hasExternalId).getOrElse(
+      throw new IllegalArgumentException(
+        s"graph has no ${Otit.hasExternalId} triples but a ${Otit.hasDatatype} " +
+          "pattern needs them to enumerate series entities"))
+    var df = extSlice.df
+    s match {
+      case T(t) => df = df.filter(col("s") === t.canonical)
+      case V(sv) if o == V(sv) =>
+        // subject (a series node) can only equal the object (a datatype IRI)
+        // never — but express it as the filter, not a hand-empty frame
+        df = df.filter(col("s") === lit(tsValueXsd))
+      case _ =>
+    }
+    o match {
+      case T(t) if t.canonical != tsValueXsd => df = df.limit(0)
+      case _ =>
+    }
+    val vars = ArrayBuffer.empty[String]
+    val cols = ArrayBuffer.empty[Column]
+    s match { case V(v) => vars += v; cols += col("s").as(v); case _ => }
+    o match {
+      case V(v) if !vars.contains(v) => vars += v; cols += lit(tsValueXsd).as(v)
+      case _ =>
+    }
+    if (vars.isEmpty) Sol(df.limit(1).select(lit(1).as(freshName("guard"))), Nil)
+    else Sol(df.select(cols.toSeq: _*), vars.toSeq)
+  }
 
   // ------------------------------------------------- time-series rewrite
   /** Group virtual triples by data-point variable; emit one TS scan per
@@ -457,9 +550,17 @@ final class SparqlExecutor(
     val tsDf = ts.get.df
     val dpKey = concat(col("id"), lit("@"), unix_micros(col("ts")).cast(StringType))
 
-    val virtualT = triples.filter(t => isVirtual(t._2))
+    val (dtTriples0, virtualT) =
+      triples.filter(t => isVirtual(t._2)).partition(_._2 == Otit.hasDatatype)
     val static = ArrayBuffer.empty[(VarOrTerm, String, VarOrTerm)]
     static ++= triples.filterNot(t => isVirtual(t._2))
+    // graph-declared hasDatatype triples scan their slice like any static
+    // predicate (the per-series consistency guard rides the chain's
+    // series-metadata join); only a graph with no declaration synthesizes
+    // the binding from the TS source's actual value type
+    val dtTriples =
+      if (graph.slice(Otit.hasDatatype).isDefined) { static ++= dtTriples0; Nil }
+      else dtTriples0
 
     // chains keyed by dp variable name
     case class Chain(var tsEnt: Option[VarOrTerm] = None,
@@ -494,22 +595,38 @@ final class SparqlExecutor(
               s"graph has no ${Otit.hasExternalId} triples but a TS chain needs them"))
           val extKey = freshName("extid")
           val entVars = ArrayBuffer.empty[String]
-          val ext = ent match {
+          val entTmp = freshName("ent")
+          val ext0 = ent match {
             case V(ev) =>
               entVars += ev
               extSlice.df.select(col("s").as(ev), col("o").as(extKey))
             case T(t) =>
-              extSlice.df.filter(col("s") === t.canonical).select(col("o").as(extKey))
+              extSlice.df.filter(col("s") === t.canonical)
+                .select(col("s").as(entTmp), col("o").as(extKey))
           }
+          val (ext1, dvOpt) = attachDeclaredDatatype(ext0,
+            ent match { case V(ev) => ev; case T(_) => entTmp })
+          val ext = ent match { case T(_) => ext1.drop(entTmp); case _ => ext1 }
           val scan = tsDf.select((col("id") +: cols.toSeq): _*)
-          val joined = ext.join(scan, col(extKey) === scan("id"), "inner")
+          var joined = ext.join(scan, col(extKey) === scan("id"), "inner")
             .drop(extKey).drop("id")
+          // the guard straddles the join: declared datatype (metadata side)
+          // vs data-side columns — evaluated only for series that actually
+          // contribute data points to this chain. Folded into EVERY data
+          // column (dp key, timestamp, value): column pruning keeps only
+          // what the query consumes, and whichever survives must carry it
+          dvOpt.foreach { dv =>
+            for (v <- dpVar +: (c.tVar.toSeq ++ c.vVar.toSeq))
+              joined = joined.withColumn(v, datatypeGuarded(dv, col(v)))
+            joined = joined.drop(dv)
+          }
           Sol(joined, entVars.toSeq ++ vars.toSeq)
         case None =>
           Sol(tsDf.select(cols.toSeq: _*), vars.toSeq)
       }
     }.toSeq
-    (comps, static.toSeq)
+    val dtComps = dtTriples.map { case (s, _, o) => datatypeSol(s, o) }
+    (comps ++ dtComps, static.toSeq)
   }
 
   private def varName(v: VarOrTerm): String = v match {
@@ -555,7 +672,11 @@ final class SparqlExecutor(
         val next = stepped.except(acc).localCheckpoint()
         if (next.isEmpty) done = true
         else {
-          acc = acc.union(next).distinct().localCheckpoint()
+          // no .distinct(): `next` is already distinct (except-output) and
+          // disjoint from `acc`, so the union is duplicate-free — a distinct
+          // here would pay one extra full shuffle of the accumulated closure
+          // per round (O(diameter) needless shuffles on deep paths at scale)
+          acc = acc.union(next).localCheckpoint()
           frontier = next
           i += 1
         }
@@ -696,7 +817,9 @@ final class SparqlExecutor(
         case "strstarts" => a(0).startsWith(a(1))
         case "strends" => a(0).endsWith(a(1))
         case "replace" =>
-          if (a.size >= 4) regexp_replace(a(0), a(1), a(2)) // flags unsupported
+          // flags become a Java-regex inline group, same idiom as REGEX below
+          if (a.size >= 4)
+            regexp_replace(a(0), concat(lit("(?"), a(3), lit(")"), a(1)), a(2))
           else regexp_replace(a(0), a(1), a(2))
         case "regex" =>
           if (args.size >= 3) regexp_like(a(0), concat(lit("(?"), a(2), lit(")"), a(1)))
@@ -744,7 +867,12 @@ final class SparqlExecutor(
             throw new IllegalArgumentException(
               s"datatype() supports variables and literals, got $other")
         }
-        case "sameterm" => a(0).cast(StringType) === a(1).cast(StringType)
+        case "sameterm" =>
+          // concat() on one side keeps identical semantics (identity on a
+          // single string, null-propagating) while making the two operands
+          // structurally distinct — sameTerm(?x, ?x) is legitimate SPARQL
+          // and must not trip Spark's trivially-true-predicate warning
+          a(0).cast(StringType) === concat(a(1).cast(StringType))
         case "isnumeric" => a(0).cast(DoubleType).isNotNull
         // term-kind tests on the canonical string form: IRIs carry a scheme
         // prefix, blank nodes "_:"; everything else is a literal
@@ -814,7 +942,7 @@ final class SparqlExecutor(
       else if (Xsd.numericDouble(dt)) lit(lex.toDouble)
       else if (dt == Xsd.boolean) lit(lex.toBoolean)
       else if (dt == Xsd.dateTime || dt == Xsd.date)
-        lit(java.sql.Timestamp.valueOf(java.time.LocalDateTime.parse(lex.replace("Z", ""))))
+        lit(Xsd.parseTimestamp(lex))
       else lit(lex)
   }
 
@@ -990,8 +1118,7 @@ object SparqlExecutor {
     case (OKind.KLong, Lit(lex, _, _)) => lex.toLong
     case (OKind.KDbl, Lit(lex, _, _)) => lex.toDouble
     case (OKind.KBool, Lit(lex, _, _)) => lex.toBoolean
-    case (OKind.KTs, Lit(lex, _, _)) =>
-      java.sql.Timestamp.valueOf(java.time.LocalDateTime.parse(lex.replace("Z", "")))
+    case (OKind.KTs, Lit(lex, _, _)) => Xsd.parseTimestamp(lex)
     case (_, t0) => t0.canonical
   }
 }

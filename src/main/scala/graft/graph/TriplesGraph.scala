@@ -208,8 +208,7 @@ object TriplesGraph {
           case (OKind.KLong, Lit(lex, _, _)) => lex.toLong
           case (OKind.KDbl, Lit(lex, _, _)) => lex.toDouble
           case (OKind.KBool, Lit(lex, _, _)) => lex.toBoolean
-          case (OKind.KTs, Lit(lex, _, _)) => java.sql.Timestamp.valueOf(
-            java.time.LocalDateTime.parse(lex.replace("Z", "")))
+          case (OKind.KTs, Lit(lex, _, _)) => Xsd.parseTimestamp(lex)
           case (_, t) => t.canonical
         }
         val lang: Any = o match { case Lit(_, _, l) => l.orNull; case _ => null }

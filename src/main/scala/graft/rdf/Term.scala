@@ -41,6 +41,25 @@ object Xsd {
 
   val numericLong: Set[String] = Set(integer, int, long, unsignedInt, unsignedLong)
   val numericDouble: Set[String] = Set(double, float, decimal)
+
+  /** Parse an xsd:dateTime / xsd:date lexical form to a timestamp.
+    *
+    * Accepts explicit offsets (`2021-12-01T00:00:01+01:00`, the reference
+    * DSL's own example format — dsl/src/translator/timestamp_conditions.rs:
+    * 9-38), `Z`, and zone-less forms; offset forms are converted to UTC
+    * instants, zone-less forms are read in the JVM default zone (UTC in
+    * every entry point of this engine).
+    */
+  def parseTimestamp(lex: String): java.sql.Timestamp =
+    try java.sql.Timestamp.from(java.time.OffsetDateTime.parse(lex).toInstant)
+    catch {
+      case _: java.time.format.DateTimeParseException =>
+        val ldt =
+          if (lex.contains("T"))
+            java.time.LocalDateTime.parse(lex.stripSuffix("Z"))
+          else java.time.LocalDate.parse(lex).atStartOfDay()
+        java.sql.Timestamp.valueOf(ldt)
+    }
 }
 
 object Rdf {

@@ -352,5 +352,27 @@ object SparqlQueries {
         |  BIND(MD5(?sname) AS ?h1)
         |  BIND(SHA256(?sname) AS ?h2)
         |} ORDER BY ?sname""".stripMargin),
+
+    // ---- the reference's injected `otit_swt:hasDatatype` vocabulary
+    // (rewriting/graph_patterns/bgp_pattern.rs:61-67): the declared series
+    // value datatype joins into a hybrid query, verified consistent with
+    // the TS source's actual value type (engine.rs:155-176) — the variable
+    // binds, the matching constant filters nothing, and aggregation over
+    // the data points still runs through the one-plan TS route.
+    sq("q66_sparql_hasdatatype",
+      """SELECT 'urn:graft:sensor:' || event_type AS sensor,
+        |  'http://www.w3.org/2001/XMLSchema#double' AS dt,
+        |  COUNT(*) AS n
+        |FROM events
+        |GROUP BY sensor, dt
+        |ORDER BY sensor NULLS FIRST""".stripMargin,
+      """SELECT ?sensor ?dt (COUNT(?v) AS ?n) WHERE {
+        |  ?sensor otit_swt:hasTimeseries ?ts .
+        |  ?ts otit_swt:hasDatatype ?dt .
+        |  ?ts otit_swt:hasDatatype xsd:double .
+        |  ?ts otit_swt:hasDataPoint ?dp .
+        |  ?dp otit_swt:hasValue ?v .
+        |} GROUP BY ?sensor ?dt
+        |ORDER BY ?sensor""".stripMargin),
   )
 }

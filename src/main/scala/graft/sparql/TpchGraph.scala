@@ -85,6 +85,10 @@ object TpchGraph {
       iri("series", col("event_type")).as("o"))
     val extId = sensors.select(iri("series", col("event_type")).as("s"),
       col("event_type").as("o"))
+    // per-series declared value datatype (the reference's injected
+    // `?ts otit_swt:hasDatatype` vocabulary): events.value is double
+    val hasDt = sensors.select(iri("series", col("event_type")).as("s"),
+      lit(graft.rdf.Xsd.double).as("o"))
 
     // wide property tables for same-subject scan fusion: one row per entity
     // with a column per predicate, so an n-predicate star over one entity
@@ -144,6 +148,8 @@ object TpchGraph {
       graft.rdf.Otit.hasTimeseries -> PredicateSlice(hasTs, OKind.KIri,
         subjectClasses = Set(typeSensor)),
       graft.rdf.Otit.hasExternalId -> PredicateSlice(extId, OKind.KStr,
+        subjectClasses = Set(typeSeries)),
+      graft.rdf.Otit.hasDatatype -> PredicateSlice(hasDt, OKind.KIri,
         subjectClasses = Set(typeSeries)),
     )
     val ts = TsSource(events.select(col("event_type").as("id"), col("ts"), col("value")))

@@ -284,4 +284,39 @@ class ExprSpec extends SparkTestBase {
       .collect().map(_.getString(0)).toSet
     assert(inv == Set("Hello", "2022-06-01 08:00:00", s"${ex}g1"))
   }
+
+  test("REPLACE honours the flags argument") {
+    val got = run(
+      """SELECT ?s ?r WHERE {
+        |  ?s ex:label ?v . BIND(REPLACE(?v, "^h", "J", "i") AS ?r)
+        |} ORDER BY ?s""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // case-insensitive: both "Hello" and "Hallo" rewrite; without the flag
+    // only lowercase h would
+    assert(got == Set((s"${ex}a", "Jello"), (s"${ex}b", "Jallo"),
+      (s"${ex}c", "plain")))
+    val noFlag = run(
+      """SELECT ?r WHERE { ex:a ex:label ?v . BIND(REPLACE(?v, "^h", "J") AS ?r) }""")
+      .collect().map(_.getString(0)).toSeq
+    assert(noFlag == Seq("Hello"))
+  }
+
+  test("timezone-offset datetime literals convert to UTC instants") {
+    // ex:when = 2022-06-01T08:00:00 (UTC). 09:00:01+01:00 == 08:00:01Z,
+    // so `<` matches; a naive zone-stripping parse (09:00:01) would too —
+    // the distinguishing case is 09:00:01+02:00 == 07:00:01Z, which only
+    // matches under correct offset conversion.
+    val lt = run(
+      s"""SELECT ?s WHERE {
+         |  ?s ex:when ?t . FILTER(?t < "2022-06-01T09:00:01+01:00"^^<${Xsd.dateTime}>)
+         |}""".stripMargin)
+      .collect().map(_.getString(0)).toSeq
+    assert(lt == Seq(s"${ex}a"))
+    val gt = run(
+      s"""SELECT ?s WHERE {
+         |  ?s ex:when ?t . FILTER(?t > "2022-06-01T09:00:01+02:00"^^<${Xsd.dateTime}>)
+         |}""".stripMargin)
+      .collect().map(_.getString(0)).toSeq
+    assert(gt == Seq(s"${ex}a"))
+  }
 }
