@@ -262,44 +262,83 @@ object TextOps {
   /** Connected components over an undirected near-duplicate pair set
     * (`ida`, `idb`): dedup at pipeline level keeps ONE representative per
     * cluster, and pairs alone don't define clusters — transitive closure
-    * does. Min-label propagation to fixpoint: every node starts as its own
-    * label; each round every node takes the minimum label among itself and
-    * its neighbors (one join + one partial-aggregated shuffle), rounds are
-    * localCheckpointed so plans stay flat. Converges in O(component
-    * diameter) rounds — near-dup clusters are shallow (dups of dups), so
-    * single digits in practice; `maxIters` is a runaway guard that throws
-    * rather than returning a silently unfinished clustering. At 10^9+ edges
-    * swap the propagation step for large-star/small-star (same join
-    * primitive, O(log n) rounds); the output contract is unchanged.
+    * does.
+    *
+    * Alternating large-star/small-star (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14): each round hooks every
+    * node to the minimum of its neighborhood, so component depth roughly
+    * halves per round — O(log n) rounds regardless of diameter, where plain
+    * min-label propagation needs O(diameter) (a 10^6-long chain is 10^6
+    * propagation rounds vs ~20 here; near-dup clusters are usually shallow,
+    * but one pathological chain in 100 TB of pairs would stall the whole
+    * job). Each half-round is a groupBy-min plus a join over the edge set —
+    * the same shuffle primitives propagation used, localCheckpointed so
+    * plans stay flat. `maxIters` is a runaway guard that throws rather than
+    * returning a silently unfinished clustering.
     *
     * Output: (id, cluster) for every node that appears in a pair, with
     * cluster = min doc id of its component (the canonical keep-lowest-id
     * rule). */
-  def connectedComponents(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
-    val half = pairs.select(col("ida").cast(LongType).as("a"),
-      col("idb").cast(LongType).as("b"))
-    val edges = half
-      .unionByName(half.select(col("b").as("a"), col("a").as("b")))
-      .localCheckpoint()
-    var labels = edges.select(col("a").as("id")).distinct()
-      .withColumn("lbl", col("id")).localCheckpoint()
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 50): DataFrame =
+    connectedComponentsStar(pairs, maxIters)._1
+
+  /** Implementation, exposing the round count so the convergence spec can
+    * pin the O(log n) behavior. */
+  private[graft] def connectedComponentsStar(pairs: DataFrame, maxIters: Int = 50)
+    : (DataFrame, Int) = {
+    val nodes = pairs.select(col("ida").cast(LongType).as("id"))
+      .unionByName(pairs.select(col("idb").cast(LongType).as("id")))
+      .distinct().localCheckpoint()
+    // canonical undirected edge set, oriented larger → smaller
+    var edges = pairs
+      .select(col("ida").cast(LongType).as("a"), col("idb").cast(LongType).as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(greatest(col("a"), col("b")).as("hi"), least(col("a"), col("b")).as("lo"))
+      .distinct().localCheckpoint()
     var iter = 0
-    var changed = true
-    while (changed) {
+    var converged = edges.isEmpty
+    // cheap per-round fixpoint signal: (row count, sum of row hashes). Only
+    // when signatures match does the exact two-sided except run — so the
+    // expensive set-equality shuffle is paid once, at the fixpoint, not per
+    // round, and a hash collision can never declare a false fixpoint.
+    def sig(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)),
+        bit_xor(xxhash64(col("hi"), col("lo")))).collect()(0)
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var edgeSig = if (converged) (0L, 0L) else sig(edges)
+    while (!converged) {
       iter += 1
       if (iter > maxIters)
         throw new IllegalStateException(
           s"connectedComponents did not converge within $maxIters rounds")
-      val nbrMin = edges
-        .join(labels.select(col("id").as("b"), col("lbl").as("nlbl")), "b")
-        .groupBy(col("a").as("id")).agg(min(col("nlbl")).as("mn"))
-      val next = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"), col("lbl"),
-          least(col("lbl"), coalesce(col("mn"), col("lbl"))).as("nlbl2"))
-        .localCheckpoint()
-      changed = next.filter(col("nlbl2") < col("lbl")).limit(1).count() > 0
-      labels = next.select(col("id"), col("nlbl2").as("lbl"))
+      // large-star: every node u links its strictly-larger neighbors to
+      // m = min(Γ(u) ∪ {u}); emitted edges keep the larger→smaller shape
+      // because v > u >= m
+      val sym = edges.select(col("hi").as("u"), col("lo").as("v"))
+        .unionByName(edges.select(col("lo").as("u"), col("hi").as("v")))
+      val minU = sym.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val large = sym.join(minU, "u").filter(col("v") > col("u"))
+        .select(col("v").as("hi"), col("m").as("lo"))
+        .distinct().localCheckpoint()
+      // small-star: every node u (as the larger endpoint) links its smaller
+      // neighbors and itself to their minimum m = min(Γ⁻(u) ∪ {u})
+      val minS = large.groupBy("hi").agg(min("lo").as("m"))
+      val small = minS.select(col("hi"), col("m").as("lo"))
+        .unionByName(large.join(minS, "hi").filter(col("lo") =!= col("m"))
+          .select(col("lo").as("hi"), col("m").as("lo")))
+        .distinct().localCheckpoint()
+      // fixpoint: the edge set is a stable set of stars
+      val smallSig = sig(small)
+      converged = smallSig == edgeSig &&
+        small.except(edges).isEmpty && edges.except(small).isEmpty
+      edgeSig = smallSig
+      edges = small
     }
-    labels.select(col("id"), col("lbl").as("cluster"))
+    val labels = nodes
+      .join(edges.select(col("hi").as("id"), col("lo").as("cluster")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))
+    (labels, iter)
   }
 }

@@ -93,6 +93,23 @@ class LlmOpsSpec extends SparkTestBase {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("connected components converge in O(log n) rounds on a long chain") {
+    import spark.implicits._
+    // a 256-node chain has diameter 255: min-label propagation would need
+    // ~255 rounds; alternating large-star/small-star halves depth per
+    // round. Shuffle the edge order so convergence can't ride insertion
+    // order, and offset ids so cluster != 0 is meaningful.
+    val n = 256
+    val edges = scala.util.Random.shuffle(
+      (0 until n - 1).map(i => (i + 1000L, i + 1001L)).toList)
+    val (labels, rounds) =
+      TextOps.connectedComponentsStar(edges.toDF("ida", "idb"))
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == n)
+    assert(got.values.forall(_ == 1000L))
+    assert(rounds <= 15, s"expected O(log n) convergence, took $rounds rounds")
+  }
+
   test("IVF with all cells probed equals exact brute-force top-k") {
     val emb = graft.T.embeddings(spark, sf)
     val queries = emb.filter(col("vec_id") < 10)
