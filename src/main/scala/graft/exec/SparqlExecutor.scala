@@ -449,7 +449,7 @@ final class SparqlExecutor(
 
   /** xsd datatype of the TS source's value column. */
   private lazy val tsValueXsd: String =
-    xsdOfSparkType(graph.ts.get.df.schema("value").dataType)
+    xsdOfSparkType(graph.ts.get.frame.schema("value").dataType)
 
   /** Value-datatype consistency (the reference's InconsistentDatatype
     * orchestration error, hybrid/src/engine.rs:155-176, + the validate()
@@ -465,13 +465,26 @@ final class SparqlExecutor(
     * `raise_error` projection down into the metadata scan, so the guard
     * expression must straddle the join (declared datatype from the metadata
     * side, guarded column from the data side). */
+  /** True iff some declared datatype is kind-incompatible with the TS
+    * source's storage — only then is the guard worth its plan cost: the
+    * guard expression straddles the series join, which blocks pushing the
+    * query's time filters below it, so attaching it unconditionally would
+    * tax every hybrid query for a metadata error almost no graph has. The
+    * decision reads a cached metadata-sized distinct of the hasDatatype
+    * slice (one tiny job per graph). */
+  private lazy val needsDatatypeGuard: Boolean =
+    graph.slice(Otit.hasDatatype).isDefined && {
+      val actualKind = OKind.ofDatatype(tsValueXsd)
+      graph.declaredTsDatatypes.exists(dt => OKind.ofDatatype(dt) != actualKind)
+    }
+
   private def attachDeclaredDatatype(df: DataFrame, entityCol: String)
     : (DataFrame, Option[String]) = graph.slice(Otit.hasDatatype) match {
-    case None => (df, None)
-    case Some(dsl) =>
+    case Some(dsl) if needsDatatypeGuard =>
       val ds = freshName("dts"); val dv = freshName("dtv")
       val dmap = dsl.df.select(col("s").as(ds), col("o").cast(StringType).as(dv))
       (df.join(dmap, df(entityCol) === dmap(ds), "left_outer").drop(ds), Some(dv))
+    case _ => (df, None)
   }
 
   /** `onCol`, guarded: raises when the declared datatype column `dv` is
@@ -547,7 +560,7 @@ final class SparqlExecutor(
     val ts = graph.ts
     if (ts.isEmpty || !triples.exists(t => isVirtual(t._2)))
       return (Nil, triples)
-    val tsDf = ts.get.df
+    val tsDf = ts.get.frame
     val dpKey = concat(col("id"), lit("@"), unix_micros(col("ts")).cast(StringType))
 
     val (dtTriples0, virtualT) =

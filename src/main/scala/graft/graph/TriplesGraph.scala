@@ -66,13 +66,33 @@ final case class PredicateSlice(df: DataFrame, kind: OKind,
     subjectClasses: Set[String] = Set.empty,
     byClass: Map[String, DataFrame] = Map.empty)
 
-/** A time-series source for the hybrid engine: long-format
-  * `(id: String, ts: Timestamp, value: numeric)` — SURVEY §1.1. The external
-  * ids stored in the graph under `otit_swt:hasExternalId` join against `id`.
+/** Pluggable time-series backend for the hybrid engine — the reference's
+  * `TimeSeriesQueryable` trait (hybrid/src/timeseries_database.rs:11-15,
+  * with Dremio / OPC UA HA / in-memory impls), re-expressed Spark-first.
+  *
+  * A provider yields one DECLARATIVE long-format frame
+  * `(id: String, ts: Timestamp, value: numeric)`; the external ids stored
+  * in the graph under `otit_swt:hasExternalId` join against `id`. Where the
+  * reference needs a per-backend SQL rewriter (943 LoC,
+  * timeseries_sql_rewrite.rs) to ship each query's filters to the external
+  * system, here the executor composes the query against `frame` and
+  * Catalyst pushes time/id predicates and column pruning into whatever
+  * source backs it — parquet (PushedFilters / PartitionFilters, asserted in
+  * PlanSpec), JDBC (WHERE-clause pushdown via the JDBC source), or an
+  * in-memory frame (filters run post-scan, same plan shape).
   */
-final case class TsSource(df: DataFrame) {
+trait TsProvider {
+  /** The long-format view. Must expose columns id/ts/value. */
+  def frame: DataFrame
+}
+
+/** In-memory / pre-built-frame provider (the reference's
+  * simple_in_memory_timeseries.rs analogue): wraps any DataFrame already
+  * in long format. */
+final case class TsSource(df: DataFrame) extends TsProvider {
   require(Seq("id", "ts", "value").forall(df.columns.contains),
     s"TsSource needs id/ts/value columns, got ${df.columns.mkString(",")}")
+  def frame: DataFrame = df
 }
 
 /** An RDF graph held as per-predicate DataFrame slices + an optional
@@ -83,7 +103,7 @@ final case class TsSource(df: DataFrame) {
 final class TriplesGraph(
     val spark: SparkSession,
     val slices: Map[String, PredicateSlice],
-    val ts: Option[TsSource] = None) {
+    val ts: Option[TsProvider] = None) {
 
   def slice(predicate: String): Option[PredicateSlice] = slices.get(predicate)
 
@@ -123,6 +143,18 @@ final class TriplesGraph(
           StructField("o", StringType))))
     }
   }
+
+  /** Distinct datatype IRIs the graph declares under `otit_swt:hasDatatype`
+    * (empty when none are declared). One tiny distinct-aggregation over a
+    * series-metadata slice, cached for the graph's lifetime — the executor
+    * uses it to decide whether any declaration could conflict with the TS
+    * source's storage kind, so the common all-consistent case plans with
+    * ZERO guard overhead (full filter pushdown below the series join). */
+  lazy val declaredTsDatatypes: Seq[String] =
+    slices.get(Otit.hasDatatype).map { sl =>
+      sl.df.select(col("o").cast(StringType)).distinct()
+        .collect().map(_.getString(0)).toSeq.sorted
+    }.getOrElse(Nil)
 
   /** All nodes of the graph (for zero-length path semantics). */
   lazy val nodes: DataFrame = {
@@ -192,7 +224,7 @@ object TriplesGraph {
 
   /** Build from an in-memory triple list (fixtures, mapper output). */
   def fromTerms(spark: SparkSession, triples: Seq[(Term, String, Term)],
-      ts: Option[TsSource] = None): TriplesGraph = {
+      ts: Option[TsProvider] = None): TriplesGraph = {
     val byPred = triples.groupBy(_._2)
     val slices = byPred.map { case (p, ts0) =>
       val kinds = ts0.map {
@@ -228,7 +260,7 @@ object TriplesGraph {
     * columns s, o) — the scale path: derive slices from source tables with
     * Spark transforms, no driver-side materialization. */
   def fromSlices(spark: SparkSession, slices: Map[String, PredicateSlice],
-      ts: Option[TsSource] = None): TriplesGraph =
+      ts: Option[TsProvider] = None): TriplesGraph =
     new TriplesGraph(spark, slices, ts)
 
   /** Reload a graph persisted by [[TriplesGraph#save]]. Slice frames are
@@ -238,7 +270,7 @@ object TriplesGraph {
     * NPS pruning works identically on a reloaded graph. The partition
     * inventory is one metadata listing at catalog-build time. */
   def load(spark: SparkSession, path: String,
-      ts: Option[TsSource] = None): TriplesGraph = {
+      ts: Option[TsProvider] = None): TriplesGraph = {
     val base = spark.read.parquet(path)
     val inventory = base.select("p", "kind", "cls").distinct().collect()
       .map(r => (r.getString(0), r.getString(1), r.getString(2)))

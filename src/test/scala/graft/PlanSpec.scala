@@ -104,4 +104,45 @@ class PlanSpec extends SparkTestBase {
       "HashAggregate".r.findAllIn(plan).size >= 2,
       "aggregation must have a partial (pre-shuffle) phase")
   }
+
+  test("pluggable parquet TS provider: time filter pushed into the scan") {
+    import graft.exec.SparqlExecutor
+    import graft.graph.TriplesGraph
+    import graft.rdf.{Iri, Lit, Otit, Term, Xsd}
+    import graft.sources.ParquetTsProvider
+    import org.apache.spark.sql.functions.{col, to_timestamp}
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_tsprov").toString
+    Seq(("s1", "2024-01-01T00:00:00", 1.0), ("s1", "2024-01-02T00:00:00", 2.0),
+      ("s2", "2024-01-01T00:00:00", 3.0))
+      .toDF("id", "tss", "value")
+      .select(col("id"), to_timestamp(col("tss")).as("ts"), col("value"))
+      .write.mode("overwrite").partitionBy("id").parquet(dir)
+    val ex = "http://example.org/case#"
+    val g = TriplesGraph.fromTerms(spark, Seq[(Term, String, Term)](
+      (Iri(ex + "sensor1"), Otit.hasTimeseries, Iri(ex + "series1")),
+      (Iri(ex + "series1"), Otit.hasExternalId, Lit("s1", Xsd.string)),
+      (Iri(ex + "sensor2"), Otit.hasTimeseries, Iri(ex + "series2")),
+      (Iri(ex + "series2"), Otit.hasExternalId, Lit("s2", Xsd.string))),
+      Some(ParquetTsProvider(spark, dir)))
+    val df = new SparqlExecutor(g).execute(
+      s"""PREFIX otit_swt:<${Otit.ns}>
+         |PREFIX xsd:<http://www.w3.org/2001/XMLSchema#>
+         |SELECT ?t ?v WHERE {
+         |  <${ex}sensor1> otit_swt:hasTimeseries ?ts0 .
+         |  ?ts0 otit_swt:hasDataPoint ?dp .
+         |  ?dp otit_swt:hasTimestamp ?t .
+         |  ?dp otit_swt:hasValue ?v .
+         |  FILTER(?t >= "2024-01-02T00:00:00"^^xsd:dateTime)
+         |}""".stripMargin)
+    // same queries through the provider as through an in-memory TsSource...
+    assert(df.collect().map(r => (r.getTimestamp(0).toString, r.getDouble(1))).toSeq
+      == Seq(("2024-01-02 00:00:00.0", 2.0)))
+    // ...and the per-query time predicate reaches the parquet scan through
+    // Catalyst — the reference needs a per-backend SQL rewriter for this
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("GreaterThanOrEqual(ts"),
+      s"time filter must be pushed into the provider's parquet scan:\n$plan")
+  }
 }
