@@ -102,19 +102,15 @@ object AnnOps {
     * Output (qid, rk, nid), ids only — float formatting never enters the
     * driver compare. */
   def ivfTopKForQueries(corpus: DataFrame, queries: DataFrame, k: Int,
-      dim: Int = 64, nCentroids: Int = 16, nProbe: Int = 2): DataFrame = {
+      dim: Int = 64, nCentroids: Int = 16, nProbe: Int = 2,
+      centroids: Option[Array[(Long, Array[Float], Double)]] = None): DataFrame = {
     val spark = corpus.sparkSession
     graft.functions.ArrayDotProduct.register(spark)
-    // --- coarse quantizer: nCentroids rows collected once at index-build
-    // time (the same driver-side materialization k-means would need).
-    val cents: Array[(Long, Array[Float], Double)] = corpus
-      .select(col("vec_id"), col("embedding")).orderBy("vec_id").limit(nCentroids)
-      .collect().map { r =>
-        val ce = r.getSeq[Float](1).toArray
-        var n = 0.0; var i = 0
-        while (i < dim) { n += ce(i).toDouble * ce(i).toDouble; i += 1 }
-        (r.getLong(0), ce, math.sqrt(n))
-      }
+    // --- coarse quantizer: deterministic seeds by default (oracle path);
+    // pass `centroids = Some(kmeansParCentroids(...))` for the production
+    // quantizer — index layout, probe path, and plan shape are identical.
+    val cents: Array[(Long, Array[Float], Double)] =
+      centroids.getOrElse(seedCentroids(corpus, nCentroids, dim))
     // --- cell assignment kernel: argmax cosine over the broadcast
     // centroids, first-wins on exact ties (centroids iterate in cid order).
     val centsB = spark.sparkContext.broadcast(cents)
@@ -170,6 +166,172 @@ object AnnOps {
     scored.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select(col("qid"), col("rk").cast(LongType), col("nid"))
+  }
+
+  /** Seed quantizer: the `nCentroids` lowest vec_ids, collected once at
+    * index-build time. Deterministic so an independent engine can rebuild
+    * the identical index for verification. */
+  private def seedCentroids(corpus: DataFrame, nCentroids: Int, dim: Int)
+    : Array[(Long, Array[Float], Double)] =
+    corpus.select(col("vec_id"), col("embedding"))
+      .orderBy("vec_id").limit(nCentroids)
+      .collect().map { r =>
+        val ce = r.getSeq[Float](1).toArray
+        var n = 0.0; var i = 0
+        while (i < dim) { n += ce(i).toDouble * ce(i).toDouble; i += 1 }
+        (r.getLong(0), ce, math.sqrt(n))
+      }
+
+  /** Unit-normalized double copy of an embedding (spherical k-means lives on
+    * the unit sphere, where squared Euclidean distance = 2 − 2·cos). */
+  private def unit(emb: Seq[Float], dim: Int): Array[Double] = {
+    val a = new Array[Double](dim)
+    var n = 0.0; var i = 0
+    while (i < dim) { val v = emb(i).toDouble; a(i) = v; n += v * v; i += 1 }
+    val inv = if (n == 0) 0.0 else 1.0 / math.sqrt(n)
+    i = 0; while (i < dim) { a(i) *= inv; i += 1 }
+    a
+  }
+
+  /** Index of the candidate with the highest cosine to `x` (first wins on
+    * ties), plus that cosine. */
+  private def nearest(cands: Array[Array[Double]], x: Array[Double]): (Int, Double) = {
+    var best = Double.NegativeInfinity; var bj = 0; var j = 0
+    while (j < cands.length) {
+      val c = cands(j); var d = 0.0; var i = 0
+      while (i < x.length) { d += c(i) * x(i); i += 1 }
+      if (d > best) { best = d; bj = j }
+      j += 1
+    }
+    (bj, best)
+  }
+
+  /** k-means|| centroid selection (Bahmani et al., "Scalable k-means++",
+    * VLDB'12) + distributed Lloyd refinement — the production quantizer for
+    * [[ivfTopKForQueries]]. The deterministic seed mode stays the oracle
+    * path; this one spreads centroids across the data's actual clusters, so
+    * low-nProbe recall holds where lowest-id seeds would collapse into one
+    * region.
+    *
+    * Oversampling: for `rounds` rounds, every point joins the candidate set
+    * independently with probability min(1, l·d²(x)/φ) — d² the squared
+    * distance to the nearest current candidate, φ the current total cost.
+    * Each round is two corpus passes (cost aggregate + sample) with the
+    * candidate set broadcast; ~l candidates arrive per round, driver-sized.
+    * The "coin flips" are hashes of (vec_id, round), so the run is
+    * deterministic under any partitioning. The ~1+rounds·l candidates are
+    * weighted by assignment counts (one pass, map-side combined) and reduced
+    * to k on the driver by greedy weighted farthest-point selection (the
+    * deterministic variant of k-means++ seeding), then refined with
+    * `lloydRounds` distributed Lloyd iterations — assignment kernel + a
+    * per-partition (sum, count) accumulator per center, one tiny record per
+    * partition shuffled per round.
+    *
+    * Returns (cid, unit centroid, 1.0) tuples in the [[ivfTopKForQueries]]
+    * centroid shape, cids 0..k−1 in selection order (heaviest seed first). */
+  def kmeansParCentroids(corpus: DataFrame, k: Int, dim: Int = 64,
+      rounds: Int = 3, oversampleFactor: Int = 2, lloydRounds: Int = 3)
+    : Array[(Long, Array[Float], Double)] = {
+    require(k > 0)
+    val spark = corpus.sparkSession
+    val base = corpus.select(col("vec_id"), col("embedding"))
+    val l = math.max(k * oversampleFactor, k)
+
+    val first = base.orderBy("vec_id").limit(1).collect()
+    require(first.nonEmpty, "kmeansParCentroids on an empty corpus")
+    val cands = scala.collection.mutable.ArrayBuffer(
+      unit(first(0).getSeq[Float](1), dim))
+
+    for (r <- 1 to rounds) {
+      val cb = spark.sparkContext.broadcast(cands.toArray)
+      val cost = base.rdd.mapPartitions { rows =>
+        val cs = cb.value
+        rows.map(row => 2.0 - 2.0 * nearest(cs, unit(row.getSeq[Float](1), dim))._2)
+      }.sum()
+      if (cost > 0) {
+        val sampled = base.rdd.mapPartitions { rows =>
+          val cs = cb.value
+          rows.flatMap { row =>
+            val x = unit(row.getSeq[Float](1), dim)
+            val d2 = 2.0 - 2.0 * nearest(cs, x)._2
+            val h = scala.util.hashing.MurmurHash3
+              .productHash((row.getLong(0), r)) & 0x7fffffff
+            val u = h.toDouble / Int.MaxValue
+            if (u < l * d2 / cost) Some(x) else None
+          }
+        }.collect()
+        cands ++= sampled
+      }
+      cb.destroy()
+    }
+
+    // candidate weights: corpus points assigned to each candidate
+    val candArr = cands.toArray
+    val wb = spark.sparkContext.broadcast(candArr)
+    val weights = new Array[Long](candArr.length)
+    base.rdd.mapPartitions { rows =>
+      val cs = wb.value
+      val cnt = new Array[Long](cs.length)
+      rows.foreach(row => cnt(nearest(cs, unit(row.getSeq[Float](1), dim))._1) += 1)
+      Iterator.single(cnt)
+    }.reduce { (a, b) =>
+      val m = new Array[Long](a.length)
+      var i = 0; while (i < a.length) { m(i) = a(i) + b(i); i += 1 }; m
+    }.copyToArray(weights)
+    wb.destroy()
+
+    // greedy weighted farthest-point reduction to k centers (driver-side:
+    // the candidate set is ~1+rounds·l vectors)
+    val chosen = scala.collection.mutable.ArrayBuffer(
+      weights.indices.maxBy(weights(_)))
+    while (chosen.length < math.min(k, candArr.length)) {
+      val cur = chosen.map(candArr(_)).toArray
+      val next = candArr.indices
+        .filterNot(chosen.contains)
+        .maxBy(i => weights(i) * (2.0 - 2.0 * nearest(cur, candArr(i))._2))
+      chosen += next
+    }
+    var centers = chosen.map(candArr(_)).toArray
+
+    // distributed Lloyd refinement: per-partition (sum, count) accumulators,
+    // one record per partition shuffled per round
+    for (_ <- 1 to lloydRounds) {
+      val lb = spark.sparkContext.broadcast(centers)
+      val (sums, cnts) = base.rdd.mapPartitions { rows =>
+        val cs = lb.value
+        val acc = Array.fill(cs.length)(new Array[Double](dim))
+        val cnt = new Array[Long](cs.length)
+        rows.foreach { row =>
+          val x = unit(row.getSeq[Float](1), dim)
+          val bj = nearest(cs, x)._1
+          cnt(bj) += 1
+          var i = 0; while (i < dim) { acc(bj)(i) += x(i); i += 1 }
+        }
+        Iterator.single((acc, cnt))
+      }.reduce { case ((a1, c1), (a2, c2)) =>
+        var j = 0
+        while (j < a1.length) {
+          var i = 0; while (i < dim) { a1(j)(i) += a2(j)(i); i += 1 }
+          c1(j) += c2(j); j += 1
+        }
+        (a1, c1)
+      }
+      lb.destroy()
+      centers = centers.indices.map { j =>
+        if (cnts(j) == 0) centers(j) // empty cell: keep the old center
+        else {
+          var n = 0.0; var i = 0
+          while (i < dim) { val v = sums(j)(i); n += v * v; i += 1 }
+          val inv = if (n == 0) 0.0 else 1.0 / math.sqrt(n)
+          val out = new Array[Double](dim)
+          i = 0; while (i < dim) { out(i) = sums(j)(i) * inv; i += 1 }
+          out
+        }
+      }.toArray
+    }
+
+    centers.zipWithIndex
+      .map { case (c, j) => (j.toLong, c.map(_.toFloat), 1.0) }
   }
 
   /** Random-hyperplane LSH threshold self-join: numBands bands of

@@ -110,6 +110,39 @@ class LlmOpsSpec extends SparkTestBase {
     assert(rounds <= 15, s"expected O(log n) convergence, took $rounds rounds")
   }
 
+  test("k-means|| centroids beat lowest-id seeds on a clustered corpus") {
+    import spark.implicits._
+    // 4 well-separated clusters with block-contiguous ids: the 4 lowest-id
+    // seed centroids all land in cluster 0 — the degenerate case k-means||
+    // exists to fix. Deterministic "noise" so the test replays exactly.
+    val dim = 64
+    val rows = for (c <- 0 until 4; i <- 0 until 50) yield {
+      val id = (c * 50 + i).toLong // ids 0..49 are all cluster 0
+      val emb = Array.tabulate(dim) { d =>
+        val base = if (d == c * 8) 10.0f else 0.0f
+        base + (math.sin(id * 7.0 + d) * 0.3).toFloat
+      }
+      (id, emb.toSeq)
+    }
+    val corpus = rows.toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") < 20)
+    val exact = AnnOps.topKForQueries(corpus, queries, k = 5, dim = dim)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    def recall(cents: Option[Array[(Long, Array[Float], Double)]]): Double = {
+      val got = AnnOps.ivfTopKForQueries(corpus, queries, k = 5, dim = dim,
+          nCentroids = 4, nProbe = 1, centroids = cents)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      got.intersect(exact).size.toDouble / exact.size
+    }
+    val seedRecall = recall(None)
+    val km = AnnOps.kmeansParCentroids(corpus, k = 4, dim = dim)
+    assert(km.length == 4)
+    val kmRecall = recall(Some(km))
+    assert(kmRecall >= seedRecall,
+      s"k-means|| recall $kmRecall must not trail seed recall $seedRecall")
+    assert(kmRecall >= 0.9, s"spread centroids should give high recall, got $kmRecall")
+  }
+
   test("IVF with all cells probed equals exact brute-force top-k") {
     val emb = graft.T.embeddings(spark, sf)
     val queries = emb.filter(col("vec_id") < 10)
