@@ -20,9 +20,22 @@ object SparqlQueries {
        |PREFIX rdf:<http://www.w3.org/1999/02/22-rdf-syntax-ns#>
        |""".stripMargin
 
-  private def sq(name: String, sql: String, sparql: String, bench: Boolean = true): Q =
+  private val texts = scala.collection.mutable.LinkedHashMap.empty[String, String]
+
+  private def sq(name: String, sql: String, sparql: String, bench: Boolean = true): Q = {
+    texts(name) = sparql
     Q(name, Some(sql), bench)((s: SparkSession, dir: String) =>
       new SparqlExecutor(TpchGraph.graph(s, dir)).execute(prologue + sparql))
+  }
+
+  /** name → SPARQL text (sans prologue) for every catalog entry — lets the
+    * persisted-store spec replay the whole catalog against a
+    * save/load round-tripped graph. */
+  def sparqlTexts: Map[String, String] = { all; texts.toMap }
+
+  /** Run one catalog entry's SPARQL against an arbitrary graph. */
+  def executeOn(graph: graft.graph.TriplesGraph, name: String): DataFrame =
+    new SparqlExecutor(graph).execute(prologue + sparqlTexts(name))
 
   val all: Seq[Q] = Seq(
 

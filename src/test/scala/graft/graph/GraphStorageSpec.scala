@@ -55,4 +55,30 @@ class GraphStorageSpec extends SparkTestBase {
     assert(loadedTyp.subjectClasses.contains(graft.sparql.TpchGraph.typeNation))
     assert(loadedTyp.byClass.keySet.contains(graft.sparql.TpchGraph.typeSensor))
   }
+
+  test("full SPARQL catalog through a save/load round-trip: equal results, every store scan pruned") {
+    val derived = graft.sparql.TpchGraph.graph(spark, sf)
+    val path = java.nio.file.Files.createTempDirectory("graft-graph-cat").toString
+    derived.save(path)
+    val loaded = TriplesGraph.load(spark, path, derived.ts)
+    val storeToken = path.split("/").last // identifies store scans in plan text
+
+    for (name <- graft.sparql.SparqlQueries.sparqlTexts.keys) {
+      val fromDerived = graft.sparql.SparqlQueries.executeOn(derived, name)
+        .collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+      val q = graft.sparql.SparqlQueries.executeOn(loaded, name)
+      val fromLoaded = q.collect()
+        .map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+      assert(fromDerived == fromLoaded, s"$name diverges on the loaded graph")
+
+      // scan discipline: every scan of the persisted store must carry a
+      // non-empty partition filter — a store scan with PartitionFilters: []
+      // is reading the whole lake for one predicate
+      val plan = q.queryExecution.executedPlan.toString
+      val storeScans = plan.split("FileScan parquet").toSeq.tail
+        .filter(_.contains(storeToken))
+      assert(storeScans.forall(!_.contains("PartitionFilters: []")),
+        s"$name has an unpruned store scan")
+    }
+  }
 }
