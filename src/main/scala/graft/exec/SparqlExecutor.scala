@@ -854,7 +854,12 @@ final class SparqlExecutor(
           // no BASE in this engine: the argument's string form IS the IRI
           a(0).cast(StringType)
         case "bnode" =>
-          // BNODE(): fresh id per row; BNODE(str): stable id per lexical
+          // BNODE(): fresh id per row; BNODE(str): stable id per lexical.
+          // The zero-arg form uses monotonically_increasing_id, which is
+          // nondeterministic under task retry — one logical row can mint
+          // different ids across attempts. Acceptable for fresh-bnode
+          // semantics (ids only promise uniqueness), but keep BNODE() out
+          // of hash-compared outputs
           if (a.isEmpty)
             concat(lit("_:b"), abs(monotonically_increasing_id()).cast(StringType))
           else concat(lit("_:b"), md5(a(0).cast(StringType)))

@@ -34,6 +34,37 @@ class ScaleHardeningSpec extends SparkTestBase {
     assert(deepest == 1L)
   }
 
+  test("closure fixpoint does not re-shuffle the accumulated closure per round") {
+    // 39 fixpoint rounds currently cost ~362 stages (~9.3/round). The
+    // once-removed redundant `acc.union(next).distinct()` paid at least one
+    // extra full shuffle of the accumulated closure per round (+39 stages
+    // minimum, in practice ~2/round) — the bound catches it coming back.
+    val edges: Seq[(Term, String, Term)] = (0 until 40).map { i =>
+      (Iri(s"${ex}n$i"), s"${ex}next", Iri(s"${ex}n${i + 1}"))
+    }
+    val g = TriplesGraph.fromTerms(spark, edges)
+    val counter = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        counter.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val n = new SparqlExecutor(g).execute(
+        s"""PREFIX ex:<$ex>
+           |SELECT ?a ?b WHERE { ?a ex:next+ ?b }""".stripMargin).count()
+      assert(n == 820L)
+      // drain the listener bus: stable count for 500ms = all events delivered
+      var last = -1
+      while (counter.get() != last) { last = counter.get(); Thread.sleep(500) }
+      assert(counter.get() <= 400,
+        s"deep-chain closure ran ${counter.get()} stages (expected ~362); " +
+          "a per-round shuffle of the accumulated closure has crept back in")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("minhash banding drops empty-shingle docs: candidates stay linear") {
     import spark.implicits._
     // 500 short docs (1 token < shingleN=3) + 2 genuine near-dups. Without
