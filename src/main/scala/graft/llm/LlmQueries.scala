@@ -133,6 +133,31 @@ object LlmQueries {
         .orderBy("ida", "idb")
     },
 
+    // ---- exact n-gram (bigram) Jaccard dedup pairs off an inverted
+    // shingle index — the exact counterpart to q45's banded MinHash: the
+    // oracle recomputes every pair's Jaccard brute-force; the engine's
+    // candidates come only from the shared-shingle equi-join.
+    q("q67_ngram_jaccard",
+      s"""WITH sh AS (
+         |  SELECT doc_id, list_distinct(
+         |    [array_to_string(toks[i:i+1], ' ') for i in range(1, len(toks))]
+         |  ) AS shingles
+         |  FROM (SELECT doc_id, $sqlToks AS toks FROM documents)
+         |)
+         |SELECT a.doc_id AS ida, b.doc_id AS idb,
+         |  CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+         |    / len(list_distinct(list_concat(a.shingles, b.shingles))) AS jaccard
+         |FROM sh a, sh b
+         |WHERE a.doc_id < b.doc_id
+         |  AND len(a.shingles) > 0 AND len(b.shingles) > 0
+         |  AND len(list_intersect(a.shingles, b.shingles)) * 2
+         |      >= len(list_distinct(list_concat(a.shingles, b.shingles)))
+         |ORDER BY ida NULLS FIRST, idb NULLS FIRST""".stripMargin) { (s, dir) =>
+      TextOps.ngramJaccardPairs(T.documents(s, dir), "doc_id", "text",
+          n = 2, threshold = 0.5)
+        .orderBy("ida", "idb")
+    },
+
     // ---- per-document text statistics + quality flag (integer arithmetic
     // only, so the flag is engine-exact).
     q("q46_text_stats",

@@ -174,6 +174,37 @@ object TextOps {
       .select(col("ida"), col("idb"), col("jaccard"))
   }
 
+  /** EXACT n-gram Jaccard near-duplicate pairs via an inverted shingle
+    * index — the third dedup family next to MinHash-LSH (approximate,
+    * banded) and SimHash (hamming distance): candidate pairs are documents
+    * sharing at least one shingle (explode → equi-join on the shingle key,
+    * never an all-pairs product), the shared-shingle count aggregates per
+    * pair (|I|), and Jaccard = |I| / (|A|+|B|−|I|) needs only the two
+    * per-document set sizes on top. No banding recall loss; the price is
+    * candidate fan-out on high-document-frequency shingles — at lake scale
+    * cap shingle df (drop shingles appearing in more docs than any pair
+    * could need to pass the threshold) or move to prefix filtering; the
+    * join itself stays a bucketed equi-join either way. */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 2, threshold: Double = 0.5): DataFrame = {
+    val base = df.select(col(idCol).cast(LongType).as("id"),
+        wordShingles(col(textCol), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val sizes = base.select(col("id"), size(col("sh")).as("sz"))
+    val inv = base.select(col("id"), explode(col("sh")).as("s"))
+    val inter = inv.select(col("id").as("ida"), col("s"))
+      .join(inv.select(col("id").as("idb"), col("s").as("s2")),
+        col("s") === col("s2") && col("ida") < col("idb"))
+      .groupBy("ida", "idb").agg(count(lit(1)).as("ni"))
+    inter
+      .join(sizes.select(col("id").as("ida"), col("sz").as("sza")), "ida")
+      .join(sizes.select(col("id").as("idb"), col("sz").as("szb")), "idb")
+      .withColumn("jaccard",
+        col("ni").cast(DoubleType) / (col("sza") + col("szb") - col("ni")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("ida"), col("idb"), col("jaccard"))
+  }
+
   /** Shingling + minhash + banding as one map-only kernel, materialized once
     * (localCheckpoint): columns (id, shingles, b0..b{numBands-1}). */
   private[graft] def minhashBandTable(df: DataFrame, idCol: String,
