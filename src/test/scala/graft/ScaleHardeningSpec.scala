@@ -86,6 +86,25 @@ class ScaleHardeningSpec extends SparkTestBase {
     assert(pairs == Set((1000L, 1001L)))
   }
 
+  test("ngram jaccard prefix filter: one universal shingle causes no candidate blowup") {
+    import spark.implicits._
+    // 400 docs all sharing the bigram "common anchor" (df=400, would alone
+    // emit ~80k candidate pairs from a naive shared-shingle join) plus
+    // unique content long enough that the common bigram falls outside every
+    // prefix; one genuine near-dup pair must still surface (exactness).
+    val uniq = (0 until 400).map { i =>
+      (i.toLong, s"common anchor " + (0 until 12).map(j => s"w${i}_$j").mkString(" "))
+    }
+    val dups = Seq(
+      (900L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (901L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"))
+    val docs = (uniq ++ dups).toDF("doc_id", "text")
+    val pairs = graft.llm.TextOps.ngramJaccardPairs(docs, "doc_id", "text",
+      n = 2, threshold = 0.5)
+    val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((900L, 901L)))
+  }
+
   test("ann lsh band width scales with corpus size (occupancy bound)") {
     // floor at the published small-SF default
     assert(AnnOps.bitsPerBandFor(100000L) == 8)
