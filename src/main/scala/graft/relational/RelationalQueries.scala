@@ -603,6 +603,51 @@ object RelationalQueries {
       r.groupBy("event_type")
         .agg(pAt(0.50, "p50"), pAt(0.95, "p95"), pAt(0.99, "p99"))
         .orderBy("event_type")
+    },
+
+    // ---- ROLLUP hierarchy totals (§2.4 beyond-parity): grouping-sets
+    // expansion with partial aggregation — Catalyst runs the Expand +
+    // one shuffle, so subtotal levels cost one pass over the fact table,
+    // not one scan per level. Integer sums keep it engine-exact.
+    q("q68_rollup",
+      """SELECT l_returnflag AS rf, l_linestatus AS ls,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+        |  COUNT(*) AS n
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY rf NULLS FIRST, ls NULLS FIRST""".stripMargin) { (s, dir) =>
+      lineitem(s, dir)
+        .select(col("l_returnflag").as("rf"), col("l_linestatus").as("ls"),
+          col("l_quantity").cast(LongType).as("qv"))
+        .rollup("rf", "ls")
+        .agg(sum(col("qv")).as("qty"), count(lit(1)).as("n"))
+        .orderBy(col("rf").asc_nulls_first, col("ls").asc_nulls_first)
+    },
+
+    // ---- LAG/LEAD/FIRST_VALUE navigation windows (§2.5): one window
+    // shuffle on the series key with a unique (ts, event_id) order, values
+    // pass through untouched so doubles stay bit-identical.
+    q("q69_window_navigation",
+      """WITH e AS (
+        |  SELECT event_id, event_type, value, epoch_ns(ts) // 1000 AS us
+        |  FROM events
+        |)
+        |SELECT event_id, event_type,
+        |  LAG(value) OVER w AS prev_v,
+        |  LEAD(value) OVER w AS next_v,
+        |  FIRST_VALUE(value) OVER w AS first_v
+        |FROM e WINDOW w AS (PARTITION BY event_type ORDER BY us, event_id)
+        |ORDER BY event_id NULLS FIRST""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("event_type").orderBy("us", "event_id")
+      events(s, dir)
+        .select(col("event_id"), col("event_type"), col("value"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("prev_v", lag(col("value"), 1).over(w))
+        .withColumn("next_v", lead(col("value"), 1).over(w))
+        .withColumn("first_v", first(col("value")).over(w))
+        .select("event_id", "event_type", "prev_v", "next_v", "first_v")
+        .orderBy("event_id")
     }
   )
 }

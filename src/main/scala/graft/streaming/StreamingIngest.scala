@@ -71,13 +71,40 @@ object StreamingIngest {
     events.join(broadcast(meta), "id")
   }
 
+  /** Stream-stream interval join: two event streams matched per series
+    * within a bounded time distance — "pair every reading with the control
+    * signal that arrived within `interval` before it". Both sides carry
+    * watermarks and the join condition bounds the event-time distance, so
+    * Spark can prove when a row can no longer match and DROP its state —
+    * the unbounded-firehose-safe shape (an unconstrained stream-stream
+    * equi-join would buffer both streams forever). Inner join on the
+    * series id + the time interval; output carries both timestamps so the
+    * spec can check the pairing against the batch join. */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+      interval: String = "10 minutes",
+      watermarkDelay: String = "30 minutes"): DataFrame = {
+    val l = left.withWatermark("ts", watermarkDelay)
+      .select(col("id"), col("ts").as("l_ts"), col("value").as("l_value"))
+    val r = right.withWatermark("ts", watermarkDelay)
+      .select(col("id").as("r_id"), col("ts").as("r_ts"),
+        col("value").as("r_value"))
+    l.join(r,
+      col("id") === col("r_id") &&
+        col("r_ts") >= col("l_ts") - expr(s"INTERVAL $interval") &&
+        col("r_ts") <= col("l_ts"))
+      .select(col("id"), col("l_ts"), col("l_value"), col("r_ts"), col("r_value"))
+  }
+
   /** Drain all currently-available input into an in-memory table and return
-    * the result (test/backfill entry point). */
-  def runAvailableNow(agg: DataFrame, name: String): DataFrame = {
+    * the result (test/backfill entry point). Aggregations use the default
+    * "complete" mode; joins need "append" (inner stream-stream joins emit
+    * on match, so AvailableNow drains every pair). */
+  def runAvailableNow(agg: DataFrame, name: String,
+      mode: String = "complete"): DataFrame = {
     val q = agg.writeStream
       .format("memory")
       .queryName(name)
-      .outputMode("complete")
+      .outputMode(mode)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()

@@ -121,4 +121,38 @@ class StreamingIngestSpec extends SparkTestBase {
     // and duplicates were actually suppressed (sf0.001 has dup families)
     assert(emittedFps.length < docs.count())
   }
+
+  test("stream-stream interval join equals the batch interval join") {
+    val src = java.nio.file.Files.createTempDirectory("graft-ssj").toString
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .write.mode("overwrite").parquet(src)
+
+    val streamed = StreamingIngest.runAvailableNow(
+      StreamingIngest.intervalJoin(
+        StreamingIngest.readEvents(spark, src),
+        StreamingIngest.readEvents(spark, src),
+        interval = "10 minutes"),
+      "events_interval_join", mode = "append")
+
+    // batch truth: the same per-series bounded-interval pairing
+    val base = graft.T.events(spark, "/root/testdata/sf0.001")
+      .select(col("event_type").as("id"), col("ts"), col("value"))
+    val l = base.select(col("id"), col("ts").as("l_ts"), col("value").as("l_value"))
+    val r = base.select(col("id").as("r_id"), col("ts").as("r_ts"),
+      col("value").as("r_value"))
+    val batch = l.join(r,
+      col("id") === col("r_id") &&
+        col("r_ts") >= col("l_ts") - expr("INTERVAL 10 minutes") &&
+        col("r_ts") <= col("l_ts"))
+      .select(col("id"), col("l_ts"), col("l_value"), col("r_ts"), col("r_value"))
+
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().toSeq
+        .map(x => Seq(x.get(0), x.get(1), f"${x.getDouble(2)}%.6f",
+          x.get(3), f"${x.getDouble(4)}%.6f").mkString("|"))
+        .sorted
+    val s = canon(streamed)
+    val b = canon(batch)
+    assert(s.nonEmpty && s == b, s"stream rows=${s.size} batch rows=${b.size}")
+  }
 }
