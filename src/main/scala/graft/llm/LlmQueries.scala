@@ -351,5 +351,27 @@ object LlmQueries {
           md5(col("payload")).as("digest"))
         .orderBy("media_id")
     },
+
+    // ---- multimodal frame sampling: one "video" payload → a few small
+    // frame rows (every 4th 32-char frame, max 8) through a one-to-many
+    // partition-local kernel — the shape where shipping whole payloads
+    // through a shuffle would be the scale bug. The oracle regenerates the
+    // same frames character-for-character.
+    q("q70_frame_sample",
+      """WITH f AS (
+        |  SELECT doc_id, i AS frame_idx,
+        |    substring(text, CAST(i * 32 + 1 AS INT), 32) AS frame
+        |  FROM documents,
+        |    UNNEST(generate_series(0, CAST((length(text) + 31) // 32 - 1 AS BIGINT))) AS t(i)
+        |  WHERE i % 4 = 0 AND i // 4 < 8
+        |)
+        |SELECT doc_id AS media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+        |  md5(frame) AS fhash, CAST(length(frame) AS INT) AS flen
+        |FROM f ORDER BY media_id NULLS FIRST, frame_idx NULLS FIRST""".stripMargin) {
+      (s, dir) =>
+        MultimodalOps.sampleFramesStub(T.documents(s, dir), "doc_id", "text",
+            frameChars = 32, stride = 4, maxFrames = 8)
+          .orderBy("media_id", "frame_idx")
+    },
   )
 }

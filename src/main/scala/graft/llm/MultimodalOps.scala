@@ -39,6 +39,63 @@ object MultimodalOps {
       struct(lit("application/x-fake").as("mime"),
         length(col(textCol).cast(BinaryType)).cast(LongType).as("n_bytes")).as("meta"))
 
+  val frameSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("frame_idx", LongType),
+    StructField("fhash", StringType),
+    StructField("flen", IntegerType)))
+
+  /** Deterministic fake resize: cap the payload at `maxBytes` (where a real
+    * resampler would sit) and rewrite the metadata struct to match — the
+    * plumbing a thumbnailing pass needs: payload-in/payload-out kernel,
+    * metadata kept consistent, one row per media row. */
+  def resizeStub(media: DataFrame, maxBytes: Int): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media.select("media_id", "payload", "meta.mime").rdd
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val payload = r.getAs[Array[Byte]](1)
+          // --- fake resampler start (swap for a real scaler) ---
+          val out = if (payload.length <= maxBytes) payload
+                    else java.util.Arrays.copyOf(payload, maxBytes)
+          // --- fake resampler end ---
+          Row(r.getLong(0), out, Row(r.getString(2), out.length.toLong))
+        }
+      }
+    spark.createDataFrame(rdd, mediaSchema)
+  }
+
+  /** Deterministic fake frame sampling: treat the payload's character form
+    * as a "video", cut it into `frameChars`-character frames, keep every
+    * `stride`-th frame up to `maxFrames`, and emit one row per sampled
+    * frame (md5 + length stand in for the decoded frame). The real part is
+    * the shape: a one-to-many partition-local kernel whose output rows are
+    * orders of magnitude smaller than the payload — the video-sampling
+    * pattern where shipping whole payloads through a shuffle would be the
+    * scale bug. */
+  def sampleFramesStub(df: DataFrame, idCol: String, textCol: String,
+      frameChars: Int = 32, stride: Int = 4, maxFrames: Int = 8): DataFrame = {
+    val spark = df.sparkSession
+    val rdd = df.select(col(idCol).cast(LongType), col(textCol)).rdd
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val text = Option(r.getString(1)).getOrElse("")
+          val nFrames = (text.length + frameChars - 1) / frameChars
+          (0 until nFrames by stride).take(maxFrames).map { idx =>
+            val frame = text.substring(idx * frameChars,
+              math.min((idx + 1) * frameChars, text.length))
+            md.reset()
+            val hex = md.digest(frame.getBytes("UTF-8"))
+              .map(b => f"$b%02x").mkString
+            Row(id, idx.toLong, hex, frame.length)
+          }
+        }
+      }
+    spark.createDataFrame(rdd, frameSchema)
+  }
+
   /** Deterministic fake decode: "width"/"height" from the first payload
     * bytes, additive checksum. Real plumbing: partition-local batch loop over
     * rows, typed Row output — exactly where an image codec would sit. */

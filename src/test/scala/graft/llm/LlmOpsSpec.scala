@@ -21,6 +21,35 @@ class LlmOpsSpec extends SparkTestBase {
     assert(byId(2L)._3 == "hello world".getBytes("UTF-8").map(_ & 0xff).sum.toLong)
   }
 
+  test("multimodal resize stub caps payloads and keeps metadata consistent") {
+    import spark.implicits._
+    val docs = Seq((1L, "short"), (2L, "a" * 100)).toDF("doc_id", "text")
+    val resized = MultimodalOps.resizeStub(
+      MultimodalOps.asMediaTable(docs, "doc_id", "text"), maxBytes = 16)
+    assert(resized.schema.map(f => (f.name, f.dataType.simpleString)) ==
+      MultimodalOps.mediaSchema.map(f => (f.name, f.dataType.simpleString)))
+    val byId = resized.collect().map { r =>
+      r.getLong(0) -> ((r.getAs[Array[Byte]](1).length, r.getStruct(2).getLong(1)))
+    }.toMap
+    assert(byId(1L) == ((5, 5L)))   // under the cap: untouched
+    assert(byId(2L) == ((16, 16L))) // capped, meta matches payload
+  }
+
+  test("multimodal frame sampling emits every Nth frame up to the cap") {
+    import spark.implicits._
+    // 270 chars = 9 frames of 32 (last partial); stride 4 → frames 0,4,8
+    val docs = Seq((1L, "x" * 270), (2L, ""), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val frames = MultimodalOps.sampleFramesStub(docs, "doc_id", "text",
+      frameChars = 32, stride = 4, maxFrames = 8).collect()
+    assert(frames.forall(_.getLong(0) == 1L)) // empty/null docs emit nothing
+    val idxs = frames.map(_.getLong(1)).sorted.toSeq
+    assert(idxs == Seq(0L, 4L, 8L))
+    // the sampled tail frame is the 270-char doc's partial frame: 14 chars
+    val last = frames.find(_.getLong(1) == 8L).get
+    assert(last.getInt(3) == 270 - 8 * 32)
+  }
+
   test("minhash LSH pairs: full recall vs brute force at this scale") {
     val docs = graft.T.documents(spark, sf)
     val lsh = TextOps.minhashLshPairs(docs, "doc_id", "text").collect()
