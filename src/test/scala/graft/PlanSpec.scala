@@ -105,6 +105,24 @@ class PlanSpec extends SparkTestBase {
       "aggregation must have a partial (pre-shuffle) phase")
   }
 
+  test("q68 rollup: grouping sets run as one Expand + one aggregation pass") {
+    val plan = executedPlan("q68_rollup")
+    assert(plan.contains("Expand"), "rollup must lower to Expand")
+    // one shuffle for the aggregation + one for the final ORDER BY — not
+    // one scan/aggregation per subtotal level
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges <= 2, s"rollup should need <=2 exchanges, got $exchanges")
+  }
+
+  test("q69 navigation windows: all three functions share one Window node") {
+    val plan = executedPlan("q69_window_navigation")
+    val windows = "\\bWindow\\b".r.findAllIn(plan).size
+    assert(windows == 1,
+      s"lag/lead/first over the same spec must fuse into one Window, got $windows")
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges <= 2, s"expected window + sort exchanges only, got $exchanges")
+  }
+
   test("pluggable parquet TS provider: time filter pushed into the scan") {
     import graft.exec.SparqlExecutor
     import graft.graph.TriplesGraph

@@ -122,6 +122,29 @@ class LlmOpsSpec extends SparkTestBase {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("connected components match driver-side union-find on random graphs") {
+    import spark.implicits._
+    for (seed <- Seq(1, 2, 3)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 200
+      val edges = (0 until 300).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      // driver-side truth: union-find with min-label canonicalization
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val touched = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val truth = touched.map(id => id -> find(id.toInt).toLong).toMap
+      val got = TextOps.connectedComponents(edges.toDF("ida", "idb")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // same partition AND the same canonical (min-id) labels
+      assert(got == truth, s"seed $seed diverged")
+    }
+  }
+
   test("connected components converge in O(log n) rounds on a long chain") {
     import spark.implicits._
     // a 256-node chain has diameter 255: min-label propagation would need
