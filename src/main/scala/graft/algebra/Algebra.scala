@@ -78,6 +78,19 @@ object Algebra {
   /** One projection item: a plain variable or (expr AS ?v). */
   final case class ProjItem(v: String, expr: Option[Expr])
 
+  /** Any parsed SPARQL query form. The reference accepts only SELECT
+    * (splitter.rs:33-69); ASK and CONSTRUCT are beyond-parity surface. */
+  sealed trait SparqlQuery
+
+  /** ASK { pattern }: does the pattern have at least one solution? */
+  final case class AskQuery(where: Pattern) extends SparqlQuery
+
+  /** CONSTRUCT { template } WHERE { pattern }: instantiate the template
+    * triples once per solution; unbound template variables skip the triple
+    * (SPARQL 1.1 §16.2). */
+  final case class ConstructQuery(template: Seq[TriplePattern], where: Pattern)
+      extends SparqlQuery
+
   final case class SelectQuery(
       projection: Seq[ProjItem], // empty = SELECT *
       distinct: Boolean,
@@ -87,7 +100,7 @@ object Algebra {
       having: Option[Expr],
       orderBy: Seq[OrderKey],
       limit: Option[Long],
-      offset: Option[Long]) {
+      offset: Option[Long]) extends SparqlQuery {
 
     def hasAggregates: Boolean = {
       def exprHas(e: Expr): Boolean = e match {

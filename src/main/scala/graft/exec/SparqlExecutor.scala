@@ -37,6 +37,59 @@ final class SparqlExecutor(
   def execute(sparql: String): DataFrame =
     execute(graft.parser.SparqlParser.parse(sparql))
 
+  /** ASK: does the pattern have any solution? (Beyond-parity — the
+    * reference is SELECT-only.) One `limit(1)`-style existence job. */
+  def executeAsk(q: AskQuery): Boolean =
+    !translatePattern(q.where, unitSol).df.isEmpty
+
+  def executeAsk(sparql: String): Boolean =
+    graft.parser.SparqlParser.parseAny(sparql) match {
+      case a: AskQuery => executeAsk(a)
+      case other => throw new IllegalArgumentException(s"not an ASK query: $other")
+    }
+
+  /** CONSTRUCT: instantiate the template once per solution. Output is the
+    * long-form (s, p, o) canonical-string triple frame (the same shape as
+    * [[TriplesGraph.allTriples]], so the result feeds straight back into
+    * graph construction). Unbound template variables skip their triple
+    * (SPARQL 1.1 §16.2); template blank nodes (per-solution minting) are
+    * not supported and throw. Set semantics: the output is distinct. */
+  def executeConstruct(q: ConstructQuery): DataFrame = {
+    val sol = translatePattern(q.where, unitSol)
+    def termCol(vt: VarOrTerm): Column = vt match {
+      case V(v) =>
+        if (sol.df.columns.contains(v)) col(v).cast(StringType)
+        else lit(null).cast(StringType) // never bound: the triple drops
+      case T(Blank(id)) =>
+        throw new IllegalArgumentException(
+          s"CONSTRUCT template blank node _:$id unsupported (per-solution minting)")
+      case T(t) => lit(t.canonical)
+    }
+    val parts = q.template.map { case TriplePattern(s, p, o) =>
+      val pCol = p match {
+        case PLink(iri) => lit(iri)
+        case PVar(v) =>
+          if (sol.df.columns.contains(v)) col(v).cast(StringType)
+          else lit(null).cast(StringType)
+        case other => throw new IllegalArgumentException(
+          s"CONSTRUCT template predicate must be an IRI or variable, got $other")
+      }
+      sol.df.select(termCol(s).as("s"), pCol.as("p"), termCol(o).as("o"))
+    }
+    parts.reduceOption(_.unionByName(_))
+      .getOrElse(spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+        StructType(Seq(StructField("s", StringType), StructField("p", StringType),
+          StructField("o", StringType)))))
+      .filter(col("s").isNotNull && col("p").isNotNull && col("o").isNotNull)
+      .distinct()
+  }
+
+  def executeConstruct(sparql: String): DataFrame =
+    graft.parser.SparqlParser.parseAny(sparql) match {
+      case c: ConstructQuery => executeConstruct(c)
+      case other => throw new IllegalArgumentException(s"not a CONSTRUCT query: $other")
+    }
+
   // ------------------------------------------------------------ solutions
   /** A partial solution: DataFrame whose visible columns are SPARQL vars (in
     * first-bound order). Hidden helper columns (`__`-prefixed, `<v>__lang`)

@@ -387,5 +387,39 @@ object SparqlQueries {
         |  ?dp otit_swt:hasValue ?v .
         |} GROUP BY ?sensor ?dt
         |ORDER BY ?sensor""".stripMargin),
+
+    // ---- CONSTRUCT (beyond-parity: the reference is SELECT-only): the
+    // template instantiates per solution, output is the canonical-string
+    // triple frame with set semantics — registered outside `sq` because the
+    // store-replay spec expects SELECT texts.
+    Q("q71_sparql_construct", Some(
+      s"""SELECT * FROM (
+         |  SELECT ${sqlIri("nation", "n_nationkey")} AS s,
+         |         '${ns}inRegionName' AS p, r_name AS o
+         |  FROM nation JOIN region ON n_regionkey = r_regionkey
+         |  UNION
+         |  SELECT ${sqlIri("nation", "n_nationkey")} AS s,
+         |         '${ns}tag' AS p, 'nation' AS o
+         |  FROM nation
+         |) ORDER BY s NULLS FIRST, p NULLS FIRST, o NULLS FIRST""".stripMargin))(
+      (s, dir) => new SparqlExecutor(TpchGraph.graph(s, dir)).executeConstruct(
+        prologue +
+          """CONSTRUCT { ?n g:inRegionName ?rname . ?n g:tag "nation" }
+            |WHERE { ?n g:inRegion ?r . ?r g:name ?rname }""".stripMargin)
+        .orderBy("s", "p", "o")),
+
+    // ---- ASK (beyond-parity): one lazy existence probe per question.
+    Q("q72_sparql_ask", Some(
+      """SELECT (EXISTS(SELECT 1 FROM supplier WHERE s_acctbal > 9000)
+        |    AND NOT EXISTS(SELECT 1 FROM supplier WHERE s_acctbal > 99999)) AS answer""".stripMargin))(
+      (s, dir) => {
+        val ex0 = new SparqlExecutor(TpchGraph.graph(s, dir))
+        val yes = ex0.executeAsk(prologue +
+          "ASK { ?s g:acctbal ?b . FILTER(?b > 9000) }")
+        val no = ex0.executeAsk(prologue +
+          "ASK { ?s g:acctbal ?b . FILTER(?b > 99999) }")
+        import s.implicits._
+        Seq(yes && !no).toDF("answer")
+      }),
   )
 }

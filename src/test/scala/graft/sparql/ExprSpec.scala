@@ -319,4 +319,38 @@ class ExprSpec extends SparkTestBase {
       .collect().map(_.getString(0)).toSeq
     assert(gt == Seq(s"${ex}a"))
   }
+
+  test("ASK: existence with and without matches") {
+    val exec = new SparqlExecutor(graph)
+    val pro = s"PREFIX ex:<$ex>\n"
+    assert(exec.executeAsk(pro +
+      """ASK { ?s ex:num ?n . FILTER(?n > 2) }"""))
+    assert(!exec.executeAsk(pro +
+      """ASK WHERE { ?s ex:num ?n . FILTER(?n > 99) }"""))
+  }
+
+  test("CONSTRUCT: template instantiation, unbound-var drop, set semantics") {
+    val exec = new SparqlExecutor(graph)
+    val pro = s"PREFIX ex:<$ex>\n"
+    val got = exec.executeConstruct(pro +
+      """CONSTRUCT {
+        |  ?s ex:tag "big" .
+        |  ?s ex:ofGroup ?g .
+        |} WHERE {
+        |  ?s ex:num ?n . FILTER(?n >= 2)
+        |  OPTIONAL { ?s ex:group ?g . FILTER(?n = 2) }
+        |}""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    // b (n=2): both triples; c (n=3): unbound ?g drops the ofGroup triple
+    assert(got == Set(
+      (s"${ex}b", s"${ex}tag", "big"),
+      (s"${ex}c", s"${ex}tag", "big"),
+      (s"${ex}b", s"${ex}ofGroup", s"${ex}g1")))
+    // variable predicate in the template + dedup across solutions
+    val vp = exec.executeConstruct(pro +
+      """CONSTRUCT { ex:all ?p ?o } WHERE { ?s ?p ?o . ?s ex:num 1 }""")
+      .collect().map(r => (r.getString(1), r.getString(2))).toSet
+    assert(vp == Set((s"${ex}label", "Hello"), (s"${ex}num", "1"),
+      (s"${ex}when", "2022-06-01 08:00:00"), (s"${ex}group", s"${ex}g1")))
+  }
 }
