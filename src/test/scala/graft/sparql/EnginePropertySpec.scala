@@ -284,4 +284,45 @@ class EnginePropertySpec extends SparkTestBase {
       SCTest.Parameters.default.withMinSuccessfulTests(25).withMaxDiscardRatio(10), prop)
     assert(res.passed, res.status.toString)
   }
+
+  test("random ASK and CONSTRUCT agree with the naive evaluator") {
+    val prop = Prop.forAll(genGraph, genBgp) { (g, bgp) =>
+      val vars = bgp.flatMap(tp =>
+        Seq(tp.s.left.toOption, tp.o.left.toOption).flatten).distinct
+      if (g.isEmpty || vars.isEmpty) Prop.undecided
+      else {
+        val terms: Seq[(Term, String, Term)] = g.map {
+          case (s, p, o: Long) => (Iri(s), p, Lit(o.toString, Xsd.integer))
+          case (s, p, o) => (Iri(s), p, Iri(o.toString))
+        }
+        val graph = TriplesGraph.fromTerms(spark, terms)
+        val triples = bgp.map { tp =>
+          val sv = tp.s.fold(V(_), c => T(Iri(c)))
+          val ov = tp.o.fold(V(_), {
+            case c: Long => T(Lit(c.toString, Xsd.integer))
+            case c => T(Iri(c.toString))
+          })
+          TriplePattern(sv, PLink(tp.p), ov)
+        }
+        val where: Pattern = Bgp(triples)
+        val exec = new SparqlExecutor(graph)
+        val expSols = naive(g, bgp, None)
+        val askOk = exec.executeAsk(AskQuery(where)) == expSols.nonEmpty
+        // CONSTRUCT a single template triple off the first bound variable;
+        // expected = distinct instantiations over the naive solution set
+        val v = vars.head
+        val template = Seq(TriplePattern(
+          T(Iri(s"${ex}out")), PLink(s"${ex}made"), V(v)))
+        val got = exec.executeConstruct(ConstructQuery(template, where))
+          .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+        val exp = expSols.map(b =>
+          (s"${ex}out", s"${ex}made", String.valueOf(b(v)))).toSet
+        Prop(askOk && got == exp) :|
+          s"askOk=$askOk got=$got exp=$exp graph=$g bgp=$bgp"
+      }
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(25).withMaxDiscardRatio(10), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
