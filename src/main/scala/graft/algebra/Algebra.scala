@@ -91,6 +91,13 @@ object Algebra {
   final case class ConstructQuery(template: Seq[TriplePattern], where: Pattern)
       extends SparqlQuery
 
+  /** DESCRIBE r1 r2 … [WHERE { pattern }]: SPARQL leaves the description
+    * implementation-defined (§16.4); this engine returns every outbound
+    * triple of each described resource (constants plus the bindings of
+    * described variables). */
+  final case class DescribeQuery(resources: Seq[VarOrTerm],
+      where: Option[Pattern]) extends SparqlQuery
+
   final case class SelectQuery(
       projection: Seq[ProjItem], // empty = SELECT *
       distinct: Boolean,

@@ -90,6 +90,44 @@ final class SparqlExecutor(
       case other => throw new IllegalArgumentException(s"not a CONSTRUCT query: $other")
     }
 
+  /** DESCRIBE (implementation-defined per SPARQL 1.1 §16.4): every outbound
+    * triple of each described resource — constants plus the bindings of the
+    * described variables from the WHERE pattern. Returns the canonical
+    * (s, p, o) string frame. The resource set joins the long-form triples
+    * view, so with predicate-partitioned storage the scan unions pruned
+    * slices, never one giant table. */
+  def executeDescribe(q: DescribeQuery): DataFrame = {
+    val consts = q.resources.collect { case T(t) => t.canonical }
+    val vars = q.resources.collect { case V(v) => v }
+    if (vars.nonEmpty && q.where.isEmpty)
+      throw new IllegalArgumentException(
+        s"DESCRIBE ?${vars.head} needs a WHERE pattern to bind it")
+    val constDf =
+      if (consts.isEmpty) None
+      else Some(spark.createDataFrame(consts.map(Tuple1(_))).toDF("node"))
+    val varDf = q.where.map { w =>
+      val sol = translatePattern(w, unitSol)
+      val missing = vars.filterNot(sol.df.columns.contains)
+      if (missing.nonEmpty)
+        throw new IllegalArgumentException(
+          s"DESCRIBE variable(s) ${missing.mkString(", ")} not bound by the pattern")
+      vars.map(v => sol.df.select(col(v).cast(StringType).as("node")))
+        .reduceOption(_.unionByName(_))
+    }.flatten
+    val nodes = (constDf.toSeq ++ varDf.toSeq)
+      .reduceOption(_.unionByName(_))
+      .getOrElse(spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+        StructType(Seq(StructField("node", StringType)))))
+      .filter(col("node").isNotNull).distinct()
+    graph.allTriples.join(nodes, col("s") === col("node"), "left_semi")
+  }
+
+  def executeDescribe(sparql: String): DataFrame =
+    graft.parser.SparqlParser.parseAny(sparql) match {
+      case d: DescribeQuery => executeDescribe(d)
+      case other => throw new IllegalArgumentException(s"not a DESCRIBE query: $other")
+    }
+
   // ------------------------------------------------------------ solutions
   /** A partial solution: DataFrame whose visible columns are SPARQL vars (in
     * first-bound order). Hidden helper columns (`__`-prefixed, `<v>__lang`)

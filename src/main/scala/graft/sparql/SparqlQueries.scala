@@ -421,5 +421,28 @@ object SparqlQueries {
         import s.implicits._
         Seq(yes && !no).toDF("answer")
       }),
+
+    // ---- DESCRIBE (beyond-parity): outbound triples of pattern-bound
+    // resources; the oracle reconstructs the same per-slice union.
+    Q("q73_sparql_describe", Some(
+      s"""WITH n AS (
+         |  SELECT n_nationkey, n_name, n_regionkey FROM nation
+         |  JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA'
+         |)
+         |SELECT * FROM (
+         |  SELECT ${sqlIri("nation", "n_nationkey")} AS s, '${ns}name' AS p, n_name AS o FROM n
+         |  UNION ALL
+         |  SELECT ${sqlIri("nation", "n_nationkey")}, '${ns}key', CAST(n_nationkey AS VARCHAR) FROM n
+         |  UNION ALL
+         |  SELECT ${sqlIri("nation", "n_nationkey")}, '${ns}inRegion', ${sqlIri("region", "n_regionkey")} FROM n
+         |  UNION ALL
+         |  SELECT ${sqlIri("nation", "n_nationkey")}, '${ns}locatedIn', ${sqlIri("region", "n_regionkey")} FROM n
+         |  UNION ALL
+         |  SELECT ${sqlIri("nation", "n_nationkey")}, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type', '${ns}Nation' FROM n
+         |) ORDER BY s NULLS FIRST, p NULLS FIRST, o NULLS FIRST""".stripMargin))(
+      (s, dir) => new SparqlExecutor(TpchGraph.graph(s, dir)).executeDescribe(
+        prologue +
+          """DESCRIBE ?n WHERE { ?n g:inRegion ?r . ?r g:name "ASIA" }""")
+        .orderBy("s", "p", "o")),
   )
 }

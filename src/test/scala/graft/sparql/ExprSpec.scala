@@ -353,4 +353,22 @@ class ExprSpec extends SparkTestBase {
     assert(vp == Set((s"${ex}label", "Hello"), (s"${ex}num", "1"),
       (s"${ex}when", "2022-06-01 08:00:00"), (s"${ex}group", s"${ex}g1")))
   }
+
+  test("DESCRIBE: constant resources and pattern-bound variables") {
+    val exec = new SparqlExecutor(graph)
+    val pro = s"PREFIX ex:<$ex>\n"
+    val byConst = exec.executeDescribe(pro + "DESCRIBE ex:c")
+      .collect().map(r => (r.getString(1), r.getString(2))).toSet
+    assert(byConst == Set((s"${ex}label", "plain"), (s"${ex}num", "3"),
+      (s"${ex}group", s"${ex}g2")))
+    // variable form: describe every subject in group g1 (a and b)
+    val byVar = exec.executeDescribe(pro +
+      "DESCRIBE ?s WHERE { ?s ex:group ex:g1 }")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(byVar.map(_._1) == Set(s"${ex}a", s"${ex}b"))
+    assert(byVar.contains((s"${ex}a", s"${ex}when")))
+    intercept[IllegalArgumentException] {
+      exec.executeDescribe(pro + "DESCRIBE ?nope")
+    }
+  }
 }
