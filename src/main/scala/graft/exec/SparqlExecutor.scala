@@ -555,14 +555,15 @@ final class SparqlExecutor(
     * queries over the series that do — Catalyst would push a one-sided
     * `raise_error` projection down into the metadata scan, so the guard
     * expression must straddle the join (declared datatype from the metadata
-    * side, guarded column from the data side). */
-  /** True iff some declared datatype is kind-incompatible with the TS
-    * source's storage — only then is the guard worth its plan cost: the
-    * guard expression straddles the series join, which blocks pushing the
-    * query's time filters below it, so attaching it unconditionally would
-    * tax every hybrid query for a metadata error almost no graph has. The
-    * decision reads a cached metadata-sized distinct of the hasDatatype
-    * slice (one tiny job per graph). */
+    * side, guarded column from the data side).
+    *
+    * `needsDatatypeGuard` is true iff some declared datatype is
+    * kind-incompatible with the TS source's storage — only then is the
+    * guard worth its plan cost: straddling the series join blocks pushing
+    * the query's time filters below it, so attaching it unconditionally
+    * would tax every hybrid query for a metadata error almost no graph
+    * has. The decision reads a cached metadata-sized distinct of the
+    * hasDatatype slice (one tiny job per graph). */
   private lazy val needsDatatypeGuard: Boolean =
     graph.slice(Otit.hasDatatype).isDefined && {
       val actualKind = OKind.ofDatatype(tsValueXsd)

@@ -648,6 +648,26 @@ object RelationalQueries {
         .withColumn("first_v", first(col("value")).over(w))
         .select("event_id", "event_type", "prev_v", "next_v", "first_v")
         .orderBy("event_id")
+    },
+
+    // ---- semi-structured JSON extraction (§2.7 beyond-parity): the
+    // events.props payload parsed in place — get_json_object is a
+    // codegen'd JsonPath eval, no UDF; at scale with a stable schema,
+    // `from_json` once into a struct column beats per-field re-parsing.
+    q("q74_json_extract",
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+        |  CAST(MAX(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS max_k
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type NULLS FIRST""".stripMargin) { (s, dir) =>
+      events(s, dir)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast(LongType).as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          max(col("k")).as("max_k"))
+        .orderBy("event_type")
     }
   )
 }
