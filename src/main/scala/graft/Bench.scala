@@ -2,16 +2,23 @@ package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 
-/** Headline benchmark: runs every catalog query twice (warmup + measured) on
+/** Headline benchmark: one warmup pass (JIT + codegen + file-listing caches)
+  * then THREE measured passes over every catalog query on
   * SPARK_GRAFT_SF_DIR, materializing through the noop sink so the full plan
   * (sorts/projections included — `.count()` lets Catalyst elide them) is
-  * executed. Emits ONE JSON line on stdout and mirrors it to bench.json so
-  * the driver can parse it even if sbt pollutes stdout.
+  * executed. Each query reports its per-pass MEDIAN (min/max kept in
+  * bench.json): a single-sample run attributes whatever JIT/GC noise lands
+  * on it to the query, which made round-over-round comparisons folklore —
+  * identical code measured anywhere in a 44–70 s band. Medians across
+  * interleaved passes make "did this round regress?" answerable from the
+  * artifact itself. Emits ONE JSON line on stdout and mirrors it to
+  * bench.json so the driver can parse it even if sbt pollutes stdout.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -22,7 +29,7 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
+    def runOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -33,24 +40,36 @@ object Bench {
     }
 
     val entries = SparkEntry.catalog.filter(_.bench)
-    // Warmup: full pass (JIT + codegen caches + file-listing caches).
-    entries.foreach(q => runOnce(q.name, q.fn))
-    val results = entries.map { q =>
-      val (sec, ok) = runOnce(q.name, q.fn)
-      (q.name, sec, ok)
+    // Warmup: full pass, unmeasured.
+    entries.foreach(q => runOnce(q.fn))
+    // Measured passes are INTERLEAVED (pass 1 runs every query, then pass 2,
+    // ...) so a JIT/GC hiccup lands on one pass of many queries, not three
+    // back-to-back samples of one query.
+    val samples: Seq[Seq[(Double, Boolean)]] =
+      (1 to passes).map(_ => entries.map(q => runOnce(q.fn)))
+    val results = entries.zipWithIndex.map { case (q, i) =>
+      val runs = samples.map(_(i))
+      val secs = runs.map(_._1).sorted
+      val median = secs(secs.size / 2)
+      val ok = runs.forall(_._2)
+      (q.name, median, secs.head, secs.last, ok)
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }
+    val qs = results.map { case (k, med, _, _, _) => "\"" + k + "\":" + f"$med%.3f" }
       .mkString("{", ",", "}")
-    val status = results.map { case (k, _, ok) => "\"" + k + "\":" + ok }
+    val spread = results.map { case (k, _, lo, hi, _) =>
+      "\"" + k + "\":[" + f"$lo%.3f" + "," + f"$hi%.3f" + "]"
+    }.mkString("{", ",", "}")
+    val status = results.map { case (k, _, _, _, ok) => "\"" + k + "\":" + ok }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val nFail = results.count(!_._3)
-    // Full detail (per-query ok map) goes to bench.json; the stdout line is
-    // kept SHORT and printed LAST (after spark.stop()) because the driver
-    // captures only a bounded tail of sbt stdout — in rounds 1–3 the long
-    // line fell off the window and "parsed" came back null.
+    val nFail = results.count(!_._5)
+    // Full detail (per-query ok + min/max spread) goes to bench.json; the
+    // stdout line is kept SHORT and printed LAST (after spark.stop())
+    // because the driver captures only a bounded tail of sbt stdout — in
+    // rounds 1–3 the long line fell off the window and "parsed" came back
+    // null.
     val full =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"ok":$status,"failed":$nFail,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","passes":$passes,"queries":$qs,"spread":$spread,"ok":$status,"failed":$nFail,"sf":"$sfDir"}"""
     Files.writeString(Paths.get("bench.json"), full + "\n")
     spark.stop()
     val line =

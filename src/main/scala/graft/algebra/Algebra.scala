@@ -68,6 +68,10 @@ object Algebra {
   final case class Union(l: Pattern, r: Pattern) extends Pattern
   final case class Minus(l: Pattern, r: Pattern) extends Pattern
   final case class Extend(inner: Pattern, v: String, expr: Expr) extends Pattern
+  /** `GRAPH ?g { … }` / `GRAPH <iri> { … }` — evaluate `inner` against one
+    * named graph (constant) or each named graph, binding the variable.
+    * Beyond-parity: the reference parses SELECT over the default graph only. */
+  final case class GraphPat(g: VarOrTerm, inner: Pattern) extends Pattern
   final case class ValuesPattern(vars: Seq[String], rows: Seq[Seq[Option[Term]]])
       extends Pattern
   /** A nested SELECT (sub-query). */

@@ -24,13 +24,20 @@ import scala.collection.mutable.ArrayBuffer
   */
 final class SparqlExecutor(
     graph: TriplesGraph,
-    extraFunctions: Map[String, Seq[Column] => Column] = Map.empty) {
+    extraFunctions: Map[String, Seq[Column] => Column] = Map.empty,
+    closureMaxIters: Int = 1000) {
 
   import SparqlExecutor._
 
   private val spark = graph.spark
   private var fresh = 0
   private def freshName(p: String): String = { fresh += 1; s"__${p}$fresh" }
+
+  /** Active named-graph context (GraphPat): None = default graph. Scans
+    * consult it — translation is single-threaded, so a save/restore around
+    * the inner pattern is safe, including for deferred closures (they
+    * translate inside the same translateBgp call). */
+  private var graphCtx: Option[VarOrTerm] = None
 
   def execute(query: SelectQuery): DataFrame = translateQuery(query, unitSol).df
 
@@ -52,29 +59,60 @@ final class SparqlExecutor(
     * long-form (s, p, o) canonical-string triple frame (the same shape as
     * [[TriplesGraph.allTriples]], so the result feeds straight back into
     * graph construction). Unbound template variables skip their triple
-    * (SPARQL 1.1 §16.2); template blank nodes (per-solution minting) are
-    * not supported and throw. Set semantics: the output is distinct. */
+    * (SPARQL 1.1 §16.2). Template blank nodes (`_:label` / `[]`, which the
+    * parser renames to `__bnode_`/`__anon` variables) mint a FRESH blank
+    * node per solution — one id per (solution row, label), so triples
+    * sharing a label within one solution share the node (§16.2.1 scoping;
+    * labels are template-scoped, minted even if a pattern variable shares
+    * the name). Ids derive from a content-hash row id (the retry-stable
+    * BNODE() spelling), never a nondeterministic counter. Set semantics:
+    * the output is distinct — but duplicate SOLUTIONS still mint distinct
+    * blank nodes (the spec's per-solution instantiation), they are not
+    * collapsed. */
   def executeConstruct(q: ConstructQuery): DataFrame = {
     val sol = translatePattern(q.where, unitSol)
+    def isTemplateBlankVar(v: String): Boolean =
+      v.startsWith("__bnode_") || v.startsWith("__anon")
+    val needsMinting = q.template.exists { t =>
+      Seq(t.s, t.o).exists {
+        case T(Blank(_)) => true
+        case V(v) => isTemplateBlankVar(v)
+        case _ => false
+      }
+    }
+    val rowId = freshName("rowid")
+    val df0 =
+      if (!needsMinting) sol.df
+      else {
+        // content-hash row id + per-duplicate counter: deterministic across
+        // executions/retries, unique per solution row (see BNODE())
+        val rowCols = sol.df.columns.toSeq.map(col(_).cast(StringType))
+        val h = xxhash64((lit(0) +: rowCols): _*)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(h).orderBy(lit(1))
+        sol.df.withColumn(rowId,
+          concat(hex(h), lit("r"), row_number().over(w).cast(StringType)))
+      }
+    def mint(label: String): Column =
+      concat(lit("_:c"), md5(concat(col(rowId), lit(label))))
     def termCol(vt: VarOrTerm): Column = vt match {
+      case V(v) if isTemplateBlankVar(v) => mint("v" + v)
       case V(v) =>
-        if (sol.df.columns.contains(v)) col(v).cast(StringType)
+        if (df0.columns.contains(v)) col(v).cast(StringType)
         else lit(null).cast(StringType) // never bound: the triple drops
-      case T(Blank(id)) =>
-        throw new IllegalArgumentException(
-          s"CONSTRUCT template blank node _:$id unsupported (per-solution minting)")
+      case T(Blank(id)) => mint("t" + id)
       case T(t) => lit(t.canonical)
     }
     val parts = q.template.map { case TriplePattern(s, p, o) =>
       val pCol = p match {
         case PLink(iri) => lit(iri)
         case PVar(v) =>
-          if (sol.df.columns.contains(v)) col(v).cast(StringType)
+          if (df0.columns.contains(v)) col(v).cast(StringType)
           else lit(null).cast(StringType)
         case other => throw new IllegalArgumentException(
           s"CONSTRUCT template predicate must be an IRI or variable, got $other")
       }
-      sol.df.select(termCol(s).as("s"), pCol.as("p"), termCol(o).as("o"))
+      df0.select(termCol(s).as("s"), pCol.as("p"), termCol(o).as("o"))
     }
     parts.reduceOption(_.unionByName(_))
       .getOrElse(spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
@@ -119,7 +157,9 @@ final class SparqlExecutor(
       .getOrElse(spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
         StructType(Seq(StructField("node", StringType)))))
       .filter(col("node").isNotNull).distinct()
-    graph.allTriples.join(nodes, col("s") === col("node"), "left_semi")
+    // persisted graphs answer this with subject-bucket partition pruning
+    // (TriplesGraph.outboundTriples); in-memory graphs semi-join allTriples
+    graph.outboundTriples(nodes)
   }
 
   def executeDescribe(sparql: String): DataFrame =
@@ -161,6 +201,10 @@ final class SparqlExecutor(
   // ------------------------------------------------------------- patterns
   private def translatePattern(p: Pattern, input: Sol): Sol = p match {
     case Bgp(triples) => translateBgp(triples, input)
+    case GraphPat(g, inner) =>
+      val saved = graphCtx
+      graphCtx = Some(g)
+      try translatePattern(inner, input) finally graphCtx = saved
     case Join(l, r) => translatePattern(r, translatePattern(l, input))
     case Filter(e, inner) =>
       val s0 = translatePattern(inner, input)
@@ -310,34 +354,39 @@ final class SparqlExecutor(
     // 1. normalize property paths into simple (constant-predicate) triples
     //    plus complex components (alternation → union, closures → fixpoint)
     val simple = ArrayBuffer.empty[(VarOrTerm, String, VarOrTerm)]
-    val complex = ArrayBuffer.empty[Sol]
+    val complex = ArrayBuffer.empty[BgpComp]
     def expand(s: VarOrTerm, path: Path, o: VarOrTerm): Unit = path match {
       case PLink(iri) => simple += ((s, iri, o))
-      case PVar(pv) => complex += scanVarPredicate(s, pv, o, clsOf(s))
+      case PVar(pv) => complex += SolComp(scanVarPredicate(s, pv, o, clsOf(s)))
       case PInverse(p) => expandInverse(s, p, o)
       case PSeq(a, b) =>
         val m = V(freshName("p"))
         expand(s, a, m); expand(m, b, o)
       case PAlt(a, b) =>
-        complex += translatePattern(
-          Union(Bgp(Seq(TriplePattern(s, a, o))), Bgp(Seq(TriplePattern(s, b, o)))), unitSol)
-      case PZeroOrMore(p) => complex += translateClosure(s, p, o, ClosureMode.ZeroOrMore)
-      case POneOrMore(p) => complex += translateClosure(s, p, o, ClosureMode.OneOrMore)
-      case PZeroOrOne(p) => complex += translateClosure(s, p, o, ClosureMode.ZeroOrOne)
+        complex += SolComp(translatePattern(
+          Union(Bgp(Seq(TriplePattern(s, a, o))), Bgp(Seq(TriplePattern(s, b, o)))), unitSol))
+      // closures stay DEFERRED: translated only when the greedy join loop
+      // reaches them, so endpoints the accumulated solution has already
+      // bound seed the fixpoint (anchored closure, not full-graph closure).
+      // Inside GRAPH <iri> the step edges are already graph-scoped; under
+      // GRAPH ?var the fixpoint would mix edges across graphs, so reject.
+      case PZeroOrMore(p) => complex += closureComp(s, p, o, ClosureMode.ZeroOrMore)
+      case POneOrMore(p) => complex += closureComp(s, p, o, ClosureMode.OneOrMore)
+      case PZeroOrOne(p) => complex += closureComp(s, p, o, ClosureMode.ZeroOrOne)
       case PNegatedPropSet(fwd, inv) =>
         // !(a|^b): forward triples with p ∉ {a} UNION inverse triples with
         // p ∉ {b} (SPARQL 1.1 §9.1 NPS semantics)
         val parts = Seq(
           if (fwd.nonEmpty || inv.isEmpty) Some(scanNegated(s, fwd, o, clsOf(s))) else None,
           if (inv.nonEmpty) Some(scanNegated(o, inv, s, clsOf(o))) else None).flatten
-        complex += parts.reduce { (x, y) =>
+        complex += SolComp(parts.reduce { (x, y) =>
           Sol(x.df.unionByName(y.df, allowMissingColumns = true),
             x.vars ++ y.vars.diff(x.vars))
-        }
+        })
     }
     def expandInverse(s: VarOrTerm, p: Path, o: VarOrTerm): Unit = p match {
       case PLink(iri) => simple += ((o, iri, s))
-      case PVar(pv) => complex += scanVarPredicate(o, pv, s, clsOf(o))
+      case PVar(pv) => complex += SolComp(scanVarPredicate(o, pv, s, clsOf(o)))
       case PInverse(q) => expand(s, q, o)
       case PSeq(a, b) =>
         val m = V(freshName("p"))
@@ -346,32 +395,78 @@ final class SparqlExecutor(
     }
     triples.foreach(t => expand(t.s, t.p, t.o))
 
-    // 2. hybrid rewrite: collapse virtual time-series triples
+    // 2. hybrid rewrite: collapse virtual time-series triples. The TS
+    //    source is default-graph data: virtual triples inside GRAPH would
+    //    silently match nothing, so reject them loudly.
+    if (graphCtx.isDefined && simple.exists(t => isVirtual(t._2)))
+      throw new UnsupportedOperationException(
+        "time-series virtual triples inside GRAPH are not supported " +
+          "(the TS source holds default-graph data)")
     val (tsComponents, staticTriples) = extractTsComponents(simple.toSeq)
 
     // 3. property-table fusion: same-subject patterns whose slices share a
     //    wide source collapse into one scan (n-ary star reads the table
-    //    once instead of self-joining n slices); the rest scan per slice
-    val (fusedScans, unfusedTriples) = fuseSameSubject(staticTriples)
+    //    once instead of self-joining n slices); the rest scan per slice.
+    //    Skipped inside GRAPH — fused property tables carry no graph tag,
+    //    so per-slice scans (which do) are the correct spelling there.
+    val (fusedScans, unfusedTriples) =
+      if (graphCtx.isEmpty) fuseSameSubject(staticTriples)
+      else (Seq.empty[Sol], staticTriples)
     val scans = unfusedTriples.map(t => scanTriple(t._1, t._2, t._3)) ++
       fusedScans.map(s => (s, 0))
 
     // 4. greedy join order: start from the most selective static component,
     //    always join a component sharing variables (no accidental cartesian),
+    //    closures after scans so bound endpoints seed their fixpoints,
     //    TS scans last so the static side prunes ids (SURVEY §4 "ID pruning")
-    val comps = ArrayBuffer.empty[(Sol, Int)] // (component, priority: lower = earlier)
-    scans.foreach { case (sol, nConst) => comps += ((sol, 2 - nConst)) }
+    val comps = ArrayBuffer.empty[(BgpComp, Int)] // (component, priority: lower = earlier)
+    scans.foreach { case (sol, nConst) => comps += ((SolComp(sol), 2 - nConst)) }
     complex.foreach(c => comps += ((c, 3)))
-    tsComponents.foreach(c => comps += ((c, 4)))
+    tsComponents.foreach(c => comps += ((SolComp(c), 4)))
     var acc = input
     val remaining = comps.sortBy(_._2).map(_._1).toBuffer
     while (remaining.nonEmpty) {
       val idx0 = remaining.indexWhere(c => c.vars.exists(acc.vars.contains))
       val idx = if (idx0 >= 0 || isUnit(acc)) math.max(idx0, 0) else 0
-      val next = remaining.remove(idx)
+      val next = remaining.remove(idx) match {
+        case SolComp(sol) => sol
+        case ClosureComp(cs, p, co, mode) =>
+          // a closure endpoint variable the accumulated solution already
+          // binds becomes the fixpoint's seed set (distinct bound values);
+          // the subsequent joinSols on that var makes the restriction exact
+          def seedsFor(vt: VarOrTerm): Option[DataFrame] = vt match {
+            case V(v) if acc.vars.contains(v) =>
+              Some(acc.df.select(col(v).as("seed")).distinct())
+            case _ => None
+          }
+          translateClosure(cs, p, co, mode,
+            subjectSeeds = seedsFor(cs), objectSeeds = seedsFor(co))
+      }
       acc = joinSols(acc, next)
     }
     acc
+  }
+
+  private def closureComp(s: VarOrTerm, p: Path, o: VarOrTerm,
+      mode: ClosureMode.Value): ClosureComp = {
+    if (graphCtx.exists(_.isInstanceOf[V]))
+      throw new UnsupportedOperationException(
+        "property-path closures inside GRAPH ?var are not supported — a " +
+          "fixpoint over all named graphs at once would cross graph " +
+          "boundaries; scope the closure to a constant graph")
+    ClosureComp(s, p, o, mode)
+  }
+
+  /** A BGP component awaiting the greedy join loop: either an
+    * already-translated solution, or a deferred closure whose fixpoint is
+    * seeded by whatever the loop has bound by the time it joins. */
+  private sealed trait BgpComp { def vars: Seq[String] }
+  private case class SolComp(sol: Sol) extends BgpComp {
+    def vars: Seq[String] = sol.vars
+  }
+  private case class ClosureComp(s: VarOrTerm, p: Path, o: VarOrTerm,
+      mode: ClosureMode.Value) extends BgpComp {
+    def vars: Seq[String] = Seq(s, o).collect { case V(v) => v }.distinct
   }
 
   /** Scan one constant- or variable-predicate triple against the graph. */
@@ -383,8 +478,24 @@ final class SparqlExecutor(
       case None => (emptyScanSol(s, o), nConst(s, o)) // virtual but no ts source
       case Some(slice) =>
         // one-shot filter+aliased-select: immune to query vars that shadow
-        // the slice's physical column names (s/o/o_lang)
+        // the slice's physical column names (s/o/o_lang/g)
         var df = slice.df
+        // named-graph context: default-graph matching sees only untagged
+        // triples (standard dataset semantics); GRAPH <iri> filters the
+        // tag, GRAPH ?g binds it (the shared var enforces same-graph
+        // co-location across the pattern's scans)
+        val gVar: Option[String] = graphCtx match {
+          case None =>
+            if (slice.hasGraph) df = df.filter(col("g").isNull)
+            None
+          case Some(_) if !slice.hasGraph =>
+            // slice holds default-graph triples only: no named match
+            return (emptyScanSol(s, o, graphCtx), nConst(s, o))
+          case Some(T(t)) =>
+            df = df.filter(col("g") === t.canonical); None
+          case Some(V(gv)) =>
+            df = df.filter(col("g").isNotNull); Some(gv)
+        }
         s match {
           case T(t) => df = df.filter(col("s") === t.canonical)
           case V(_) =>
@@ -408,6 +519,9 @@ final class SparqlExecutor(
             cols += col("o").as(v)
             if (slice.hasLang) cols += col("o_lang").as(s"${v}__lang")
           case _ =>
+        }
+        gVar.foreach { gv =>
+          if (!vars.contains(gv)) { vars += gv; cols += col("g").as(gv) }
         }
         if (vars.isEmpty)
           // fully-ground pattern: a boolean guard (at most one matching
@@ -481,7 +595,8 @@ final class SparqlExecutor(
     * drops slices whose declared subject classes can't match. */
   private def scanNegated(s: VarOrTerm, excluded: Seq[String], o: VarOrTerm,
       subjectClass: Option[String] = None): Sol = {
-    var df = graph.triplesExcept(excluded, subjectClass)
+    var df = graph.triplesExcept(excluded, subjectClass, withGraph = true)
+    val gVar = applyGraphCtx(c => df = df.filter(c))
     s match {
       case T(t) => df = df.filter(col("s") === t.canonical)
       case V(v) if o == V(v) => df = df.filter(col("s") === col("o"))
@@ -498,6 +613,9 @@ final class SparqlExecutor(
       case V(v) if !vars.contains(v) => vars += v; cols += col("o").as(v)
       case _ =>
     }
+    gVar.foreach { gv =>
+      if (!vars.contains(gv)) { vars += gv; cols += col("g").as(gv) }
+    }
     if (vars.isEmpty) Sol(df.limit(1).select(lit(1).as(freshName("guard"))), Nil)
     else Sol(df.select(cols.toSeq: _*), vars.toSeq)
   }
@@ -506,7 +624,8 @@ final class SparqlExecutor(
     * by the subject's pinned rdf:type, when known). */
   private def scanVarPredicate(s: VarOrTerm, pv: String, o: VarOrTerm,
       subjectClass: Option[String] = None): Sol = {
-    var df = graph.triplesExcept(Nil, subjectClass)
+    var df = graph.triplesExcept(Nil, subjectClass, withGraph = true)
+    val gVar = applyGraphCtx(c => df = df.filter(c))
     s match {
       case T(t) => df = df.filter(col("s") === t.canonical)
       case V(v) if o == V(v) => df = df.filter(col("s") === col("o"))
@@ -524,12 +643,27 @@ final class SparqlExecutor(
       case V(v) if !vars.contains(v) => vars += v; cols += col("o").as(v)
       case _ =>
     }
+    gVar.foreach { gv =>
+      if (!vars.contains(gv)) { vars += gv; cols += col("g").as(gv) }
+    }
     Sol(df.select(cols.toSeq: _*), vars.toSeq)
   }
 
-  private def emptyScanSol(s: VarOrTerm, o: VarOrTerm): Sol = {
+  /** Apply the named-graph context to a long-form (withGraph) frame via the
+    * given filter installer; returns the graph variable to bind, if any.
+    * Default context keeps only untagged (default-graph) triples — slices
+    * without a g column surface it as a constant null, which folds away. */
+  private def applyGraphCtx(install: Column => Unit): Option[String] =
+    graphCtx match {
+      case None => install(col("g").isNull); None
+      case Some(T(t)) => install(col("g") === t.canonical); None
+      case Some(V(gv)) => install(col("g").isNotNull); Some(gv)
+    }
+
+  private def emptyScanSol(s: VarOrTerm, o: VarOrTerm,
+      ctx: Option[VarOrTerm] = None): Sol = {
     // distinct: `?a p ?a` must yield ONE column, not an ambiguous pair
-    val vars = Seq(s, o).collect { case V(v) => v }.distinct
+    val vars = (Seq(s, o) ++ ctx.toSeq).collect { case V(v) => v }.distinct
     if (vars.isEmpty) emptySol(Seq(freshName("guard"))).copy(vars = Nil)
     else emptySol(vars)
   }
@@ -574,7 +708,16 @@ final class SparqlExecutor(
     : (DataFrame, Option[String]) = graph.slice(Otit.hasDatatype) match {
     case Some(dsl) if needsDatatypeGuard =>
       val ds = freshName("dts"); val dv = freshName("dtv")
+      // one row per series: a subject with two distinct declared datatypes
+      // would otherwise duplicate every joined data point — that is a graph
+      // inconsistency, surfaced as an error, not silent row multiplication
       val dmap = dsl.df.select(col("s").as(ds), col("o").cast(StringType).as(dv))
+        .groupBy(ds).agg(collect_set(col(dv)).as(dv))
+        .select(col(ds),
+          when(size(col(dv)) > 1, raise_error(concat(
+            lit("conflicting declared time-series datatypes for series "),
+            col(ds), lit(": "), concat_ws(", ", col(dv)))))
+            .otherwise(col(dv).getItem(0)).as(dv))
       (df.join(dmap, df(entityCol) === dmap(ds), "left_outer").drop(ds), Some(dv))
     case _ => (df, None)
   }
@@ -753,16 +896,50 @@ final class SparqlExecutor(
     * closure (a chain deeper than the cap would otherwise be a wrong-answer
     * bug that only shows at scale). Iterations grow the frontier one hop per
     * round, so the cap bounds graph *diameter*, not size.
+    *
+    * Anchored evaluation: when an endpoint is a constant — or the caller
+    * passes the incoming solution's already-bound values for it — the
+    * fixpoint seeds the frontier at those nodes and iterates only the
+    * reachable set. `<s> p+ ?o` is O(reach(s)) frontier work instead of
+    * materializing the whole graph's closure and filtering afterwards
+    * (O(|V|·avg-reach) — the one true scale-killer on a large graph).
+    * Object-side anchors iterate the inverted edge set and swap back at the
+    * end. Iteration count then tracks the seeds' reach depth, not the graph
+    * diameter (ClosureSeedSpec pins this via the runaway guard).
     */
   private def translateClosure(s: VarOrTerm, p: Path, o: VarOrTerm,
-      mode: ClosureMode.Value, maxIters: Int = 1000): Sol = {
+      mode: ClosureMode.Value, maxIters: Int = closureMaxIters,
+      subjectSeeds: Option[DataFrame] = None,
+      objectSeeds: Option[DataFrame] = None): Sol = {
     val a = freshName("ca"); val b = freshName("cb")
     val stepSol = translatePattern(Bgp(Seq(TriplePattern(V(a), p, V(b)))), unitSol)
-    val edges = stepSol.df.select(col(a).as("src"), col(b).as("dst")).distinct()
+    val edgesFwd = stepSol.df.select(col(a).as("src"), col(b).as("dst")).distinct()
       .localCheckpoint()
-    var acc = edges
+    // anchor preference: constant endpoint > subject seeds > object seeds
+    // (subject anchors iterate forward; object anchors invert the edges).
+    // Each seed frame is a single-column "seed" DataFrame.
+    def constSeed(t: Term) =
+      spark.createDataFrame(Seq(Tuple1(t.canonical))).toDF("seed")
+    val anchor: Option[(Boolean, DataFrame)] = (s, o) match {
+      case (T(t), _) => Some((true, constSeed(t)))
+      case (_, T(t)) => Some((false, constSeed(t)))
+      case _ => subjectSeeds.map((true, _)).orElse(objectSeeds.map((false, _)))
+    }
+    val fwd = anchor.forall(_._1)
+    val edges =
+      if (fwd) edgesFwd
+      else edgesFwd.select(col("dst").as("src"), col("src").as("dst"))
+    val seedDf = anchor.map(_._2.select(col("seed").cast(StringType)).distinct()
+      .localCheckpoint())
+    var acc = seedDf match {
+      case Some(sd) =>
+        // seed-restricted one-hop edges: only pairs rooted at a seed enter
+        // the fixpoint, so acc never holds a pair the query can't use
+        edges.join(sd, edges("src") === sd("seed"), "left_semi").localCheckpoint()
+      case None => edges
+    }
     if (mode == ClosureMode.ZeroOrMore || mode == ClosureMode.OneOrMore) {
-      var frontier = edges
+      var frontier = acc
       var i = 0
       var done = false
       while (!done) {
@@ -788,11 +965,20 @@ final class SparqlExecutor(
       }
     }
     if (mode == ClosureMode.ZeroOrMore || mode == ClosureMode.ZeroOrOne) {
-      val identity = graph.nodes.select(col("node").as("src"), col("node").as("dst"))
+      // zero-length: each node reaches itself. Anchored → only seed nodes
+      // that occur in the graph (same result the unanchored identity∪filter
+      // produced, without touching the full node set at scale).
+      val idNodes = seedDf match {
+        case Some(sd) => graph.nodes
+          .join(sd, col("node") === sd("seed"), "left_semi")
+        case None => graph.nodes
+      }
+      val identity = idNodes.select(col("node").as("src"), col("node").as("dst"))
       acc = identity.union(acc).distinct()
     }
     // constrain endpoints (aliased one-shot select, see scanTriple)
-    var df = acc
+    var df = if (fwd) acc
+      else acc.select(col("dst").as("src"), col("src").as("dst"))
     s match {
       case T(t) => df = df.filter(col("src") === t.canonical)
       case V(v) if o == V(v) => df = df.filter(col("src") === col("dst"))
@@ -896,6 +1082,25 @@ final class SparqlExecutor(
         throw new IllegalStateException("aggregate outside grouped query")
       case EFunc(name, args) => fn(name, args)
     }
+    /** SPARQL REGEX/REPLACE flags → Java inline-flag group prefix. Empty
+      * flags add no group (bare `(?)` is an invalid Java pattern); literal
+      * flags are validated against Java's inline set up front — SPARQL's `q`
+      * has no Java inline equivalent, so it fails with a clear
+      * unsupported-flag message instead of an opaque regex parse error.
+      * Non-literal flags expressions build the group conditionally per row. */
+    def flaggedPattern(flagsExpr: Expr, pat: Column, flags: Column): Column =
+      flagsExpr match {
+        case ETerm(Lit(lex, _, _)) =>
+          if (lex.isEmpty) pat
+          else if (!lex.forall("imsux".contains(_)))
+            throw new IllegalArgumentException(
+              s"unsupported REGEX/REPLACE flag(s) '${lex.filterNot("imsux".contains(_))}'" +
+                " — Java inline flags support [imsux]")
+          else concat(lit(s"(?$lex)"), pat)
+        case _ =>
+          when(flags.isNull || length(flags) === 0, pat)
+            .otherwise(concat(lit("(?"), flags, lit(")"), pat))
+      }
     def fn(name: String, args: Seq[Expr]): Column = {
       val a = args.map(c)
       name match {
@@ -924,10 +1129,10 @@ final class SparqlExecutor(
         case "replace" =>
           // flags become a Java-regex inline group, same idiom as REGEX below
           if (a.size >= 4)
-            regexp_replace(a(0), concat(lit("(?"), a(3), lit(")"), a(1)), a(2))
+            regexp_replace(a(0), flaggedPattern(args(3), a(1), a(3)), a(2))
           else regexp_replace(a(0), a(1), a(2))
         case "regex" =>
-          if (args.size >= 3) regexp_like(a(0), concat(lit("(?"), a(2), lit(")"), a(1)))
+          if (args.size >= 3) regexp_like(a(0), flaggedPattern(args(2), a(1), a(2)))
           else regexp_like(a(0), a(1))
         case "str" => a(0).cast(StringType)
         case "lang" => args.head match {
@@ -947,14 +1152,21 @@ final class SparqlExecutor(
           a(0).cast(StringType)
         case "bnode" =>
           // BNODE(): fresh id per row; BNODE(str): stable id per lexical.
-          // The zero-arg form uses monotonically_increasing_id, which is
-          // nondeterministic under task retry — one logical row can mint
-          // different ids across attempts. Acceptable for fresh-bnode
-          // semantics (ids only promise uniqueness), but keep BNODE() out
-          // of hash-compared outputs
-          if (a.isEmpty)
-            concat(lit("_:b"), abs(monotonically_increasing_id()).cast(StringType))
-          else concat(lit("_:b"), md5(a(0).cast(StringType)))
+          // Fresh ids are RETRY-STABLE: content hash of the whole row plus a
+          // per-duplicate counter. Identical rows are interchangeable, so the
+          // (row, id) multiset is deterministic across executions and task
+          // retries — unlike monotonically_increasing_id, whose ids depend on
+          // nondeterministic row→partition placement. Costs one
+          // hash-partitioned window shuffle, paid only by minting queries;
+          // the hash distributes uniformly so the window has no skew.
+          if (a.isEmpty) {
+            val rowCols = sol.df.columns.toSeq.map(col(_).cast(StringType))
+            val h = xxhash64((lit(0) +: rowCols): _*)
+            val w = org.apache.spark.sql.expressions.Window
+              .partitionBy(h).orderBy(lit(1))
+            concat(lit("_:b"), hex(h), lit("r"),
+              row_number().over(w).cast(StringType))
+          } else concat(lit("_:b"), md5(a(0).cast(StringType)))
         case "strdt" =>
           // STRDT(lexical, datatypeIRI): the datatype must be a constant IRI
           val dt = args(1) match {

@@ -64,7 +64,11 @@ final case class FusedMember(groupId: String, df: DataFrame, objCol: String)
 final case class PredicateSlice(df: DataFrame, kind: OKind,
     hasLang: Boolean = false, fused: Seq[FusedMember] = Nil,
     subjectClasses: Set[String] = Set.empty,
-    byClass: Map[String, DataFrame] = Map.empty)
+    byClass: Map[String, DataFrame] = Map.empty,
+    /** True when `df` carries a `g: String` column tagging each triple's
+      * named graph (null = default graph). Slices without it hold
+      * default-graph triples only — standard RDF dataset semantics. */
+    hasGraph: Boolean = false)
 
 /** Pluggable time-series backend for the hybrid engine — the reference's
   * `TimeSeriesQueryable` trait (hybrid/src/timeseries_database.rs:11-15,
@@ -103,7 +107,11 @@ final case class TsSource(df: DataFrame) extends TsProvider {
 final class TriplesGraph(
     val spark: SparkSession,
     val slices: Map[String, PredicateSlice],
-    val ts: Option[TsProvider] = None) {
+    val ts: Option[TsProvider] = None,
+    /** Set by [[TriplesGraph.load]]: the persisted base dataset plus its
+      * subject-bucket count, enabling subject-addressed reads
+      * ([[outboundTriples]]) to prune by bucket partition. */
+    val store: Option[(DataFrame, Int)] = None) {
 
   def slice(predicate: String): Option[PredicateSlice] = slices.get(predicate)
 
@@ -129,18 +137,25 @@ final class TriplesGraph(
     * also declares `byClass` sub-frames contributes only its matching
     * class partition — (predicate, subject_class)-partitioned storage. */
   def triplesExcept(excluded: Seq[String],
-      subjectClass: Option[String] = None): DataFrame = {
+      subjectClass: Option[String] = None,
+      withGraph: Boolean = false): DataFrame = {
     val parts = slices.collect {
       case (p, sl) if !excluded.contains(p) &&
           subjectClass.forall(c =>
             sl.subjectClasses.isEmpty || sl.subjectClasses.contains(c)) =>
         val src = subjectClass.flatMap(sl.byClass.get).getOrElse(sl.df)
-        src.select(col("s"), lit(p).as("p"), col("o").cast(StringType).as("o"))
+        val base = Seq(col("s"), lit(p).as("p"), col("o").cast(StringType).as("o"))
+        val cols =
+          if (!withGraph) base
+          else base :+ (if (sl.hasGraph) col("g")
+            else lit(null).cast(StringType).as("g"))
+        src.select(cols: _*)
     }
     parts.reduceOption(_.unionByName(_)).getOrElse {
-      spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
-        StructType(Seq(StructField("s", StringType), StructField("p", StringType),
-          StructField("o", StringType))))
+      val fields = Seq(StructField("s", StringType), StructField("p", StringType),
+        StructField("o", StringType)) ++
+        (if (withGraph) Seq(StructField("g", StringType)) else Nil)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], StructType(fields))
     }
   }
 
@@ -156,6 +171,31 @@ final class TriplesGraph(
         .collect().map(_.getString(0)).toSeq.sorted
     }.getOrElse(Nil)
 
+  /** Every outbound triple of the given node set — the DESCRIBE scan.
+    *
+    * On a persisted graph this reads by SUBJECT BUCKET: the node set's
+    * bucket values (≤ nBuckets of them, a metadata-sized collect) become a
+    * literal partition filter on `sb`, so a point DESCRIBE touches
+    * ~|buckets|/nBuckets of each predicate slice instead of the whole
+    * store — with (p, kind, cls) partitioning alone there is no subject
+    * pruning and every DESCRIBE is a full-graph scan. In-memory graphs
+    * keep the semi-join over [[allTriples]].
+    */
+  def outboundTriples(nodes: DataFrame): DataFrame = store match {
+    case Some((base, nb)) =>
+      val buckets = nodes
+        .select(pmod(xxhash64(col("node")), lit(nb)).cast(IntegerType).as("sb"))
+        .distinct().collect().map(_.getInt(0)) // ≤ nBuckets values
+      val o = coalesce(col("o_str"), col("o_long").cast(StringType),
+        col("o_dbl").cast(StringType), col("o_bool").cast(StringType),
+        col("o_ts").cast(StringType))
+      base.filter(col("sb").isin(buckets.toSeq: _*))
+        .join(nodes, col("s") === col("node"), "left_semi")
+        .select(col("s"), col("p"), o.as("o"))
+    case None =>
+      allTriples.join(nodes, col("s") === col("node"), "left_semi")
+  }
+
   /** All nodes of the graph (for zero-length path semantics). */
   lazy val nodes: DataFrame = {
     val subj = allTriples.select(col("s").as("node"))
@@ -166,14 +206,17 @@ final class TriplesGraph(
   }
 
   /** Persist the graph as ONE parquet dataset partitioned by
-    * (predicate, object-kind, subject-class) — the 100 TB storage layout:
-    * a constant-predicate scan is partition pruning, a typed NPS scan
-    * prunes to the complement × matching-class partitions, and the typed
-    * object columns keep every slice's native type. Class branches come
-    * from `byClass` (single-class slices write their one class; slices
-    * with no declaration write `__all`). Reload with [[TriplesGraph.load]].
-    */
-  def save(path: String): Unit = {
+    * (predicate, object-kind, subject-class, subject-bucket) — the 100 TB
+    * storage layout: a constant-predicate scan is partition pruning, a
+    * typed NPS scan prunes to the complement × matching-class partitions,
+    * subject-addressed reads (DESCRIBE, fully-ground patterns) prune to
+    * their hash buckets, and the typed object columns keep every slice's
+    * native type. Class branches come from `byClass` (single-class slices
+    * write their one class; slices with no declaration write `__all`).
+    * `nBuckets` is part of the layout contract — reload with the same
+    * value via [[TriplesGraph.load]], which cross-checks it against the
+    * partition inventory. */
+  def save(path: String, nBuckets: Int = TriplesGraph.defaultSubjectBuckets): Unit = {
     def nullc(t: DataType) = lit(null).cast(t)
     val parts = slices.toSeq.flatMap { case (p, sl) =>
       val kindTag = sl.kind match {
@@ -212,15 +255,24 @@ final class TriplesGraph(
         val lang = if (sl.hasLang) col("o_lang").cast(StringType) else nullc(StringType)
         df.select(Seq(col("s").cast(StringType).as("s")) ++ typed ++ Seq(
           lang.as("o_lang"), lit(p).as("p"), lit(kindTag).as("kind"),
-          lit(cls).as("cls")): _*)
+          lit(cls).as("cls"),
+          pmod(xxhash64(col("s").cast(StringType)), lit(nBuckets))
+            .cast(IntegerType).as("sb")): _*)
       }
     }
     parts.reduce(_.unionByName(_))
-      .write.mode("overwrite").partitionBy("p", "kind", "cls").parquet(path)
+      .write.mode("overwrite").partitionBy("p", "kind", "cls", "sb").parquet(path)
   }
 }
 
 object TriplesGraph {
+
+  /** Subject-bucket count for the persisted layout. 16 keeps the test-scale
+    * directory fan-out sane; a 100 TB deployment would raise it (buckets ×
+    * predicates × classes directories, each holding 1/nBuckets of the
+    * subjects) — the value is a save/load contract, not a constant baked
+    * into the data. */
+  val defaultSubjectBuckets = 16
 
   /** Build from an in-memory triple list (fixtures, mapper output). */
   def fromTerms(spark: SparkSession, triples: Seq[(Term, String, Term)],
@@ -256,6 +308,40 @@ object TriplesGraph {
     new TriplesGraph(spark, slices, ts)
   }
 
+  /** Build from an in-memory QUAD list — (s, p, o, named graph), graph None
+    * for the default graph. Slices carry the `g` column (hasGraph), giving
+    * standard RDF dataset semantics: default-graph matching sees only
+    * untagged triples, `GRAPH ?g/<iri>` sees the named ones. */
+  def fromQuads(spark: SparkSession,
+      quads: Seq[(Term, String, Term, Option[String])],
+      ts: Option[TsProvider] = None): TriplesGraph = {
+    val byPred = quads.groupBy(_._2)
+    val slices = byPred.map { case (p, qs) =>
+      val kinds = qs.map {
+        case (_, _, Iri(_), _) | (_, _, Blank(_), _) => OKind.KIri
+        case (_, _, Lit(_, dt, _), _) => OKind.ofDatatype(dt)
+      }.distinct
+      val kind = if (kinds.size == 1) kinds.head else OKind.KStr
+      val sparkT = OKind.sparkType(kind)
+      val rows = qs.map { case (s, _, o, g) =>
+        val ov: Any = (kind, o) match {
+          case (OKind.KLong, Lit(lex, _, _)) => lex.toLong
+          case (OKind.KDbl, Lit(lex, _, _)) => lex.toDouble
+          case (OKind.KBool, Lit(lex, _, _)) => lex.toBoolean
+          case (OKind.KTs, Lit(lex, _, _)) => Xsd.parseTimestamp(lex)
+          case (_, t) => t.canonical
+        }
+        Row(s.canonical, ov, g.orNull)
+      }
+      val schema = StructType(Seq(StructField("s", StringType),
+        StructField("o", sparkT), StructField("g", StringType)))
+      p -> PredicateSlice(
+        spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq, 1), schema),
+        kind, hasGraph = true)
+    }
+    new TriplesGraph(spark, slices, ts)
+  }
+
   /** Build from already-distributed per-predicate DataFrames (each with
     * columns s, o) — the scale path: derive slices from source tables with
     * Spark transforms, no driver-side materialization. */
@@ -270,10 +356,19 @@ object TriplesGraph {
     * NPS pruning works identically on a reloaded graph. The partition
     * inventory is one metadata listing at catalog-build time. */
   def load(spark: SparkSession, path: String,
-      ts: Option[TsProvider] = None): TriplesGraph = {
+      ts: Option[TsProvider] = None,
+      nBuckets: Int = defaultSubjectBuckets): TriplesGraph = {
     val base = spark.read.parquet(path)
-    val inventory = base.select("p", "kind", "cls").distinct().collect()
-      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    val inventoryRows = base.select("p", "kind", "cls", "sb").distinct().collect()
+    // layout contract check: a bucket id at or past nBuckets means the
+    // store was written with a different bucket count — subject-addressed
+    // pruning would silently miss rows, so fail loudly instead
+    val maxSb = inventoryRows.map(_.getInt(3)).max
+    require(maxSb < nBuckets,
+      s"store at $path has subject bucket $maxSb but load expects $nBuckets " +
+        "buckets; pass the nBuckets the store was saved with")
+    val inventory = inventoryRows
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).distinct
     val slices = inventory.groupBy(_._1).map { case (p, rows) =>
       val kindTag = rows.head._2
       val classes = rows.map(_._3).filterNot(_ == "__all").toSet
@@ -304,6 +399,6 @@ object TriplesGraph {
         c -> sel(base.filter(col("p") === p && col("cls") === c))).toMap
       p -> PredicateSlice(whole, kind, hasLang, Nil, classes, byClass)
     }
-    new TriplesGraph(spark, slices, ts)
+    new TriplesGraph(spark, slices, ts, store = Some((base, nBuckets)))
   }
 }

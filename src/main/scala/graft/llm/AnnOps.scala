@@ -111,8 +111,17 @@ object AnnOps {
     // quantizer — index layout, probe path, and plan shape are identical.
     val cents: Array[(Long, Array[Float], Double)] =
       centroids.getOrElse(seedCentroids(corpus, nCentroids, dim))
-    // --- cell assignment kernel: argmax cosine over the broadcast
-    // centroids, first-wins on exact ties (centroids iterate in cid order).
+    val index = ivfAssignments(corpus, cents, dim)
+    val probes = ivfProbes(queries, cents, nProbe, dim)
+    ivfScore(index, probes, k, dim)
+  }
+
+  /** Cell assignment kernel: argmax cosine over the broadcast centroids,
+    * first-wins on exact ties (centroids iterate in cid order). The
+    * resulting (cid, nid, nemb) frame IS the inverted index. */
+  private def ivfAssignments(corpus: DataFrame,
+      cents: Array[(Long, Array[Float], Double)], dim: Int): DataFrame = {
+    val spark = corpus.sparkSession
     val centsB = spark.sparkContext.broadcast(cents)
     val asgSchema = StructType(Seq(StructField("cid", LongType),
       StructField("nid", LongType),
@@ -138,10 +147,15 @@ object AnnOps {
           org.apache.spark.sql.Row(bestCid, r.getLong(0), emb)
         }
       }
-    // the inverted index; at scale: .write.partitionBy("cid").parquet(...)
-    val index = spark.createDataFrame(asgRdd, asgSchema)
-    // --- probe: rank centroids per query, keep nProbe cells. The centroid
-    // table is nCentroids rows — broadcast by construction.
+    spark.createDataFrame(asgRdd, asgSchema)
+  }
+
+  /** Probe set: rank centroids per query, keep the best `nProbe` cells.
+    * The centroid table is nCentroids rows — broadcast by construction. */
+  private def ivfProbes(queries: DataFrame,
+      cents: Array[(Long, Array[Float], Double)], nProbe: Int, dim: Int)
+    : DataFrame = {
+    val spark = queries.sparkSession
     val centDf = spark.createDataFrame(cents.toSeq.map { case (cid, ce, cn) =>
       (cid, ce.toSeq, cn)
     }).toDF("cid", "cemb", "cnorm")
@@ -149,15 +163,19 @@ object AnnOps {
       .withColumn("qn", norm(col("qemb"), dim))
     val pw = Window.partitionBy(col("qid"))
       .orderBy(col("pcos").desc, col("cid"))
-    val probes = q.crossJoin(broadcast(centDf))
+    q.crossJoin(broadcast(centDf))
       .withColumn("pcos",
         dot(col("qemb"), col("cemb").cast(ArrayType(FloatType)), dim) /
           (col("qn") * col("cnorm")))
       .withColumn("pr", row_number().over(pw))
       .filter(col("pr") <= nProbe)
       .select(col("qid"), col("qemb"), col("qn"), col("cid"))
-    // --- exact scoring restricted to probed cells: broadcast probe set ×
-    // inverted index on cid, then per-query top-k.
+  }
+
+  /** Exact scoring restricted to probed cells: broadcast probe set ×
+    * inverted index on cid, then per-query top-k. */
+  private def ivfScore(index: DataFrame, probes: DataFrame, k: Int, dim: Int)
+    : DataFrame = {
     val scored = index.join(broadcast(probes), "cid")
       .filter(col("nid") =!= col("qid"))
       .withColumn("cos", dot(col("qemb"), col("nemb"), dim) /
@@ -168,10 +186,58 @@ object AnnOps {
       .select(col("qid"), col("rk").cast(LongType), col("nid"))
   }
 
+  /** Build and PERSIST the IVF index: the assignment frame lands at
+    * `path/cells` partitioned by cid — the lake layout where each probe
+    * reads only its cells via partition pruning — and the centroid table
+    * (nCentroids rows) at `path/centroids`. k-means|| centroids
+    * ([[kmeansParCentroids]]) are the production default; pass seed-mode
+    * centroids explicitly when an independent engine must rebuild the
+    * identical index for verification. */
+  def buildIvfIndex(corpus: DataFrame, path: String, dim: Int = 64,
+      nCentroids: Int = 16,
+      centroids: Option[Array[(Long, Array[Float], Double)]] = None): Unit = {
+    val spark = corpus.sparkSession
+    graft.functions.ArrayDotProduct.register(spark)
+    val cents = centroids.getOrElse(
+      kmeansParCentroids(corpus, nCentroids, dim))
+    ivfAssignments(corpus, cents, dim)
+      .write.mode("overwrite").partitionBy("cid").parquet(s"$path/cells")
+    spark.createDataFrame(cents.toSeq.map { case (cid, ce, cn) =>
+      (cid, ce.toSeq, cn)
+    }).toDF("cid", "cemb", "cnorm")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Query a PERSISTED IVF index ([[buildIvfIndex]]): ranks the stored
+    * centroids per query, then reads ONLY the probed cells from the
+    * partitioned cells dataset — the probed-cid filter is a driver-side
+    * metadata set (≤ nCentroids values, collected from the
+    * |queries|·nProbe probe frame), so the scan plans with partition
+    * pruning (PlanSpec asserts PartitionFilters) and the data read is
+    * ~nProbe/nCentroids of the corpus no matter the corpus size. */
+  def ivfTopKFromIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, k: Int, dim: Int = 64, nProbe: Int = 2): DataFrame = {
+    graft.functions.ArrayDotProduct.register(spark)
+    val cents: Array[(Long, Array[Float], Double)] =
+      spark.read.parquet(s"$path/centroids")
+        .orderBy("cid").collect() // nCentroids rows: metadata-sized
+        .map { r =>
+          (r.getLong(0), r.getSeq[Float](1).toArray.map(_.toFloat),
+            r.getDouble(2))
+        }
+    val probes = ivfProbes(queries, cents, nProbe, dim).localCheckpoint()
+    // the union of probed cids across the batch — bounded by nCentroids,
+    // collected once so the cells scan gets a literal partition filter
+    val probedCids = probes.select("cid").distinct().collect().map(_.getLong(0))
+    val index = spark.read.parquet(s"$path/cells")
+      .filter(col("cid").isin(probedCids.toSeq: _*))
+    ivfScore(index, probes, k, dim)
+  }
+
   /** Seed quantizer: the `nCentroids` lowest vec_ids, collected once at
     * index-build time. Deterministic so an independent engine can rebuild
     * the identical index for verification. */
-  private def seedCentroids(corpus: DataFrame, nCentroids: Int, dim: Int)
+  private[graft] def seedCentroids(corpus: DataFrame, nCentroids: Int, dim: Int)
     : Array[(Long, Array[Float], Double)] =
     corpus.select(col("vec_id"), col("embedding"))
       .orderBy("vec_id").limit(nCentroids)

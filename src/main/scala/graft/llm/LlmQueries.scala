@@ -335,6 +335,23 @@ object LlmQueries {
         .orderBy("qid", "rk")
     },
 
+    // ---- PERSISTED IVF index: same semantics as q57, but the inverted
+    // index round-trips through parquet `partitionBy(cid)` — the lake
+    // layout — and the probe path reads ONLY the probed cells (partition
+    // pruning, PlanSpec-asserted). Seed centroids here so the oracle can
+    // rebuild the identical index; production builds use k-means||
+    // (buildIvfIndex's default).
+    q("q76_ann_ivf_persisted", annIvfOracle(nCentroids = 16, nProbe = 2, k = 3)) { (s, dir) =>
+      val emb = T.embeddings(s, dir)
+      val path = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft-ivf-" + dir.replaceAll("[^A-Za-z0-9]", "_")).getAbsolutePath
+      AnnOps.buildIvfIndex(emb, path, dim = 64, nCentroids = 16,
+        centroids = Some(AnnOps.seedCentroids(emb, 16, 64)))
+      AnnOps.ivfTopKFromIndex(s, path, emb.filter(col("vec_id") < 20),
+          k = 3, dim = 64, nProbe = 2)
+        .orderBy("qid", "rk")
+    },
+
     // ---- multimodal binary plumbing: opaque payload + typed metadata
     // (decode stub exercised in MultimodalOpsSpec; this entry checks the
     // SQL-visible surface).

@@ -189,54 +189,31 @@ object TextOps {
     * all hide outside the prefix, so every qualifying pair shares a prefix
     * shingle. Candidates then verify exactly against the full shingle sets.
     *
-    * The global order here is (shingle hash, shingle) rather than the
-    * classic rarest-first (document-frequency) order: any fixed total order
-    * preserves exactness, and hash order lets the whole index — shingling
-    * AND prefix selection — run inside ONE map-only kernel with no df
-    * shuffle and no per-doc refold (df order measured ~2× fewer candidates
-    * but two extra shuffle rounds; at this corpus the fixed job overhead
-    * dominates, and hash collisions only ever ADD candidates — a
-    * qualifying pair shares a prefix shingle string, hence its hash). The
-    * candidate join keys on the 8-byte hash; every join is a bucketed
-    * equi-join — no cartesian (PlanSpec). */
+    * Two global shingle orders, chosen by `prefixOrder`:
+    *
+    *  - `"hash"` (default): order by (shingle hash, shingle). Any fixed
+    *    total order preserves exactness, and hash order lets the whole
+    *    index — shingling AND prefix selection — run inside ONE map-only
+    *    kernel with no df shuffle and no per-doc refold; hash collisions
+    *    only ever ADD candidates (a qualifying pair shares a prefix shingle
+    *    string, hence its hash). Fastest at sf0.1, where two extra shuffle
+    *    rounds of fixed overhead outweigh its ~2× extra candidates.
+    *  - `"df"`: classic rarest-first (document-frequency ascending) order —
+    *    two extra shuffles (global df count + per-doc rank window), but
+    *    high-df shingles sort to the END of every document and drop out of
+    *    all prefixes. On a skewed corpus (one shingle shared by a large doc
+    *    fraction) the candidate set shrinks by the square of that
+    *    fraction — the right trade at lake scale, where candidate volume
+    *    dominates fixed job costs (the r5 verdict's explicit crossover).
+    *
+    * Both verify exactly, so the RESULT is identical (spec-pinned); only
+    * the candidate count differs. Every join is a bucketed equi-join — no
+    * cartesian (PlanSpec). */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 2, threshold: Double = 0.5): DataFrame = {
-    // shingling + prefix selection as one per-partition kernel,
-    // materialized ONCE (read by the index build and both verify sides);
-    // the Column spelling of shingling is an interpreted higher-order
-    // function — measured 3s slower at sf0.1
-    val sigSchema = StructType(Seq(StructField("id", LongType),
-      StructField("sh", ArrayType(StringType)),
-      StructField("pre", ArrayType(LongType))))
-    val rdd = df.select(col(idCol).cast(LongType), col(textCol)).rdd
-      .mapPartitions { rows =>
-        rows.flatMap { r =>
-          val toks = Option(r.getString(1)).map(_.trim.split(" ")).getOrElse(Array.empty)
-          if (toks.length < n) None
-          else {
-            val seen = new scala.collection.mutable.LinkedHashSet[String]
-            var i = 0
-            while (i + n <= toks.length) {
-              seen += toks.slice(i, i + n).mkString(" "); i += 1
-            }
-            val sz = seen.size
-            val k = sz - math.ceil(threshold * sz).toInt + 1
-            val pre = seen.toArray
-              .map(s => (scala.util.hashing.MurmurHash3.stringHash(s).toLong, s))
-              .sorted.take(k).map(_._1).distinct
-            Some(org.apache.spark.sql.Row(r.getLong(0), seen.toSeq, pre.toSeq))
-          }
-        }
-      }
-    val base = df.sparkSession.createDataFrame(rdd, sigSchema).localCheckpoint()
-    val prefixes = base.select(col("id"), explode(col("pre")).as("h"))
-    // no distinct here: pairs sharing several prefix hashes are rare
-    // (measured raw ≈ distinct), so dedup waits for the far smaller
-    // verified output instead of shuffling the whole candidate set
-    val candidates = prefixes.select(col("id").as("ida"), col("h"))
-      .join(prefixes.select(col("id").as("idb"), col("h").as("h2")),
-        col("h") === col("h2") && col("ida") < col("idb"))
-      .select("ida", "idb")
+      n: Int = 2, threshold: Double = 0.5,
+      prefixOrder: String = "hash"): DataFrame = {
+    val base = ngramSignatures(df, idCol, textCol, n, threshold)
+    val candidates = ngramPrefixCandidates(base, threshold, prefixOrder)
     // exact verification against the full shingle sets — scored in a
     // per-partition kernel: Catalyst's array_intersect/array_union on
     // string arrays measured 9.4s for 225k candidate pairs at sf0.1 where
@@ -265,6 +242,76 @@ object TextOps {
       }
     }
     df.sparkSession.createDataFrame(scored, outSchema).distinct()
+  }
+
+  /** Shingle sets + hash-order prefixes (id, sh, pre) as one per-partition
+    * kernel, materialized ONCE (read by the index build and both verify
+    * sides); the Column spelling of shingling is an interpreted higher-order
+    * function — measured 3s slower at sf0.1. */
+  private[graft] def ngramSignatures(df: DataFrame, idCol: String,
+      textCol: String, n: Int, threshold: Double): DataFrame = {
+    val sigSchema = StructType(Seq(StructField("id", LongType),
+      StructField("sh", ArrayType(StringType)),
+      StructField("pre", ArrayType(LongType))))
+    val rdd = df.select(col(idCol).cast(LongType), col(textCol)).rdd
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val toks = Option(r.getString(1)).map(_.trim.split(" ")).getOrElse(Array.empty)
+          if (toks.length < n) None
+          else {
+            val seen = new scala.collection.mutable.LinkedHashSet[String]
+            var i = 0
+            while (i + n <= toks.length) {
+              seen += toks.slice(i, i + n).mkString(" "); i += 1
+            }
+            val sz = seen.size
+            val k = sz - math.ceil(threshold * sz).toInt + 1
+            val pre = seen.toArray
+              .map(s => (scala.util.hashing.MurmurHash3.stringHash(s).toLong, s))
+              .sorted.take(k).map(_._1).distinct
+            Some(org.apache.spark.sql.Row(r.getLong(0), seen.toSeq, pre.toSeq))
+          }
+        }
+      }
+    df.sparkSession.createDataFrame(rdd, sigSchema).localCheckpoint()
+  }
+
+  /** Candidate pairs from the prefix index over `base` (id, sh, pre) — see
+    * [[ngramJaccardPairs]] for the two orders. Package-visible so specs can
+    * measure candidate volume independently of the verified result. */
+  private[graft] def ngramPrefixCandidates(base: DataFrame, threshold: Double,
+      prefixOrder: String): DataFrame = prefixOrder match {
+    case "hash" =>
+      val prefixes = base.select(col("id"), explode(col("pre")).as("h"))
+      // no distinct here: pairs sharing several prefix hashes are rare
+      // (measured raw ≈ distinct), so dedup waits for the far smaller
+      // verified output instead of shuffling the whole candidate set
+      prefixes.select(col("id").as("ida"), col("h"))
+        .join(prefixes.select(col("id").as("idb"), col("h").as("h2")),
+          col("h") === col("h2") && col("ida") < col("idb"))
+        .select("ida", "idb")
+    case "df" =>
+      // rarest-first: global document frequency per shingle (partial-agg
+      // count, no skew risk in the agg itself), then each doc keeps the k
+      // lowest-(df, shingle) shingles via a per-doc rank window (partitioned
+      // by id — never a global sort). High-df shingles rank last and fall
+      // out of every prefix, so the hot-shingle quadratic fan-out never
+      // reaches the candidate join.
+      val ex = base.select(col("id"), size(col("sh")).as("sz"),
+        explode(col("sh")).as("s"))
+      val dfTab = ex.groupBy("s").agg(count(lit(1)).as("df"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("id").orderBy(col("df"), col("s"))
+      val prefixes = ex.join(dfTab, "s")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+        .select(col("id"), col("s"))
+      prefixes.select(col("id").as("ida"), col("s"))
+        .join(prefixes.select(col("id").as("idb"), col("s").as("s2")),
+          col("s") === col("s2") && col("ida") < col("idb"))
+        .select("ida", "idb")
+    case other => throw new IllegalArgumentException(
+      s"prefixOrder must be 'hash' or 'df', got '$other'")
   }
 
   /** Shingling + minhash + banding as one map-only kernel, materialized once

@@ -46,9 +46,10 @@ object Xsd {
     *
     * Accepts explicit offsets (`2021-12-01T00:00:01+01:00`, the reference
     * DSL's own example format — dsl/src/translator/timestamp_conditions.rs:
-    * 9-38), `Z`, and zone-less forms; offset forms are converted to UTC
-    * instants, zone-less forms are read in the JVM default zone (UTC in
-    * every entry point of this engine).
+    * 9-38), `Z`, and zone-less forms. BOTH forms anchor to UTC instants —
+    * zone-less lexicals explicitly via ZoneOffset.UTC, never the JVM default
+    * zone, so one graph's offset and zone-less literals stay mutually
+    * consistent on any host.
     */
   def parseTimestamp(lex: String): java.sql.Timestamp =
     try java.sql.Timestamp.from(java.time.OffsetDateTime.parse(lex).toInstant)
@@ -58,7 +59,7 @@ object Xsd {
           if (lex.contains("T"))
             java.time.LocalDateTime.parse(lex.stripSuffix("Z"))
           else java.time.LocalDate.parse(lex).atStartOfDay()
-        java.sql.Timestamp.valueOf(ldt)
+        java.sql.Timestamp.from(ldt.toInstant(java.time.ZoneOffset.UTC))
     }
 }
 

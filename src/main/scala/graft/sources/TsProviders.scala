@@ -35,3 +35,40 @@ final case class ParquetTsProvider(
       col(tsCol).as("ts"),
       col(valueCol).as("value"))
 }
+
+/** JDBC-backed time-series provider — the external-database path of the
+  * pluggable backend, proving the [[TsProvider]] seam generalizes beyond
+  * the lake: the reference reaches Dremio over Arrow Flight SQL with a
+  * hand-written query rewriter (arrow_flight_sql_database.rs:121-233);
+  * here the SAME declarative contract rides Spark's JDBC source, which
+  * compiles Catalyst predicates into the remote WHERE clause (shown as
+  * PushedFilters on the JDBCRelation scan) — the provider itself stays a
+  * column mapping, identical in shape to [[ParquetTsProvider]].
+  *
+  * `partitionOptions` (e.g. partitionColumn/lowerBound/upperBound/
+  * numPartitions) split the remote read for parallelism at scale; the
+  * default single-partition read is fine for metadata-sized stores and
+  * tests.
+  */
+final case class JdbcTsProvider(
+    spark: SparkSession,
+    url: String,
+    table: String,
+    driver: Option[String] = None,
+    idCol: String = "id",
+    tsCol: String = "ts",
+    valueCol: String = "value",
+    partitionOptions: Map[String, String] = Map.empty) extends TsProvider {
+
+  def frame: DataFrame = {
+    val reader = spark.read.format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+      .options(partitionOptions)
+    driver.foreach(d => reader.option("driver", d))
+    reader.load().select(
+      col(idCol).cast(StringType).as("id"),
+      col(tsCol).as("ts"),
+      col(valueCol).as("value"))
+  }
+}

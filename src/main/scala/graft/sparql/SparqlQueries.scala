@@ -444,5 +444,81 @@ object SparqlQueries {
         prologue +
           """DESCRIBE ?n WHERE { ?n g:inRegion ?r . ?r g:name "ASIA" }""")
         .orderBy("s", "p", "o")),
+
+    // ---- CONSTRUCT with template blank nodes: one fresh bnode per
+    // solution, shared across the solution's triples (SPARQL 1.1 §16.2.1).
+    // Ids are engine-internal, so the entry checks STRUCTURE: rejoining the
+    // constructed graph on the shared bnode must reconstruct exactly the
+    // nation–region pairs the solutions carried.
+    Q("q77_construct_bnodes", Some(
+      """SELECT n_name AS nname, r_name AS rname
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY nname NULLS FIRST, rname NULLS FIRST""".stripMargin))(
+      (s, dir) => {
+        val g = new SparqlExecutor(TpchGraph.graph(s, dir)).executeConstruct(
+          prologue +
+            """CONSTRUCT { _:a g:cn ?nname . _:a g:cr ?rname } WHERE {
+              |  ?n g:inRegion ?r . ?n g:name ?nname . ?r g:name ?rname .
+              |}""".stripMargin)
+        import org.apache.spark.sql.functions.col
+        val l = g.filter(col("p") === s"${ns}cn")
+          .select(col("s").as("b"), col("o").as("nname"))
+        val r = g.filter(col("p") === s"${ns}cr")
+          .select(col("s").as("b"), col("o").as("rname"))
+        l.join(r, "b").select("nname", "rname").orderBy("nname", "rname")
+      }),
+
+    // ---- GRAPH / named graphs (beyond both engines): quads — each triple
+    // optionally tagged with its named graph; `GRAPH ?g { … }` matches per
+    // named graph binding ?g, default-graph matching sees only untagged
+    // triples (standard RDF dataset semantics; NamedGraphSpec covers the
+    // isolation cases). Here the name triples live in one named graph per
+    // entity type and the query enumerates them.
+    Q("q78_named_graphs", Some(
+      s"""SELECT * FROM (
+         |  SELECT '${ns}g:nation' AS g, ${sqlIri("nation", "n_nationkey")} AS s, n_name AS nm FROM nation
+         |  UNION ALL
+         |  SELECT '${ns}g:region', ${sqlIri("region", "r_regionkey")}, r_name FROM region
+         |  UNION ALL
+         |  SELECT '${ns}g:supplier', ${sqlIri("supplier", "s_suppkey")}, s_name FROM supplier
+         |) ORDER BY g NULLS FIRST, s NULLS FIRST, nm NULLS FIRST""".stripMargin))(
+      (s, dir) => {
+        import org.apache.spark.sql.functions.{col, lit}
+        import graft.graph.{OKind, PredicateSlice, TriplesGraph}
+        val names = TpchGraph.iri("nation", col("n_nationkey")).as("s")
+        val quads = graft.T.nation(s, dir)
+          .select(names, col("n_name").as("o"), lit(s"${ns}g:nation").as("g"))
+          .unionByName(graft.T.region(s, dir).select(
+            TpchGraph.iri("region", col("r_regionkey")).as("s"),
+            col("r_name").as("o"), lit(s"${ns}g:region").as("g")))
+          .unionByName(graft.T.supplier(s, dir).select(
+            TpchGraph.iri("supplier", col("s_suppkey")).as("s"),
+            col("s_name").as("o"), lit(s"${ns}g:supplier").as("g")))
+        val g = TriplesGraph.fromSlices(s,
+          Map(name -> PredicateSlice(quads, OKind.KStr, hasGraph = true)))
+        new SparqlExecutor(g).execute(prologue +
+          """SELECT ?g ?s ?nm WHERE {
+            |  GRAPH ?g { ?s g:name ?nm }
+            |} ORDER BY ?g ?s ?nm""".stripMargin)
+      }),
+
+    // ---- constant-anchored transitive closure: the fixpoint seeds at the
+    // constant subject and iterates only its reachable set (O(reach(seed)),
+    // not the whole graph's closure — the scale-critical path shape; the
+    // oracle is a recursive CTE seeded at the same node).
+    sq("q75_sparql_path_anchored",
+      s"""WITH RECURSIVE e AS (
+         |  SELECT ${sqlIri("supplier", "s_suppkey")} AS src, ${sqlIri("nation", "s_nationkey")} AS dst FROM supplier
+         |  UNION ALL
+         |  SELECT ${sqlIri("nation", "n_nationkey")}, ${sqlIri("region", "n_regionkey")} FROM nation
+         |), reach AS (
+         |  SELECT dst FROM e WHERE src = '${ns}supplier:1'
+         |  UNION
+         |  SELECT e.dst FROM e JOIN reach ON e.src = reach.dst
+         |)
+         |SELECT dst AS y FROM reach ORDER BY y NULLS FIRST""".stripMargin,
+      s"""SELECT ?y WHERE {
+         |  <${ns}supplier:1> g:locatedIn+ ?y .
+         |} ORDER BY ?y""".stripMargin),
   )
 }

@@ -20,7 +20,7 @@ import org.apache.spark.sql.types._
 object TpchGraph {
 
   val ns = "urn:graft:"
-  private def iri(kind: String, c: Column): Column =
+  private[sparql] def iri(kind: String, c: Column): Column =
     concat(lit(s"$ns$kind:"), c.cast(StringType))
   /** Oracle-SQL spelling of the same IRI construction. */
   def sqlIri(kind: String, expr: String): String =

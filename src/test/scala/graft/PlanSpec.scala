@@ -81,6 +81,22 @@ class PlanSpec extends SparkTestBase {
       "probe join must be a broadcast hash join on cid")
   }
 
+  test("persisted IVF index: the cells scan is partition-pruned to probed cids") {
+    // q76 writes the inverted index partitionBy(cid) and probes it back;
+    // the cells scan must carry a non-empty PartitionFilters on cid — an
+    // unpruned scan reads the whole index for a 2-cell probe, which at
+    // 10^9 vectors is the difference between ~1/8 of the corpus and all
+    // of it
+    val plan = executedPlan("q76_ann_ivf_persisted")
+    val cellScans = plan.split("FileScan parquet").toSeq.tail
+      .filter(_.contains("cells"))
+    assert(cellScans.nonEmpty, "expected a persisted-cells scan in the plan")
+    assert(cellScans.forall(s =>
+      s.contains("PartitionFilters") && !s.contains("PartitionFilters: []")),
+      "cells scan must be partition-pruned by probed cid")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("NPS scan prunes slices whose declared subject class can't match") {
     // q55 pins ?n to rdf:type g:Nation, so the !(name|key) complement scan
     // must union only nation-compatible slices — at 100 TB this is the

@@ -56,6 +56,40 @@ class GraphStorageSpec extends SparkTestBase {
     assert(loadedTyp.byClass.keySet.contains(graft.sparql.TpchGraph.typeSensor))
   }
 
+  test("DESCRIBE on a persisted graph prunes by subject bucket") {
+    val derived = graft.sparql.TpchGraph.graph(spark, sf)
+    val path = java.nio.file.Files.createTempDirectory("graft-graph-sb").toString
+    derived.save(path)
+    val loaded = TriplesGraph.load(spark, path, derived.ts)
+    val prologue =
+      s"""PREFIX g:<${graft.sparql.TpchGraph.ns}>
+         |""".stripMargin
+    val describe =
+      """DESCRIBE ?n WHERE { ?n g:inRegion ?r . ?r g:name "ASIA" }"""
+    def rows(g: TriplesGraph) =
+      new SparqlExecutor(g).executeDescribe(prologue + describe)
+        .collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    // same answer either way...
+    assert(rows(derived).nonEmpty && rows(derived) == rows(loaded))
+    // ...but the persisted path must prune the store scan by subject
+    // bucket: with only (p, kind, cls) partitioning a DESCRIBE reads the
+    // whole lake to answer a point lookup
+    val plan = new SparqlExecutor(loaded).executeDescribe(prologue + describe)
+      .queryExecution.executedPlan.toString
+    val storeScans = plan.split("FileScan parquet").toSeq.tail
+      .filter(_.contains("graft-graph-sb"))
+    assert(storeScans.nonEmpty, "expected a store scan in the DESCRIBE plan")
+    assert(storeScans.forall(s =>
+      s.contains("PartitionFilters") && !s.contains("PartitionFilters: []") &&
+        s.contains("sb#")),
+      "DESCRIBE store scan must carry a subject-bucket partition filter")
+    // wrong bucket count at load is a loud failure, not silent missing rows
+    val bad = intercept[IllegalArgumentException] {
+      TriplesGraph.load(spark, path, derived.ts, nBuckets = 8)
+    }
+    assert(bad.getMessage.contains("bucket"))
+  }
+
   test("full SPARQL catalog through a save/load round-trip: equal results, every store scan pruned") {
     val derived = graft.sparql.TpchGraph.graph(spark, sf)
     val path = java.nio.file.Files.createTempDirectory("graft-graph-cat").toString

@@ -67,6 +67,35 @@ class LlmOpsSpec extends SparkTestBase {
     assert(lsh == brute, s"LSH missed ${brute.diff(lsh)} / extra ${lsh.diff(brute)}")
   }
 
+  test("ngram jaccard df-order prefix cuts hot-shingle candidates, same result") {
+    import spark.implicits._
+    // 300 docs of 6 distinct bigrams each: 5 unique + the hot "common anchor"
+    // bigram shared by ALL of them. threshold 0.5 -> prefix keeps 4 of 6
+    // shingles, so under hash order the hot shingle lands in ~2/3 of the
+    // prefixes (quadratic candidate fan-out); under df order it has the
+    // highest document frequency, sorts last in every doc, and falls out of
+    // every prefix. Both orders must return the identical verified pairs.
+    val hot = (0 until 300).map { i =>
+      (i.toLong, s"u${i}a u${i}b u${i}c u${i}d u${i}e common anchor")
+    }
+    val dups = Seq(
+      (900L, "alpha beta gamma delta epsilon zeta"),
+      (901L, "alpha beta gamma delta epsilon eta"))
+    val docs = (hot ++ dups).toDF("doc_id", "text")
+    val base = TextOps.ngramSignatures(docs, "doc_id", "text", n = 2, threshold = 0.5)
+    val nHash = TextOps.ngramPrefixCandidates(base, 0.5, "hash").count()
+    val nDf = TextOps.ngramPrefixCandidates(base, 0.5, "df").count()
+    assert(nDf * 2 <= nHash,
+      s"df-order candidates ($nDf) should be well under half of hash-order ($nHash)")
+    def pairs(order: String) =
+      TextOps.ngramJaccardPairs(docs, "doc_id", "text", n = 2,
+        threshold = 0.5, prefixOrder = order)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val hashPairs = pairs("hash")
+    assert(pairs("df") == hashPairs)
+    assert(hashPairs.map(p => (p._1, p._2)).contains((900L, 901L)))
+  }
+
   test("simhash is stable and discriminative") {
     import spark.implicits._
     val docs = Seq((1L, "the cat sat"), (2L, "the cat sat"), (3L, "a dog ran fast"))

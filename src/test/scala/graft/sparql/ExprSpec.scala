@@ -354,6 +354,49 @@ class ExprSpec extends SparkTestBase {
       (s"${ex}when", "2022-06-01 08:00:00"), (s"${ex}group", s"${ex}g1")))
   }
 
+  test("CONSTRUCT template blank nodes: fresh per solution, shared per label") {
+    val exec = new SparqlExecutor(graph)
+    val pro = s"PREFIX ex:<$ex>\n"
+    // one bnode per solution, shared by both triples of that solution
+    val got = exec.executeConstruct(pro +
+      """CONSTRUCT { _:m ex:of ?s . _:m ex:n ?n } WHERE { ?s ex:num ?n }""")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    val byBnode = got.groupBy(_._1)
+    // ids look like blank nodes and there is exactly one per solution
+    assert(byBnode.keySet.forall(_.startsWith("_:")))
+    assert(byBnode.size == 3, s"expected 3 minted bnodes, got ${byBnode.keySet}")
+    // each bnode carries exactly its solution's (of, n) pair — structure
+    // compare with ids normalized away
+    val pairs = byBnode.values.map { ts =>
+      (ts.collectFirst { case (_, p, o) if p == s"${ex}of" => o }.get,
+        ts.collectFirst { case (_, p, o) if p == s"${ex}n" => o }.get)
+    }.toSet
+    assert(pairs == Set((s"${ex}a", "1"), (s"${ex}b", "2"), (s"${ex}c", "3")))
+    // ids are deterministic across two executions of the same query
+    // (content-hash minting, not a nondeterministic counter)
+    val again = exec.executeConstruct(pro +
+      """CONSTRUCT { _:m ex:of ?s . _:m ex:n ?n } WHERE { ?s ex:num ?n }""")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(got.toSet == again.toSet)
+    // distinct labels in one solution mint distinct nodes; [] works too
+    val two = exec.executeConstruct(pro +
+      """CONSTRUCT { _:x ex:of ?s . _:y ex:alsoOf ?s } WHERE { ?s ex:num 1 }""")
+      .collect().map(_.getString(0)).toSet
+    assert(two.size == 2, s"distinct labels must mint distinct nodes: $two")
+  }
+
+  test("BNODE() ids are stable across two executions of the same plan") {
+    val exec = new SparqlExecutor(graph)
+    val pro = s"PREFIX ex:<$ex>\n"
+    def ids = exec.execute(pro +
+      """SELECT ?s ?b WHERE { ?s ex:num ?n . BIND(BNODE() AS ?b) }""")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val first = ids
+    assert(first.map(_._2).forall(_.startsWith("_:b")))
+    assert(first.map(_._2).size == 3, "BNODE() must be unique per row")
+    assert(ids == first, "BNODE() ids must be deterministic across executions")
+  }
+
   test("DESCRIBE: constant resources and pattern-bound variables") {
     val exec = new SparqlExecutor(graph)
     val pro = s"PREFIX ex:<$ex>\n"
