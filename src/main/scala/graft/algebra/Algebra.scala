@@ -82,6 +82,13 @@ object Algebra {
   /** One projection item: a plain variable or (expr AS ?v). */
   final case class ProjItem(v: String, expr: Option[Expr])
 
+  /** FROM / FROM NAMED dataset clause (SPARQL 1.1 §13.2): when present, the
+    * query's dataset REPLACES the store's — the default graph becomes the
+    * merge (set union) of the `defaults` named graphs, and GRAPH ranges
+    * only over `named`. The reference rejects dataset clauses outright
+    * (splitter.rs:33-69); beyond-parity surface. */
+  final case class DatasetClause(defaults: Seq[String], named: Seq[String])
+
   /** Any parsed SPARQL query form. The reference accepts only SELECT
     * (splitter.rs:33-69); ASK and CONSTRUCT are beyond-parity surface. */
   sealed trait SparqlQuery
@@ -111,7 +118,8 @@ object Algebra {
       having: Option[Expr],
       orderBy: Seq[OrderKey],
       limit: Option[Long],
-      offset: Option[Long]) extends SparqlQuery {
+      offset: Option[Long],
+      dataset: Option[DatasetClause] = None) extends SparqlQuery {
 
     def hasAggregates: Boolean = {
       def exprHas(e: Expr): Boolean = e match {
@@ -148,6 +156,8 @@ object Algebra {
     case Union(l, r) => boundVars(l) ++ boundVars(r)
     case Minus(l, _) => boundVars(l)
     case Extend(inner, v, _) => boundVars(inner) + v
+    case GraphPat(g, inner) =>
+      boundVars(inner) ++ (g match { case V(v) => Set(v); case _ => Set.empty })
     case ValuesPattern(vars, _) => vars.toSet
     case SubSelect(q) =>
       if (q.projection.isEmpty) boundVars(q.where) else q.projection.map(_.v).toSet

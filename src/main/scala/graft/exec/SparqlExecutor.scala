@@ -39,7 +39,17 @@ final class SparqlExecutor(
     * translate inside the same translateBgp call). */
   private var graphCtx: Option[VarOrTerm] = None
 
-  def execute(query: SelectQuery): DataFrame = translateQuery(query, unitSol).df
+  /** Active FROM / FROM NAMED dataset (§13.2). When set, it REPLACES the
+    * store's dataset: default-graph matching reads the merge of the FROM
+    * graphs (not the untagged triples) and GRAPH ranges over FROM NAMED
+    * only. Sub-SELECTs inherit the outer dataset (they carry none). */
+  private var activeDataset: Option[DatasetClause] = None
+
+  def execute(query: SelectQuery): DataFrame = {
+    val saved = activeDataset
+    if (query.dataset.isDefined) activeDataset = query.dataset
+    try translateQuery(query, unitSol).df finally activeDataset = saved
+  }
 
   def execute(sparql: String): DataFrame =
     execute(graft.parser.SparqlParser.parse(sparql))
@@ -369,10 +379,11 @@ final class SparqlExecutor(
       // reaches them, so endpoints the accumulated solution has already
       // bound seed the fixpoint (anchored closure, not full-graph closure).
       // Inside GRAPH <iri> the step edges are already graph-scoped; under
-      // GRAPH ?var the fixpoint would mix edges across graphs, so reject.
-      case PZeroOrMore(p) => complex += closureComp(s, p, o, ClosureMode.ZeroOrMore)
-      case POneOrMore(p) => complex += closureComp(s, p, o, ClosureMode.OneOrMore)
-      case PZeroOrOne(p) => complex += closureComp(s, p, o, ClosureMode.ZeroOrOne)
+      // GRAPH ?var they carry the graph tag and the fixpoint stays
+      // per-graph (see translateClosure).
+      case PZeroOrMore(p) => complex += ClosureComp(s, p, o, ClosureMode.ZeroOrMore)
+      case POneOrMore(p) => complex += ClosureComp(s, p, o, ClosureMode.OneOrMore)
+      case PZeroOrOne(p) => complex += ClosureComp(s, p, o, ClosureMode.ZeroOrOne)
       case PNegatedPropSet(fwd, inv) =>
         // !(a|^b): forward triples with p ∉ {a} UNION inverse triples with
         // p ∉ {b} (SPARQL 1.1 §9.1 NPS semantics)
@@ -447,16 +458,6 @@ final class SparqlExecutor(
     acc
   }
 
-  private def closureComp(s: VarOrTerm, p: Path, o: VarOrTerm,
-      mode: ClosureMode.Value): ClosureComp = {
-    if (graphCtx.exists(_.isInstanceOf[V]))
-      throw new UnsupportedOperationException(
-        "property-path closures inside GRAPH ?var are not supported — a " +
-          "fixpoint over all named graphs at once would cross graph " +
-          "boundaries; scope the closure to a constant graph")
-    ClosureComp(s, p, o, mode)
-  }
-
   /** A BGP component awaiting the greedy join loop: either an
     * already-translated solution, or a deferred closure whose fixpoint is
     * seeded by whatever the loop has bound by the time it joins. */
@@ -483,18 +484,34 @@ final class SparqlExecutor(
         // named-graph context: default-graph matching sees only untagged
         // triples (standard dataset semantics); GRAPH <iri> filters the
         // tag, GRAPH ?g binds it (the shared var enforces same-graph
-        // co-location across the pattern's scans)
-        val gVar: Option[String] = graphCtx match {
-          case None =>
+        // co-location across the pattern's scans). A FROM/FROM NAMED
+        // dataset replaces both sides: default = merge of the FROM graphs,
+        // GRAPH ranges over FROM NAMED.
+        val gVar: Option[String] = (graphCtx, activeDataset) match {
+          case (None, None) =>
             if (slice.hasGraph) df = df.filter(col("g").isNull)
             None
-          case Some(_) if !slice.hasGraph =>
+          case (None, Some(ds)) =>
+            if (!slice.hasGraph || ds.defaults.isEmpty)
+              return (emptyScanSol(s, o, graphCtx), nConst(s, o))
+            df = df.filter(col("g").isin(ds.defaults: _*))
+            if (ds.defaults.size > 1) // merge = set union across FROM graphs
+              df = df.dropDuplicates(Seq("s", "o") ++
+                (if (slice.hasLang) Seq("o_lang") else Nil))
+            None
+          case (Some(_), _) if !slice.hasGraph =>
             // slice holds default-graph triples only: no named match
             return (emptyScanSol(s, o, graphCtx), nConst(s, o))
-          case Some(T(t)) =>
+          case (Some(T(t)), ds) =>
+            if (ds.exists(d => !d.named.contains(t.canonical)))
+              return (emptyScanSol(s, o, graphCtx), nConst(s, o))
             df = df.filter(col("g") === t.canonical); None
-          case Some(V(gv)) =>
+          case (Some(V(gv)), None) =>
             df = df.filter(col("g").isNotNull); Some(gv)
+          case (Some(V(gv)), Some(ds)) =>
+            if (ds.named.isEmpty)
+              return (emptyScanSol(s, o, graphCtx), nConst(s, o))
+            df = df.filter(col("g").isin(ds.named: _*)); Some(gv)
         }
         s match {
           case T(t) => df = df.filter(col("s") === t.canonical)
@@ -595,8 +612,9 @@ final class SparqlExecutor(
     * drops slices whose declared subject classes can't match. */
   private def scanNegated(s: VarOrTerm, excluded: Seq[String], o: VarOrTerm,
       subjectClass: Option[String] = None): Sol = {
-    var df = graph.triplesExcept(excluded, subjectClass, withGraph = true)
-    val gVar = applyGraphCtx(c => df = df.filter(c))
+    val (df1, gVar) =
+      applyGraphCtx(graph.triplesExcept(excluded, subjectClass, withGraph = true))
+    var df = df1
     s match {
       case T(t) => df = df.filter(col("s") === t.canonical)
       case V(v) if o == V(v) => df = df.filter(col("s") === col("o"))
@@ -624,8 +642,9 @@ final class SparqlExecutor(
     * by the subject's pinned rdf:type, when known). */
   private def scanVarPredicate(s: VarOrTerm, pv: String, o: VarOrTerm,
       subjectClass: Option[String] = None): Sol = {
-    var df = graph.triplesExcept(Nil, subjectClass, withGraph = true)
-    val gVar = applyGraphCtx(c => df = df.filter(c))
+    val (df1, gVar) =
+      applyGraphCtx(graph.triplesExcept(Nil, subjectClass, withGraph = true))
+    var df = df1
     s match {
       case T(t) => df = df.filter(col("s") === t.canonical)
       case V(v) if o == V(v) => df = df.filter(col("s") === col("o"))
@@ -649,16 +668,35 @@ final class SparqlExecutor(
     Sol(df.select(cols.toSeq: _*), vars.toSeq)
   }
 
-  /** Apply the named-graph context to a long-form (withGraph) frame via the
-    * given filter installer; returns the graph variable to bind, if any.
-    * Default context keeps only untagged (default-graph) triples — slices
-    * without a g column surface it as a constant null, which folds away. */
-  private def applyGraphCtx(install: Column => Unit): Option[String] =
-    graphCtx match {
-      case None => install(col("g").isNull); None
-      case Some(T(t)) => install(col("g") === t.canonical); None
-      case Some(V(gv)) => install(col("g").isNotNull); Some(gv)
+  /** Apply the named-graph context and any FROM/FROM NAMED dataset to a
+    * long-form (withGraph) frame; returns the frame plus the graph variable
+    * to bind, if any. Default context keeps only untagged (default-graph)
+    * triples — slices without a g column surface it as a constant null,
+    * which folds away; under a dataset the default is the merge (set
+    * union) of the FROM graphs instead. */
+  private def applyGraphCtx(df0: DataFrame): (DataFrame, Option[String]) = {
+    var df = df0
+    val gv = (graphCtx, activeDataset) match {
+      case (None, None) => df = df.filter(col("g").isNull); None
+      case (None, Some(ds)) =>
+        if (ds.defaults.isEmpty) df = df.limit(0)
+        else {
+          df = df.filter(col("g").isin(ds.defaults: _*))
+          if (ds.defaults.size > 1) df = df.dropDuplicates(Seq("s", "p", "o"))
+        }
+        None
+      case (Some(T(t)), ds) =>
+        if (ds.exists(d => !d.named.contains(t.canonical))) df = df.limit(0)
+        else df = df.filter(col("g") === t.canonical)
+        None
+      case (Some(V(gv0)), None) => df = df.filter(col("g").isNotNull); Some(gv0)
+      case (Some(V(gv0)), Some(ds)) =>
+        if (ds.named.isEmpty) df = df.limit(0)
+        else df = df.filter(col("g").isin(ds.named: _*))
+        Some(gv0)
     }
+    (df, gv)
+  }
 
   private def emptyScanSol(s: VarOrTerm, o: VarOrTerm,
       ctx: Option[VarOrTerm] = None): Sol = {
@@ -913,7 +951,14 @@ final class SparqlExecutor(
       objectSeeds: Option[DataFrame] = None): Sol = {
     val a = freshName("ca"); val b = freshName("cb")
     val stepSol = translatePattern(Bgp(Seq(TriplePattern(V(a), p, V(b)))), unitSol)
-    val edgesFwd = stepSol.df.select(col(a).as("src"), col(b).as("dst")).distinct()
+    // under GRAPH ?g the step scan binds the graph var: edges carry their
+    // graph tag and the fixpoint extends pairs only WITHIN one graph (the
+    // step join matches the tag), so paths never cross graph boundaries
+    val gVar = graphCtx.collect { case V(gv) => gv }
+    val gCol = gVar.map(_ => freshName("cg"))
+    val edgeCols = Seq(col(a).as("src"), col(b).as("dst")) ++
+      gVar.zip(gCol).map { case (gv, gc) => col(gv).as(gc) }
+    val edgesFwd = stepSol.df.select(edgeCols: _*).distinct()
       .localCheckpoint()
     // anchor preference: constant endpoint > subject seeds > object seeds
     // (subject anchors iterate forward; object anchors invert the edges).
@@ -926,15 +971,19 @@ final class SparqlExecutor(
       case _ => subjectSeeds.map((true, _)).orElse(objectSeeds.map((false, _)))
     }
     val fwd = anchor.forall(_._1)
+    val keep = gCol.toSeq.map(col)
     val edges =
       if (fwd) edgesFwd
-      else edgesFwd.select(col("dst").as("src"), col("src").as("dst"))
+      else edgesFwd.select(
+        (Seq(col("dst").as("src"), col("src").as("dst")) ++ keep): _*)
     val seedDf = anchor.map(_._2.select(col("seed").cast(StringType)).distinct()
       .localCheckpoint())
     var acc = seedDf match {
       case Some(sd) =>
         // seed-restricted one-hop edges: only pairs rooted at a seed enter
-        // the fixpoint, so acc never holds a pair the query can't use
+        // the fixpoint, so acc never holds a pair the query can't use.
+        // (Under GRAPH ?g seeds restrict src across all graphs — a superset
+        // of what's needed; the final join on the graph var makes it exact.)
         edges.join(sd, edges("src") === sd("seed"), "left_semi").localCheckpoint()
       case None => edges
     }
@@ -947,10 +996,17 @@ final class SparqlExecutor(
           throw new IllegalStateException(
             s"property-path closure did not converge within $maxIters iterations " +
               "(graph diameter exceeds the runaway guard; raise maxIters)")
-        val stepped = frontier.join(
-            edges.withColumnRenamed("src", "m").withColumnRenamed("dst", "d2"),
-            col("dst") === col("m"))
-          .select(col("src"), col("d2").as("dst")).distinct()
+        val g2 = gCol.map(_ => freshName("cg2"))
+        var stepEdges = edges.withColumnRenamed("src", "m")
+          .withColumnRenamed("dst", "d2")
+        gCol.zip(g2).foreach { case (gc, gc2) =>
+          stepEdges = stepEdges.withColumnRenamed(gc, gc2)
+        }
+        val joinCond = gCol.zip(g2).foldLeft(col("dst") === col("m")) {
+          case (c, (gc, gc2)) => c && col(gc) === col(gc2)
+        }
+        val stepped = frontier.join(stepEdges, joinCond)
+          .select((Seq(col("src"), col("d2").as("dst")) ++ keep): _*).distinct()
         val next = stepped.except(acc).localCheckpoint()
         if (next.isEmpty) done = true
         else {
@@ -965,20 +1021,44 @@ final class SparqlExecutor(
       }
     }
     if (mode == ClosureMode.ZeroOrMore || mode == ClosureMode.ZeroOrOne) {
-      // zero-length: each node reaches itself. Anchored → only seed nodes
-      // that occur in the graph (same result the unanchored identity∪filter
-      // produced, without touching the full node set at scale).
-      val idNodes = seedDf match {
-        case Some(sd) => graph.nodes
-          .join(sd, col("node") === sd("seed"), "left_semi")
-        case None => graph.nodes
+      // zero-length: each node reaches itself — within the graph(s) the
+      // query is actually ranging over. Anchored → only seed nodes that
+      // occur there (same result the unanchored identity∪filter produced,
+      // without touching the full node set at scale). Under GRAPH ?g, per
+      // named graph: a node reaches itself in the graphs whose triples
+      // mention it; a FROM/FROM NAMED dataset restricts both sides.
+      val idBase: DataFrame = (gCol, graphCtx, activeDataset) match {
+        case (Some(gc), _, ds) =>
+          val base = ds match {
+            case Some(d) if d.named.isEmpty => graph.namedGraphNodes.limit(0)
+            case Some(d) => graph.namedGraphNodes
+              .filter(col("g").isin(d.named: _*))
+            case None => graph.namedGraphNodes
+          }
+          base.select(col("node"), col("g").as(gc))
+        case (None, Some(T(t)), ds) =>
+          if (ds.exists(d => !d.named.contains(t.canonical)))
+            graph.nodes.limit(0)
+          else graph.namedGraphNodes
+            .filter(col("g") === t.canonical).select(col("node"))
+        case (None, None, Some(ds)) =>
+          if (ds.defaults.isEmpty) graph.nodes.limit(0)
+          else graph.namedGraphNodes
+            .filter(col("g").isin(ds.defaults: _*))
+            .select(col("node")).distinct()
+        case _ => graph.nodes
       }
-      val identity = idNodes.select(col("node").as("src"), col("node").as("dst"))
+      val idNodes = seedDf match {
+        case Some(sd) => idBase.join(sd, col("node") === sd("seed"), "left_semi")
+        case None => idBase
+      }
+      val identity = idNodes.select(
+        (Seq(col("node").as("src"), col("node").as("dst")) ++ keep): _*)
       acc = identity.union(acc).distinct()
     }
     // constrain endpoints (aliased one-shot select, see scanTriple)
     var df = if (fwd) acc
-      else acc.select(col("dst").as("src"), col("src").as("dst"))
+      else acc.select((Seq(col("dst").as("src"), col("src").as("dst")) ++ keep): _*)
     s match {
       case T(t) => df = df.filter(col("src") === t.canonical)
       case V(v) if o == V(v) => df = df.filter(col("src") === col("dst"))
@@ -994,6 +1074,9 @@ final class SparqlExecutor(
     o match {
       case V(v) if !vars.contains(v) => vars += v; cols += col("dst").as(v)
       case _ =>
+    }
+    gVar.zip(gCol).foreach { case (gv, gc) =>
+      if (!vars.contains(gv)) { vars += gv; cols += col(gc).as(gv) }
     }
     if (vars.isEmpty) Sol(df.limit(1).select(lit(1).as(freshName("guard"))), Nil)
     else Sol(df.select(cols.toSeq: _*), vars.toSeq)

@@ -205,6 +205,20 @@ final class TriplesGraph(
     objIris.foldLeft(subj)(_.unionByName(_)).distinct()
   }
 
+  /** (node, g) pairs per NAMED graph — zero-length path semantics inside
+    * `GRAPH ?g`: a node "is in" the graphs whose triples mention it. */
+  lazy val namedGraphNodes: DataFrame = {
+    val t = triplesExcept(Nil, None, withGraph = true)
+      .filter(col("g").isNotNull)
+    val subj = t.select(col("s").as("node"), col("g"))
+    val objIris = slices.collect {
+      case (_, sl) if sl.kind == OKind.KIri && sl.hasGraph =>
+        sl.df.filter(col("g").isNotNull)
+          .select(col("o").cast(StringType).as("node"), col("g"))
+    }
+    objIris.foldLeft(subj)(_.unionByName(_)).distinct()
+  }
+
   /** Persist the graph as ONE parquet dataset partitioned by
     * (predicate, object-kind, subject-class, subject-bucket) — the 100 TB
     * storage layout: a constant-predicate scan is partition pruning, a
@@ -253,8 +267,13 @@ final class TriplesGraph(
             o.cast(TimestampType).as("o_ts"))
         }
         val lang = if (sl.hasLang) col("o_lang").cast(StringType) else nullc(StringType)
+        // named-graph tag rides along as a data column (null = default
+        // graph) so quad graphs round-trip; partitioning stays on
+        // (p, kind, cls, sb) — named graphs can be many and skewed, a poor
+        // partition key
+        val gtag = if (sl.hasGraph) col("g").cast(StringType) else nullc(StringType)
         df.select(Seq(col("s").cast(StringType).as("s")) ++ typed ++ Seq(
-          lang.as("o_lang"), lit(p).as("p"), lit(kindTag).as("kind"),
+          lang.as("o_lang"), gtag.as("g"), lit(p).as("p"), lit(kindTag).as("kind"),
           lit(cls).as("cls"),
           pmod(xxhash64(col("s").cast(StringType)), lit(nBuckets))
             .cast(IntegerType).as("sb")): _*)
@@ -390,14 +409,19 @@ object TriplesGraph {
         case OKind.KTs => col("o_ts")
       }
       def sel(df: DataFrame): DataFrame = {
+        // g always present in the stored schema; keeping it (hasGraph=true
+        // below) gives loaded graphs full dataset semantics — stores with
+        // no named triples have all-null g, which the default-graph isNull
+        // filter prunes for free via row-group stats
         val cols = Seq(col("s"), oCol.as("o")) ++
-          (if (hasLang) Seq(col("o_lang")) else Nil)
+          (if (hasLang) Seq(col("o_lang")) else Nil) ++ Seq(col("g"))
         df.select(cols: _*)
       }
       val whole = sel(base.filter(col("p") === p))
       val byClass = classes.map(c =>
         c -> sel(base.filter(col("p") === p && col("cls") === c))).toMap
-      p -> PredicateSlice(whole, kind, hasLang, Nil, classes, byClass)
+      p -> PredicateSlice(whole, kind, hasLang, Nil, classes, byClass,
+        hasGraph = true)
     }
     new TriplesGraph(spark, slices, ts, store = Some((base, nBuckets)))
   }

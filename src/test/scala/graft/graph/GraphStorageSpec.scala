@@ -90,6 +90,42 @@ class GraphStorageSpec extends SparkTestBase {
     assert(bad.getMessage.contains("bucket"))
   }
 
+  test("quad graphs round-trip through save/load with dataset semantics intact") {
+    import graft.rdf.{Iri, Lit, Term, Xsd}
+    val ex = "http://example.net/ns#"
+    val g1 = s"${ex}graph1"
+    val quads: Seq[(Term, String, Term, Option[String])] = Seq(
+      (Iri(s"${ex}a"), s"${ex}name", Lit("DefaultA", Xsd.string), None),
+      (Iri(s"${ex}a"), s"${ex}name", Lit("G1A", Xsd.string), Some(g1)),
+      (Iri(s"${ex}b"), s"${ex}name", Lit("G1B", Xsd.string), Some(g1)))
+    val derived = TriplesGraph.fromQuads(spark, quads)
+    val path = java.nio.file.Files.createTempDirectory("graft-quads").toString
+    derived.save(path)
+    val loaded = TriplesGraph.load(spark, path)
+    val pro = s"PREFIX ex:<$ex>\n"
+    def run(g: TriplesGraph, q: String) =
+      new SparqlExecutor(g).execute(pro + q).collect()
+        .map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    for (q <- Seq(
+        "SELECT ?n WHERE { ex:a ex:name ?n }", // default graph only
+        "SELECT ?g ?s ?n WHERE { GRAPH ?g { ?s ex:name ?n } }",
+        s"SELECT ?n WHERE { GRAPH <$g1> { ex:a ex:name ?n } }")) {
+      assert(run(derived, q) == run(loaded, q), s"quads diverge after reload:\n$q")
+    }
+    assert(run(loaded, "SELECT ?n WHERE { ex:a ex:name ?n }") == Seq("DefaultA"))
+    // a triples-only graph reloads with dataset semantics unchanged: all-null
+    // g means GRAPH matches nothing and default matching sees everything
+    val plain = graft.sparql.TpchGraph.graph(spark, sf)
+    val path2 = java.nio.file.Files.createTempDirectory("graft-plain").toString
+    plain.save(path2)
+    val loadedPlain = TriplesGraph.load(spark, path2, plain.ts)
+    val pro2 = s"PREFIX g:<${graft.sparql.TpchGraph.ns}>\n"
+    val exec = new SparqlExecutor(loadedPlain)
+    assert(exec.execute(pro2 + "SELECT ?n WHERE { ?s g:name ?n }").count() > 0)
+    assert(exec.execute(pro2 +
+      "SELECT ?g ?n WHERE { GRAPH ?g { ?s g:name ?n } }").count() == 0)
+  }
+
   test("full SPARQL catalog through a save/load round-trip: equal results, every store scan pruned") {
     val derived = graft.sparql.TpchGraph.graph(spark, sf)
     val path = java.nio.file.Files.createTempDirectory("graft-graph-cat").toString

@@ -52,6 +52,10 @@ class NamedGraphSpec extends SparkTestBase {
       .collect().map(r => (r.getString(0), r.getString(1))).toSet
     assert(got == Set((g1, "G1A"), (g2, "G2A")),
       "named graphs only — the default triple must not leak in")
+    // SELECT * expansion includes the graph variable (boundVars)
+    val star = run("SELECT * WHERE { GRAPH ?g { ex:a ex:name ?n } }")
+    assert(star.columns.toSet == Set("g", "n"))
+    assert(star.count() == 2L)
   }
 
   test("shared graph variable enforces same-graph co-location") {
@@ -94,5 +98,58 @@ class NamedGraphSpec extends SparkTestBase {
     assert(got == Seq(s"${ex}b"))
     val empty = run(s"SELECT ?x WHERE { GRAPH <$g2> { ex:a ex:knows+ ?x } }")
     assert(empty.count() == 0L)
+  }
+
+  test("FROM replaces the default graph with the merge of named graphs") {
+    // single FROM: only graph1's triples are the default graph now — the
+    // store's untagged triple disappears
+    val one = run(s"SELECT ?n FROM <$g1> WHERE { ex:a ex:name ?n }")
+      .collect().map(_.getString(0)).toSeq
+    assert(one == Seq("G1A"))
+    // two FROM graphs merge (set union): both names, bag-correct
+    val two = run(s"SELECT ?n FROM <$g1> FROM <$g2> WHERE { ex:a ex:name ?n }")
+      .collect().map(_.getString(0)).toSet
+    assert(two == Set("G1A", "G2A"))
+    // merge dedups a triple present in BOTH graphs
+    val dupQuads = TriplesGraph.fromQuads(spark, Seq(
+      quad("x", "name", Lit("Same", Xsd.string), Some(g1)),
+      quad("x", "name", Lit("Same", Xsd.string), Some(g2))))
+    val merged = new SparqlExecutor(dupQuads).execute(
+      s"PREFIX ex:<$ex>\nSELECT ?n FROM <$g1> FROM <$g2> WHERE { ex:x ex:name ?n }")
+      .collect().map(_.getString(0)).toSeq
+    assert(merged == Seq("Same"), s"merge must be a set union, got $merged")
+  }
+
+  test("FROM NAMED restricts what GRAPH ranges over") {
+    val got = run(
+      s"SELECT ?g ?n FROM NAMED <$g1> WHERE { GRAPH ?g { ex:a ex:name ?n } }")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set((g1, "G1A")), "graph2 must be outside the dataset")
+    // a constant GRAPH outside FROM NAMED matches nothing
+    val outside = run(
+      s"SELECT ?n FROM NAMED <$g1> WHERE { GRAPH <$g2> { ex:a ex:name ?n } }")
+    assert(outside.count() == 0L)
+    // FROM NAMED without FROM leaves the default graph EMPTY (§13.2)
+    val noDefault = run(
+      s"SELECT ?n FROM NAMED <$g1> WHERE { ex:a ex:name ?n }")
+    assert(noDefault.count() == 0L)
+  }
+
+  test("closures under GRAPH ?g stay per-graph: paths never cross graphs") {
+    // g1: a→b→c ; g2: c→d. A graph-blind fixpoint would derive a→d by
+    // crossing from g1 into g2 — the per-graph closure must not.
+    val chains = TriplesGraph.fromQuads(spark, Seq(
+      quad("a", "knows", Iri(s"${ex}b"), Some(g1)),
+      quad("b", "knows", Iri(s"${ex}c"), Some(g1)),
+      quad("c", "knows", Iri(s"${ex}d"), Some(g2))))
+    def runc(q: String) =
+      new SparqlExecutor(chains).execute(s"PREFIX ex:<$ex>\n" + q)
+        .collect().map(r => (0 until r.length).map(i =>
+          r.getString(i).stripPrefix(ex)).mkString(",")).toSet
+    assert(runc("SELECT ?g ?x ?y WHERE { GRAPH ?g { ?x ex:knows+ ?y } }") ==
+      Set("graph1,a,b", "graph1,a,c", "graph1,b,c", "graph2,c,d"))
+    // zero-or-more: identity per named graph (c is in both graphs)
+    assert(runc("SELECT ?g ?y WHERE { GRAPH ?g { ex:c ex:knows* ?y } }") ==
+      Set("graph1,c", "graph2,c", "graph2,d"))
   }
 }
