@@ -32,5 +32,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // timestamp literals/fixtures go through java.sql.Timestamp (JVM zone);
   // pin it so plan-time and session zones agree
   "-Duser.timezone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] runs driver+executors in ONE JVM: heap must hold shuffle +
+  // storage (localCheckpoint blocks) for 32 concurrent tasks. 8g measurably
+  // thrashed the block manager across repeated bench passes (q67 7.7s →
+  // 328s on pass 3); the box has 128 GiB.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "28g")}",
 )

@@ -31,12 +31,22 @@ object Bench {
 
     def runOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
       val t0 = System.nanoTime()
-      try {
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        ((System.nanoTime() - t0) / 1e9, true)
-      } catch {
-        case _: Throwable => ((System.nanoTime() - t0) / 1e9, false)
-      }
+      val out =
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          ((System.nanoTime() - t0) / 1e9, true)
+        } catch {
+          case _: Throwable => ((System.nanoTime() - t0) / 1e9, false)
+        }
+      // UNTIMED cleanup: release the query's localCheckpoint blocks.
+      // Checkpointed RDDs are only freed when the driver GC notices the
+      // DataFrame is unreachable — across 78 entries × 4 passes the leaked
+      // blocks thrash the block manager and pass-3 timings explode (q67
+      // measured 7.7s → 328s before this). Queries never share persisted
+      // state, so dropping everything between runs is safe.
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      out
     }
 
     val entries = SparkEntry.catalog.filter(_.bench)

@@ -474,9 +474,11 @@ final class SparqlExecutor(
   private def scanTriple(s: VarOrTerm, p: String, o: VarOrTerm): (Sol, Int) = {
     graph.slice(p) match {
       case None if !isVirtual(p) =>
-        // variable-predicate patterns land here too via expandVarPredicate
-        (emptyScanSol(s, o), nConst(s, o))
-      case None => (emptyScanSol(s, o), nConst(s, o)) // virtual but no ts source
+        // variable-predicate patterns land here too via expandVarPredicate;
+        // keep the graph var in the (empty) solution so GRAPH ?g over an
+        // absent predicate is empty, not an unresolved column
+        (emptyScanSol(s, o, graphCtx), nConst(s, o))
+      case None => (emptyScanSol(s, o, graphCtx), nConst(s, o)) // virtual, no ts source
       case Some(slice) =>
         // one-shot filter+aliased-select: immune to query vars that shadow
         // the slice's physical column names (s/o/o_lang/g)

@@ -138,6 +138,67 @@ class EnginePropertySpec extends SparkTestBase {
     assert(res.passed, res.status.toString)
   }
 
+  test("random GRAPH patterns agree with the naive evaluator on quad graphs") {
+    // every triple randomly lands in the default graph (0) or one of two
+    // named graphs; the query runs in default context, GRAPH <const>, or
+    // GRAPH ?g — naive expectation evaluates the BGP against exactly the
+    // triples of the relevant graph(s), binding ?g in the enumeration case
+    val gs = Seq(s"${ex}g1", s"${ex}g2")
+    val genQuads: Gen[List[((String, String, Any), Int)]] =
+      Gen.chooseNum(2, 14).flatMap(n =>
+        Gen.listOfN(n, genTriple.flatMap(t => Gen.choose(0, 2).map((t, _)))))
+        .map(_.distinct)
+    val prop = Prop.forAll(genQuads, genBgp, Gen.choose(0, 2), Gen.oneOf(0, 1)) {
+      (qg, bgp, mode, which) =>
+        val vars = bgp.flatMap(tp =>
+          Seq(tp.s.left.toOption, tp.o.left.toOption).flatten).distinct
+        if (qg.isEmpty || vars.isEmpty) Prop.undecided
+        else {
+          def strip(gi: Int): G = qg.collect { case (t, `gi`) => t }
+          val expected: Seq[Map[String, Any]] = mode match {
+            case 0 => naive(strip(0), bgp, None)
+            case 1 => naive(strip(which + 1), bgp, None)
+            case _ => (1 to 2).flatMap(gi =>
+              naive(strip(gi), bgp, None).map(_ + ("g" -> gs(gi - 1))))
+          }
+          val quads: Seq[(Term, String, Term, Option[String])] = qg.map {
+            case ((s, p, o: Long), gi) =>
+              (Iri(s), p, Lit(o.toString, Xsd.integer),
+                if (gi == 0) None else Some(gs(gi - 1)))
+            case ((s, p, o), gi) =>
+              (Iri(s), p, Iri(o.toString),
+                if (gi == 0) None else Some(gs(gi - 1)))
+          }
+          val graph = TriplesGraph.fromQuads(spark, quads)
+          val triples = bgp.map { tp =>
+            val sv = tp.s.fold(V(_), c => T(Iri(c)))
+            val ov = tp.o.fold(V(_), {
+              case c: Long => T(Lit(c.toString, Xsd.integer))
+              case c => T(Iri(c.toString))
+            })
+            TriplePattern(sv, PLink(tp.p), ov)
+          }
+          val base: Pattern = Bgp(triples)
+          val (where, allVars) = mode match {
+            case 0 => (base, vars)
+            case 1 => (GraphPat(T(Iri(gs(which))), base), vars)
+            case _ => (GraphPat(V("g"), base), vars :+ "g")
+          }
+          val q = SelectQuery(allVars.map(ProjItem(_, None)), distinct = false,
+            reduced = false, where, Nil, None, Nil, None, None)
+          val got = new SparqlExecutor(graph).execute(q).collect().toSeq
+            .map(r => allVars.indices.map(i => String.valueOf(r.get(i))).mkString("|"))
+            .sorted
+          val exp = expected
+            .map(b => allVars.map(v => String.valueOf(b(v))).mkString("|")).sorted
+          Prop(got == exp) :| s"got=$got exp=$exp quads=$qg bgp=$bgp mode=$mode"
+        }
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(25).withMaxDiscardRatio(10), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("random OPTIONAL patterns agree with naive left-join semantics") {
     def toTriples(bgp: List[TP]): Seq[TriplePattern] = bgp.map { tp =>
       val sv = tp.s.fold(V(_), c => T(Iri(c)))
