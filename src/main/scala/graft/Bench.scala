@@ -54,9 +54,22 @@ object Bench {
     entries.foreach(q => runOnce(q.fn))
     // Measured passes are INTERLEAVED (pass 1 runs every query, then pass 2,
     // ...) so a JIT/GC hiccup lands on one pass of many queries, not three
-    // back-to-back samples of one query.
-    val samples: Seq[Seq[(Double, Boolean)]] =
-      (1 to passes).map(_ => entries.map(q => runOnce(q.fn)))
+    // back-to-back samples of one query. A wall-clock budget bounds the
+    // total: on a machine having a bad day (shared-box stall episodes have
+    // measured 100-200s on single map-only queries) we keep whatever full
+    // passes fit rather than risk the harness timing out — at least one
+    // measured pass always runs.
+    val budgetSec =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "900").toDouble
+    val tStart = System.nanoTime()
+    val samples = scala.collection.mutable.ArrayBuffer
+      .empty[Seq[(Double, Boolean)]]
+    var pass = 0
+    while (pass < passes &&
+        (pass == 0 || (System.nanoTime() - tStart) / 1e9 < budgetSec)) {
+      samples += entries.map(q => runOnce(q.fn))
+      pass += 1
+    }
     val results = entries.zipWithIndex.map { case (q, i) =>
       val runs = samples.map(_(i))
       val secs = runs.map(_._1).sorted
@@ -79,7 +92,7 @@ object Bench {
     // rounds 1–3 the long line fell off the window and "parsed" came back
     // null.
     val full =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","passes":$passes,"queries":$qs,"spread":$spread,"ok":$status,"failed":$nFail,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","passes":${samples.size},"queries":$qs,"spread":$spread,"ok":$status,"failed":$nFail,"sf":"$sfDir"}"""
     Files.writeString(Paths.get("bench.json"), full + "\n")
     spark.stop()
     val line =

@@ -455,11 +455,12 @@ object SparqlQueries {
         |FROM nation JOIN region ON n_regionkey = r_regionkey
         |ORDER BY nname NULLS FIRST, rname NULLS FIRST""".stripMargin))(
       (s, dir) => {
+        // materialized once: both structure-join branches read it
         val g = new SparqlExecutor(TpchGraph.graph(s, dir)).executeConstruct(
           prologue +
             """CONSTRUCT { _:a g:cn ?nname . _:a g:cr ?rname } WHERE {
               |  ?n g:inRegion ?r . ?n g:name ?nname . ?r g:name ?rname .
-              |}""".stripMargin)
+              |}""".stripMargin).localCheckpoint()
         import org.apache.spark.sql.functions.col
         val l = g.filter(col("p") === s"${ns}cn")
           .select(col("s").as("b"), col("o").as("nname"))
