@@ -167,9 +167,48 @@ final class SparqlExecutor(
       .getOrElse(spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
         StructType(Seq(StructField("node", StringType)))))
       .filter(col("node").isNotNull).distinct()
-    // persisted graphs answer this with subject-bucket partition pruning
-    // (TriplesGraph.outboundTriples); in-memory graphs semi-join allTriples
-    graph.outboundTriples(nodes)
+    // class pruning: when the WHERE pattern proves every described node's
+    // class set, slices (or cls partitions) whose subjects can never match
+    // are skipped — a dimension DESCRIBE stops scanning the fact slices.
+    // Only variable-only DESCRIBEs qualify (constants carry no class
+    // evidence), and only conjunctively-required constraints count.
+    val classes: Option[Set[String]] =
+      if (consts.nonEmpty || vars.isEmpty) None
+      else q.where.flatMap { w =>
+        val perVar = vars.map { v =>
+          val cons = classConstraints(w, v)
+          if (cons.isEmpty) None else Some(cons.reduce(_ intersect _))
+        }
+        if (perVar.exists(_.isEmpty)) None
+        else Some(perVar.flatten.reduce(_ union _))
+      }
+    // persisted graphs additionally prune by subject bucket
+    // (TriplesGraph.outboundTriples); in-memory graphs semi-join the
+    // (possibly class-pruned) slice union
+    graph.outboundTriples(nodes, classes)
+  }
+
+  /** Possible-class sets provably constraining variable `v` in the
+    * conjunctive spine of `p` (builder contract: a slice's non-empty
+    * subjectClasses lists EVERY class its subjects may have). Each returned
+    * set is one upper bound on v's classes; their intersection is the
+    * tightest. Union/VALUES/sub-SELECT contribute nothing (a binding could
+    * come from either branch), and only a LeftJoin's required side counts. */
+  private def classConstraints(p: Pattern, v: String): Set[Set[String]] = p match {
+    case Bgp(ts) => ts.flatMap {
+      case TriplePattern(V(`v`), PLink(pred), T(cls)) if pred == Rdf.typ =>
+        Some(Set(cls.canonical))
+      case TriplePattern(V(`v`), PLink(pred), _) =>
+        graph.slice(pred).map(_.subjectClasses).filter(_.nonEmpty)
+      case _ => None
+    }.toSet
+    case Join(l, r) => classConstraints(l, v) ++ classConstraints(r, v)
+    case Filter(_, i) => classConstraints(i, v)
+    case Extend(i, _, _) => classConstraints(i, v)
+    case LeftJoin(l, _, _) => classConstraints(l, v)
+    case Minus(l, _) => classConstraints(l, v)
+    case GraphPat(_, i) => classConstraints(i, v)
+    case _ => Set.empty
   }
 
   def executeDescribe(sparql: String): DataFrame =

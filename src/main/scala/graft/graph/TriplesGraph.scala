@@ -181,7 +181,13 @@ final class TriplesGraph(
     * pruning and every DESCRIBE is a full-graph scan. In-memory graphs
     * keep the semi-join over [[allTriples]].
     */
-  def outboundTriples(nodes: DataFrame): DataFrame = store match {
+  /** `classes`, when known (every described node's rdf:type is provably in
+    * the set — derivable from the DESCRIBE pattern under the builder
+    * contract that declared subjectClasses are complete), prunes slices /
+    * cls partitions whose subjects can never be described: a DESCRIBE of
+    * dimension entities skips the fact-table slices entirely. */
+  def outboundTriples(nodes: DataFrame,
+      classes: Option[Set[String]] = None): DataFrame = store match {
     case Some((base, nb)) =>
       val buckets = nodes
         .select(pmod(xxhash64(col("node")), lit(nb)).cast(IntegerType).as("sb"))
@@ -189,11 +195,37 @@ final class TriplesGraph(
       val o = coalesce(col("o_str"), col("o_long").cast(StringType),
         col("o_dbl").cast(StringType), col("o_bool").cast(StringType),
         col("o_ts").cast(StringType))
-      base.filter(col("sb").isin(buckets.toSeq: _*))
+      val clsPruned = classes match {
+        case Some(cs) => // cls partition pruning on top of bucket pruning
+          base.filter(col("cls").isin((cs + "__all").toSeq: _*))
+        case None => base
+      }
+      clsPruned.filter(col("sb").isin(buckets.toSeq: _*))
         .join(nodes, col("s") === col("node"), "left_semi")
         .select(col("s"), col("p"), o.as("o"))
     case None =>
-      allTriples.join(nodes, col("s") === col("node"), "left_semi")
+      val source = classes match {
+        case Some(cs) =>
+          val parts = slices.collect {
+            case (p, sl) if sl.subjectClasses.isEmpty ||
+                sl.subjectClasses.intersect(cs).nonEmpty =>
+              // mixed-class slices contribute only their matching byClass
+              // branches — the (predicate, subject_class) partition a lake
+              // would store — so e.g. the sensor branch of rdf:type never
+              // scans for a nation DESCRIBE
+              val src =
+                if (sl.byClass.nonEmpty)
+                  sl.byClass.view.filterKeys(cs.contains).values
+                    .reduceOption(_.unionByName(_))
+                    .getOrElse(sl.df.limit(0))
+                else sl.df
+              src.select(col("s"), lit(p).as("p"),
+                col("o").cast(StringType).as("o"))
+          }
+          parts.reduceOption(_.unionByName(_)).getOrElse(allTriples.limit(0))
+        case None => allTriples
+      }
+      source.join(nodes, col("s") === col("node"), "left_semi")
   }
 
   /** All nodes of the graph (for zero-length path semantics). */

@@ -15,6 +15,19 @@ object LlmQueries {
   private def q(name: String, sql: String, bench: Boolean = true)(
       fn: (SparkSession, String) => DataFrame): Q = Q(name, Some(sql), bench)(fn)
 
+  /** Once-per-dataset-per-JVM persisted IVF index (seed centroids, so the
+    * DuckDB oracle rebuilds it identically). First use in a JVM always
+    * rebuilds, so a stale on-disk index from an earlier run can't leak in. */
+  private val ivfIndexes = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def ivfIndexFor(dir: String, emb: DataFrame): String =
+    ivfIndexes.getOrElseUpdate(dir, {
+      val path = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft-ivf-" + dir.replaceAll("[^A-Za-z0-9]", "_")).getAbsolutePath
+      AnnOps.buildIvfIndex(emb, path, dim = 64, nCentroids = 16,
+        centroids = Some(AnnOps.seedCentroids(emb, 16, 64)))
+      path
+    })
+
   // DuckDB spelling of TextOps.tokens / wordShingles(3)
   private val sqlToks = "string_split(trim(text), ' ')"
   private val sqlShingles =
@@ -340,13 +353,12 @@ object LlmQueries {
     // layout — and the probe path reads ONLY the probed cells (partition
     // pruning, PlanSpec-asserted). Seed centroids here so the oracle can
     // rebuild the identical index; production builds use k-means||
-    // (buildIvfIndex's default).
+    // (buildIvfIndex's default). The index is built once per dataset per
+    // JVM (a real index is written once and probed many times — the entry
+    // measures the probe path, not a rebuild per query).
     q("q76_ann_ivf_persisted", annIvfOracle(nCentroids = 16, nProbe = 2, k = 3)) { (s, dir) =>
       val emb = T.embeddings(s, dir)
-      val path = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft-ivf-" + dir.replaceAll("[^A-Za-z0-9]", "_")).getAbsolutePath
-      AnnOps.buildIvfIndex(emb, path, dim = 64, nCentroids = 16,
-        centroids = Some(AnnOps.seedCentroids(emb, 16, 64)))
+      val path = ivfIndexFor(dir, emb)
       AnnOps.ivfTopKFromIndex(s, path, emb.filter(col("vec_id") < 20),
           k = 3, dim = 64, nProbe = 2)
         .orderBy("qid", "rk")

@@ -97,6 +97,19 @@ class PlanSpec extends SparkTestBase {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("DESCRIBE with class evidence skips fact and sensor slices") {
+    // q73 describes nations (?n g:inRegion ?r proves class Nation): the
+    // outbound-triples union must not touch lineitem or events — at 100 TB
+    // that is the difference between scanning one dimension table and the
+    // whole lake for a point DESCRIBE
+    val plan = executedPlan("q73_sparql_describe")
+    val files = "Location: [^,]*\\[([^\\]]*)\\]".r.findAllMatchIn(plan)
+      .map(_.group(1).split("/").last).toSet
+    assert(!files.contains("lineitem.parquet") && !files.contains("events.parquet"),
+      s"DESCRIBE of nations must not scan fact slices: $files")
+    assert(files.contains("nation.parquet"))
+  }
+
   test("NPS scan prunes slices whose declared subject class can't match") {
     // q55 pins ?n to rdf:type g:Nation, so the !(name|key) complement scan
     // must union only nation-compatible slices — at 100 TB this is the
