@@ -1,0 +1,25 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Cluster-configuration entry point for the library's Catalyst surface:
+  * `--conf spark.sql.extensions=graft.GraftExtensions` injects the native
+  * expressions into every session at startup — the
+  * `SparkSessionExtensions` tier of the extension ladder (compose
+  * built-ins → custom Expression → injected extensions → custom plan).
+  * Programmatic sessions can keep using
+  * [[graft.functions.ArrayDotProduct.register]], which is the same
+  * registration done at runtime; both are idempotent.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      FunctionIdentifier(functions.ArrayDotProduct.name),
+      new ExpressionInfo(classOf[functions.ArrayDotProduct].getName,
+        functions.ArrayDotProduct.name),
+      (children: Seq[Expression]) =>
+        functions.ArrayDotProduct(children(0), children(1))))
+  }
+}

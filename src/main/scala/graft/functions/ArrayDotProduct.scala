@@ -21,8 +21,11 @@ case class ArrayDotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
 
   // inputs must be array<float> (AbstractDataType is private[sql] in
-  // Spark 4, so the contract is asserted here instead of ExpectsInputTypes)
+  // Spark 4, so the contract is asserted here instead of ExpectsInputTypes).
+  // A bare NULL literal (NullType) is admitted — the null-safe eval returns
+  // null without touching it, matching every built-in binary function.
   require(Seq(left, right).forall(e => !e.resolved ||
+    e.dataType == NullType ||
     e.dataType.isInstanceOf[ArrayType] &&
       e.dataType.asInstanceOf[ArrayType].elementType == FloatType),
     s"$prettyName needs array<float> inputs")

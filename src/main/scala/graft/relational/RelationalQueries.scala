@@ -668,6 +668,30 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
           max(col("k")).as("max_k"))
         .orderBy("event_type")
+    },
+
+    // ---- as-of join (beyond-parity; the reference synchronizes timestamps
+    // by exact equality only): every purchase matched to the same user's
+    // most recent click at or before it. One shuffle on the key via the
+    // union+window spelling — never a per-key range cross product. Oracle:
+    // DuckDB's native ASOF LEFT JOIN.
+    q("q79_asof_join",
+      """SELECT l.event_id AS eid, l.user_id AS uid, l.value AS pval,
+        |  epoch_us(r.ts) AS cus, r.value AS cval
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY eid NULLS FIRST""".stripMargin) { (s, dir) =>
+      val ev = events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("user_id", "ts", "event_id", "value")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("user_id", "ts", "value")
+      AsOfJoin.backward(purchases, clicks, Seq("user_id"), "ts")
+        .select(col("event_id").as("eid"), col("user_id").as("uid"),
+          col("value").as("pval"), unix_micros(col("r_ts")).as("cus"),
+          col("r_value").as("cval"))
+        .orderBy("eid")
     }
   )
 }
