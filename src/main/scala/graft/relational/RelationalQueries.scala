@@ -692,6 +692,30 @@ object RelationalQueries {
           col("value").as("pval"), unix_micros(col("r_ts")).as("cus"),
           col("r_value").as("cval"))
         .orderBy("eid")
+    },
+
+    // ---- range join (beyond-parity): every view event matched to the
+    // same user's error windows [error.ts, error.ts + 30min). Bucketized
+    // equi-join on (user, 30-min bucket) + exact range filter — candidate
+    // volume bounded by bucket occupancy, never |points| × |intervals|.
+    q("q80_range_join",
+      """SELECT v.event_id AS vid, e.event_id AS erid
+        |FROM (SELECT * FROM events WHERE event_type = 'view') v
+        |JOIN (SELECT * FROM events WHERE event_type = 'error') e
+        |  ON v.user_id = e.user_id
+        | AND v.ts >= e.ts AND v.ts < e.ts + INTERVAL 30 MINUTE
+        |ORDER BY vid NULLS FIRST, erid NULLS FIRST""".stripMargin) { (s, dir) =>
+      val ev = events(s, dir)
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("event_id").as("vid"))
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts").as("w_start"),
+          (col("ts") + expr("INTERVAL 30 MINUTES")).as("w_end"),
+          col("event_id").as("erid"))
+      RangeJoin.pointsInIntervals(views, errors, Seq("user_id"),
+          "ts", "w_start", "w_end", bucketSeconds = 1800L)
+        .select("vid", "erid")
+        .orderBy("vid", "erid")
     }
   )
 }

@@ -1,0 +1,54 @@
+package graft.relational
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class RangeJoinSpec extends SparkTestBase {
+
+  private def ts(epochSec: Long) = new java.sql.Timestamp(epochSec * 1000L)
+
+  test("bucketed range join equals the naive inequality join") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val points = (0 until 300).map(i =>
+      (i % 4L, ts(100000L + rnd.nextInt(50000)), i.toLong))
+      .toDF("k", "ts", "pid")
+    val intervals = (0 until 80).map { i =>
+      val s = 100000L + rnd.nextInt(50000)
+      (i % 4L, ts(s), ts(s + 600 + rnd.nextInt(3000)), 1000L + i)
+    }.toDF("k", "w_start", "w_end", "iid")
+    val got = RangeJoin.pointsInIntervals(points, intervals, Seq("k"),
+        "ts", "w_start", "w_end", bucketSeconds = 1800L)
+      .select("pid", "iid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exp = points.as("p").join(intervals.as("i"),
+        col("p.k") === col("i.k") &&
+          col("p.ts") >= col("i.w_start") && col("p.ts") < col("i.w_end"))
+      .select("pid", "iid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == exp)
+    assert(exp.nonEmpty, "fixture must produce matches for the test to mean anything")
+    // boundary semantics: closed-open — a point AT w_end is excluded,
+    // a point AT w_start included
+    val p2 = Seq((1L, ts(1000), 1L), (1L, ts(2000), 2L)).toDF("k", "ts", "pid")
+    val i2 = Seq((1L, ts(1000), ts(2000), 10L)).toDF("k", "w_start", "w_end", "iid")
+    val edges = RangeJoin.pointsInIntervals(p2, i2, Seq("k"),
+        "ts", "w_start", "w_end", 600L)
+      .select("pid").collect().map(_.getLong(0)).toSeq
+    assert(edges == Seq(1L))
+  }
+
+  test("range join plans as an equi-join, never a cross product") {
+    import spark.implicits._
+    val points = (0 until 100).map(i => (1L, ts(100000L + i * 17), i.toLong))
+      .toDF("k", "ts", "pid")
+    val intervals = (0 until 50).map(i =>
+      (1L, ts(100000L + i * 29), ts(100000L + i * 29 + 500), i.toLong))
+      .toDF("k", "w_start", "w_end", "iid")
+    val plan = RangeJoin.pointsInIntervals(points, intervals, Seq("k"),
+        "ts", "w_start", "w_end", 600L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+}
