@@ -402,5 +402,76 @@ object LlmQueries {
             frameChars = 32, stride = 4, maxFrames = 8)
           .orderBy("media_id", "frame_idx")
     },
+
+    // ---- PII redaction (beyond-parity): emails then phone numbers
+    // replaced by typed placeholders, plus per-doc hit counts. Map-only
+    // codegen'd regexp ops; the patterns live in the Java∩RE2 regex subset
+    // so DuckDB (RE2) redacts the identical spans. The corpus carries no
+    // real PII, so the entry plants one deterministic email + phone per
+    // document (derived from doc_id, identically on both sides) and
+    // verifies they come back out.
+    q("q82_pii_redact",
+      raw"""WITH t AS (SELECT doc_id,
+           |  concat('u', CAST(doc_id AS VARCHAR), '@ex.org 555-',
+           |         lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0'), '-',
+           |         lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'), ' ', text) AS t2
+           |  FROM documents)
+           |SELECT doc_id,
+           |  len(regexp_extract_all(t2,
+           |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+           |  len(regexp_extract_all(t2, '\b\d{3}-\d{3}-\d{4}\b')) AS n_phone,
+           |  substr(regexp_replace(regexp_replace(t2,
+           |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           |      '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'), 1, 80) AS red
+           |FROM t ORDER BY doc_id NULLS FIRST""".stripMargin) { (s, dir) =>
+      val t2 = concat(lit("u"), col("doc_id").cast(StringType), lit("@ex.org 555-"),
+        lpad((col("doc_id") % 1000).cast(StringType), 3, "0"), lit("-"),
+        lpad((col("doc_id") % 10000).cast(StringType), 4, "0"), lit(" "), col("text"))
+      T.documents(s, dir).select(col("doc_id"), t2.as("t2"))
+        .select(col("doc_id"),
+          TextOps.emailCount(col("t2")).cast(LongType).as("n_email"),
+          TextOps.phoneCount(col("t2")).cast(LongType).as("n_phone"),
+          substring(TextOps.redactPii(col("t2")), 1, 80).as("red"))
+        .orderBy("doc_id")
+    },
+
+    // ---- Gopher-style repetition stats (beyond-parity): top-word
+    // fraction per document via one map-only per-partition kernel (zero
+    // shuffle; the explode spelling shuffles |words| rows per doc — see
+    // RepetitionSpec for the measured gap and the equality check).
+    q("q83_word_repetition",
+      """WITH w AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w
+        |           FROM documents),
+        |     c AS (SELECT doc_id, w, COUNT(*) AS cnt FROM w
+        |           WHERE w <> '' GROUP BY 1, 2)
+        |SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_words,
+        |       COUNT(*) AS n_distinct, CAST(MAX(cnt) AS BIGINT) AS max_cnt,
+        |       CAST(MAX(cnt) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE) AS top_frac
+        |FROM c GROUP BY doc_id ORDER BY doc_id NULLS FIRST""".stripMargin) {
+      (s, dir) =>
+        TextOps.wordRepetitionStats(T.documents(s, dir), "doc_id", "text")
+          .orderBy("doc_id")
+    },
+
+    // ---- deterministic stratified sampling (beyond-parity): per-source
+    // rates (50% / 25% / 12.5%), rows selected by md5(id) bucket so the
+    // sample is exactly reproducible on ANY engine — the oracle
+    // re-derives the identical row set in DuckDB. Broadcast rates join +
+    // map-side filter; no shuffle of the corpus at any scale.
+    q("q84_stratified_sample",
+      """SELECT doc_id, source FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+        |  CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN '8000'
+        |       WHEN source IN ('src5','src6','src7','src8','src9') THEN '4000'
+        |       ELSE '2000' END
+        |ORDER BY doc_id NULLS FIRST""".stripMargin) { (s, dir) =>
+      val rates =
+        (0 to 4).map(i => s"src$i" -> 0.5).toMap ++
+          (5 to 9).map(i => s"src$i" -> 0.25).toMap
+      SampleOps.hashStratifiedSample(T.documents(s, dir), "doc_id", "source",
+          rates, defaultRate = 0.125)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    },
   )
 }

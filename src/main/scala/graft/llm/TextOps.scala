@@ -78,6 +78,60 @@ object TextOps {
   def lexTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
 
+  /** PII patterns, written to the common subset of Java regex and RE2 (no
+    * backreferences, no lookaround) so an independent engine running RE2
+    * (DuckDB, Go) produces the identical match set. */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+
+  /** PII redaction: emails then phone numbers replaced with typed
+    * placeholders. Map-only codegen'd regexp_replace — embarrassingly
+    * parallel, the shape a 100 TB scrub pass needs. Emails redact FIRST so
+    * an address can never leave digits behind for the phone pattern. */
+  def redactPii(text: Column): Column =
+    regexp_replace(regexp_replace(text, emailRe, "<EMAIL>"),
+      phoneRe, "<PHONE>")
+
+  /** Per-document PII hit counts (same patterns as [[redactPii]]). */
+  def emailCount(text: Column): Column = regexp_count(text, lit(emailRe))
+  def phoneCount(text: Column): Column = regexp_count(text, lit(phoneRe))
+
+  /** Gopher-style repetition stats per document: total whitespace words,
+    * distinct words, the top word's count, and the top-word fraction (the
+    * "fraction of most common word" repetition signal; repetitive spam has
+    * a high one). ONE map-only per-partition kernel — token counts live
+    * in a per-document hash map, zero shuffle at any scale, versus the
+    * explode spelling that shuffles |words| rows per document into a
+    * two-level groupBy (measured 0.25 s vs 0.70 s on 20k docs × 60 words —
+    * see TextPipelineSpec, which also pins kernel == explode spelling).
+    * Documents with no words emit nothing (the fraction is undefined). */
+  def wordRepetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("n_words", LongType), StructField("n_distinct", LongType),
+      StructField("max_cnt", LongType), StructField("top_frac", DoubleType)))
+    val rdd = df.select(col(idCol).cast(LongType), col(textCol)).rdd
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val text = if (r.isNullAt(1)) "" else r.getString(1)
+          val counts = new scala.collection.mutable.HashMap[String, Long]
+          var total = 0L
+          text.trim.split(" ").foreach { w =>
+            if (w.nonEmpty) {
+              counts.update(w, counts.getOrElse(w, 0L) + 1L); total += 1L
+            }
+          }
+          if (total == 0L) None
+          else {
+            val maxCnt = counts.valuesIterator.max
+            Some(org.apache.spark.sql.Row(r.getLong(0), total,
+              counts.size.toLong, maxCnt,
+              maxCnt.toDouble / total.toDouble))
+          }
+        }
+      }
+    df.sparkSession.createDataFrame(rdd, schema)
+  }
+
   private def countIn(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => words.map(w => t === w).reduce(_ || _)))
 

@@ -35,7 +35,20 @@ object AsOfJoin {
     *   nulled out (the match must be recent enough).
     */
   def backward(left: DataFrame, right: DataFrame, keys: Seq[String],
-      tsCol: String, tolerance: Option[String] = None): DataFrame = {
+      tsCol: String, tolerance: Option[String] = None): DataFrame =
+    asof(left, right, keys, tsCol, tolerance, forward = false)
+
+  /** Forward (earliest-at-or-after) left as-of join: for every left row,
+    * the single earliest right row at or after its timestamp (`l.ts <=
+    * r.ts`). Same one-shuffle union+window spelling as [[backward]] with
+    * the traversal order reversed; `tolerance` bounds how far AHEAD the
+    * match may be (`r.ts <= l.ts + tolerance`). */
+  def forward(left: DataFrame, right: DataFrame, keys: Seq[String],
+      tsCol: String, tolerance: Option[String] = None): DataFrame =
+    asof(left, right, keys, tsCol, tolerance, forward = true)
+
+  private def asof(left: DataFrame, right: DataFrame, keys: Seq[String],
+      tsCol: String, tolerance: Option[String], forward: Boolean): DataFrame = {
     require(keys.nonEmpty, "as-of join needs at least one equality key")
     val leftPayload = left.columns.toSeq.filterNot(c => keys.contains(c) || c == tsCol)
     val rightPayload = right.columns.toSeq.filterNot(c => keys.contains(c) || c == tsCol)
@@ -56,14 +69,20 @@ object AsOfJoin {
       keys.map(col) ++ Seq(col(tsCol), lit(0).as(side)) ++
         leftPayload.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
         Seq(struct(rCols.map(c => col(c).as(c)): _*).as(rStruct)): _*)
+    // backward traverses time ascending; forward descending. Right rows
+    // sort before left rows at an equal timestamp either way (side
+    // ascending), so the match is inclusive in both directions.
+    val tsOrder = if (forward) col(tsCol).desc else col(tsCol).asc
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(tsCol).asc, col(side).asc)
+      .orderBy(tsOrder, col(side).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = lNorm.unionByName(rNorm)
       .withColumn(rStruct, last(col(rStruct), ignoreNulls = true).over(w))
     var out = carried.filter(col(side) === 1).drop(side)
     tolerance.foreach { tol =>
-      val fresh = col(rStruct).getField(tsCol) >= col(tsCol) - expr(tol)
+      val fresh =
+        if (forward) col(rStruct).getField(tsCol) <= col(tsCol) + expr(tol)
+        else col(rStruct).getField(tsCol) >= col(tsCol) - expr(tol)
       out = out.withColumn(rStruct, when(fresh, col(rStruct)))
     }
     out.select(

@@ -716,6 +716,68 @@ object RelationalQueries {
           "ts", "w_start", "w_end", bucketSeconds = 1800L)
         .select("vid", "erid")
         .orderBy("vid", "erid")
+    },
+
+    // ---- resample + linear interpolation (beyond-parity): each event
+    // type's irregular value series projected onto an hourly grid, values
+    // interpolated between the surrounding observations. One shuffle —
+    // both neighbor windows share the exchange (see Resample). The oracle
+    // spells the same semantics with generate_series + two ASOF joins;
+    // the interpolation expression trees match term for term so the
+    // doubles are bit-identical.
+    q("q81_resample_interpolate",
+      """WITH obs AS (
+        |  SELECT event_type AS k, epoch_us(ts) AS us, MIN(value) AS v
+        |  FROM events GROUP BY 1, 2),
+        |span AS (
+        |  SELECT k, (MIN(us) + 3599999999) // 3600000000 AS b0,
+        |         MAX(us) // 3600000000 AS b1
+        |  FROM obs GROUP BY k),
+        |grid AS (
+        |  SELECT k, unnest(generate_series(b0, b1)) * 3600000000 AS gus
+        |  FROM span WHERE b0 <= b1),
+        |p AS (SELECT g.k, g.gus, o.us AS pus, o.v AS pv
+        |      FROM grid g ASOF JOIN obs o ON g.k = o.k AND g.gus >= o.us),
+        |n AS (SELECT g.k, g.gus, o.us AS nus, o.v AS nv
+        |      FROM grid g ASOF JOIN obs o ON g.k = o.k AND g.gus <= o.us)
+        |SELECT p.k AS k, p.gus AS gus,
+        |  CASE WHEN n.nus = p.pus THEN p.pv
+        |       ELSE p.pv + (n.nv - p.pv) *
+        |         (CAST(p.gus - p.pus AS DOUBLE) / CAST(n.nus - p.pus AS DOUBLE))
+        |  END AS v
+        |FROM p JOIN n ON p.k = n.k AND p.gus = n.gus
+        |ORDER BY p.k NULLS FIRST, p.gus NULLS FIRST""".stripMargin) { (s, dir) =>
+      Resample.interpolate(
+          events(s, dir).select(col("event_type").as("k"), col("ts"), col("value")),
+          Seq("k"), "ts", "value", stepMicros = 3600000000L)
+        .orderBy("k", "gus")
+    },
+
+    // ---- forward as-of join (beyond-parity): every purchase matched to
+    // the same user's EARLIEST click at or after it — the "next action"
+    // direction backward as-of can't express. Same one-shuffle
+    // union+window spelling, traversal reversed. Timestamps compare at
+    // micros on both sides (Spark stores micros; the oracle pre-truncates
+    // with epoch_us) so nanosecond sub-ticks can't skew tie-breaking.
+    q("q85_asof_forward",
+      """SELECT l.event_id AS eid, l.user_id AS uid, l.value AS pval,
+        |  r.us AS cus, r.value AS cval
+        |FROM (SELECT *, epoch_us(ts) AS us FROM events
+        |      WHERE event_type = 'purchase') l
+        |ASOF LEFT JOIN (SELECT *, epoch_us(ts) AS us FROM events
+        |                WHERE event_type = 'click') r
+        |  ON l.user_id = r.user_id AND l.us <= r.us
+        |ORDER BY eid NULLS FIRST""".stripMargin) { (s, dir) =>
+      val ev = events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("user_id", "ts", "event_id", "value")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("user_id", "ts", "value")
+      AsOfJoin.forward(purchases, clicks, Seq("user_id"), "ts")
+        .select(col("event_id").as("eid"), col("user_id").as("uid"),
+          col("value").as("pval"), unix_micros(col("r_ts")).as("cus"),
+          col("r_value").as("cval"))
+        .orderBy("eid")
     }
   )
 }

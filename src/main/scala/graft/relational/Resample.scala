@@ -1,0 +1,88 @@
+package graft.relational
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Resampling — irregular time series projected onto a regular grid with
+  * linear interpolation between the surrounding observations. The classic
+  * downsample/align primitive of a time-series engine (the reference only
+  * aggregates into coarse buckets via its windowed-agg pushdown,
+  * hybrid/src/timeseries_database/opcua_history_read.rs:205-247; it cannot
+  * produce values BETWEEN observations), and the precursor to
+  * exact-timestamp joins across series that tick at different rates.
+  *
+  * Spelling: per key, the grid points (one per `stepMicros` inside the
+  * observed span) UNION with the observations into one frame; two windows
+  * over the SAME partitioning — ascending for the previous observation,
+  * descending for the next — carry (ts, value) to every grid row, and the
+  * value interpolates linearly. Catalyst plans both windows over one
+  * exchange (same partition keys), so the whole operator costs ONE shuffle
+  * of |observations| + |grid| rows; no join, no per-key collect. Grid rows
+  * are generated from a per-key span aggregate (`sequence` + `explode`) —
+  * output-sized, never a cross join against a calendar table.
+  */
+object Resample {
+
+  /** Linearly-interpolated values of `valCol` at every multiple of
+    * `stepMicros` inside each key's observed time span.
+    *
+    * Output: the key columns, `gus` (grid timestamp, epoch micros), `v`
+    * (interpolated value, double). Duplicate observations at one (key,
+    * timestamp) collapse to their minimum value first (order-insensitive,
+    * so results are deterministic). A grid point that lands exactly on an
+    * observation returns that observation's value; interior points return
+    * `pv + (nv - pv) * (gus - pus) / (nus - pus)` for surrounding
+    * observations (pus, pv) and (nus, nv). Keys whose span contains no
+    * grid point produce no rows.
+    */
+  def interpolate(df: DataFrame, keys: Seq[String], tsCol: String,
+      valCol: String, stepMicros: Long): DataFrame = {
+    require(keys.nonEmpty, "resample needs at least one series key")
+    require(stepMicros > 0, "stepMicros must be positive")
+    val kCols = keys.map(col)
+    val obs = df
+      .select(kCols :+ unix_micros(col(tsCol)).as("us") :+ col(valCol).as("v"): _*)
+      .groupBy((kCols :+ col("us")): _*).agg(min(col("v")).as("v"))
+    // ceil-div for the first bucket, floor-div for the last: every grid
+    // point sits INSIDE [min(us), max(us)], so both neighbors always exist.
+    // b0 > b1 (span shorter than one step) must yield an EMPTY grid —
+    // unguarded, sequence(b0, b1) would count DOWNWARD.
+    val span = obs.groupBy(kCols: _*)
+      .agg(expr(s"(min(us) + ${stepMicros - 1}) DIV $stepMicros").as("b0"),
+        expr(s"max(us) DIV $stepMicros").as("b1"))
+      .filter(col("b0") <= col("b1"))
+    val grid = span
+      .select(kCols :+ explode(sequence(col("b0"), col("b1"))).as("b"): _*)
+      .select(kCols :+ (col("b") * stepMicros).as("us"): _*)
+    val side = "__rs_side" // 0 = observation, 1 = grid point
+    val u = obs.select(kCols ++ Seq(col("us"), lit(0).as(side),
+        col("us").as("ous"), col("v")): _*)
+      .unionByName(grid.select(kCols ++ Seq(col("us"), lit(1).as(side),
+        lit(null).cast("long").as("ous"), lit(null).cast(DoubleType).as("v")): _*))
+    // same partitioning for both windows → Catalyst reuses one exchange.
+    // Observations sort before grid rows at an equal timestamp in BOTH
+    // directions (side ascending), so an exact hit is its own neighbor.
+    val wPrev = Window.partitionBy(kCols: _*)
+      .orderBy(col("us").asc, col(side).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy(kCols: _*)
+      .orderBy(col("us").desc, col(side).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // ous and v are null/non-null together (both come from the same
+    // observation row), so per-column last(ignoreNulls) cannot stitch
+    // values from different observations
+    val carried = u
+      .withColumn("pus", last(col("ous"), ignoreNulls = true).over(wPrev))
+      .withColumn("pv", last(col("v"), ignoreNulls = true).over(wPrev))
+      .withColumn("nus", last(col("ous"), ignoreNulls = true).over(wNext))
+      .withColumn("nv", last(col("v"), ignoreNulls = true).over(wNext))
+    val ratio = (col("us") - col("pus")).cast(DoubleType) /
+      (col("nus") - col("pus")).cast(DoubleType)
+    carried.filter(col(side) === 1)
+      .select(kCols ++ Seq(col("us").as("gus"),
+        when(col("nus") === col("pus"), col("pv"))
+          .otherwise(col("pv") + (col("nv") - col("pv")) * ratio).as("v")): _*)
+  }
+}

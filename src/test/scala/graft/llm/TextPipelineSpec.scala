@@ -1,0 +1,120 @@
+package graft.llm
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class TextPipelineSpec extends SparkTestBase {
+
+  // ----------------------------------------------------------------- PII
+
+  test("PII redaction replaces every email and phone, in that order") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "mail a.b-c%d@sub.ex.org and 555-123-4567 twice: x@y.io 111-222-3333"),
+      (2L, "no pii here, 12-34 and a@b are not matches"),
+      (3L, "edge: end with bob@site.museum")).toDF("id", "t")
+    val out = df.select(col("id"), TextOps.redactPii(col("t")).as("r"),
+        TextOps.emailCount(col("t")).as("ne"), TextOps.phoneCount(col("t")).as("np"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2), r.getInt(3))))
+      .toMap
+    assert(out(1L)._1 == "mail <EMAIL> and <PHONE> twice: <EMAIL> <PHONE>")
+    assert(out(1L)._2 == 2 && out(1L)._3 == 2)
+    assert(out(2L)._1 == "no pii here, 12-34 and a@b are not matches")
+    assert(out(2L)._2 == 0 && out(2L)._3 == 0)
+    assert(out(3L)._1 == "edge: end with <EMAIL>")
+  }
+
+  test("phone digits inside longer digit runs do not match (word boundaries)") {
+    import spark.implicits._
+    val df = Seq((1L, "serial 1555-123-45678 is not a phone")).toDF("id", "t")
+    val out = df.select(TextOps.redactPii(col("t"))).head.getString(0)
+    assert(out == "serial 1555-123-45678 is not a phone")
+  }
+
+  // ---------------------------------------------------------- repetition
+
+  private def repetitionByExplode(df: org.apache.spark.sql.DataFrame) = {
+    val words = df.select(col("doc_id"),
+        explode(split(trim(col("text")), " ")).as("w"))
+      .filter(col("w") =!= "")
+    words.groupBy("doc_id", "w").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id")
+      .agg(sum("cnt").as("n_words"), count(lit(1)).as("n_distinct"),
+        max("cnt").as("max_cnt"))
+      .select(col("doc_id"), col("n_words"), col("n_distinct"), col("max_cnt"),
+        (col("max_cnt").cast("double") / col("n_words").cast("double")).as("top_frac"))
+  }
+
+  test("repetition kernel == explode+groupBy spelling on randomized docs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val vocab = Vector("a", "bb", "ccc", "dd", "e", "longword", "x1")
+    val docs = (0L until 300L).map { i =>
+      val n = rnd.nextInt(40) // includes empty docs
+      (i, (0 until n).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ") +
+        (if (rnd.nextBoolean()) "  " else "")) // trailing double space noise
+    }.toDF("doc_id", "text")
+    val got = TextOps.wordRepetitionStats(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))).toMap
+    val exp = repetitionByExplode(docs)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))).toMap
+    assert(got == exp)
+    assert(got.nonEmpty && got.size < 300) // some docs were empty and dropped
+  }
+
+  test("repetition kernel is map-only (no shuffle) and faster than explode") {
+    import spark.implicits._
+    val docs = (0L until 20000L).map { i =>
+      (i, Seq.fill(60)("w" + (i % 97)).mkString(" "))
+    }.toDF("doc_id", "text").localCheckpoint()
+    val plan = TextOps.wordRepetitionStats(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"kernel must not shuffle:\n$plan")
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    val tk = time(TextOps.wordRepetitionStats(docs, "doc_id", "text").count())
+    val te = time(repetitionByExplode(docs).count())
+    info(f"kernel $tk%.2fs vs explode $te%.2fs on 20k docs × 60 words")
+    // generous bound: the zero-shuffle kernel must not LOSE to the
+    // |words|-row shuffle spelling (typically it's several times faster)
+    assert(tk < te * 1.5, f"kernel $tk%.2fs vs explode $te%.2fs")
+  }
+
+  // ------------------------------------------------------------ sampling
+
+  test("hash-stratified sample is deterministic and hits per-stratum rates") {
+    import spark.implicits._
+    val df = (0L until 30000L).map(i => (i, "s" + (i % 3))).toDF("id", "src")
+    val rates = Map("s0" -> 0.5, "s1" -> 0.1) // s2 falls back to default 0.0
+    val a = SampleOps.hashStratifiedSample(df, "id", "src", rates)
+      .select("id", "src")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val b = SampleOps.hashStratifiedSample(df, "id", "src", rates)
+      .select("id", "src")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(a == b) // exactly reproducible
+    val byStratum = a.groupBy(_._2).view.mapValues(_.size).toMap
+    // 10k ids per stratum; binomial 4σ bounds
+    assert(math.abs(byStratum("s0") - 5000) < 4 * math.sqrt(10000 * 0.25), byStratum)
+    assert(math.abs(byStratum("s1") - 1000) < 4 * math.sqrt(10000 * 0.09), byStratum)
+    assert(!byStratum.contains("s2")) // default rate 0 drops the stratum
+    val full = SampleOps.hashStratifiedSample(df, "id", "src",
+      Map("s0" -> 1.0), defaultRate = 1.0)
+    assert(full.count() == 30000L) // rate 1.0 keeps everything
+  }
+
+  test("sampling never shuffles the corpus (broadcast rates + map-side filter)") {
+    import spark.implicits._
+    val df = (0L until 1000L).map(i => (i, "s" + (i % 3))).toDF("id", "src")
+      .localCheckpoint()
+    val plan = SampleOps.hashStratifiedSample(df, "id", "src", Map("s0" -> 0.5))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastHashJoin"),
+      plan)
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"corpus must not shuffle:\n$plan")
+  }
+}

@@ -52,6 +52,55 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(row.isNullAt(0) && row.getString(1) == "new")
   }
 
+  test("forward as-of: earliest at-or-after match per key, tolerance ahead") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "l1"),
+      (1L, ts("2024-01-01 12:00:00"), "l2"),
+      (2L, ts("2024-01-01 09:00:00"), "l3")) // key 2 has no right rows
+      .toDF("k", "ts", "lv")
+    val right = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1.0), // equal ts: inclusive for l1
+      (1L, ts("2024-01-01 11:00:00"), 2.0),
+      (1L, ts("2024-01-01 13:30:00"), 3.0))
+      .toDF("k", "ts", "rv")
+    val out = AsOfJoin.forward(left, right, Seq("k"), "ts")
+      .select("lv", "r_rv").collect().map(r => (r.getString(0), r.get(1))).toMap
+    assert(out("l1") == 1.0) // equal-ts right row matches (<= semantics)
+    assert(out("l2") == 3.0) // earliest of those after
+    assert(out("l3") == null)
+    val tight = AsOfJoin.forward(left, right, Seq("k"), "ts",
+      tolerance = Some("INTERVAL 1 HOUR"))
+      .select("lv", "r_rv").collect().map(r => (r.getString(0), r.get(1))).toMap
+    assert(tight("l1") == 1.0) // within the hour
+    assert(tight("l2") == null) // 13:30 is 90 min ahead of 12:00
+  }
+
+  test("forward matches a reference model on a generated series") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val lrows = (0 until 200).map(i => (i % 5L, 1000L + rnd.nextInt(10000)))
+    val rrows = (0 until 300).map(i => (i % 5L, 1000L + rnd.nextInt(10000)))
+      .distinct // unique (k, ts) so the expected match is well-defined
+    val base = ts("2024-01-01 00:00:00").getTime
+    val left = lrows.map { case (k, t) =>
+      (k, new java.sql.Timestamp(base + t * 1000), t)
+    }.toDF("k", "ts", "lt")
+    val right = rrows.map { case (k, t) =>
+      (k, new java.sql.Timestamp(base + t * 1000), t)
+    }.toDF("k", "ts", "rt")
+    val got = AsOfJoin.forward(left, right, Seq("k"), "ts")
+      .select("k", "lt", "r_rt").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), if (r.isNullAt(2)) -1L else r.getLong(2)))
+      .toSeq.sorted
+    val byK = rrows.groupBy(_._1)
+    val exp = lrows.map { case (k, t) =>
+      val cands = byK.getOrElse(k, Nil).map(_._2).filter(_ >= t)
+      ((k, t), if (cands.isEmpty) -1L else cands.min)
+    }.sorted
+    assert(got == exp)
+  }
+
   test("matches DuckDB-style semantics on a generated series") {
     import spark.implicits._
     // driver-side reference: for each left (k, t), max right t' <= t per k
