@@ -68,6 +68,32 @@ object LlmQueries {
        |ORDER BY ida NULLS FIRST, idb NULLS FIRST""".stripMargin
   }
 
+  // Oracle spelling of q86: the q50 LSH-threshold pair set, closed
+  // transitively with a recursive CTE (same shape as q60's oracle).
+  private def annClusterOracle(numBands: Int, bitsPerBand: Int, dim: Int,
+      threshold: Double): String = {
+    val keys = (0 until numBands)
+      .map(j => s"${lshBandKeySql("embedding", j, bitsPerBand, dim)} AS b$j")
+    val anyBand = (0 until numBands).map(j => s"a.b$j = b.b$j").mkString(" OR ")
+    s"""WITH RECURSIVE s AS (
+       |  SELECT vec_id AS id, embedding AS emb, ${keys.mkString(", ")}
+       |  FROM embeddings),
+       |pr AS (
+       |  SELECT a.id AS ida, b.id AS idb FROM s a, s b
+       |  WHERE a.id < b.id AND ($anyBand)
+       |    AND list_cosine_similarity(CAST(a.emb AS DOUBLE[]),
+       |                               CAST(b.emb AS DOUBLE[])) >= $threshold),
+       |edges AS (SELECT ida AS a, idb AS b FROM pr
+       |          UNION SELECT idb AS a, ida AS b FROM pr),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+       |)
+       |SELECT a AS vec_id, least(a, MIN(b)) AS cluster FROM reach
+       |GROUP BY a ORDER BY vec_id NULLS FIRST""".stripMargin
+  }
+
   // Oracle spelling of AnnOps.ivfTopKForQueries: same deterministic seed
   // centroids, same argmax-cosine cell assignment (ties to lowest cid),
   // same nProbe cell pruning, same exact top-k within probed cells.
@@ -472,6 +498,22 @@ object LlmQueries {
           rates, defaultRate = 0.125)
         .select("doc_id", "source")
         .orderBy("doc_id")
+    },
+
+    // ---- embedding near-dup clustering, end to end (beyond-parity): the
+    // q50 LSH candidate generator feeds the q60 connected-components
+    // labeler — the full "collapse near-duplicate vectors to one
+    // representative" pipeline in two scale-safe stages (banded bucket
+    // join, then O(log diameter) pointer jumping; never all-pairs). The
+    // oracle regenerates the identical pair set brute-force and closes it
+    // with a recursive CTE.
+    q("q86_embedding_dedup_clusters",
+      annClusterOracle(16, 8, 64, 0.4)) { (s, dir) =>
+      val pairs = AnnOps.lshThresholdPairs(T.embeddings(s, dir), dim = 64,
+        numBands = 16, bitsPerBand = 8, threshold = 0.4)
+      TextOps.connectedComponents(pairs.select(col("ida"), col("idb")))
+        .select(col("id").as("vec_id"), col("cluster"))
+        .orderBy("vec_id")
     },
   )
 }

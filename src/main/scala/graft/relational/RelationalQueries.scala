@@ -778,6 +778,31 @@ object RelationalQueries {
           col("value").as("pval"), unix_micros(col("r_ts")).as("cus"),
           col("r_value").as("cval"))
         .orderBy("eid")
+    },
+
+    // ---- LOCF resample (beyond-parity, q81's step-function sibling):
+    // last observation carried forward onto the hourly grid — the mode for
+    // state-like series (setpoints, statuses) where interpolating would
+    // invent values. Cheapest resample mode: the descending window drops
+    // out, one ascending window over one shuffle.
+    q("q87_resample_locf",
+      """WITH obs AS (
+        |  SELECT event_type AS k, epoch_us(ts) AS us, MIN(value) AS v
+        |  FROM events GROUP BY 1, 2),
+        |span AS (
+        |  SELECT k, (MIN(us) + 3599999999) // 3600000000 AS b0,
+        |         MAX(us) // 3600000000 AS b1
+        |  FROM obs GROUP BY k),
+        |grid AS (
+        |  SELECT k, unnest(generate_series(b0, b1)) * 3600000000 AS gus
+        |  FROM span WHERE b0 <= b1)
+        |SELECT g.k AS k, g.gus AS gus, o.v AS v
+        |FROM grid g ASOF JOIN obs o ON g.k = o.k AND g.gus >= o.us
+        |ORDER BY g.k NULLS FIRST, g.gus NULLS FIRST""".stripMargin) { (s, dir) =>
+      Resample.interpolate(
+          events(s, dir).select(col("event_type").as("k"), col("ts"), col("value")),
+          Seq("k"), "ts", "value", stepMicros = 3600000000L, mode = "locf")
+        .orderBy("k", "gus")
     }
   )
 }

@@ -25,22 +25,28 @@ import org.apache.spark.sql.types.DoubleType
   */
 object Resample {
 
-  /** Linearly-interpolated values of `valCol` at every multiple of
-    * `stepMicros` inside each key's observed time span.
+  /** Resampled values of `valCol` at every multiple of `stepMicros` inside
+    * each key's observed time span.
     *
     * Output: the key columns, `gus` (grid timestamp, epoch micros), `v`
-    * (interpolated value, double). Duplicate observations at one (key,
+    * (resampled value, double). Duplicate observations at one (key,
     * timestamp) collapse to their minimum value first (order-insensitive,
     * so results are deterministic). A grid point that lands exactly on an
-    * observation returns that observation's value; interior points return
-    * `pv + (nv - pv) * (gus - pus) / (nus - pus)` for surrounding
-    * observations (pus, pv) and (nus, nv). Keys whose span contains no
-    * grid point produce no rows.
+    * observation returns that observation's value. Interior points depend
+    * on `mode`, for surrounding observations (pus, pv) and (nus, nv):
+    *  - `"linear"`  — `pv + (nv - pv) * (gus - pus) / (nus - pus)`;
+    *  - `"locf"`    — `pv` (last observation carried forward; skips the
+    *    descending window entirely, so it's the cheapest mode);
+    *  - `"nearest"` — whichever observation is closer in time, the earlier
+    *    one on an exact tie.
+    * Keys whose span contains no grid point produce no rows.
     */
   def interpolate(df: DataFrame, keys: Seq[String], tsCol: String,
-      valCol: String, stepMicros: Long): DataFrame = {
+      valCol: String, stepMicros: Long, mode: String = "linear"): DataFrame = {
     require(keys.nonEmpty, "resample needs at least one series key")
     require(stepMicros > 0, "stepMicros must be positive")
+    require(Seq("linear", "locf", "nearest").contains(mode),
+      s"unknown resample mode '$mode' (linear | locf | nearest)")
     val kCols = keys.map(col)
     val obs = df
       .select(kCols :+ unix_micros(col(tsCol)).as("us") :+ col(valCol).as("v"): _*)
@@ -73,16 +79,26 @@ object Resample {
     // ous and v are null/non-null together (both come from the same
     // observation row), so per-column last(ignoreNulls) cannot stitch
     // values from different observations
-    val carried = u
+    val prev = u
       .withColumn("pus", last(col("ous"), ignoreNulls = true).over(wPrev))
       .withColumn("pv", last(col("v"), ignoreNulls = true).over(wPrev))
-      .withColumn("nus", last(col("ous"), ignoreNulls = true).over(wNext))
-      .withColumn("nv", last(col("v"), ignoreNulls = true).over(wNext))
-    val ratio = (col("us") - col("pus")).cast(DoubleType) /
-      (col("nus") - col("pus")).cast(DoubleType)
-    carried.filter(col(side) === 1)
-      .select(kCols ++ Seq(col("us").as("gus"),
+    val carried =
+      if (mode == "locf") prev
+      else prev
+        .withColumn("nus", last(col("ous"), ignoreNulls = true).over(wNext))
+        .withColumn("nv", last(col("v"), ignoreNulls = true).over(wNext))
+    val value = mode match {
+      case "locf" => col("pv")
+      case "nearest" =>
+        when(col("us") - col("pus") <= col("nus") - col("us"), col("pv"))
+          .otherwise(col("nv"))
+      case _ =>
+        val ratio = (col("us") - col("pus")).cast(DoubleType) /
+          (col("nus") - col("pus")).cast(DoubleType)
         when(col("nus") === col("pus"), col("pv"))
-          .otherwise(col("pv") + (col("nv") - col("pv")) * ratio).as("v")): _*)
+          .otherwise(col("pv") + (col("nv") - col("pv")) * ratio)
+    }
+    carried.filter(col(side) === 1)
+      .select(kCols ++ Seq(col("us").as("gus"), value.as("v")): _*)
   }
 }

@@ -45,6 +45,32 @@ class ResampleSpec extends SparkTestBase {
     assert(out.toSeq == Seq((10L, 3.0), (20L, 3.0), (30L, 3.0)))
   }
 
+  test("locf carries the last observation; nearest picks the closer neighbor") {
+    import spark.implicits._
+    // observations at 5s→10.0 and 25s→50.0; grid at 10s and 20s
+    val df = Seq(("a", 5L, 10.0), ("a", 25L, 50.0))
+      .map { case (k, sec, v) => (k, ts(sec * 1000000), v) }
+      .toDF("k", "ts", "v")
+    def run(mode: String) =
+      Resample.interpolate(df, Seq("k"), "ts", "v", step, mode)
+        .orderBy("gus").collect().map(r => (r.getLong(1) / 1000000, r.getDouble(2)))
+        .toSeq
+    assert(run("locf") == Seq((10L, 10.0), (20L, 10.0)))
+    // 10s is 5s from prev, 15s from next → prev; 20s is 15s vs 5s → next
+    assert(run("nearest") == Seq((10L, 10.0), (20L, 50.0)))
+    // exact tie: obs at 10s and 30s, grid at 20s → the earlier one
+    val tie = Seq(("a", 10L, 1.0), ("a", 30L, 2.0))
+      .map { case (k, sec, v) => (k, ts(sec * 1000000), v) }
+      .toDF("k", "ts", "v")
+    val near = Resample.interpolate(tie, Seq("k"), "ts", "v", step, "nearest")
+      .orderBy("gus").collect().map(r => (r.getLong(1) / 1000000, r.getDouble(2)))
+    assert(near.toSeq == Seq((10L, 1.0), (20L, 1.0), (30L, 2.0)))
+    // locf plans a single Window node (no descending pass at all)
+    val locfPlan = Resample.interpolate(df, Seq("k"), "ts", "v", step, "locf")
+      .queryExecution.executedPlan.toString
+    assert("Window".r.findAllIn(locfPlan).size == 1, locfPlan)
+  }
+
   test("matches a reference model on a randomized irregular series") {
     import spark.implicits._
     val rnd = new scala.util.Random(13)
