@@ -515,5 +515,36 @@ object LlmQueries {
         .select(col("id").as("vec_id"), col("cluster"))
         .orderBy("vec_id")
     },
+
+    // ---- exact per-stratum quota (beyond-parity): exactly 5 docs per
+    // source, selected by smallest md5(id) — a deterministic "N examples
+    // per source" sampler (id tie-break totalizes the order, so the row
+    // set is unique and DuckDB re-derives it).
+    q("q88_quota_sample",
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents) WHERE rn <= 5
+        |ORDER BY doc_id NULLS FIRST""".stripMargin) { (s, dir) =>
+      SampleOps.hashQuotaSample(T.documents(s, dir), "doc_id", "source", 5)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    },
+
+    // ---- deterministic train/val/test split (beyond-parity): labels by
+    // md5(id) range (80/10/10). Map-only; a row's label never changes when
+    // the corpus grows — the reproducibility property random splits lack.
+    q("q89_train_split",
+      """SELECT doc_id,
+        |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,4) < 'cccd' THEN 'train'
+        |       WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,4) < 'e666' THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id NULLS FIRST""".stripMargin) { (s, dir) =>
+      SampleOps.hashSplit(T.documents(s, dir), "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select("doc_id", "split")
+        .orderBy("doc_id")
+    },
   )
 }

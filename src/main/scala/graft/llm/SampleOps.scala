@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Deterministic sampling for training-data pipelines.
@@ -27,6 +27,48 @@ object SampleOps {
     require(rate >= 0 && rate <= 1, s"rate must be in [0,1], got $rate")
     val t = math.round(rate * 65536.0)
     if (t >= 65536L) "g" else f"$t%04x"
+  }
+
+  /** Exact per-stratum quota sample: the `quota` rows with the smallest
+    * md5(id) in each stratum — deterministic "give me exactly N per
+    * source" selection (id tie-break makes the order total, so the row
+    * set is unique). One shuffle on the stratum key. Exact selection
+    * needs a per-stratum order; at scale, pre-filter with
+    * [[hashStratifiedSample]] at a rate comfortably above quota/|stratum|
+    * first so the sort sees a sliver of the corpus. */
+  def hashQuotaSample(df: DataFrame, idCol: String, strataCol: String,
+      quota: Int): DataFrame = {
+    require(quota > 0, "quota must be positive")
+    val rn = "__qs_rn"
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn(rn, row_number().over(w))
+      .filter(col(rn) <= quota).drop(rn)
+  }
+
+  /** Deterministic train/validation/test split: a `split` label column
+    * assigned by md5(id) range. `splits` lists (label, fraction) pairs in
+    * order; the LAST label takes the remainder (fractions of all but the
+    * last must sum below 1). Map-only, reproducible on any engine, and
+    * stable under corpus growth: a row's label never changes when other
+    * rows are added, the property random splits lack. */
+  def hashSplit(df: DataFrame, idCol: String,
+      splits: Seq[(String, Double)], splitCol: String = "split"): DataFrame = {
+    require(splits.nonEmpty, "need at least one split")
+    require(splits.map(_._1).distinct.size == splits.size, "duplicate labels")
+    val head = splits.init
+    require(head.map(_._2).sum <= 1.0, "fractions exceed 1")
+    val b = hashBucket(col(idCol))
+    var cum = 0.0
+    var e: Column = null
+    head.foreach { case (label, frac) =>
+      cum += frac
+      val cond = b < lit(rateThreshold(cum))
+      e = if (e == null) when(cond, lit(label)) else e.when(cond, lit(label))
+    }
+    val labeled = if (e == null) lit(splits.last._1) else e.otherwise(lit(splits.last._1))
+    df.withColumn(splitCol, labeled)
   }
 
   /** Stratified deterministic sample: each stratum (value of `strataCol`)

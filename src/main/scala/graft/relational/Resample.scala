@@ -25,6 +25,10 @@ import org.apache.spark.sql.types.DoubleType
   */
 object Resample {
 
+  /** Max grid points generated per exploded array (see the two-level
+    * explode in [[interpolate]]). */
+  private val gridChunk = 4096L
+
   /** Resampled values of `valCol` at every multiple of `stepMicros` inside
     * each key's observed time span.
     *
@@ -59,8 +63,18 @@ object Resample {
       .agg(expr(s"(min(us) + ${stepMicros - 1}) DIV $stepMicros").as("b0"),
         expr(s"max(us) DIV $stepMicros").as("b1"))
       .filter(col("b0") <= col("b1"))
-    val grid = span
-      .select(kCols :+ explode(sequence(col("b0"), col("b1"))).as("b"): _*)
+    // two-level explode: chunk starts first, then at most `gridChunk`
+    // buckets per chunk. A fine grid over a long span (a year at 1 s is
+    // ~31M points) must never materialize one array of every bucket per
+    // key — sequence() builds the whole array in memory before exploding.
+    val chunks = span
+      .select(kCols ++ Seq(col("b0"), col("b1"),
+        explode(sequence(lit(0L),
+          expr(s"(b1 - b0) DIV $gridChunk"))).as("ci")): _*)
+    val lo = col("b0") + col("ci") * gridChunk
+    val hi = least(col("b0") + (col("ci") + 1) * gridChunk - 1, col("b1"))
+    val grid = chunks
+      .select(kCols :+ explode(sequence(lo, hi)).as("b"): _*)
       .select(kCols :+ (col("b") * stepMicros).as("us"): _*)
     val side = "__rs_side" // 0 = observation, 1 = grid point
     val u = obs.select(kCols ++ Seq(col("us"), lit(0).as(side),

@@ -49,7 +49,8 @@ class PlanSpec extends SparkTestBase {
 
   test("dedup and LSH plans never do an all-pairs cartesian product") {
     for (name <- Seq("q44_dedup_exact", "q45_dedup_minhash_lsh",
-        "q50_ann_lsh_threshold", "q67_ngram_jaccard")) {
+        "q50_ann_lsh_threshold", "q67_ngram_jaccard",
+        "q86_embedding_dedup_clusters")) {
       val plan = executedPlan(name)
       assert(!plan.contains("CartesianProduct"),
         s"$name contains a cartesian product")

@@ -106,6 +106,38 @@ class TextPipelineSpec extends SparkTestBase {
     assert(full.count() == 30000L) // rate 1.0 keeps everything
   }
 
+  test("quota sample returns exactly N per stratum, deterministically") {
+    import spark.implicits._
+    val df = (0L until 5000L).map(i => (i, "s" + (i % 4))).toDF("id", "src")
+    val a = SampleOps.hashQuotaSample(df, "id", "src", 7)
+      .select("id", "src").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(a.length == 28)
+    assert(a.groupBy(_._2).forall(_._2.length == 7))
+    val b = SampleOps.hashQuotaSample(df, "id", "src", 7)
+      .select("id", "src").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(a.toSet == b.toSet)
+    // a stratum smaller than the quota returns all of it
+    val tiny = Seq((1L, "x"), (2L, "x")).toDF("id", "src")
+    assert(SampleOps.hashQuotaSample(tiny, "id", "src", 7).count() == 2)
+  }
+
+  test("hash split partitions every row once, stably under corpus growth") {
+    import spark.implicits._
+    val df = (0L until 20000L).map(i => (i, s"d$i")).toDF("id", "p")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val labeled = SampleOps.hashSplit(df, "id", splits)
+      .collect().map(r => (r.getLong(0), r.getString(2))).toMap
+    assert(labeled.size == 20000) // total function: every row exactly one label
+    val byLabel = labeled.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(math.abs(byLabel("train") - 16000) < 4 * math.sqrt(20000 * 0.16), byLabel)
+    assert(math.abs(byLabel("val") - 2000) < 4 * math.sqrt(20000 * 0.09), byLabel)
+    assert(math.abs(byLabel("test") - 2000) < 4 * math.sqrt(20000 * 0.09), byLabel)
+    // growth stability: labels on a subset are unchanged when rows are added
+    val subset = SampleOps.hashSplit(df.filter(col("id") < 1000), "id", splits)
+      .collect().map(r => (r.getLong(0), r.getString(2))).toMap
+    assert(subset.forall { case (id, l) => labeled(id) == l })
+  }
+
   test("sampling never shuffles the corpus (broadcast rates + map-side filter)") {
     import spark.implicits._
     val df = (0L until 1000L).map(i => (i, "s" + (i % 3))).toDF("id", "src")

@@ -104,6 +104,20 @@ class ResampleSpec extends SparkTestBase {
     assert(n > 100) // the series actually exercised interpolation
   }
 
+  test("long spans produce the full grid through chunked generation") {
+    import spark.implicits._
+    // 10k-bucket span (> the 4096 grid chunk): two observations 10^5 s
+    // apart on a 10 s grid → 10_001 grid points, values strictly linear
+    val df = Seq(("a", 0L, 0.0), ("a", 100000L, 100000.0))
+      .map { case (k, sec, v) => (k, ts(sec * 1000000), v) }
+      .toDF("k", "ts", "v")
+    val out = Resample.interpolate(df, Seq("k"), "ts", "v", step)
+    assert(out.count() == 10001L)
+    val probe = out.filter(col("gus").isin(0L, 50000L * 1000000, 100000L * 1000000))
+      .orderBy("gus").collect().map(r => r.getDouble(2))
+    assert(probe.toSeq == Seq(0.0, 50000.0, 100000.0))
+  }
+
   test("plan: no cartesian product; both neighbor windows share one partitioning") {
     import spark.implicits._
     val df = (0 until 50).map(i => ("k" + i % 3, ts(i * 7L * 1000000), i * 1.0))
