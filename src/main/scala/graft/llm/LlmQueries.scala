@@ -546,5 +546,37 @@ object LlmQueries {
         .select("doc_id", "split")
         .orderBy("doc_id")
     },
+
+    // ---- benchmark decontamination (beyond-parity): training docs
+    // sharing ≥2 distinct 3-gram shingles with any held-out doc — the
+    // "did the eval set leak into training?" check. The split reuses q89's
+    // hash split (both engines derive identical sides); postings meet in
+    // a shingle equi-join bounded by the (small) eval side, never
+    // |train|×|eval|. The oracle brute-forces the pair intersections.
+    q("q90_decontamination",
+      """WITH lab AS (SELECT doc_id, text,
+        |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,4) < 'e666'
+        |         THEN 'train' ELSE 'test' END AS split FROM documents),
+        |sh AS (SELECT doc_id, split,
+        |    list_distinct([array_to_string(toks[i:i+2], ' ')
+        |                   for i in range(1, len(toks) - 1)]) AS shingles
+        |  FROM (SELECT doc_id, split, string_split(trim(text), ' ') AS toks
+        |        FROM lab))
+        |SELECT t.doc_id AS train_id, e.doc_id AS eval_id,
+        |       CAST(len(list_intersect(t.shingles, e.shingles)) AS BIGINT)
+        |         AS n_shared
+        |FROM sh t, sh e
+        |WHERE t.split = 'train' AND e.split = 'test'
+        |  AND len(list_intersect(t.shingles, e.shingles)) >= 2
+        |ORDER BY train_id NULLS FIRST, eval_id NULLS FIRST""".stripMargin) {
+      (s, dir) =>
+        val lab = SampleOps.hashSplit(T.documents(s, dir), "doc_id",
+          Seq("train" -> 0.9, "test" -> 0.1))
+        TextOps.ngramContamination(
+            lab.filter(col("split") === "train"),
+            lab.filter(col("split") === "test"),
+            "doc_id", "text", n = 3, minShared = 2)
+          .orderBy("train_id", "eval_id")
+    },
   )
 }

@@ -96,6 +96,31 @@ object TextOps {
   def emailCount(text: Column): Column = regexp_count(text, lit(emailRe))
   def phoneCount(text: Column): Column = regexp_count(text, lit(phoneRe))
 
+  /** Benchmark decontamination: training documents sharing at least
+    * `minShared` distinct word `n`-grams with any document of an
+    * evaluation set — the standard "did the eval set leak into training?"
+    * check. Returns (train_id, eval_id, n_shared) per contaminated pair.
+    *
+    * Scale: both sides explode to (doc, shingle) postings and meet in an
+    * equi-join on the shingle — candidates are bounded by the eval side's
+    * posting lists, never |train|×|eval|. The eval set is tiny next to the
+    * corpus (that is the premise of the check), so its postings broadcast
+    * and the training side never shuffles; ultra-common shingles should be
+    * dropped upstream (they indicate boilerplate, not leakage) with a df
+    * cap on the eval postings if an eval doc is pathological. */
+  def ngramContamination(train: DataFrame, eval: DataFrame, idCol: String,
+      textCol: String, n: Int = 3, minShared: Int = 2): DataFrame = {
+    val t = train.select(col(idCol).as("train_id"),
+      explode(wordShingles(col(textCol), n)).as("sh"))
+    val e = eval.select(col(idCol).as("eval_id"),
+      explode(wordShingles(col(textCol), n)).as("sh"))
+    // shingles are distinct within a document, so the per-pair match count
+    // IS the intersection size
+    t.join(e, "sh")
+      .groupBy("train_id", "eval_id").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Gopher-style repetition stats per document: total whitespace words,
     * distinct words, the top word's count, and the top-word fraction (the
     * "fraction of most common word" repetition signal; repetitive spam has

@@ -83,6 +83,27 @@ class TextPipelineSpec extends SparkTestBase {
     assert(tk < te * 1.5, f"kernel $tk%.2fs vs explode $te%.2fs")
   }
 
+  // ----------------------------------------------------- decontamination
+
+  test("contamination finds planted n-gram overlap and nothing else") {
+    import spark.implicits._
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"), // shares 2 shingles with e10
+      (2L, "one two three four five"),             // shares 1 shingle with e11
+      (3L, "totally unrelated words here")).toDF("doc_id", "text")
+    val eval = Seq(
+      (10L, "alpha beta gamma delta unrelated tail"), // "alpha beta gamma", "beta gamma delta"
+      (11L, "zero one two three nine")).toDF("doc_id", "text") // only "one two three"
+    val out = TextOps.ngramContamination(train, eval, "doc_id", "text",
+        n = 3, minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 10L, 2L))) // the 1-shingle pair is below threshold
+    val loose = TextOps.ngramContamination(train, eval, "doc_id", "text",
+        n = 3, minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(loose == Set((1L, 10L), (2L, 11L)))
+  }
+
   // ------------------------------------------------------------ sampling
 
   test("hash-stratified sample is deterministic and hits per-stratum rates") {
