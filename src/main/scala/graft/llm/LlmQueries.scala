@@ -578,5 +578,58 @@ object LlmQueries {
             "doc_id", "text", n = 3, minShared = 2)
           .orderBy("train_id", "eval_id")
     },
+
+    // ---- corpus df quality stats (beyond-parity): per-doc token count,
+    // summed corpus document frequency, hapax count, mean df — the
+    // rare-word/boilerplate quality axis. Exact integer aggregation
+    // (deterministic under any partial-agg order); the one division at
+    // the end is bitwise-stable. Vocabulary-sized df table, Zipf-small.
+    q("q91_df_quality",
+      """WITH tok AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS t
+        |             FROM documents),
+        |dfreq AS (SELECT t, count(DISTINCT doc_id) AS dfc FROM tok GROUP BY t)
+        |SELECT doc_id, count(*) AS n_tok,
+        |       CAST(SUM(dfc) AS BIGINT) AS sum_df,
+        |       CAST(SUM(CASE WHEN dfc = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_hapax,
+        |       CAST(CAST(SUM(dfc) AS BIGINT) AS DOUBLE) / count(*) AS mean_df
+        |FROM tok JOIN dfreq USING (t)
+        |GROUP BY doc_id ORDER BY doc_id NULLS FIRST""".stripMargin) {
+      (s, dir) =>
+        TextOps.docFrequencyStats(T.documents(s, dir), "doc_id", "text")
+          .orderBy("doc_id")
+    },
+
+    // ---- duplicate-span scrub (beyond-parity): drop 5-token chunks that
+    // occur in ≥2 distinct documents (cross-doc boilerplate), keep
+    // within-doc repetition, reassemble survivors in order. Linear chunk
+    // rows; the dup set meets in a shuffled anti-join, never broadcast
+    // (it is corpus-sized in the worst case).
+    q("q92_span_scrub",
+      """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
+        |           FROM documents),
+        |p AS (SELECT doc_id, toks,
+        |        unnest(range(1, CAST(ceil(len(toks) / 5.0) AS BIGINT) + 1))
+        |          AS pos FROM t),
+        |ch AS (SELECT doc_id, pos,
+        |         array_to_string(toks[(pos-1)*5+1 : pos*5], ' ') AS chunk
+        |       FROM p),
+        |dup AS (SELECT chunk FROM ch GROUP BY chunk
+        |        HAVING count(DISTINCT doc_id) >= 2),
+        |kept AS (SELECT doc_id, pos, chunk FROM ch
+        |         WHERE chunk NOT IN (SELECT chunk FROM dup)),
+        |agg AS (SELECT doc_id, string_agg(chunk, ' ' ORDER BY pos) AS clean_text,
+        |          count(*) AS n_kept FROM kept GROUP BY doc_id),
+        |tot AS (SELECT doc_id, count(*) AS n_chunks FROM ch GROUP BY doc_id)
+        |SELECT tot.doc_id, coalesce(agg.clean_text, '') AS clean_text,
+        |       tot.n_chunks,
+        |       tot.n_chunks - coalesce(agg.n_kept, 0) AS n_dropped
+        |FROM tot LEFT JOIN agg ON tot.doc_id = agg.doc_id
+        |ORDER BY tot.doc_id NULLS FIRST""".stripMargin) {
+      (s, dir) =>
+        TextOps.duplicateSpanScrub(T.documents(s, dir), "doc_id", "text",
+            k = 5, minDocs = 2)
+          .orderBy("doc_id")
+    },
   )
 }

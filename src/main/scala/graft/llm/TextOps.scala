@@ -121,6 +121,75 @@ object TextOps {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Corpus document-frequency quality stats per document: token count,
+    * the sum over token occurrences of each token's corpus document
+    * frequency, the hapax count (tokens appearing in exactly one document),
+    * and the mean document frequency. Low mean-df / high hapax marks
+    * rare-word-heavy documents; high mean-df marks boilerplate. A monotone
+    * transform of the usual mean-IDF score, kept in exact integer
+    * arithmetic so the result is bitwise deterministic under any partial
+    * aggregation order (a log-based score would sum doubles in
+    * shuffle-dependent order); callers wanting idf apply ln(N/df) to the
+    * df table themselves.
+    *
+    * Scale: two shuffles — the df aggregation (vocabulary-sized output;
+    * Zipf says |vocab| ≪ |corpus|) and the per-document re-aggregation.
+    * The postings↔df equi-join is one-to-many with a single row per token
+    * on the df side, so it cannot blow up; hot stopword keys skew the
+    * shuffle and are handled by AQE skew-join (or a df cap upstream when
+    * the corpus is pathological). The df table broadcasts whenever it fits
+    * (Spark's threshold decides — not forced, since a web-scale vocab may
+    * not fit an executor). */
+  def docFrequencyStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("t"))
+    val dfreq = tok.groupBy("t").agg(countDistinct(col("doc_id")).as("dfc"))
+    tok.join(dfreq, "t")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"), sum("dfc").as("sum_df"),
+        sum(when(col("dfc") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .withColumn("mean_df", col("sum_df").cast(DoubleType) / col("n_tok"))
+  }
+
+  /** Duplicate-span scrub: split each document into consecutive `k`-token
+    * chunks, drop every chunk whose text occurs in at least `minDocs`
+    * distinct documents (shared spans are boilerplate — headers, footers,
+    * license blocks), and reassemble the survivors in order. Returns
+    * (doc_id, clean_text, n_chunks, n_dropped); a fully-scrubbed document
+    * keeps its row with empty clean_text. Within-document repetition is
+    * NOT scrubbed — that is a quality signal ([[wordRepetitionStats]]),
+    * not cross-document contamination.
+    *
+    * Scale: chunk rows are (id, pos, chunk) — linear in corpus size, never
+    * pairwise. The duplicated-chunk set is corpus-sized in the worst case,
+    * so it is met with a shuffled left-anti equi-join on the chunk text,
+    * not a broadcast; the reassembly groupBy shuffles each document's
+    * surviving chunks to one reducer keyed by id — the same partitioning
+    * the anti-join already produced is reused when AQE plans them
+    * together. Chunk keys could be xxhash64-narrowed for shuffle width at
+    * lake scale; kept as text here so the oracle compares the same rows. */
+  def duplicateSpanScrub(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 5, minDocs: Int = 2): DataFrame = {
+    val toks = tokens(col(textCol))
+    val chunkArr = transform(
+      sequence(lit(0), ceil(size(toks).cast(DoubleType) / k).cast(IntegerType) - 1),
+      i => concat_ws(" ", slice(toks, i * k + 1, lit(k))))
+    val chunks = df.select(col(idCol).as("doc_id"), posexplode(chunkArr).as(Seq("pos", "chunk")))
+    val dup = chunks.groupBy("chunk")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= minDocs).select("chunk")
+    val kept = chunks.join(dup, Seq("chunk"), "left_anti")
+      .groupBy("doc_id")
+      .agg(
+        concat_ws(" ", transform(array_sort(collect_list(struct(col("pos"), col("chunk")))),
+          s => s.getField("chunk"))).as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    val totals = chunks.groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
+    totals.join(kept, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_chunks"), (col("n_chunks") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
+  }
+
   /** Gopher-style repetition stats per document: total whitespace words,
     * distinct words, the top word's count, and the top-word fraction (the
     * "fraction of most common word" repetition signal; repetitive spam has

@@ -50,7 +50,8 @@ class PlanSpec extends SparkTestBase {
   test("dedup and LSH plans never do an all-pairs cartesian product") {
     for (name <- Seq("q44_dedup_exact", "q45_dedup_minhash_lsh",
         "q50_ann_lsh_threshold", "q67_ngram_jaccard",
-        "q86_embedding_dedup_clusters")) {
+        "q86_embedding_dedup_clusters", "q90_decontamination",
+        "q91_df_quality", "q92_span_scrub")) {
       val plan = executedPlan(name)
       assert(!plan.contains("CartesianProduct"),
         s"$name contains a cartesian product")

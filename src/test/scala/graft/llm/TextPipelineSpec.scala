@@ -104,6 +104,40 @@ class TextPipelineSpec extends SparkTestBase {
     assert(loose == Set((1L, 10L), (2L, 11L)))
   }
 
+  // ---------------------------------------------- df quality / span scrub
+
+  test("docFrequencyStats computes df sums, hapax counts, and exact mean") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b a"), (2L, "a c")).toDF("doc_id", "text")
+    val out = TextOps.docFrequencyStats(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    // df: a→2 docs, b→1, c→1
+    assert(out(0) == ((1L, 3L, 5L, 1L, 5.0 / 3)))  // a,b,a → 2+1+2
+    assert(out(1) == ((2L, 2L, 3L, 1L, 3.0 / 2)))  // a,c → 2+1
+  }
+
+  test("duplicateSpanScrub drops cross-doc chunks, keeps within-doc repeats") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "h1 h2 x y"),     // "h1 h2" shared with doc 2 → dropped
+      (2L, "h1 h2 p q"),
+      (3L, "r r r r"),       // within-doc repeat only → survives whole
+      (4L, "h1 h2"),         // fully scrubbed → empty clean_text
+      (5L, "z1 z2 z3")       // odd tail chunk "z3" survives
+    ).toDF("doc_id", "text")
+    val out = TextOps.duplicateSpanScrub(docs, "doc_id", "text", k = 2, minDocs = 2)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (1L, "x y", 2L, 1L),
+      (2L, "p q", 2L, 1L),
+      (3L, "r r r r", 2L, 0L),
+      (4L, "", 1L, 1L),
+      (5L, "z1 z2 z3", 2L, 0L)))
+  }
+
   // ------------------------------------------------------------ sampling
 
   test("hash-stratified sample is deterministic and hits per-stratum rates") {
