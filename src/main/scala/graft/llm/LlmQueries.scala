@@ -631,5 +631,28 @@ object LlmQueries {
             k = 5, minDocs = 2)
           .orderBy("doc_id")
     },
+
+    // ---- token-budget sharding (beyond-parity): pack id-ordered docs
+    // into ≤512-token training shards by running total. The oracle uses
+    // the global window; the engine runs a two-phase distributed prefix
+    // sum (per-partition sums → broadcast offsets → map) because a global
+    // `sum OVER (ORDER BY id)` window is a single-reducer scale cliff.
+    q("q93_pack_shards",
+      """WITH w AS (SELECT doc_id,
+        |    len(string_split(trim(text), ' ')) AS n_tok FROM documents),
+        |c AS (SELECT doc_id, n_tok,
+        |    SUM(n_tok) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tok
+        |  FROM w)
+        |SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+        |       CAST(cum_tok AS BIGINT) AS cum_tok,
+        |       CAST((greatest(cum_tok, 1) - 1) // 512 AS BIGINT) AS shard
+        |FROM c ORDER BY doc_id NULLS FIRST""".stripMargin) {
+      (s, dir) =>
+        val docs = T.documents(s, dir)
+        SampleOps.packIntoShards(docs, "doc_id",
+            size(TextOps.tokens(col("text"))), budget = 512L)
+          .orderBy("doc_id")
+    },
   )
 }

@@ -89,4 +89,53 @@ object SampleOps {
       .filter(hashBucket(col(idCol)) < col("__thr"))
       .drop("__thr")
   }
+
+  /** Contiguous token-budget sharding: documents ordered by id are packed
+    * into shards of at most `budget` tokens by running total — the
+    * "pack the corpus into fixed-size training shards" step. A document
+    * whose running total crosses a boundary lands in the shard where it
+    * ends (contiguous assignment, not bin-packing — training pipelines
+    * want stable, order-preserving shards they can rebuild). Returns
+    * (doc_id, n_tok, cum_tok, shard).
+    *
+    * Scale: the naive spelling is `sum(w) OVER (ORDER BY id)` — a global
+    * window, which Spark plans as a SINGLE-PARTITION sort: every row
+    * through one reducer, the definition of a scale cliff. This instead
+    * runs the textbook two-phase distributed prefix sum: range-partition
+    * by id, per-partition sums (one number each) collected to the driver,
+    * exclusive offsets broadcast back, then a map pass emits exact
+    * running totals. Work is two linear passes, driver state is
+    * O(partitions), and no stage sees more than one partition's rows.
+    * Integer arithmetic throughout — bitwise deterministic. The lineage
+    * is evaluated twice (sums pass + emit pass); persist upstream when
+    * the input is expensive to recompute. SampleSpec pins equality with
+    * the window spelling and asserts no Window node in the plan. */
+  def packIntoShards(df: DataFrame, idCol: String, weight: Column,
+      budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val spark = df.sparkSession
+    val base = df.select(col(idCol).cast(LongType).as("doc_id"),
+        weight.cast(LongType).as("n_tok"))
+      .repartitionByRange(col("doc_id"))
+      .sortWithinPartitions("doc_id")
+    val rdd = base.rdd
+    // one long per partition to the driver — O(partitions), not O(rows)
+    val partSums = rdd.mapPartitionsWithIndex { (i, it) =>
+      var s = 0L; it.foreach(r => s += r.getLong(1)); Iterator((i, s))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = spark.sparkContext.broadcast(partSums.scanLeft(0L)(_ + _))
+    val rows = rdd.mapPartitionsWithIndex { (i, it) =>
+      var cum = offsets.value(i)
+      it.map { r =>
+        cum += r.getLong(1)
+        // math.max guards zero-weight prefixes (cum=0 would floor to -1)
+        org.apache.spark.sql.Row(r.getLong(0), r.getLong(1), cum,
+          (math.max(cum, 1L) - 1L) / budget)
+      }
+    }
+    spark.createDataFrame(rows, StructType(Seq(
+      StructField("doc_id", LongType), StructField("n_tok", LongType),
+      StructField("cum_tok", LongType), StructField("shard", LongType))))
+  }
 }

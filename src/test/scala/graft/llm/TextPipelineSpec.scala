@@ -138,6 +138,32 @@ class TextPipelineSpec extends SparkTestBase {
       (5L, "z1 z2 z3", 2L, 0L)))
   }
 
+  // ------------------------------------------------- token-budget packing
+
+  test("packIntoShards matches the global-window spelling, without a Window") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val rows = (1L to 257L).map(i => (i, (i * 37) % 11 + 1)).toDF("doc_id", "w")
+    val out = SampleOps.packIntoShards(rows, "doc_id", col("w"), budget = 20L)
+    // the distributed prefix sum must not plan a single-partition Window
+    assert(!out.queryExecution.executedPlan.toString.contains("Window"),
+      "packIntoShards must not fall back to a global window")
+    val win = Window.orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ref = rows.withColumn("cum", sum("w").over(win))
+      .select(col("doc_id"), col("w").cast("long").as("n_tok"),
+        col("cum").as("cum_tok"),
+        expr("(greatest(cum, 1) - 1) div 20").as("shard"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val got = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.sortBy(_._1).toSeq == ref.sortBy(_._1).toSeq)
+    assert(got.map(_._4).distinct.length > 5, "expected several shards")
+    // a document crossing the boundary lands in the shard where it ends
+    val byId = got.map(t => t._1 -> t).toMap
+    assert(got.forall { case (_, _, cum, sh) => sh == (math.max(cum, 1) - 1) / 20 })
+    assert(byId(1L)._4 == 0L)
+  }
+
   // ------------------------------------------------------------ sampling
 
   test("hash-stratified sample is deterministic and hits per-stratum rates") {
