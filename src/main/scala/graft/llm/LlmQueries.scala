@@ -654,5 +654,25 @@ object LlmQueries {
             size(TextOps.tokens(col("text"))), budget = 512L)
           .orderBy("doc_id")
     },
+
+    // ---- canonical selection (beyond-parity): the collapse step after
+    // q44's dedup — keep the longest doc per fingerprint group, smallest
+    // id on ties; singletons pass through. One shuffle; argmax + group
+    // size share the window partitioning (no groupBy + self-join back).
+    q("q94_canonical_docs",
+      s"""WITH f AS (SELECT doc_id, text,
+         |    md5(array_to_string(list_sort(list_distinct($sqlToks)), ' '))
+         |      AS fp FROM documents),
+         |r AS (SELECT doc_id, fp,
+         |    ROW_NUMBER() OVER (PARTITION BY fp
+         |      ORDER BY len(text) DESC, doc_id) AS rn,
+         |    COUNT(*) OVER (PARTITION BY fp) AS group_size
+         |  FROM f)
+         |SELECT doc_id, fp, group_size FROM r WHERE rn = 1
+         |ORDER BY doc_id NULLS FIRST""".stripMargin) {
+      (s, dir) =>
+        TextOps.canonicalDocs(T.documents(s, dir), "doc_id", "text")
+          .orderBy("doc_id")
+    },
   )
 }

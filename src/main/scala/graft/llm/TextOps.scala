@@ -190,6 +190,31 @@ object TextOps {
         col("n_chunks"), (col("n_chunks") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
   }
 
+  /** Canonical-document selection — the "collapse duplicates" step after
+    * exact dedup: within each group of documents sharing a token-set
+    * fingerprint, keep exactly one — the longest text (most content),
+    * tie-broken by smallest id so the choice is total and reproducible on
+    * any engine. Returns (doc_id, fp, group_size) for the kept documents
+    * (group_size = 1 rows are singletons, passed through).
+    *
+    * Scale: one shuffle on the 128-bit fingerprint key; the per-group
+    * argmax and the group size come from the SAME partitioning (a window
+    * pass over the shuffled groups — Catalyst plans one Exchange for
+    * both), never a groupBy + self-join back. Group skew is bounded: a
+    * pathological fingerprint shared by millions of rows is exactly the
+    * degenerate corpus dedup exists to catch, and the window still
+    * processes it as one sorted run. */
+  def canonicalDocs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+    val wOrd = w.orderBy(length(col(textCol)).desc, col(idCol).asc)
+    df.select(col(idCol), col(textCol),
+        tokenSetFingerprint(col(textCol)).as("fp"))
+      .withColumn("__rn", row_number().over(wOrd))
+      .withColumn("group_size", count(lit(1)).over(w))
+      .filter(col("__rn") === 1)
+      .select(col(idCol), col("fp"), col("group_size"))
+  }
+
   /** Gopher-style repetition stats per document: total whitespace words,
     * distinct words, the top word's count, and the top-word fraction (the
     * "fraction of most common word" repetition signal; repetitive spam has

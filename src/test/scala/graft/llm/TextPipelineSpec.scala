@@ -138,6 +138,24 @@ class TextPipelineSpec extends SparkTestBase {
       (5L, "z1 z2 z3", 2L, 0L)))
   }
 
+  // -------------------------------------------------- canonical selection
+
+  test("canonicalDocs keeps longest per fingerprint group, smallest id on tie") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "b a a"),       // same token set as 2 and 3
+      (2L, "a b a b a b"), // longest of the group → kept
+      (3L, "a b"),
+      (7L, "c d"),         // tie on length with 9 → smaller id kept
+      (9L, "d c"),
+      (5L, "only one")     // singleton passes through
+    ).toDF("doc_id", "text")
+    val out = TextOps.canonicalDocs(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(out.toSeq == Seq((2L, 3L), (5L, 1L), (7L, 2L)))
+  }
+
   // ------------------------------------------------- token-budget packing
 
   test("packIntoShards matches the global-window spelling, without a Window") {
