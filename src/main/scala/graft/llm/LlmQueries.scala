@@ -674,5 +674,32 @@ object LlmQueries {
         TextOps.canonicalDocs(T.documents(s, dir), "doc_id", "text")
           .orderBy("doc_id")
     },
+
+    // ---- feature hashing (beyond-parity): vocabulary-free fixed-width
+    // featurization — token counts hashed into 16 buckets by first md5
+    // hex digit (the SimHash oracle's engine-portable bucket trick).
+    // Integer counts end to end; explode + two keyed aggregations.
+    q("q95_feature_hash",
+      """WITH tok AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS t
+        |             FROM documents),
+        |b AS (SELECT doc_id,
+        |        CAST(strpos('0123456789abcdef', substr(md5(t), 1, 1)) - 1
+        |          AS INT) AS bucket FROM tok),
+        |c AS (SELECT doc_id, bucket, count(*) AS cnt
+        |      FROM b GROUP BY doc_id, bucket),
+        |grid AS (SELECT d.doc_id, g.j FROM
+        |           (SELECT DISTINCT doc_id FROM documents) d,
+        |           (SELECT unnest(range(16)) AS j) g)
+        |SELECT grid.doc_id,
+        |       list(coalesce(c.cnt, 0) ORDER BY grid.j) AS feature_vec
+        |FROM grid LEFT JOIN c
+        |  ON grid.doc_id = c.doc_id AND grid.j = c.bucket
+        |GROUP BY grid.doc_id
+        |ORDER BY grid.doc_id NULLS FIRST""".stripMargin) {
+      (s, dir) =>
+        TextOps.featureHash(T.documents(s, dir), "doc_id", "text",
+            numBuckets = 16)
+          .orderBy("doc_id")
+    },
   )
 }

@@ -190,6 +190,35 @@ object TextOps {
         col("n_chunks"), (col("n_chunks") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
   }
 
+  /** Feature hashing (the "hashing trick"): each document becomes a dense
+    * integer vector of length `numBuckets` where slot j counts the
+    * occurrences of tokens whose md5 falls in bucket j — the fixed-width,
+    * vocabulary-free featurization used when a learned vocab is too big
+    * or must be stable across corpus versions. numBuckets is capped at 16
+    * here because the bucket is the first md5 hex digit, which both
+    * engines extract identically (the same trick the SimHash oracle
+    * uses); a production run would widen to `conv(md5-prefix) % B`.
+    *
+    * Scale: explode + two keyed aggregations (doc×bucket counts, then
+    * per-doc assembly via a map literal — bounded at numBuckets entries
+    * per doc). Integer counts end to end: bitwise deterministic. */
+  def featureHash(df: DataFrame, idCol: String, textCol: String,
+      numBuckets: Int = 16): DataFrame = {
+    require(numBuckets > 0 && numBuckets <= 16, "bucket = first md5 hex digit")
+    val tok = df.select(col(idCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("t"))
+    val counts = tok
+      .withColumn("bucket",
+        pmod(conv(substring(md5(col("t")), 1, 1), 16, 10).cast(IntegerType),
+          lit(numBuckets)))
+      .groupBy("doc_id", "bucket").agg(count(lit(1)).as("cnt"))
+    counts.groupBy("doc_id")
+      .agg(map_from_entries(collect_list(struct(col("bucket"), col("cnt")))).as("m"))
+      .select(col("doc_id"),
+        transform(sequence(lit(0), lit(numBuckets - 1)),
+          j => coalesce(element_at(col("m"), j), lit(0L))).as("feature_vec"))
+  }
+
   /** Canonical-document selection — the "collapse duplicates" step after
     * exact dedup: within each group of documents sharing a token-set
     * fingerprint, keep exactly one — the longest text (most content),

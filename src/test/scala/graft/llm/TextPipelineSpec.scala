@@ -138,6 +138,29 @@ class TextPipelineSpec extends SparkTestBase {
       (5L, "z1 z2 z3", 2L, 0L)))
   }
 
+  // ------------------------------------------------------ feature hashing
+
+  test("featureHash counts tokens per md5 bucket, zeros elsewhere") {
+    import spark.implicits._
+    val docs = Seq((1L, "a a b"), (2L, "")).toDF("doc_id", "text")
+    val out = TextOps.featureHash(docs, "doc_id", "text", numBuckets = 16)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1)))
+    def bucket(s: String): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      Integer.parseInt(md.substring(0, 1), 16)
+    }
+    val expected1 = Array.fill(16)(0L)
+    expected1(bucket("a")) += 2; expected1(bucket("b")) += 1
+    assert(out(0)._2 == expected1.toSeq)
+    // empty text tokenizes to [""], which still lands in one bucket —
+    // consistent with the DuckDB spelling
+    val expected2 = Array.fill(16)(0L); expected2(bucket("")) += 1
+    assert(out(1)._2 == expected2.toSeq)
+    assert(out.forall(_._2.sum > 0) && out.forall(_._2.length == 16))
+  }
+
   // -------------------------------------------------- canonical selection
 
   test("canonicalDocs keeps longest per fingerprint group, smallest id on tie") {
