@@ -138,6 +138,57 @@ class TextPipelineSpec extends SparkTestBase {
       (5L, "z1 z2 z3", 2L, 0L)))
   }
 
+  // ------------------------------------------- randomized reference models
+
+  test("span scrub matches a brute-force reference model on random corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 3) {
+      // tiny vocab so cross-doc chunk collisions actually occur
+      val docs = (1L to 40L).map { i =>
+        val n = 1 + rnd.nextInt(12)
+        (i, Seq.fill(n)("w" + rnd.nextInt(4)).mkString(" "))
+      }
+      def chunks(text: String): Vector[String] =
+        text.trim.split(" ").grouped(3).map(_.mkString(" ")).toVector
+      val all = docs.map { case (id, t) => id -> chunks(t) }
+      val dupSet = all.flatMap { case (id, cs) => cs.distinct.map(c => (c, id)) }
+        .groupBy(_._1).filter(_._2.map(_._2).distinct.size >= 2).keySet
+      val expected = all.map { case (id, cs) =>
+        val kept = cs.filterNot(dupSet)
+        (id, kept.mkString(" "), cs.size.toLong, (cs.size - kept.size).toLong)
+      }
+      val got = TextOps.duplicateSpanScrub(docs.toDF("doc_id", "text"),
+          "doc_id", "text", k = 3, minDocs = 2)
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      assert(got.toSeq == expected)
+    }
+  }
+
+  test("contamination matches brute force on random corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    def text(): String =
+      Seq.fill(3 + rnd.nextInt(8))("t" + rnd.nextInt(5)).mkString(" ")
+    val train = (1L to 30L).map(i => (i, text()))
+    val eval = (100L to 110L).map(i => (i, text()))
+    def shingles(t: String): Set[String] = {
+      val toks = t.trim.split(" ")
+      if (toks.length < 3) Set.empty
+      else toks.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val expected = (for {
+      (tid, tt) <- train; (eid, et) <- eval
+      shared = (shingles(tt) & shingles(et)).size if shared >= 2
+    } yield (tid, eid, shared.toLong)).toSet
+    val got = TextOps.ngramContamination(train.toDF("doc_id", "text"),
+        eval.toDF("doc_id", "text"), "doc_id", "text", n = 3, minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected)
+    assert(expected.nonEmpty, "seed must produce at least one contaminated pair")
+  }
+
   // ------------------------------------------------------ feature hashing
 
   test("featureHash counts tokens per md5 bucket, zeros elsewhere") {
