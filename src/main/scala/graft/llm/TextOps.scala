@@ -162,12 +162,13 @@ object TextOps {
     *
     * Scale: chunk rows are (id, pos, chunk) — linear in corpus size, never
     * pairwise. The duplicated-chunk set is corpus-sized in the worst case,
-    * so it is met with a shuffled left-anti equi-join on the chunk text,
-    * not a broadcast; the reassembly groupBy shuffles each document's
-    * surviving chunks to one reducer keyed by id — the same partitioning
-    * the anti-join already produced is reused when AQE plans them
-    * together. Chunk keys could be xxhash64-narrowed for shuffle width at
-    * lake scale; kept as text here so the oracle compares the same rows. */
+    * so it is met with a shuffled equi-join on the chunk text, not a
+    * broadcast. The join is a LEFT join carrying a dup flag (not an
+    * anti-join): survivors and totals then come out of ONE groupBy over
+    * the flagged chunks — a two-groupBy + join-back spelling would
+    * shuffle the chunk set twice and add a third shuffle for the join.
+    * Chunk keys could be xxhash64-narrowed for shuffle width at lake
+    * scale; kept as text here so the oracle compares the same rows. */
   def duplicateSpanScrub(df: DataFrame, idCol: String, textCol: String,
       k: Int = 5, minDocs: Int = 2): DataFrame = {
     val toks = tokens(col(textCol))
@@ -177,17 +178,19 @@ object TextOps {
     val chunks = df.select(col(idCol).as("doc_id"), posexplode(chunkArr).as(Seq("pos", "chunk")))
     val dup = chunks.groupBy("chunk")
       .agg(countDistinct(col("doc_id")).as("nd"))
-      .filter(col("nd") >= minDocs).select("chunk")
-    val kept = chunks.join(dup, Seq("chunk"), "left_anti")
+      .filter(col("nd") >= minDocs)
+      .select(col("chunk"), lit(true).as("__dup"))
+    chunks.join(dup, Seq("chunk"), "left_outer")
       .groupBy("doc_id")
       .agg(
-        concat_ws(" ", transform(array_sort(collect_list(struct(col("pos"), col("chunk")))),
+        // collect_list skips nulls, so only surviving chunks are gathered
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(col("__dup").isNull,
+            struct(col("pos"), col("chunk"))))),
           s => s.getField("chunk"))).as("clean_text"),
-        count(lit(1)).as("n_kept"))
-    val totals = chunks.groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
-    totals.join(kept, Seq("doc_id"), "left_outer")
-      .select(col("doc_id"), coalesce(col("clean_text"), lit("")).as("clean_text"),
-        col("n_chunks"), (col("n_chunks") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
+        count(lit(1)).as("n_chunks"),
+        count(col("__dup")).as("n_dropped"))
+      .select(col("doc_id"), col("clean_text"), col("n_chunks"), col("n_dropped"))
   }
 
   /** Feature hashing (the "hashing trick"): each document becomes a dense
