@@ -21,5 +21,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         functions.ArrayDotProduct.name),
       (children: Seq[Expression]) =>
         functions.ArrayDotProduct(children(0), children(1))))
+    e.injectFunction((
+      FunctionIdentifier(functions.NfcNormalize.name),
+      new ExpressionInfo(classOf[functions.NfcNormalize].getName,
+        functions.NfcNormalize.name),
+      (children: Seq[Expression]) =>
+        functions.NfcNormalize(children.head)))
   }
 }

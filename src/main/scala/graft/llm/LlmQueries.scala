@@ -701,5 +701,90 @@ object LlmQueries {
             numBuckets = 16)
           .orderBy("doc_id")
     },
+
+    // ---- Unicode NFC normalization (beyond-parity): the native
+    // graft_nfc Catalyst expression (codegen'd, allocation-free pass-
+    // through for already-NFC rows) vs DuckDB's nfc_normalize. The
+    // corpus is ASCII, so each doc gets a deterministic decomposed
+    // suffix (e+U+0301, u+U+0308, A+U+030A) planted — the q82 PII
+    // pattern — and both engines must compose it identically.
+    q("q96_nfc_normalize",
+      """WITH p AS (SELECT doc_id,
+        |    text || ' Cafe' || chr(769) || ' u' || chr(776) || 'ber A'
+        |         || chr(778) AS planted
+        |  FROM documents)
+        |SELECT doc_id, nfc_normalize(planted) AS nfc_text,
+        |       length(planted) AS len_raw,
+        |       length(nfc_normalize(planted)) AS len_nfc
+        |FROM p ORDER BY doc_id NULLS FIRST""".stripMargin) { (s, dir) =>
+      graft.functions.NfcNormalize.register(s)
+      val planted = concat(col("text"), lit(" Cafe\u0301 u\u0308ber A\u030A"))
+      val nfc = call_function(graft.functions.NfcNormalize.name, planted)
+      T.documents(s, dir).select(col("doc_id"),
+          nfc.as("nfc_text"),
+          length(planted).cast(LongType).as("len_raw"),
+          length(nfc).cast(LongType).as("len_nfc"))
+        .orderBy("doc_id")
+    },
+
+    // ---- distinctive keywords (beyond-parity): top-3 tokens per doc by
+    // (tf desc, corpus df asc, token) — integer-exact tf-idf ranking
+    // skeleton. Partial-agg tf shuffle, Zipf-small df table, per-doc
+    // rank window (never a global sort).
+    q("q97_keywords",
+      """WITH tok AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS t
+        |             FROM documents),
+        |tf AS (SELECT doc_id, t, count(*) AS tf FROM tok GROUP BY doc_id, t),
+        |dfreq AS (SELECT t, count(DISTINCT doc_id) AS dfc FROM tok GROUP BY t),
+        |r AS (SELECT tf.doc_id, tf.t, tf.tf, dfreq.dfc,
+        |    ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY tf.tf DESC, dfreq.dfc ASC, tf.t ASC) AS rk
+        |  FROM tf JOIN dfreq USING (t))
+        |SELECT doc_id, t, tf, dfc, rk FROM r WHERE rk <= 3
+        |ORDER BY doc_id NULLS FIRST, rk NULLS FIRST""".stripMargin) {
+      (s, dir) =>
+        TextOps.distinctiveKeywords(T.documents(s, dir), "doc_id", "text", k = 3)
+          .withColumn("rk", col("rk").cast(LongType))
+          .orderBy("doc_id", "rk")
+    },
+
+    // ---- embedding chunking (beyond-parity): overlapping 30-token
+    // windows at 20-token stride — the pre-embedding split. Map-only
+    // one-to-many (the frame-sampling shape); n_tok from pre-explode
+    // arithmetic, no re-tokenization.
+    q("q98_chunks",
+      """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
+        |           FROM documents),
+        |n AS (SELECT doc_id, toks, len(toks) AS n,
+        |    CASE WHEN len(toks) <= 30 THEN 1
+        |         ELSE 1 + CAST(ceil((len(toks) - 30) / 20.0) AS BIGINT)
+        |    END AS nc
+        |  FROM t),
+        |p AS (SELECT doc_id, toks, n, unnest(range(nc)) AS i FROM n)
+        |SELECT doc_id, CAST(i AS INT) AS chunk_pos,
+        |       array_to_string(toks[i*20+1 : i*20+30], ' ') AS chunk_text,
+        |       CAST(least(30, n - i*20) AS BIGINT) AS n_tok
+        |FROM p
+        |ORDER BY doc_id NULLS FIRST, chunk_pos NULLS FIRST""".stripMargin) {
+      (s, dir) =>
+        TextOps.chunkForEmbedding(T.documents(s, dir), "doc_id", "text",
+            window = 30, stride = 20)
+          .orderBy("doc_id", "chunk_pos")
+    },
+
+    // ---- vocabulary build (beyond-parity): every token with total count
+    // and a contiguous global rank by (cnt desc, token). The oracle uses
+    // the global window; the engine range-repartitions the Zipf-small
+    // count table and assigns ranks via zipWithIndex offsets — no
+    // single-reducer window (spec asserts no Window node).
+    q("q99_vocabulary",
+      """WITH tok AS (SELECT unnest(string_split(trim(text), ' ')) AS t
+        |             FROM documents),
+        |c AS (SELECT t, count(*) AS cnt FROM tok GROUP BY t)
+        |SELECT t, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, t) AS rank
+        |FROM c ORDER BY rank NULLS FIRST""".stripMargin) { (s, dir) =>
+      TextOps.vocabulary(T.documents(s, dir), "doc_id", "text")
+        .orderBy("rank")
+    },
   )
 }

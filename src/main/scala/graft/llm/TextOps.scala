@@ -247,6 +247,88 @@ object TextOps {
       .select(col(idCol), col("fp"), col("group_size"))
   }
 
+  /** Distinctive-keyword extraction: the `k` most characteristic tokens
+    * per document, ranked by (term frequency desc, corpus document
+    * frequency asc, token asc) — the integer-exact skeleton of tf-idf
+    * ranking (df ascending IS idf descending; no float logs, so the
+    * result is bitwise deterministic on any engine). Returns
+    * (doc_id, t, tf, dfc, rk) for rk ≤ k.
+    *
+    * Scale: the tf aggregation partial-combines before its shuffle; the
+    * df table is vocabulary-sized (Zipf-small) and broadcasts when it
+    * fits — not forced, a web-scale vocab may not fit an executor. The
+    * rank window partitions by doc_id (bounded per-group work), never a
+    * global sort. */
+  def distinctiveKeywords(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3): DataFrame = {
+    val tok = df.select(col(idCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("t"))
+    val tf = tok.groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+    val dfreq = tok.groupBy("t").agg(countDistinct(col("doc_id")).as("dfc"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+      .orderBy(col("tf").desc, col("dfc").asc, col("t").asc)
+    tf.join(dfreq, "t")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("t"), col("tf"), col("dfc"), col("rk"))
+  }
+
+  /** Sliding-window chunking for embedding pipelines: each document
+    * becomes overlapping `window`-token chunks at `stride`-token steps —
+    * the standard pre-embedding split (stride < window keeps context
+    * across cuts). A document of n ≤ window tokens is one chunk; else
+    * 1 + ⌈(n − window)/stride⌉ chunks, the last one short. Returns
+    * (doc_id, chunk_pos, chunk_text, n_tok).
+    *
+    * Scale: map-only one-to-many — the same shape as frame sampling:
+    * emit small chunk rows rather than shuffling whole documents, so the
+    * downstream embedding stage partitions on chunks. n_tok comes from
+    * arithmetic on the pre-explode token count (no re-tokenization of
+    * the chunk text). */
+  def chunkForEmbedding(df: DataFrame, idCol: String, textCol: String,
+      window: Int = 30, stride: Int = 20): DataFrame = {
+    require(window > 0 && stride > 0, "window and stride must be positive")
+    val toks = tokens(col(textCol))
+    val n = size(toks)
+    val nChunks = when(n <= window, lit(1)).otherwise(
+      lit(1) + ceil((n - window).cast(DoubleType) / stride).cast(IntegerType))
+    df.select(col(idCol).as("doc_id"), toks.as("__toks"), n.as("__n"),
+        explode(sequence(lit(0), nChunks - 1)).as("chunk_pos"))
+      .select(col("doc_id"), col("chunk_pos"),
+        concat_ws(" ",
+          slice(col("__toks"), col("chunk_pos") * stride + 1, lit(window)))
+          .as("chunk_text"),
+        least(lit(window), col("__n") - col("chunk_pos") * stride)
+          .cast(LongType).as("n_tok"))
+  }
+
+  /** Vocabulary build: every distinct token with its total occurrence
+    * count and a CONTIGUOUS global rank by (count desc, token asc) — the
+    * id assignment step of tokenizer/vocab construction, stable given the
+    * corpus. Returns (t, cnt, rank), rank 1..|vocab|.
+    *
+    * Scale: the naive `row_number() OVER (ORDER BY cnt DESC)` is a
+    * single-reducer global window — the same cliff [[SampleOps.packIntoShards]]
+    * avoids. Instead: range-repartition the vocabulary-sized count table
+    * on the rank key (Spark samples range bounds), sort within
+    * partitions, and assign global indexes via zipWithIndex's
+    * O(partitions) offset exchange. The count agg partial-combines, so
+    * hot tokens never skew the shuffle. */
+  def vocabulary(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val counts = df
+      .select(explode(tokens(col(textCol))).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("cnt"))
+      .repartitionByRange(col("cnt").desc, col("t").asc)
+      .sortWithinPartitions(col("cnt").desc, col("t").asc)
+    val rdd = counts.rdd.zipWithIndex.map { case (r, i) =>
+      org.apache.spark.sql.Row(r.getString(0), r.getLong(1), i + 1L)
+    }
+    spark.createDataFrame(rdd, StructType(Seq(
+      StructField("t", StringType), StructField("cnt", LongType),
+      StructField("rank", LongType))))
+  }
+
   /** Gopher-style repetition stats per document: total whitespace words,
     * distinct words, the top word's count, and the top-word fraction (the
     * "fraction of most common word" repetition signal; repetitive spam has

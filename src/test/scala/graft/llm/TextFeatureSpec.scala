@@ -1,0 +1,167 @@
+package graft.llm
+
+import graft.SparkTestBase
+import graft.functions.NfcNormalize
+import org.apache.spark.sql.functions._
+
+/** Round-6 feature-extraction additions: the graft_nfc native expression,
+  * distinctive keywords, embedding chunking, and the vocabulary build. */
+class TextFeatureSpec extends SparkTestBase {
+
+  // ------------------------------------------------------------- graft_nfc
+
+  test("graft_nfc composes decomposed sequences and passes NFC through") {
+    import spark.implicits._
+    NfcNormalize.register(spark)
+    val decomposedCafe = "Cafe\u0301"      // e + combining acute
+    val composedCafe = "Caf\u00e9"         // precomposed \u00e9
+    val df = Seq(
+      (1L, decomposedCafe),
+      (2L, composedCafe),
+      (3L, "plain ascii"),
+      (4L, "A\u030a u\u0308 o\u0302"),     // ring, diaeresis, circumflex
+      (5L, null.asInstanceOf[String]),
+      (6L, "")).toDF("id", "t")
+    val out = df.select(col("id"),
+        call_function(NfcNormalize.name, col("t")).as("n"),
+        length(call_function(NfcNormalize.name, col("t"))).as("len"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(out(1L) == composedCafe, "decomposed input must compose")
+    assert(out(2L) == composedCafe, "already-NFC input must be unchanged")
+    assert(out(3L) == "plain ascii")
+    assert(out(4L) == "\u00c5 \u00fc \u00f4")
+    assert(out(5L) == null, "null stays null")
+    assert(out(6L) == "")
+  }
+
+  test("graft_nfc agrees between codegen and interpreted eval") {
+    // evaluate the expression directly (interpreted) and compare with the
+    // codegen'd DataFrame path on the same inputs
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.unsafe.types.UTF8String
+    val cases = Seq("Cafe\u0301", "Caf\u00e9", "", "abc", "A\u030ax",
+      "mixe\u0301d a\u0308nd ascii")
+    cases.foreach { s =>
+      val interpreted = NfcNormalize(Literal(UTF8String.fromString(s),
+        org.apache.spark.sql.types.StringType)).eval(null)
+      assert(interpreted.toString ==
+        java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+    }
+    // null literal through the expression
+    assert(NfcNormalize(Literal(null,
+      org.apache.spark.sql.types.StringType)).eval(null) == null)
+  }
+
+  test("GraftExtensions injects graft_nfc (registry-level check)") {
+    // the shared session predates the extension; registering idempotently
+    // mirrors what the injection does and must not double-register
+    NfcNormalize.register(spark)
+    NfcNormalize.register(spark)
+    val one = spark.sql("SELECT graft_nfc('Cafe\u0301') AS x").head.getString(0)
+    assert(one == "Caf\u00e9")
+  }
+
+  // ------------------------------------------------------------- keywords
+
+  test("distinctiveKeywords ranks by tf desc, then rare df, then token") {
+    import spark.implicits._
+    val df = Seq(
+      // doc 1: "apple" tf=2 wins; "rare" and "the" tie at tf=1 but
+      // "rare" has df=1 vs "the" df=3 \u2192 rare ranks ahead
+      (1L, "apple apple rare the"),
+      (2L, "the banana banana"),
+      (3L, "the cherry")).toDF("doc_id", "text")
+    val out = TextOps.distinctiveKeywords(df, "doc_id", "text", k = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(4)) -> (r.getString(1),
+        r.getLong(2), r.getLong(3))).toMap
+    assert(out((1L, 1)) == ("apple", 2L, 1L))
+    assert(out((1L, 2)) == ("rare", 1L, 1L))
+    assert(out((2L, 1)) == ("banana", 2L, 1L))
+    assert(out((2L, 2)) == ("the", 1L, 3L))
+    assert(out((3L, 1)) == ("cherry", 1L, 1L))
+    assert(out((3L, 2)) == ("the", 1L, 3L))
+  }
+
+  // ------------------------------------------------------------- chunking
+
+  test("chunkForEmbedding windows overlap at the stride and cover all tokens") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "t1 t2 t3 t4 t5"),   // n=5, W=3, S=2 \u2192 2 chunks
+      (2L, "a b"),              // n \u2264 W \u2192 1 chunk
+      (3L, "")).toDF("doc_id", "text")
+    val chunked = TextOps.chunkForEmbedding(df, "doc_id", "text", window = 3, stride = 2)
+    // map-only one-to-many: no shuffle may appear in the plan
+    assert(!chunked.queryExecution.executedPlan.toString.contains("Exchange"),
+      "chunkForEmbedding must stay map-only")
+    val out = chunked
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getString(2), r.getLong(3))).toMap
+    assert(out((1L, 0)) == ("t1 t2 t3", 3L))
+    assert(out((1L, 1)) == ("t3 t4 t5", 3L))
+    assert(out((2L, 0)) == ("a b", 2L))
+    assert(out((3L, 0)) == ("", 1L)) // split("") yields one empty token
+    assert(out.size == 4)
+  }
+
+  test("chunkForEmbedding matches a reference model on random docs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val docs = (0L until 200L).map { i =>
+      val n = rnd.nextInt(90)
+      (i, (0 until n).map(j => s"w$j").mkString(" "))
+    }
+    val w = 30; val s = 20
+    val expect = docs.flatMap { case (id, text) =>
+      val toks = text.trim.split(" ")
+      val n = toks.length
+      val nc = if (n <= w) 1 else 1 + math.ceil((n - w).toDouble / s).toInt
+      (0 until nc).map { i =>
+        ((id, i), (toks.slice(i * s, i * s + w).mkString(" "),
+          math.min(w, n - i * s).toLong))
+      }
+    }.toMap
+    val got = TextOps.chunkForEmbedding(docs.toDF("doc_id", "text"),
+        "doc_id", "text", window = w, stride = s)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getString(2), r.getLong(3))).toMap
+    assert(got == expect)
+  }
+
+  // ----------------------------------------------------------- vocabulary
+
+  test("vocabulary ranks are contiguous, ordered, and window-free") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "b b b a a c"),
+      (2L, "a a d c")).toDF("doc_id", "text")
+    val out = TextOps.vocabulary(df, "doc_id", "text")
+    assert(!out.queryExecution.executedPlan.toString.contains("Window"),
+      "vocabulary must not fall back to a global window")
+    val rows = out.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // a: 4, b: 3, c: 2, d: 1 \u2014 ranks 1..4 contiguous
+    assert(rows.sortBy(_._3).toSeq ==
+      Seq(("a", 4L, 1L), ("b", 3L, 2L), ("c", 2L, 3L), ("d", 1L, 4L)))
+  }
+
+  test("vocabulary matches the global-window spelling on a random corpus") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(31)
+    val vocab = Vector("a", "bb", "ccc", "dd", "e", "f0", "g", "hh", "iii", "j")
+    val docs = (0L until 300L).map { i =>
+      (i, (0 until rnd.nextInt(25)).map(_ => vocab(rnd.nextInt(vocab.size)))
+        .mkString(" "))
+    }.toDF("doc_id", "text")
+    val ref = docs.select(explode(TextOps.tokens(col("text"))).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("cnt"))
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("cnt").desc, col("t").asc))
+          .cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val got = TextOps.vocabulary(docs, "doc_id", "text")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == ref)
+  }
+}
