@@ -786,5 +786,58 @@ object LlmQueries {
       TextOps.vocabulary(T.documents(s, dir), "doc_id", "text")
         .orderBy("rank")
     },
+
+    // ---- duplicate n-gram fraction (beyond-parity): the Gopher
+    // "fraction in duplicate n-grams" repetition signal, word 3-grams.
+    // ONE map-only per-partition kernel (per-doc hash map, zero shuffle);
+    // docs shorter than n tokens emit nothing.
+    q("q100_dup_ngrams",
+      """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
+        |           FROM documents),
+        |p AS (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i
+        |      FROM t WHERE len(toks) >= 3),
+        |g AS (SELECT doc_id, array_to_string(toks[i : i+2], ' ') AS ng
+        |      FROM p),
+        |c AS (SELECT doc_id, ng, count(*) AS cnt FROM g GROUP BY doc_id, ng)
+        |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_ngrams,
+        |       CAST(COALESCE(sum(cnt) FILTER (WHERE cnt > 1), 0) AS BIGINT)
+        |         AS n_dup,
+        |       CAST(COALESCE(sum(cnt) FILTER (WHERE cnt > 1), 0) AS DOUBLE)
+        |         / CAST(sum(cnt) AS DOUBLE) AS dup_frac
+        |FROM c GROUP BY doc_id ORDER BY doc_id NULLS FIRST""".stripMargin) {
+      (s, dir) =>
+        TextOps.dupNgramStats(T.documents(s, dir), "doc_id", "text", n = 3)
+          .orderBy("doc_id")
+    },
+
+    // ---- collocation mining (beyond-parity): adjacent token pairs by
+    // normalized lift cxy·N/(cx·cy) (PMI ordering without the log), min
+    // count 5, global top-20. Partial-agg count shuffles, Zipf-small
+    // vocab joins, TakeOrdered top-k — rank assigned after the LIMIT.
+    q("q101_collocations",
+      """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
+        |           FROM documents),
+        |u AS (SELECT unnest(toks) AS w FROM t),
+        |uc AS (SELECT w, count(*) AS c FROM u GROUP BY w),
+        |nt AS (SELECT count(*) AS n FROM u),
+        |p AS (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+        |      FROM t WHERE len(toks) >= 2),
+        |b AS (SELECT toks[i] AS w1, toks[i+1] AS w2 FROM p),
+        |bc AS (SELECT w1, w2, count(*) AS cxy FROM b GROUP BY w1, w2
+        |       HAVING count(*) >= 5),
+        |s AS (SELECT w1, w2, cxy, u1.c AS cx, u2.c AS cy,
+        |        CAST(cxy * nt.n AS DOUBLE) / CAST(u1.c * u2.c AS DOUBLE)
+        |          AS score
+        |      FROM bc JOIN uc u1 ON bc.w1 = u1.w
+        |               JOIN uc u2 ON bc.w2 = u2.w, nt)
+        |SELECT w1, w2, CAST(cxy AS BIGINT) AS cxy, CAST(cx AS BIGINT) AS cx,
+        |       CAST(cy AS BIGINT) AS cy,
+        |       ROW_NUMBER() OVER (ORDER BY score DESC, w1, w2) AS rank
+        |FROM s ORDER BY rank NULLS FIRST LIMIT 20""".stripMargin) {
+      (s, dir) =>
+        TextOps.collocations(T.documents(s, dir), "text", k = 20,
+            minCount = 5L)
+          .orderBy("rank")
+    },
   )
 }

@@ -329,6 +329,87 @@ object TextOps {
       StructField("rank", LongType))))
   }
 
+  /** Gopher-style duplicate n-gram stats per document: total word n-grams,
+    * how many of those occurrences belong to a within-document duplicate
+    * (count > 1), and their fraction — the "fraction in duplicate n-grams"
+    * repetition signal at token granularity, integer-exact up to the one
+    * final double division (which independent engines reproduce bitwise).
+    * Same ONE map-only per-partition kernel shape as
+    * [[wordRepetitionStats]]: the n-gram counts live in a per-document
+    * hash map, zero shuffle at any scale, versus exploding |ngrams| rows
+    * per document into a two-level groupBy. Documents with fewer than `n`
+    * tokens emit nothing (the fraction is undefined). */
+  def dupNgramStats(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame = {
+    require(n > 0, "n must be positive")
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("n_ngrams", LongType), StructField("n_dup", LongType),
+      StructField("dup_frac", DoubleType)))
+    val rdd = df.select(col(idCol).cast(LongType), col(textCol)).rdd
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val text = if (r.isNullAt(1)) "" else r.getString(1)
+          val toks = text.trim.split(" ").filter(_.nonEmpty)
+          if (toks.length < n) None
+          else {
+            val counts = new scala.collection.mutable.HashMap[String, Long]
+            var i = 0
+            while (i + n <= toks.length) {
+              val ng = toks.slice(i, i + n).mkString(" ")
+              counts.update(ng, counts.getOrElse(ng, 0L) + 1L)
+              i += 1
+            }
+            val total = (toks.length - n + 1).toLong
+            val dup = counts.valuesIterator.filter(_ > 1L).sum
+            Some(org.apache.spark.sql.Row(r.getLong(0), total, dup,
+              dup.toDouble / total.toDouble))
+          }
+        }
+      }
+    df.sparkSession.createDataFrame(rdd, schema)
+  }
+
+  /** Corpus-level collocation mining: adjacent token pairs scored by
+    * normalized lift cxy·N/(cx·cy) — the PMI argument without the log
+    * (log is monotone, so the ranking is identical) and with ONE double
+    * division, so independent engines agree bitwise on the ordering key.
+    * Pairs below `minCount` are dropped (standard phrase-mining floor:
+    * lift is noise on rare pairs). Returns the global top `k` as
+    * (w1, w2, cxy, cx, cy, rank) — integer counts only, rank 1..k.
+    *
+    * Scale: bigram and unigram counts partial-combine before their
+    * shuffles; the two vocabulary joins are Zipf-small (broadcast when
+    * they fit, not forced). The global top-k plans as TakeOrdered —
+    * O(k) per partition plus a driver merge of k·partitions rows —
+    * never a single-reducer global sort; the rank column is assigned
+    * AFTER the limit, so its window orders k rows, not the corpus. */
+  def collocations(df: DataFrame, textCol: String, k: Int = 20,
+      minCount: Long = 5L): DataFrame = {
+    require(k > 0, "k must be positive")
+    val uni = df.select(explode(tokens(col(textCol))).as("w"))
+    val uc = uni.groupBy("w").agg(count(lit(1)).as("c"))
+    val nt = uni.agg(count(lit(1)).as("n"))
+    val big = df.select(tokens(col(textCol)).as("__toks"))
+      .filter(size(col("__toks")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("__toks")) - 1),
+        i => struct(element_at(col("__toks"), i).as("w1"),
+          element_at(col("__toks"), i + 1).as("w2")))).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val bc = big.groupBy("w1", "w2").agg(count(lit(1)).as("cxy"))
+      .filter(col("cxy") >= minCount)
+    val scored = bc
+      .join(uc.select(col("w").as("w1"), col("c").as("cx")), "w1")
+      .join(uc.select(col("w").as("w2"), col("c").as("cy")), "w2")
+      .crossJoin(nt)
+      .withColumn("score", (col("cxy") * col("n")).cast(DoubleType) /
+        (col("cx") * col("cy")).cast(DoubleType))
+    val ord = Seq(col("score").desc, col("w1").asc, col("w2").asc)
+    val w = org.apache.spark.sql.expressions.Window.orderBy(ord: _*)
+    scored.orderBy(ord: _*).limit(k)
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .select("w1", "w2", "cxy", "cx", "cy", "rank")
+  }
+
   /** Gopher-style repetition stats per document: total whitespace words,
     * distinct words, the top word's count, and the top-word fraction (the
     * "fraction of most common word" repetition signal; repetitive spam has

@@ -164,4 +164,107 @@ class TextFeatureSpec extends SparkTestBase {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
     assert(got == ref)
   }
+
+  // ------------------------------------------------------- dup n-gram frac
+
+  test("dupNgramStats: boundaries (all-dup, no-dup, shorter than n)") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a a a a a"),        // 3 trigrams, all "a a a" -> frac 1.0
+      (2L, "w1 w2 w3 w4"),      // 2 distinct trigrams -> frac 0.0
+      (3L, "x y"),              // < n tokens -> no row
+      (4L, "p q p q p q p"),    // "p q p" x3? positions: pqp,qpq,pqp,qpq,pqp
+      (5L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out = TextOps.dupNgramStats(df, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(1L) == ((3L, 3L, 1.0)))
+    assert(out(2L) == ((2L, 0L, 0.0)))
+    assert(!out.contains(3L))
+    assert(out(4L) == ((5L, 5L, 1.0))) // pqp x3 + qpq x2, every one a dup
+    assert(!out.contains(5L))
+  }
+
+  test("dupNgramStats matches a reference model on random repetitive docs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(47)
+    val vocab = Vector("a", "b", "c") // tiny vocab so trigram dups occur
+    val docs = (0L until 250L).map { i =>
+      (i, (0 until rnd.nextInt(40)).map(_ => vocab(rnd.nextInt(vocab.size)))
+        .mkString(" "))
+    }
+    val n = 3
+    val expect = docs.flatMap { case (id, text) =>
+      val toks = text.trim.split(" ").filter(_.nonEmpty)
+      if (toks.length < n) None
+      else {
+        val grams = toks.sliding(n).map(_.mkString(" ")).toSeq
+        val counts = grams.groupBy(identity).view.mapValues(_.size.toLong)
+        val dup = counts.values.filter(_ > 1L).sum
+        Some(id -> ((grams.size.toLong, dup, dup.toDouble / grams.size)))
+      }
+    }.toMap
+    val got = TextOps.dupNgramStats(docs.toDF("doc_id", "text"), "doc_id",
+        "text", n = n)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got == expect)
+  }
+
+  // ----------------------------------------------------------- collocations
+
+  test("collocations scores by lift, floors on min count, ranks after limit") {
+    import spark.implicits._
+    // "new york" x6, exclusive tokens -> lift N/6; "the cat" x5 with "the"
+    // diluted by filler -> much lower; "rare pair" x1 -> below minCount
+    val df = Seq(
+      (1L, "new york new york new york new york new york new york"),
+      (2L, "the cat the cat the cat the cat the cat"),
+      (3L, "the the the the the the the the the the rare pair")).toDF("doc_id", "text")
+    val out = TextOps.collocations(df, "text", k = 10, minCount = 5L)
+    assert(out.queryExecution.executedPlan.toString.contains("TakeOrdered"),
+      "global top-k must plan as TakeOrdered, not a global sort")
+    val rows = out.collect().map(r => (r.getString(0), r.getString(1),
+      r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(!rows.exists(r => r._1 == "rare" || r._2 == "pair"),
+      "pairs under the count floor must not appear")
+    val best = rows.find(_._6 == 1L).get
+    assert((best._1, best._2, best._3) == (("new", "york", 6L)))
+    assert(rows.map(_._6).sorted.toSeq == (1L to rows.length).toSeq,
+      "ranks must be contiguous from 1")
+    val theCat = rows.find(r => r._1 == "the" && r._2 == "cat").get
+    assert((theCat._3, theCat._4, theCat._5) == ((5L, 15L, 5L)))
+  }
+
+  test("collocations matches a reference model on a random corpus") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(59)
+    val vocab = Vector("a", "b", "c", "d", "e")
+    val docs = (0L until 300L).map { i =>
+      (i, (0 until (2 + rnd.nextInt(20)))
+        .map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val k = 12; val minCount = 2L
+    val allToks = docs.map(_._2.trim.split(" ").toSeq)
+    val uniCnt = allToks.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val nTok = allToks.map(_.size).sum.toLong
+    val biCnt = allToks.filter(_.size >= 2)
+      .flatMap(t => t.sliding(2).map(p => (p(0), p(1))))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val expect = biCnt.toSeq.filter(_._2 >= minCount)
+      .map { case ((w1, w2), cxy) =>
+        val cx = uniCnt(w1); val cy = uniCnt(w2)
+        (w1, w2, cxy, cx, cy, (cxy * nTok).toDouble / (cx * cy).toDouble)
+      }
+      .sortBy { case (w1, w2, _, _, _, score) => (-score, w1, w2) }
+      .take(k).zipWithIndex
+      .map { case ((w1, w2, cxy, cx, cy, _), i) =>
+        (w1, w2, cxy, cx, cy, (i + 1).toLong)
+      }
+    val got = TextOps.collocations(docs.toDF("doc_id", "text"), "text",
+        k = k, minCount = minCount)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(got == expect)
+  }
 }
