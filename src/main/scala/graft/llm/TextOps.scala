@@ -388,7 +388,8 @@ object TextOps {
     require(k > 0, "k must be positive")
     val uni = df.select(explode(tokens(col(textCol))).as("w"))
     val uc = uni.groupBy("w").agg(count(lit(1)).as("c"))
-    val nt = uni.agg(count(lit(1)).as("n"))
+    // corpus size from the vocab-sized count table, not a second corpus scan
+    val nt = uc.agg(sum(col("c")).cast(LongType).as("n"))
     val big = df.select(tokens(col(textCol)).as("__toks"))
       .filter(size(col("__toks")) >= 2)
       .select(explode(transform(sequence(lit(1), size(col("__toks")) - 1),
