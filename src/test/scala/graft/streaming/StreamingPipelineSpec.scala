@@ -41,4 +41,23 @@ class StreamingPipelineSpec extends SparkTestBase {
     val s = canon(streamed)
     assert(s.nonEmpty && s == canon(batch))
   }
+
+  test("streaming embedding chunking equals the batch computation") {
+    // chunkForEmbedding is map-only (zero Exchange, asserted in
+    // TextFeatureSpec), so the identical call runs over a stream — the
+    // "chunk documents as they land for the embedder" deployment shape.
+    val src = stage()
+    val stream = spark.readStream.schema(docSchema).parquet(src)
+    val streamed = StreamingIngest.runAvailableNow(
+      TextOps.chunkForEmbedding(stream, "doc_id", "text", window = 30,
+        stride = 20),
+      "docs_chunked", mode = "append")
+    val batch = TextOps.chunkForEmbedding(spark.read.parquet(src),
+      "doc_id", "text", window = 30, stride = 20)
+    def canon(df: DataFrame): Seq[String] = df.collect().toSeq
+      .map(r => s"${r.getLong(0)}|${r.getInt(1)}|${r.getString(2)}|${r.getLong(3)}")
+      .sorted
+    val s = canon(streamed)
+    assert(s.nonEmpty && s == canon(batch))
+  }
 }
