@@ -624,6 +624,55 @@ object RelationalQueries {
         .orderBy(col("rf").asc_nulls_first, col("ls").asc_nulls_first)
     },
 
+    // ---- CUBE all-subsets totals (§2.4 beyond-parity, the ROLLUP
+    // sibling): every grouping subset from one Expand + one shuffle, with
+    // grouping_id disambiguating rolled-up NULLs from data NULLs — the
+    // leftmost column is the most significant bit in both engines.
+    q("q102_cube",
+      """SELECT l_returnflag AS rf, l_linestatus AS ls,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+        |  COUNT(*) AS n,
+        |  CAST(GROUPING_ID(l_returnflag, l_linestatus) AS BIGINT) AS gid
+        |FROM lineitem
+        |GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY rf NULLS FIRST, ls NULLS FIRST, gid""".stripMargin) {
+      (s, dir) =>
+        lineitem(s, dir)
+          .select(col("l_returnflag").as("rf"), col("l_linestatus").as("ls"),
+            col("l_quantity").cast(LongType).as("qv"))
+          .cube("rf", "ls")
+          .agg(sum(col("qv")).as("qty"), count(lit(1)).as("n"),
+            grouping_id().cast(LongType).as("gid"))
+          .orderBy(col("rf").asc_nulls_first, col("ls").asc_nulls_first,
+            col("gid").asc)
+    },
+
+    // ---- PIVOT (§2.4 beyond-parity): long-to-wide with an explicit
+    // value list, lowered to conditional aggregation — ONE partial-
+    // combined aggregation and ONE shuffle. (The built-in Dataset.pivot
+    // plans two aggregation phases even with explicit values — right for
+    // wide value lists, a wasted exchange for a fixed small one; PlanSpec
+    // pins the single-shuffle shape.) Empty cells stay NULL, not 0.
+    q("q103_pivot",
+      """SELECT l_linestatus AS ls,
+        |  CAST(SUM(CASE WHEN l_returnflag = 'A'
+        |    THEN CAST(l_quantity AS BIGINT) END) AS BIGINT) AS qty_a,
+        |  CAST(SUM(CASE WHEN l_returnflag = 'N'
+        |    THEN CAST(l_quantity AS BIGINT) END) AS BIGINT) AS qty_n,
+        |  CAST(SUM(CASE WHEN l_returnflag = 'R'
+        |    THEN CAST(l_quantity AS BIGINT) END) AS BIGINT) AS qty_r
+        |FROM lineitem GROUP BY l_linestatus
+        |ORDER BY ls NULLS FIRST""".stripMargin) { (s, dir) =>
+      def cell(v: String) =
+        sum(when(col("rf") === v, col("qv"))).as(s"qty_${v.toLowerCase}")
+      lineitem(s, dir)
+        .select(col("l_linestatus").as("ls"), col("l_returnflag").as("rf"),
+          col("l_quantity").cast(LongType).as("qv"))
+        .groupBy("ls")
+        .agg(cell("A"), cell("N"), cell("R"))
+        .orderBy(col("ls").asc_nulls_first)
+    },
+
     // ---- LAG/LEAD/FIRST_VALUE navigation windows (§2.5): one window
     // shuffle on the series key with a unique (ts, event_id) order, values
     // pass through untouched so doubles stay bit-identical.

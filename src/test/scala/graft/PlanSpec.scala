@@ -145,6 +145,22 @@ class PlanSpec extends SparkTestBase {
     assert(exchanges <= 2, s"rollup should need <=2 exchanges, got $exchanges")
   }
 
+  test("q102 cube: all grouping subsets run as one Expand + one aggregation pass") {
+    val plan = executedPlan("q102_cube")
+    assert(plan.contains("Expand"), "cube must lower to Expand")
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges <= 2, s"cube should need <=2 exchanges, got $exchanges")
+  }
+
+  test("q103 pivot: explicit value list plans one partial-combined aggregation") {
+    val plan = executedPlan("q103_pivot")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      "pivot aggregation must have a partial (pre-shuffle) phase")
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges <= 2,
+      s"pivot with explicit values should need <=2 exchanges, got $exchanges")
+  }
+
   test("q69 navigation windows: all three functions share one Window node") {
     val plan = executedPlan("q69_window_navigation")
     val windows = "\\bWindow\\b".r.findAllIn(plan).size
