@@ -647,6 +647,27 @@ object RelationalQueries {
             col("gid").asc)
     },
 
+    // ---- arbitrary GROUPING SETS (§2.4 beyond-parity, completing the
+    // ROLLUP/CUBE family): per-flag and per-status subtotals WITHOUT the
+    // grand total — the subset list neither rollup nor cube can spell.
+    // Same one-Expand one-shuffle lowering; the Dataset API only exposes
+    // rollup/cube, so this entry goes through Spark SQL (same Catalyst).
+    q("q104_grouping_sets",
+      """SELECT l_returnflag AS rf, l_linestatus AS ls,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+        |  COUNT(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        |ORDER BY rf NULLS FIRST, ls NULLS FIRST""".stripMargin) { (s, dir) =>
+      lineitem(s, dir).createOrReplaceTempView("li_gsets")
+      s.sql("""SELECT l_returnflag AS rf, l_linestatus AS ls,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+        |  COUNT(*) AS n
+        |FROM li_gsets
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        |ORDER BY rf NULLS FIRST, ls NULLS FIRST""".stripMargin)
+    },
+
     // ---- PIVOT (§2.4 beyond-parity): long-to-wide with an explicit
     // value list, lowered to conditional aggregation — ONE partial-
     // combined aggregation and ONE shuffle. (The built-in Dataset.pivot
