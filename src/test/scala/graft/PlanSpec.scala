@@ -152,6 +152,14 @@ class PlanSpec extends SparkTestBase {
     assert(exchanges <= 2, s"cube should need <=2 exchanges, got $exchanges")
   }
 
+  test("q104 grouping sets: subset list runs as one Expand + one aggregation pass") {
+    val plan = executedPlan("q104_grouping_sets")
+    assert(plan.contains("Expand"), "grouping sets must lower to Expand")
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges <= 2,
+      s"grouping sets should need <=2 exchanges, got $exchanges")
+  }
+
   test("q103 pivot: explicit value list plans one partial-combined aggregation") {
     val plan = executedPlan("q103_pivot")
     assert("HashAggregate".r.findAllIn(plan).size >= 2,
