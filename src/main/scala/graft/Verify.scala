@@ -1,9 +1,30 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types._
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+
+  /** Output-schema lint: the driver's pandas canonicalizer sorts rows by
+    * every column, which dies on nested values (`unhashable type:
+    * numpy.ndarray` — the r6 q95 failure). Catalog outputs must therefore
+    * be scalar-only; array results use the q15/q95 concat_ws convention.
+    * Failing here names the entry at build time instead of erring a
+    * driver-gate row. */
+  def assertScalarSchema(name: String, schema: StructType): Unit = {
+    val nested = schema.fields.collect {
+      case f if f.dataType.isInstanceOf[ArrayType] ||
+                f.dataType.isInstanceOf[MapType] ||
+                f.dataType.isInstanceOf[StructType] ||
+                f.dataType == BinaryType =>
+        s"${f.name}: ${f.dataType.simpleString}"
+    }
+    require(nested.isEmpty,
+      s"catalog entry '$name' emits non-scalar column(s) the driver " +
+        s"harness cannot canonicalize — ${nested.mkString(", ")}; " +
+        "stringify (concat_ws/base64) before returning")
+  }
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -24,8 +45,11 @@ object Verify {
       // repartition(1): single output file for the driver, but behind a
       // shuffle so the query itself keeps its parallelism (coalesce(1)
       // would collapse the whole upstream plan to one task)
-      try fn(spark, sfDir).repartition(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        val df = fn(spark, sfDir)
+        assertScalarSchema(name, df.schema)
+        df.repartition(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

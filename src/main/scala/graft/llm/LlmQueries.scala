@@ -676,29 +676,38 @@ object LlmQueries {
     },
 
     // ---- feature hashing (beyond-parity): vocabulary-free fixed-width
-    // featurization — token counts hashed into 16 buckets by first md5
-    // hex digit (the SimHash oracle's engine-portable bucket trick).
-    // Integer counts end to end; explode + two keyed aggregations.
+    // featurization — token counts hashed into numBuckets buckets by the
+    // first FOUR md5 hex digits mod numBuckets (near-uniform for any
+    // bucket count, not just divisors of 16). numBuckets=10 exercises
+    // the non-divisor path. Integer counts end to end; explode + two
+    // keyed aggregations. The catalog output is the comma-joined STRING
+    // spelling (q15 convention) — integer counts, so the strings compare
+    // exactly, and the driver harness never sees a nested array column.
     q("q95_feature_hash",
       """WITH tok AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS t
         |             FROM documents),
         |b AS (SELECT doc_id,
-        |        CAST(strpos('0123456789abcdef', substr(md5(t), 1, 1)) - 1
+        |        CAST((  (strpos('0123456789abcdef', substr(md5(t), 1, 1)) - 1) * 4096
+        |              + (strpos('0123456789abcdef', substr(md5(t), 2, 1)) - 1) * 256
+        |              + (strpos('0123456789abcdef', substr(md5(t), 3, 1)) - 1) * 16
+        |              + (strpos('0123456789abcdef', substr(md5(t), 4, 1)) - 1)) % 10
         |          AS INT) AS bucket FROM tok),
         |c AS (SELECT doc_id, bucket, count(*) AS cnt
         |      FROM b GROUP BY doc_id, bucket),
         |grid AS (SELECT d.doc_id, g.j FROM
         |           (SELECT DISTINCT doc_id FROM documents) d,
-        |           (SELECT unnest(range(16)) AS j) g)
+        |           (SELECT unnest(range(10)) AS j) g)
         |SELECT grid.doc_id,
-        |       list(coalesce(c.cnt, 0) ORDER BY grid.j) AS feature_vec
+        |       array_to_string(list(coalesce(c.cnt, 0) ORDER BY grid.j), ',')
+        |         AS feature_str
         |FROM grid LEFT JOIN c
         |  ON grid.doc_id = c.doc_id AND grid.j = c.bucket
         |GROUP BY grid.doc_id
         |ORDER BY grid.doc_id NULLS FIRST""".stripMargin) {
       (s, dir) =>
         TextOps.featureHash(T.documents(s, dir), "doc_id", "text",
-            numBuckets = 16)
+            numBuckets = 10)
+          .select("doc_id", "feature_str")
           .orderBy("doc_id")
     },
 

@@ -197,22 +197,28 @@ object TextOps {
     * integer vector of length `numBuckets` where slot j counts the
     * occurrences of tokens whose md5 falls in bucket j — the fixed-width,
     * vocabulary-free featurization used when a learned vocab is too big
-    * or must be stable across corpus versions. numBuckets is capped at 16
-    * here because the bucket is the first md5 hex digit, which both
-    * engines extract identically (the same trick the SimHash oracle
-    * uses); a production run would widen to `conv(md5-prefix) % B`.
+    * or must be stable across corpus versions. The bucket is the first
+    * FOUR md5 hex digits (16 bits) mod numBuckets, so the distribution is
+    * near-uniform for any allowed bucket count (max relative bias
+    * numBuckets/65536), not just divisors of 16 — both engines extract
+    * the prefix identically (conv base-16 on Spark, positional strpos
+    * arithmetic in the oracle SQL).
     *
     * Scale: explode + two keyed aggregations (doc×bucket counts, then
     * per-doc assembly via a map literal — bounded at numBuckets entries
-    * per doc). Integer counts end to end: bitwise deterministic. */
+    * per doc). Integer counts end to end: bitwise deterministic. The
+    * vector is emitted BOTH as array<long> `feature_vec` (programmatic
+    * use) and comma-joined string `feature_str` (engine-portable compare
+    * — harnesses that canonicalize rows can't sort nested arrays). */
   def featureHash(df: DataFrame, idCol: String, textCol: String,
       numBuckets: Int = 16): DataFrame = {
-    require(numBuckets > 0 && numBuckets <= 16, "bucket = first md5 hex digit")
+    require(numBuckets > 0 && numBuckets <= 1024,
+      "bucket = first 4 md5 hex digits mod numBuckets; cap keeps bias < 1.6%")
     val tok = df.select(col(idCol).as("doc_id"),
       explode(tokens(col(textCol))).as("t"))
     val counts = tok
       .withColumn("bucket",
-        pmod(conv(substring(md5(col("t")), 1, 1), 16, 10).cast(IntegerType),
+        pmod(conv(substring(md5(col("t")), 1, 4), 16, 10).cast(IntegerType),
           lit(numBuckets)))
       .groupBy("doc_id", "bucket").agg(count(lit(1)).as("cnt"))
     counts.groupBy("doc_id")
@@ -220,6 +226,8 @@ object TextOps {
       .select(col("doc_id"),
         transform(sequence(lit(0), lit(numBuckets - 1)),
           j => coalesce(element_at(col("m"), j), lit(0L))).as("feature_vec"))
+      .withColumn("feature_str",
+        concat_ws(",", col("feature_vec").cast("array<string>")))
   }
 
   /** Canonical-document selection — the "collapse duplicates" step after

@@ -191,25 +191,46 @@ class TextPipelineSpec extends SparkTestBase {
 
   // ------------------------------------------------------ feature hashing
 
+  // bucket = first 4 md5 hex digits (16 bits) mod numBuckets — near-uniform
+  // for ANY allowed bucket count, not just divisors of 16 (ADVICE r6 fix)
+  private def fhBucket(s: String, numBuckets: Int): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    Integer.parseInt(md.substring(0, 4), 16) % numBuckets
+  }
+
   test("featureHash counts tokens per md5 bucket, zeros elsewhere") {
     import spark.implicits._
     val docs = Seq((1L, "a a b"), (2L, "")).toDF("doc_id", "text")
     val out = TextOps.featureHash(docs, "doc_id", "text", numBuckets = 16)
       .orderBy("doc_id").collect()
-      .map(r => (r.getLong(0), r.getSeq[Long](1)))
-    def bucket(s: String): Int = {
-      val md = java.security.MessageDigest.getInstance("MD5")
-        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-      Integer.parseInt(md.substring(0, 1), 16)
-    }
+      .map(r => (r.getLong(0), r.getSeq[Long](1), r.getString(2)))
     val expected1 = Array.fill(16)(0L)
-    expected1(bucket("a")) += 2; expected1(bucket("b")) += 1
+    expected1(fhBucket("a", 16)) += 2; expected1(fhBucket("b", 16)) += 1
     assert(out(0)._2 == expected1.toSeq)
+    // the scalar spelling is the same vector comma-joined (driver-gate form)
+    assert(out(0)._3 == expected1.mkString(","))
     // empty text tokenizes to [""], which still lands in one bucket —
     // consistent with the DuckDB spelling
-    val expected2 = Array.fill(16)(0L); expected2(bucket("")) += 1
+    val expected2 = Array.fill(16)(0L); expected2(fhBucket("", 16)) += 1
     assert(out(1)._2 == expected2.toSeq)
     assert(out.forall(_._2.sum > 0) && out.forall(_._2.length == 16))
+  }
+
+  test("featureHash handles bucket counts that do not divide 16 uniformly") {
+    import spark.implicits._
+    // With the old first-hex-digit scheme, numBuckets=10 put 2x mass on
+    // buckets 0-5; the 4-digit scheme spreads any token set near-uniformly.
+    val words = (0 until 500).map(i => s"tok$i")
+    val docs = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+    val vec = TextOps.featureHash(docs, "doc_id", "text", numBuckets = 10)
+      .collect().head.getSeq[Long](1)
+    assert(vec.length == 10 && vec.sum == 500)
+    val expected = Array.fill(10)(0L)
+    words.foreach(w => expected(fhBucket(w, 10)) += 1)
+    assert(vec == expected.toSeq)
+    // uniformity: no bucket holds more than 2x the ideal share
+    assert(vec.max <= 100, s"skewed buckets: $vec")
   }
 
   // -------------------------------------------------- canonical selection
