@@ -580,6 +580,17 @@ final class SparqlExecutor(
         }
         gVar.foreach { gv =>
           if (!vars.contains(gv)) { vars += gv; cols += col("g").as(gv) }
+          else {
+            // GRAPH ?g where ?g is also a triple position in the same
+            // scan (e.g. GRAPH ?g { ?g ?p ?o }): the graph tag must EQUAL
+            // that binding — mirroring the s==o same-variable handling —
+            // not be silently dropped
+            val bound = s match {
+              case V(sv) if sv == gv => col("s")
+              case _ => col("o")
+            }
+            df = df.filter(col("g") === bound)
+          }
         }
         if (vars.isEmpty)
           // fully-ground pattern: a boolean guard (at most one matching
@@ -674,6 +685,14 @@ final class SparqlExecutor(
     }
     gVar.foreach { gv =>
       if (!vars.contains(gv)) { vars += gv; cols += col("g").as(gv) }
+      else {
+        // GRAPH ?g sharing a variable with the triple: keep the equality
+        val bound = s match {
+          case V(sv) if sv == gv => col("s")
+          case _ => col("o")
+        }
+        df = df.filter(col("g") === bound)
+      }
     }
     if (vars.isEmpty) Sol(df.limit(1).select(lit(1).as(freshName("guard"))), Nil)
     else Sol(df.select(cols.toSeq: _*), vars.toSeq)
@@ -705,6 +724,15 @@ final class SparqlExecutor(
     }
     gVar.foreach { gv =>
       if (!vars.contains(gv)) { vars += gv; cols += col("g").as(gv) }
+      else {
+        // GRAPH ?g sharing a variable with the triple (subject, the
+        // variable predicate, or object): keep the equality constraint
+        val bound = s match {
+          case V(sv) if sv == gv => col("s")
+          case _ => if (gv == pv) col("p") else col("o")
+        }
+        df = df.filter(col("g") === bound)
+      }
     }
     Sol(df.select(cols.toSeq: _*), vars.toSeq)
   }
@@ -1087,7 +1115,10 @@ final class SparqlExecutor(
           else graph.namedGraphNodes
             .filter(col("g").isin(ds.defaults: _*))
             .select(col("node")).distinct()
-        case _ => graph.nodes
+        // default graph, no dataset: on a quad store the identity base is
+        // the default-graph node set — graph.nodes would wrongly self-match
+        // nodes that occur only in named graphs (r6 ADVICE)
+        case _ => graph.defaultGraphNodes
       }
       val idNodes = seedDf match {
         case Some(sd) => idBase.join(sd, col("node") === sd("seed"), "left_semi")

@@ -237,6 +237,24 @@ final class TriplesGraph(
     objIris.foldLeft(subj)(_.unionByName(_)).distinct()
   }
 
+  /** Nodes of the DEFAULT graph only — the zero-length path identity base
+    * on a quad store: a node occurring solely in named graphs must not
+    * self-match in default-graph `p?`/`p*` patterns (dataset scoping).
+    * Identical to [[nodes]] when no slice carries a graph tag. */
+  lazy val defaultGraphNodes: DataFrame =
+    if (!slices.values.exists(_.hasGraph)) nodes
+    else {
+      val t = triplesExcept(Nil, None, withGraph = true)
+        .filter(col("g").isNull)
+      val subj = t.select(col("s").as("node"))
+      val objIris = slices.collect {
+        case (_, sl) if sl.kind == OKind.KIri =>
+          (if (sl.hasGraph) sl.df.filter(col("g").isNull) else sl.df)
+            .select(col("o").cast(StringType).as("node"))
+      }
+      objIris.foldLeft(subj)(_.unionByName(_)).distinct()
+    }
+
   /** (node, g) pairs per NAMED graph — zero-length path semantics inside
     * `GRAPH ?g`: a node "is in" the graphs whose triples mention it. */
   lazy val namedGraphNodes: DataFrame = {
@@ -313,6 +331,18 @@ final class TriplesGraph(
     }
     parts.reduce(_.unionByName(_))
       .write.mode("overwrite").partitionBy("p", "kind", "cls", "sb").parquet(path)
+    // persist the layout contract next to the data: load() reads nBuckets
+    // back from here instead of trusting its caller, so a store saved with
+    // 8 buckets can never be probed with 16 (sb filters would silently
+    // drop most of a node's triples). Underscore prefix = invisible to
+    // Spark's parquet listing; written via the Hadoop FS API so the
+    // sidecar lands on whatever filesystem holds the store (HDFS/S3A/local).
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(path, TriplesGraph.metaFileName), true)
+    try out.write(s"""{"nBuckets": $nBuckets}""".getBytes("UTF-8"))
+    finally out.close()
   }
 }
 
@@ -324,6 +354,9 @@ object TriplesGraph {
     * subjects) — the value is a save/load contract, not a constant baked
     * into the data. */
   val defaultSubjectBuckets = 16
+
+  /** Sidecar recording the store's layout contract (currently nBuckets). */
+  val metaFileName = "_graft_meta.json"
 
   /** Build from an in-memory triple list (fixtures, mapper output). */
   def fromTerms(spark: SparkSession, triples: Seq[(Term, String, Term)],
@@ -410,14 +443,31 @@ object TriplesGraph {
       ts: Option[TsProvider] = None,
       nBuckets: Int = defaultSubjectBuckets): TriplesGraph = {
     val base = spark.read.parquet(path)
+    // layout contract: the save-time sidecar is authoritative for the
+    // bucket count — trusting the caller let a store saved with 8 buckets
+    // load under the default 16, making every sb.isin probe silently drop
+    // most of a node's triples. The nBuckets parameter is only a fallback
+    // for pre-sidecar stores.
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val metaPath = new org.apache.hadoop.fs.Path(path, metaFileName)
+    val savedBuckets: Option[Int] =
+      if (fs.exists(metaPath)) {
+        val in = fs.open(metaPath)
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        """"nBuckets"\s*:\s*(\d+)""".r.findFirstMatchIn(txt).map(_.group(1).toInt)
+      } else None
+    val effBuckets = savedBuckets.getOrElse(nBuckets)
     val inventoryRows = base.select("p", "kind", "cls", "sb").distinct().collect()
-    // layout contract check: a bucket id at or past nBuckets means the
-    // store was written with a different bucket count — subject-addressed
-    // pruning would silently miss rows, so fail loudly instead
+    // cross-check against the partition inventory either way: a bucket id
+    // at or past the contract means a corrupt/mixed store — fail loudly,
+    // subject-addressed pruning would otherwise silently miss rows
     val maxSb = inventoryRows.map(_.getInt(3)).max
-    require(maxSb < nBuckets,
-      s"store at $path has subject bucket $maxSb but load expects $nBuckets " +
-        "buckets; pass the nBuckets the store was saved with")
+    require(maxSb < effBuckets,
+      s"store at $path has subject bucket $maxSb but the layout contract " +
+        s"says $effBuckets buckets; the store is corrupt or was saved " +
+        "by a writer that did not record its bucket count")
     val inventory = inventoryRows
       .map(r => (r.getString(0), r.getString(1), r.getString(2))).distinct
     val slices = inventory.groupBy(_._1).map { case (p, rows) =>
@@ -455,6 +505,6 @@ object TriplesGraph {
       p -> PredicateSlice(whole, kind, hasLang, Nil, classes, byClass,
         hasGraph = true)
     }
-    new TriplesGraph(spark, slices, ts, store = Some((base, nBuckets)))
+    new TriplesGraph(spark, slices, ts, store = Some((base, effBuckets)))
   }
 }

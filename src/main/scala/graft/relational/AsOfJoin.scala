@@ -71,10 +71,15 @@ object AsOfJoin {
         Seq(struct(rCols.map(c => col(c).as(c)): _*).as(rStruct)): _*)
     // backward traverses time ascending; forward descending. Right rows
     // sort before left rows at an equal timestamp either way (side
-    // ascending), so the match is inclusive in both directions.
+    // ascending), so the match is inclusive in both directions. The right
+    // struct is the FINAL order key: with duplicate right rows at the same
+    // (key, ts) the carried match is the payload-wise GREATEST row — a
+    // documented, deterministic rule instead of whichever row the shuffle
+    // happened to order last (left rows order null here, and side already
+    // separates them at an equal ts).
     val tsOrder = if (forward) col(tsCol).desc else col(tsCol).asc
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(tsOrder, col(side).asc)
+      .orderBy(tsOrder, col(side).asc, col(rStruct).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = lNorm.unionByName(rNorm)
       .withColumn(rStruct, last(col(rStruct), ignoreNulls = true).over(w))

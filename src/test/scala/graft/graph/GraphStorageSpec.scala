@@ -83,9 +83,29 @@ class GraphStorageSpec extends SparkTestBase {
       s.contains("PartitionFilters") && !s.contains("PartitionFilters: []") &&
         s.contains("sb#")),
       "DESCRIBE store scan must carry a subject-bucket partition filter")
-    // wrong bucket count at load is a loud failure, not silent missing rows
+    // the save-time sidecar is authoritative: a caller passing the WRONG
+    // bucket count gets the saved contract, not silent missing rows (the
+    // r6 ADVICE hole — save(8) then default load(16) dropped most of a
+    // node's outbound triples from DESCRIBE)
+    val wrongCaller = TriplesGraph.load(spark, path, derived.ts, nBuckets = 8)
+    assert(new SparqlExecutor(wrongCaller).executeDescribe(prologue + describe)
+      .count() == new SparqlExecutor(loaded).executeDescribe(prologue + describe).count())
+    // and a store saved with a non-default count loads complete under the
+    // default-parameter call
+    val path8 = java.nio.file.Files.createTempDirectory("graft-graph-sb8").toString
+    derived.save(path8, nBuckets = 8)
+    val loaded8 = TriplesGraph.load(spark, path8, derived.ts) // default 16 ignored
+    val d8 = new SparqlExecutor(loaded8).executeDescribe(prologue + describe)
+    assert(d8.count() ==
+      new SparqlExecutor(loaded).executeDescribe(prologue + describe).count(),
+      "sidecar must override the default bucket count on load")
+    // tampered meta (buckets lower than observed sb ids) still fails loudly
+    val metaP = new org.apache.hadoop.fs.Path(path8, TriplesGraph.metaFileName)
+    val fs = metaP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(metaP, true)
+    out.write("""{"nBuckets": 4}""".getBytes("UTF-8")); out.close()
     val bad = intercept[IllegalArgumentException] {
-      TriplesGraph.load(spark, path, derived.ts, nBuckets = 8)
+      TriplesGraph.load(spark, path8, derived.ts)
     }
     assert(bad.getMessage.contains("bucket"))
   }

@@ -52,6 +52,30 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(row.isNullAt(0) && row.getString(1) == "new")
   }
 
+  test("duplicate right rows at the same (key, ts) match deterministically") {
+    import spark.implicits._
+    val left = Seq((1L, ts("2024-01-01 12:00:00"), "l")).toDF("k", "ts", "lv")
+    // three right rows share the match timestamp with distinct payloads:
+    // the documented rule is payload-wise greatest (struct order), no
+    // matter how the union is partitioned or shuffled
+    val right = Seq(
+      (1L, ts("2024-01-01 11:00:00"), 2.0, "b"),
+      (1L, ts("2024-01-01 11:00:00"), 9.0, "z"),
+      (1L, ts("2024-01-01 11:00:00"), 2.0, "a"))
+      .toDF("k", "ts", "rv", "tag")
+    (1 to 4).foreach { n =>
+      val row = AsOfJoin.backward(left, right.repartition(n), Seq("k"), "ts")
+        .select("r_rv", "r_tag").head
+      assert(row.getDouble(0) == 9.0 && row.getString(1) == "z",
+        s"tie-break must be payload-wise max (repartition $n)")
+      val fwd = AsOfJoin.forward(left.withColumn("ts", lit(ts("2024-01-01 10:00:00"))),
+          right.repartition(n), Seq("k"), "ts")
+        .select("r_rv", "r_tag").head
+      assert(fwd.getDouble(0) == 9.0 && fwd.getString(1) == "z",
+        s"forward tie-break must match the same rule (repartition $n)")
+    }
+  }
+
   test("forward as-of: earliest at-or-after match per key, tolerance ahead") {
     import spark.implicits._
     val left = Seq(

@@ -152,4 +152,53 @@ class NamedGraphSpec extends SparkTestBase {
     assert(runc("SELECT ?g ?y WHERE { GRAPH ?g { ex:c ex:knows* ?y } }") ==
       Set("graph1,c", "graph2,c", "graph2,d"))
   }
+
+  test("GRAPH variable reused inside the pattern keeps the equality") {
+    // the graph IRI is also the subject: only graphs containing a triple
+    // about THEMSELVES match — dropping the constraint would return every
+    // named triple (r6 ADVICE)
+    val selfg = TriplesGraph.fromQuads(spark, Seq(
+      (Iri(g1): Term, s"${ex}label", Lit("self", Xsd.string), Some(g1)),
+      (Iri(g1): Term, s"${ex}label", Lit("crossed", Xsd.string), Some(g2)),
+      quad("a", "label", Lit("other", Xsd.string), Some(g1))))
+    val got = new SparqlExecutor(selfg)
+      .execute(s"PREFIX ex:<$ex>\nSELECT ?g ?v WHERE { GRAPH ?g { ?g ex:label ?v } }")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set((g1, "self")),
+      "graph var bound in the triple must constrain g equality")
+    // object position: GRAPH ?g { ?s ex:ref ?g } — only in-graph self-refs
+    val refg = TriplesGraph.fromQuads(spark, Seq(
+      quad("a", "ref", Iri(g1), Some(g1)),
+      quad("b", "ref", Iri(g2), Some(g1))))
+    val got2 = new SparqlExecutor(refg)
+      .execute(s"PREFIX ex:<$ex>\nSELECT ?s WHERE { GRAPH ?g { ?s ex:ref ?g } }")
+      .collect().map(_.getString(0).stripPrefix(ex)).toSet
+    assert(got2 == Set("a"))
+    // variable predicate equal to the graph var
+    val predg = TriplesGraph.fromQuads(spark, Seq(
+      (Iri(s"${ex}x"): Term, g1, Lit("hit", Xsd.string), Some(g1)),
+      (Iri(s"${ex}y"): Term, g1, Lit("miss", Xsd.string), Some(g2))))
+    val got3 = new SparqlExecutor(predg)
+      .execute(s"SELECT ?v WHERE { GRAPH ?g { ?s ?g ?v } }")
+      .collect().map(_.getString(0)).toSet
+    assert(got3 == Set("hit"))
+  }
+
+  test("default-graph zero-length paths exclude named-graph-only nodes") {
+    // d occurs ONLY in graph1; the default graph holds a→b. A default-graph
+    // `knows?`/`knows*` identity must not self-match d (r6 ADVICE: the
+    // identity base was the graph-blind node set).
+    val mixed = TriplesGraph.fromQuads(spark, Seq(
+      quad("a", "knows", Iri(s"${ex}b"), None),
+      quad("d", "knows", Iri(s"${ex}e"), Some(g1))))
+    def runm(q: String) =
+      new SparqlExecutor(mixed).execute(s"PREFIX ex:<$ex>\n" + q)
+        .collect().map(r => (0 until r.length).map(i =>
+          r.getString(i).stripPrefix(ex)).mkString(",")).toSet
+    assert(runm("SELECT ?x ?y WHERE { ?x ex:knows? ?y }") ==
+      Set("a,a", "b,b", "a,b"),
+      "d and e live only in graph1 — no default-graph self-match")
+    assert(runm("SELECT ?y WHERE { ex:d ex:knows* ?y }") == Set.empty[String],
+      "anchored zero-or-more on a named-graph-only node yields nothing")
+  }
 }
