@@ -585,12 +585,25 @@ object TextOps {
     *
     * Both verify exactly, so the RESULT is identical (spec-pinned); only
     * the candidate count differs. Every join is a bucketed equi-join — no
-    * cartesian (PlanSpec). */
+    * cartesian (PlanSpec).
+    *
+    *  - `"auto"` (default): measure, don't ask the caller to know the
+    *    corpus. One vocabulary-sized df aggregation estimates the
+    *    hash-order candidate volume as Ĉ ≈ ρ²·Σ df(s)²⁄2 (ρ = 1 − t, the
+    *    prefix fraction hash order samples uniformly); below
+    *    `autoPairBudget` pairs the fan-out is cheaper than df-order's two
+    *    extra shuffle rounds (measured crossover: Ĉ≈9M at sf0.1 runs ~2×
+    *    faster hash-ordered), above it candidate volume dominates
+    *    quadratically and rarest-first wins. The df table is reused by the
+    *    df path when chosen, so the estimate is never a wasted pass there.
+    */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 2, threshold: Double = 0.5,
-      prefixOrder: String = "hash"): DataFrame = {
+      prefixOrder: String = "auto",
+      autoPairBudget: Double = defaultAutoPairBudget): DataFrame = {
     val base = ngramSignatures(df, idCol, textCol, n, threshold)
-    val candidates = ngramPrefixCandidates(base, threshold, prefixOrder)
+    val candidates = ngramPrefixCandidates(base, threshold, prefixOrder,
+      autoPairBudget)
     // exact verification against the full shingle sets — scored in a
     // per-partition kernel: Catalyst's array_intersect/array_union on
     // string arrays measured 9.4s for 225k candidate pairs at sf0.1 where
@@ -653,21 +666,35 @@ object TextOps {
     df.sparkSession.createDataFrame(rdd, sigSchema).localCheckpoint()
   }
 
+  /** Default candidate-pair budget for the auto prefix-order policy —
+    * comfortably above the measured sf0.1 volume (~9M pairs, where hash
+    * order still wins by two shuffle rounds) and far below the volumes
+    * where a skewed lake-scale corpus melts down (one shingle in 1% of
+    * 10⁹ docs alone is 5·10¹³ pairs). */
+  val defaultAutoPairBudget: Double = 5e7
+
+  /** The auto policy's decision, factored out for observability: estimate
+    * hash-order candidate volume from the df table and return which order
+    * to run. Σdf² is exact (one vocabulary-sized aggregation with map-side
+    * combine — never corpus-shaped); doubles avoid overflow at any scale. */
+  private[graft] def choosePrefixOrder(dfTab: DataFrame, threshold: Double,
+      autoPairBudget: Double): String = {
+    val sumD2 = dfTab
+      .agg(sum(col("df").cast(DoubleType) * col("df").cast(DoubleType)))
+      .head.getDouble(0)
+    val rho = 1.0 - threshold
+    if (rho * rho * sumD2 / 2.0 > autoPairBudget) "df" else "hash"
+  }
+
   /** Candidate pairs from the prefix index over `base` (id, sh, pre) — see
-    * [[ngramJaccardPairs]] for the two orders. Package-visible so specs can
+    * [[ngramJaccardPairs]] for the orders. Package-visible so specs can
     * measure candidate volume independently of the verified result. */
   private[graft] def ngramPrefixCandidates(base: DataFrame, threshold: Double,
-      prefixOrder: String): DataFrame = prefixOrder match {
-    case "hash" =>
-      val prefixes = base.select(col("id"), explode(col("pre")).as("h"))
-      // no distinct here: pairs sharing several prefix hashes are rare
-      // (measured raw ≈ distinct), so dedup waits for the far smaller
-      // verified output instead of shuffling the whole candidate set
-      prefixes.select(col("id").as("ida"), col("h"))
-        .join(prefixes.select(col("id").as("idb"), col("h").as("h2")),
-          col("h") === col("h2") && col("ida") < col("idb"))
-        .select("ida", "idb")
-    case "df" =>
+      prefixOrder: String,
+      autoPairBudget: Double = defaultAutoPairBudget): DataFrame = {
+    def dfTable = base.select(col("id"), explode(col("sh")).as("s"))
+      .groupBy("s").agg(count(lit(1)).as("df"))
+    def dfOrder(dfTab: DataFrame): DataFrame = {
       // rarest-first: global document frequency per shingle (partial-agg
       // count, no skew risk in the agg itself), then each doc keeps the k
       // lowest-(df, shingle) shingles via a per-doc rank window (partitioned
@@ -676,7 +703,6 @@ object TextOps {
       // reaches the candidate join.
       val ex = base.select(col("id"), size(col("sh")).as("sz"),
         explode(col("sh")).as("s"))
-      val dfTab = ex.groupBy("s").agg(count(lit(1)).as("df"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("id").orderBy(col("df"), col("s"))
       val prefixes = ex.join(dfTab, "s")
@@ -687,8 +713,29 @@ object TextOps {
         .join(prefixes.select(col("id").as("idb"), col("s").as("s2")),
           col("s") === col("s2") && col("ida") < col("idb"))
         .select("ida", "idb")
-    case other => throw new IllegalArgumentException(
-      s"prefixOrder must be 'hash' or 'df', got '$other'")
+    }
+    prefixOrder match {
+      case "hash" =>
+        val prefixes = base.select(col("id"), explode(col("pre")).as("h"))
+        // no distinct here: pairs sharing several prefix hashes are rare
+        // (measured raw ≈ distinct), so dedup waits for the far smaller
+        // verified output instead of shuffling the whole candidate set
+        prefixes.select(col("id").as("ida"), col("h"))
+          .join(prefixes.select(col("id").as("idb"), col("h").as("h2")),
+            col("h") === col("h2") && col("ida") < col("idb"))
+          .select("ida", "idb")
+      case "df" => dfOrder(dfTable)
+      case "auto" =>
+        // localCheckpoint: the df table feeds both the decision (Σdf²)
+        // and, when df-order wins, the rank join — one pass either way
+        val dfTab = dfTable.localCheckpoint()
+        choosePrefixOrder(dfTab, threshold, autoPairBudget) match {
+          case "df" => dfOrder(dfTab)
+          case _ => ngramPrefixCandidates(base, threshold, "hash")
+        }
+      case other => throw new IllegalArgumentException(
+        s"prefixOrder must be 'auto', 'hash' or 'df', got '$other'")
+    }
   }
 
   /** Shingling + minhash + banding as one map-only kernel, materialized once

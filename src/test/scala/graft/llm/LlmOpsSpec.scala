@@ -96,6 +96,38 @@ class LlmOpsSpec extends SparkTestBase {
     assert(hashPairs.map(p => (p._1, p._2)).contains((900L, 901L)))
   }
 
+  test("auto prefix order flips with corpus skew, identical results") {
+    import spark.implicits._
+    // uniform corpus: every bigram unique -> sum(df^2) = vocab, tiny estimate
+    val uniform = (0 until 100).map(i => (i.toLong, s"u${i}a u${i}b u${i}c"))
+      .toDF("doc_id", "text")
+    // skewed corpus: one bigram in all 300 docs -> sum(df^2) >= 90000
+    val skewed = (0 until 300)
+      .map(i => (i.toLong, s"u${i}a u${i}b hot shingle"))
+      .toDF("doc_id", "text")
+    def mode(docs: org.apache.spark.sql.DataFrame, budget: Double) = {
+      val base = TextOps.ngramSignatures(docs, "doc_id", "text", 2, 0.5)
+      val dfTab = base.select(col("id"), explode(col("sh")).as("s"))
+        .groupBy("s").agg(count(lit(1)).as("df"))
+      TextOps.choosePrefixOrder(dfTab, 0.5, budget)
+    }
+    // budget sized between the two corpora's estimates: rho^2 * sum(df^2)/2
+    // = 0.25 * ~300/2 = ~38 (uniform) vs >= 0.25 * 90000/2 = 11250 (skewed)
+    assert(mode(uniform, budget = 1000) == "hash")
+    assert(mode(skewed, budget = 1000) == "df")
+    // and both under the DEFAULT budget stay hash at this toy scale —
+    // the flip needs real volume, not just relative skew
+    assert(mode(skewed, TextOps.defaultAutoPairBudget) == "hash")
+    // auto returns the identical verified pairs as both explicit modes
+    def pairsOf(order: String, budget: Double) =
+      TextOps.ngramJaccardPairs(skewed, "doc_id", "text", n = 2,
+        threshold = 0.5, prefixOrder = order, autoPairBudget = budget)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val viaDf = pairsOf("auto", 1000) // flips to df
+    assert(viaDf == pairsOf("hash", 1000))
+    assert(viaDf == pairsOf("auto", TextOps.defaultAutoPairBudget)) // hash
+  }
+
   test("simhash is stable and discriminative") {
     import spark.implicits._
     val docs = Seq((1L, "the cat sat"), (2L, "the cat sat"), (3L, "a dog ran fast"))
