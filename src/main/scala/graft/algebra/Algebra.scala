@@ -72,6 +72,15 @@ object Algebra {
     * named graph (constant) or each named graph, binding the variable.
     * Beyond-parity: the reference parses SELECT over the default graph only. */
   final case class GraphPat(g: VarOrTerm, inner: Pattern) extends Pattern
+  /** `SERVICE [SILENT] <endpoint> { … }` (SPARQL 1.1 Federated Query) —
+    * evaluate `inner` against the endpoint's dataset and join on shared
+    * variables. The reference `todo!()`s SERVICE outright
+    * (hybrid/src/combiner.rs:453-455); this engine evaluates it in-process
+    * against a registered second [[graft.graph.TriplesGraph]] — the
+    * federation semantics without HTTP (the executor seam takes any
+    * endpoint-IRI → graph registry). */
+  final case class ServicePat(endpoint: VarOrTerm, inner: Pattern,
+      silent: Boolean) extends Pattern
   final case class ValuesPattern(vars: Seq[String], rows: Seq[Seq[Option[Term]]])
       extends Pattern
   /** A nested SELECT (sub-query). */
@@ -158,6 +167,9 @@ object Algebra {
     case Extend(inner, v, _) => boundVars(inner) + v
     case GraphPat(g, inner) =>
       boundVars(inner) ++ (g match { case V(v) => Set(v); case _ => Set.empty })
+    // the endpoint variable is NOT bound by SERVICE (§2.3: its bindings
+    // must come from elsewhere in the query)
+    case ServicePat(_, inner, _) => boundVars(inner)
     case ValuesPattern(vars, _) => vars.toSet
     case SubSelect(q) =>
       if (q.projection.isEmpty) boundVars(q.where) else q.projection.map(_.v).toSet

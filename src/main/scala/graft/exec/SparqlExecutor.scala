@@ -25,7 +25,8 @@ import scala.collection.mutable.ArrayBuffer
 final class SparqlExecutor(
     graph: TriplesGraph,
     extraFunctions: Map[String, Seq[Column] => Column] = Map.empty,
-    closureMaxIters: Int = 1000) {
+    closureMaxIters: Int = 1000,
+    services: Map[String, TriplesGraph] = Map.empty) {
 
   import SparqlExecutor._
 
@@ -208,6 +209,10 @@ final class SparqlExecutor(
     case LeftJoin(l, _, _) => classConstraints(l, v)
     case Minus(l, _) => classConstraints(l, v)
     case GraphPat(_, i) => classConstraints(i, v)
+    // do NOT descend into SERVICE: a type pinned in the REMOTE graph says
+    // nothing about local slice membership — pruning local scans by it
+    // would drop rows the join should keep
+    case ServicePat(_, _, _) => Set.empty
     case _ => Set.empty
   }
 
@@ -254,6 +259,34 @@ final class SparqlExecutor(
       val saved = graphCtx
       graphCtx = Some(g)
       try translatePattern(inner, input) finally graphCtx = saved
+    case ServicePat(ep, inner, silent) =>
+      // In-process federation: the inner pattern evaluates against the
+      // registered endpoint graph through a SUB-executor (fresh default
+      // graph context and dataset — SERVICE ranges over the remote
+      // dataset, not the local one), then joins on shared variables like
+      // any other solution. The join inherits the same Catalyst machinery
+      // (broadcast when the remote result is small, shuffle otherwise).
+      // SILENT failure = the unit solution (SPARQL 1.1 Federated Query
+      // §2.2: a single empty solution mapping), so the rest of the query
+      // is unaffected; non-SILENT failure is a loud error.
+      val target = ep match {
+        case T(t) => services.get(t.canonical)
+        case V(_) => None // variable endpoints: no bindings to draw from
+      }
+      target match {
+        case Some(remote) =>
+          val sub = new SparqlExecutor(remote, extraFunctions,
+            closureMaxIters, services)
+          val rs = sub.translatePattern(inner, sub.unitSol)
+          joinSols(input, Sol(rs.df, rs.vars))
+        case None if silent => input
+        case None => throw new IllegalArgumentException(ep match {
+          case T(t) => s"SERVICE endpoint ${t.canonical} is not registered " +
+            s"(known: ${services.keys.toSeq.sorted.mkString(", ")})"
+          case V(v) => s"SERVICE with a variable endpoint ?$v is not " +
+            "supported without SILENT (no endpoint bindings available)"
+        })
+      }
     case Join(l, r) => translatePattern(r, translatePattern(l, input))
     case Filter(e, inner) =>
       val s0 = translatePattern(inner, input)
@@ -1569,6 +1602,10 @@ object SparqlExecutor {
     case LeftJoin(l, r, cond) =>
       freeVars(l) ++ freeVars(r) ++
         cond.map(exprVars(_) -- (boundVars(l) ++ boundVars(r))).getOrElse(Set.empty)
+    case GraphPat(_, inner) => freeVars(inner)
+    // SERVICE evaluates self-contained against the remote graph; shared
+    // variables become join keys, not dependencies
+    case ServicePat(_, _, _) => Set.empty
     case ValuesPattern(_, _) => Set.empty
     case SubSelect(_) => Set.empty
   }

@@ -521,5 +521,31 @@ object SparqlQueries {
       s"""SELECT ?y WHERE {
          |  <${ns}supplier:1> g:locatedIn+ ?y .
          |} ORDER BY ?y""".stripMargin),
+
+    // ---- SERVICE (in-process federation; the reference todo!()s it,
+    // hybrid/src/combiner.rs:453-455): the inner pattern runs against the
+    // registered customer graph — a dataset the MAIN graph does not hold —
+    // and joins on the shared ?n. The oracle is the same federation
+    // expressed relationally: customer ⋈ nation. Not an sq entry: the
+    // persisted-store replay has no services registry.
+    Q("q105_sparql_service", Some(
+      """SELECT n_name AS nname, c_name AS cname, c_mktsegment AS seg
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |ORDER BY nname NULLS FIRST, cname NULLS FIRST, seg NULLS FIRST""".stripMargin))(
+      (s, dir) => new SparqlExecutor(TpchGraph.graph(s, dir),
+        services = Map(TpchGraph.customerEndpoint ->
+          TpchGraph.customerGraph(s, dir)))
+        .execute(prologue +
+          s"""SELECT ?nname ?cname ?seg WHERE {
+             |  ?n rdf:type g:Nation .
+             |  ?n g:name ?nname .
+             |  SERVICE <${TpchGraph.customerEndpoint}> {
+             |    ?c g:nation ?n .
+             |    ?c g:name ?cname .
+             |    ?c g:mktSegment ?seg .
+             |    FILTER(?seg = "BUILDING")
+             |  }
+             |} ORDER BY ?nname ?cname ?seg""".stripMargin)),
   )
 }

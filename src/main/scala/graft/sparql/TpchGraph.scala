@@ -155,4 +155,39 @@ object TpchGraph {
     val ts = TsSource(events.select(col("event_type").as("id"), col("ts"), col("value")))
     TriplesGraph.fromSlices(s, slices, Some(ts))
   }
+
+  /** Registered IRI of the in-process customer "endpoint" (see
+    * [[customerGraph]]). */
+  val customerEndpoint = s"${ns}service:customers"
+  val typeCustomer = s"${ns}Customer"
+  val mktSegment = s"${ns}mktSegment"
+
+  /** A second, disjoint graph held by the customer "service": customers
+    * (absent from the main graph) with their names, market segments, and
+    * `nationOf` links whose OBJECT IRIs intentionally coincide with the
+    * main graph's nation IRIs — the shared-variable join surface a
+    * federated `SERVICE` query exercises. */
+  def customerGraph(s: SparkSession, dir: String): TriplesGraph = {
+    val customer = T.customer(s, dir)
+    val cIri = iri("customer", col("c_custkey"))
+    val cNIri = iri("nation", col("c_nationkey"))
+    val slices = Map(
+      name -> PredicateSlice(
+        customer.select(cIri.as("s"), col("c_name").as("o")), OKind.KStr,
+        subjectClasses = Set(typeCustomer)),
+      mktSegment -> PredicateSlice(
+        customer.select(cIri.as("s"), col("c_mktsegment").as("o")), OKind.KStr,
+        subjectClasses = Set(typeCustomer)),
+      nationOf -> PredicateSlice(
+        customer.select(cIri.as("s"), cNIri.as("o")), OKind.KIri,
+        subjectClasses = Set(typeCustomer)),
+      acctbal -> PredicateSlice(
+        customer.select(cIri.as("s"), col("c_acctbal").as("o")), OKind.KDbl,
+        subjectClasses = Set(typeCustomer)),
+      graft.rdf.Rdf.typ -> PredicateSlice(
+        customer.select(cIri.as("s"), lit(typeCustomer).as("o")), OKind.KIri,
+        subjectClasses = Set(typeCustomer)),
+    )
+    TriplesGraph.fromSlices(s, slices)
+  }
 }
