@@ -501,11 +501,23 @@ final class SparqlExecutor(
     // 4. greedy join order: start from the most selective static component,
     //    always join a component sharing variables (no accidental cartesian),
     //    closures after scans so bound endpoints seed their fixpoints,
-    //    TS scans last so the static side prunes ids (SURVEY §4 "ID pruning")
-    val comps = ArrayBuffer.empty[(BgpComp, Int)] // (component, priority: lower = earlier)
-    scans.foreach { case (sol, nConst) => comps += ((SolComp(sol), 2 - nConst)) }
-    complex.foreach(c => comps += ((c, 3)))
-    tsComponents.foreach(c => comps += ((SolComp(c), 4)))
+    //    TS scans last so the static side prunes ids (SURVEY §4 "ID pruning").
+    //    Within the same bound-first tier, components order by ESTIMATED
+    //    SLICE SIZE from Catalyst plan statistics — file-size-derived for
+    //    parquet-backed slices (incl. the persisted store's pruned
+    //    partitions), exact for local relations; a driver-side metadata
+    //    read, never a job. A star over one skewed predicate then starts
+    //    at the smallest slice and semi-prunes the big ones through the
+    //    join chain instead of dragging the 100×-larger slice first.
+    def sizeHint(s: Sol): BigInt =
+      try s.df.queryExecution.optimizedPlan.stats.sizeInBytes
+      catch { case scala.util.control.NonFatal(_) => BigInt(Long.MaxValue) }
+    val comps = ArrayBuffer.empty[(BgpComp, (Int, BigInt))] // (comp, (tier, size))
+    scans.foreach { case (sol, nConst) =>
+      comps += ((SolComp(sol), (2 - nConst, sizeHint(sol))))
+    }
+    complex.foreach(c => comps += ((c, (3, BigInt(0)))))
+    tsComponents.foreach(c => comps += ((SolComp(c), (4, BigInt(0)))))
     var acc = input
     val remaining = comps.sortBy(_._2).map(_._1).toBuffer
     while (remaining.nonEmpty) {

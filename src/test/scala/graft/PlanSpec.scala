@@ -178,6 +178,39 @@ class PlanSpec extends SparkTestBase {
     assert(exchanges <= 2, s"expected window + sort exchanges only, got $exchanges")
   }
 
+  test("BGP join order starts at the statistically smallest slice") {
+    import graft.exec.SparqlExecutor
+    import graft.graph.{PredicateSlice, TriplesGraph, OKind}
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // skewed fixture: one predicate 100x larger than the other, both
+    // parquet-backed so Catalyst's file-size statistics discriminate
+    val dir = java.nio.file.Files.createTempDirectory("graft_stats").toString
+    val ex = "http://example.org/stats#"
+    (0 until 20000).map(i => (s"${ex}e${i % 200}", s"big$i"))
+      .toDF("s", "o").write.mode("overwrite").parquet(s"$dir/bigslice")
+    (0 until 200).map(i => (s"${ex}e$i", i.toLong))
+      .toDF("s", "o").write.mode("overwrite").parquet(s"$dir/smallslice")
+    val g = TriplesGraph.fromSlices(spark, Map(
+      s"${ex}big" -> PredicateSlice(
+        spark.read.parquet(s"$dir/bigslice"), OKind.KStr),
+      s"${ex}small" -> PredicateSlice(
+        spark.read.parquet(s"$dir/smallslice"), OKind.KLong)))
+    val q = s"SELECT ?x ?a ?b WHERE { ?x <${ex}big> ?a . ?x <${ex}small> ?b }"
+    val df = new SparqlExecutor(g).execute(q)
+    // neither pattern binds a constant, so bound-first ties — the size
+    // hint must put the small slice first (the join tree's left-most
+    // leaf). The optimized plan prints the left child first; the small
+    // slice is the one binding ?b, the big one binds ?a.
+    val logical = df.queryExecution.optimizedPlan.toString
+    val iSmall = logical.indexOf("AS b#")
+    val iBig = logical.indexOf("AS a#")
+    assert(iSmall >= 0 && iBig >= 0, s"both scans in plan:\n$logical")
+    assert(iSmall < iBig,
+      s"small slice must anchor the join chain (stats-driven order):\n$logical")
+    assert(df.count() == 20000L) // every big row joins some small subject
+  }
+
   test("pluggable parquet TS provider: time filter pushed into the scan") {
     import graft.exec.SparqlExecutor
     import graft.graph.TriplesGraph
