@@ -208,6 +208,64 @@ object AnnOps {
       .repartition(1).write.mode("overwrite").parquet(s"$path/centroids")
   }
 
+  /** Incrementally APPEND vectors to a persisted IVF index
+    * ([[buildIvfIndex]]) — real pipelines add embeddings continuously and
+    * cannot re-quantize the lake each time. New vectors are assigned to
+    * the EXISTING centroids (one broadcast kernel pass over the batch) and
+    * written `mode("append")` into the `cells` dataset: new files land
+    * inside the matching cid partition directories, existing files are
+    * untouched — no index rewrite, probes keep partition-pruning exactly
+    * as before.
+    *
+    * Drift bookkeeping: appending against frozen centroids slowly skews
+    * cell occupancy (new data may cluster where old centroids are sparse).
+    * After each append the per-cell counts (a partition-column-only
+    * aggregate — no data pages read) are checked and
+    * `path/_graft_ivf_meta.json` is rewritten with the append counter, the
+    * max/mean occupancy ratio, and `rebuildRecommended` once the ratio
+    * crosses `skewFactor` — the operational signal to re-run
+    * [[buildIvfIndex]] with fresh k-means|| centroids.
+    *
+    * Returns true when a rebuild is recommended. */
+  def appendToIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      newVectors: DataFrame, dim: Int = 64, skewFactor: Double = 4.0): Boolean = {
+    graft.functions.ArrayDotProduct.register(spark)
+    val cents: Array[(Long, Array[Float], Double)] =
+      spark.read.parquet(s"$path/centroids")
+        .orderBy("cid").collect()
+        .map { r =>
+          (r.getLong(0), r.getSeq[Float](1).toArray.map(_.toFloat),
+            r.getDouble(2))
+        }
+    ivfAssignments(newVectors, cents, dim)
+      .write.mode("append").partitionBy("cid").parquet(s"$path/cells")
+    // occupancy check: cid is a partition column, so this aggregate reads
+    // footers/partition values only — O(files) metadata work, zero data
+    val occ = spark.read.parquet(s"$path/cells")
+      .groupBy("cid").count().select("count")
+      .collect().map(_.getLong(0))
+    val mean = occ.sum.toDouble / occ.length
+    val ratio = if (mean == 0) 0.0 else occ.max / mean
+    val rebuild = ratio > skewFactor
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val metaP = new org.apache.hadoop.fs.Path(path, "_graft_ivf_meta.json")
+    val prevAppends: Long =
+      if (fs.exists(metaP)) {
+        val in = fs.open(metaP)
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        """"appends"\s*:\s*(\d+)""".r.findFirstMatchIn(txt)
+          .map(_.group(1).toLong).getOrElse(0L)
+      } else 0L
+    val out = fs.create(metaP, true)
+    try out.write(
+      (s"""{"appends": ${prevAppends + 1}, "maxMeanOccupancy": $ratio, """ +
+        s""""rebuildRecommended": $rebuild}""").getBytes("UTF-8"))
+    finally out.close()
+    rebuild
+  }
+
   /** Query a PERSISTED IVF index ([[buildIvfIndex]]): ranks the stored
     * centroids per query, then reads ONLY the probed cells from the
     * partitioned cells dataset — the probed-cid filter is a driver-side

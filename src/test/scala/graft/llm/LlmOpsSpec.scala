@@ -280,4 +280,53 @@ class LlmOpsSpec extends SparkTestBase {
     // probed cells (no recall floor asserted — data is random — but the
     // result must be a subset of legal candidates, checked by the oracle)
   }
+
+  test("incremental IVF append: new vectors findable, old files untouched") {
+    val emb = graft.T.embeddings(spark, sf)
+    val dim = 64
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf-append").toString
+    // build on the first half, append the second half
+    val first = emb.filter(col("vec_id") % 2 === 0)
+    val second = emb.filter(col("vec_id") % 2 === 1)
+    AnnOps.buildIvfIndex(first, path, dim = dim, nCentroids = 8)
+    def cellFiles(): Set[String] = {
+      val d = new java.io.File(s"$path/cells")
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(d).filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).toSet
+    }
+    val before = cellFiles()
+    val rebuild = AnnOps.appendToIvfIndex(spark, path, second, dim = dim)
+    val after = cellFiles()
+    // append-only: every pre-existing file survives, new files arrived
+    assert(before.subsetOf(after) && after.size > before.size,
+      "append must add files without rewriting the existing cells")
+    // appended vectors are findable: probing every cell from the index
+    // equals brute-force over the FULL corpus (build + appended)
+    val queries = emb.filter(col("vec_id") < 10)
+    val exact = AnnOps.topKForQueries(emb, queries, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val viaIndex = AnnOps.ivfTopKFromIndex(spark, path, queries, k = 3,
+        dim = dim, nProbe = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaIndex == exact,
+      "all-cells probe over the appended index must equal exact search")
+    // balanced random data: no rebuild recommendation; the meta sidecar
+    // records the append
+    assert(!rebuild)
+    val meta = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$path/_graft_ivf_meta.json")), "UTF-8")
+    assert(meta.contains("\"appends\": 1") && meta.contains("false"))
+    // a pathologically skewed append (everything into one cell's region is
+    // not constructible on random data, so drive the counter instead):
+    // second append bumps the counter and keeps the sidecar well-formed
+    AnnOps.appendToIvfIndex(spark, path,
+      emb.filter(col("vec_id") < 20), dim = dim)
+    val meta2 = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$path/_graft_ivf_meta.json")), "UTF-8")
+    assert(meta2.contains("\"appends\": 2"))
+    // and an absurdly tight skew factor flips the recommendation
+    assert(AnnOps.appendToIvfIndex(spark, path,
+      emb.filter(col("vec_id") < 4), dim = dim, skewFactor = 1.0))
+  }
 }
