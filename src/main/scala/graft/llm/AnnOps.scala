@@ -469,32 +469,53 @@ object AnnOps {
     * signature input is the legitimate price of a right-sized index.
     */
   def lshThresholdPairs(df: DataFrame, dim: Int, numBands: Int = 16,
-      bitsPerBand: Int = 8, threshold: Double = 0.4): DataFrame = {
+      bitsPerBand: Int = 0, threshold: Double = 0.4): DataFrame = {
     graft.functions.ArrayDotProduct.register(df.sparkSession)
     val base = df.select(col("vec_id").as("id"), col("embedding").as("emb"))
-    // Signature kernel as per-partition imperative code: numBands×bitsPerBand
+    // bitsPerBand = 0 → OCCUPANCY-SIZED signatures (the r7 scale-rehearsal
+    // fix: fixed 8-bit bands measured 37× cost at 10× data — mean bucket
+    // occupancy grows linearly with n, candidate pairs quadratically).
+    // Bits grow with log2(n/8) so expected occupancy stays ~8; every extra
+    // bit multiplies a true pair's per-band match probability by
+    // p = 1 − acos(t)/π (random-hyperplane collision probability at the
+    // threshold angle), so bands scale by 1/p per extra bit to hold
+    // recall, capped at 64 — past that, IVF (q57/q76) is the better scale
+    // path. At the gate scale factors (n ≤ 2000) auto resolves to exactly
+    // (16, 8), the values the static DuckDB oracles replicate.
+    val (bands, bitsB) =
+      if (bitsPerBand > 0) (numBands, bitsPerBand)
+      else {
+        val n = math.max(1L, base.count())
+        val bits = math.max(8, math.ceil(
+          math.log(n / 8.0) / math.log(2.0)).toInt)
+        val p = 1.0 - math.acos(threshold) / math.Pi
+        val b = math.min(64, math.ceil(
+          numBands * math.pow(1.0 / p, (bits - 8).toDouble)).toInt)
+        (b, bits)
+      }
+    // Signature kernel as per-partition imperative code: bands×bitsB
     // dot products per row in a tight loop. A Column spelling of the same
     // math is a ~25k-node expression tree that costs more in optimizer and
     // codegen time than the arithmetic itself — this is the one place the
     // RDD escape hatch genuinely wins (SURVEY §0 "RDDs only for genuine
     // per-partition imperative logic").
-    val nPlanes = numBands * bitsPerBand
+    val nPlanes = bands * bitsB
     val planes: Array[Array[Double]] =
       (0 until nPlanes).map(i => hyperplane(i, dim).toArray).toArray
     val sigSchema = StructType(StructField("id", LongType) +:
-      (0 until numBands).map(j => StructField(s"b$j", StringType)))
+      (0 until bands).map(j => StructField(s"b$j", StringType)))
     val sigRdd = base.rdd.mapPartitions { rows =>
       rows.map { r =>
         val id = r.getLong(0)
         val emb = r.getSeq[Float](1)
-        val keys = new Array[Any](numBands + 1)
+        val keys = new Array[Any](bands + 1)
         keys(0) = id
         var j = 0
-        while (j < numBands) {
-          val sb = new StringBuilder(bitsPerBand)
+        while (j < bands) {
+          val sb = new StringBuilder(bitsB)
           var b = 0
-          while (b < bitsPerBand) {
-            val w = planes(j * bitsPerBand + b)
+          while (b < bitsB) {
+            val w = planes(j * bitsB + b)
             var d = 0.0
             var k = 0
             while (k < dim) { d += emb(k).toDouble * w(k); k += 1 }
@@ -511,7 +532,7 @@ object AnnOps {
     // persisted signature index you'd write to parquet at lake scale)
     val banded = df.sparkSession.createDataFrame(sigRdd, sigSchema).localCheckpoint()
     val bandLong = banded.select(col("id"),
-      posexplode(array((0 until numBands).map(j => col(s"b$j")): _*))
+      posexplode(array((0 until bands).map(j => col(s"b$j")): _*))
         .as(Seq("band", "key")))
     val l = bandLong.select(col("id").as("ida"), col("band"), col("key"))
     val r = bandLong.select(col("id").as("idb"), col("band").as("band2"), col("key").as("key2"))
