@@ -24,12 +24,21 @@ object T {
   def part(s: SparkSession, dir: String): DataFrame     = t(s, dir, "part")
   def nation(s: SparkSession, dir: String): DataFrame   = t(s, dir, "nation")
   def region(s: SparkSession, dir: String): DataFrame   = t(s, dir, "region")
-  /** events.parquet stores ts as TIMESTAMP(NANOS), which Spark cannot read
-    * natively. The session sets spark.sql.legacy.parquet.nanosAsLong, so the
-    * raw column arrives as Long nanos; convert (integer division — doubles
-    * can't hold epoch-nanos exactly) to a micros TimestampType here. */
-  def events(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "events").withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  /** events.parquet's ts arrives in whichever physical form the generator
+    * used: TIMESTAMP(NANOS) surfaces as Long nanos (the session sets
+    * spark.sql.legacy.parquet.nanosAsLong), TIMESTAMP(MICROS,
+    * isAdjustedToUTC=false) surfaces as TIMESTAMP_NTZ. Normalize both to a
+    * micros TimestampType so every catalog query sees one type. The NTZ→TZ
+    * cast is a numeric identity under the UTC session timezone; the nanos
+    * path uses integer division (doubles can't hold epoch-nanos exactly). */
+  def events(s: SparkSession, dir: String): DataFrame = {
+    val df = t(s, dir, "events")
+    df.schema("ts").dataType match {
+      case LongType          => df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case _: TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _                 => df
+    }
+  }
   def documents(s: SparkSession, dir: String): DataFrame  = t(s, dir, "documents")
   def embeddings(s: SparkSession, dir: String): DataFrame = t(s, dir, "embeddings")
 

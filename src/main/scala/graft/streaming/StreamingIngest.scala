@@ -12,18 +12,19 @@ import org.apache.spark.sql.types._
   */
 object StreamingIngest {
 
-  /** Raw events schema as stored (ts is TIMESTAMP(NANOS) surfaced as Long
-    * nanos under spark.sql.legacy.parquet.nanosAsLong). */
+  /** Raw events schema as stored (ts is TIMESTAMP(MICROS,
+    * isAdjustedToUTC=false), which Spark surfaces as TIMESTAMP_NTZ). */
   val rawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("event_id", LongType), StructField("ts", TimestampNTZType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
-  /** Streaming read of an events directory → typed TS frame (id, ts, value). */
+  /** Streaming read of an events directory → typed TS frame (id, ts, value).
+    * The NTZ→TZ cast is a numeric identity under the UTC session timezone. */
   def readEvents(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(rawSchema).parquet(dir)
       .select(col("event_type").as("id"),
-        timestamp_micros(expr("ts DIV 1000")).as("ts"),
+        col("ts").cast(TimestampType).as("ts"),
         col("value"))
 
   /** Tumbling-window per-series aggregates with late-data handling: the

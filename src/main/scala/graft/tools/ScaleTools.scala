@@ -68,14 +68,15 @@ object MakeScaledData {
       .withColumn("l_suppkey", col("l_suppkey") + lit(r * sS))), "lineitem")
 
     // events: same series ids (each series gets factor× denser, the real
-    // shape of a longer-running fleet); ts nudged +r ns so no two replicas
+    // shape of a longer-running fleet); ts nudged +r µs so no two replicas
     // collide on an exact (series, ts) pair
     val ev = read("events")
     val eS = stride(ev, "event_id"); val uS = stride(ev, "user_id")
     write(rep(ev)((d, r) => d
       .withColumn("event_id", col("event_id") + lit(r * eS))
       .withColumn("user_id", col("user_id") + lit(r * uS))
-      .withColumn("ts", col("ts") + lit(r.toLong))), "events")
+      .withColumn("ts", expr(s"timestampadd(MICROSECOND, $r, ts)"))),
+      "events")
 
     // documents: every replica's tokens get a replica prefix, so replicas
     // share no shingles with the original — the corpus is factor× larger

@@ -13,10 +13,8 @@ import org.apache.spark.sql.types._
 class StreamingAsOfSpec extends SparkTestBase {
 
   private def events(): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .select(col("event_type").as("id"),
-        timestamp_micros(expr("ts DIV 1000")).as("ts"),
-        col("value"))
+    graft.T.events(spark, "/root/testdata/sf0.001")
+      .select(col("event_type").as("id"), col("ts"), col("value"))
 
   private def stage(df: DataFrame): (String, StructType) = {
     val src = java.nio.file.Files.createTempDirectory("graft-asof").toString
