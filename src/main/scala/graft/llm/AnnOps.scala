@@ -48,11 +48,35 @@ object AnnOps {
       .select(col("qid"), col("rk").cast(LongType), col("nid"))
   }
 
-  /** Deterministic pseudo-random hyperplane component: sin(i*dim + k + 1).
-    * Chosen because any engine can regenerate it (for oracle checks); in
-    * production swap for seeded gaussians — the plumbing is identical. */
-  def hyperplane(i: Int, dim: Int): Seq[Double] =
-    (0 until dim).map(k => math.sin(i.toDouble * dim + k + 1))
+  /** Deterministic pseudo-random hyperplane: component k of plane i is
+    * `md5int32(i*dim + k + 1) / 2^31 − 1` — the first 8 md5 hex digits of
+    * the flat index's decimal string, as an unsigned 32-bit int, mapped to
+    * [−1, 1).
+    *
+    * WHY md5 and not a closed-form formula: the original spelling
+    * `sin(i*dim + k + 1)` is rank-2 degenerate — `sin(a + φ) =
+    * sin(a)cosφ + cos(a)sinφ`, so every "plane" is a phase-shifted copy of
+    * ONE sampled sinusoid and all of them span a 2-D subspace. The LSH was
+    * projecting 64-dim data onto a circle: measured on a 20k-vector corpus,
+    * 28-bit band keys still left buckets of 719 vectors (the key can only
+    * cut the circle into arcs) and candidate generation blew up to 666M
+    * pairs. Any `f(linear in (i,k))` with f periodic has this flaw; a
+    * cryptographic hash of the flat index gives i.i.d.-like components and
+    * full-rank planes. Integer arithmetic end to end (the quotient is exact
+    * in ieee754), so any engine regenerates the planes bit-identically —
+    * no cross-libm `sin` edge cases. */
+  def hyperplane(i: Int, dim: Int): Seq[Double] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until dim).map { k =>
+      val m = i.toLong * dim + k + 1
+      md.reset()
+      val d = md.digest(m.toString.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      var h = 0L
+      var b = 0
+      while (b < 4) { h = (h << 8) | (d(b) & 0xffL); b += 1 }
+      h.toDouble / 2147483648.0 - 1.0
+    }
+  }
 
   /** Band width sized to the corpus so bucket occupancy stays bounded.
     *

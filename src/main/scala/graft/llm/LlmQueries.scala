@@ -48,12 +48,18 @@ object LlmQueries {
        |ORDER BY doc_id NULLS FIRST""".stripMargin
   }
 
-  // Oracle spelling of AnnOps.lshThresholdPairs band keys
+  // Oracle spelling of AnnOps.lshThresholdPairs band keys. Plane component
+  // for flat index m = first 8 md5 hex digits of m's decimal string as a
+  // uint32, mapped to [-1, 1) — AnnOps.hyperplane's exact arithmetic
+  // (integer-exact in both engines; see its scaladoc for why not sin(m)).
   private def lshBandKeySql(emb: String, j: Int, bitsPerBand: Int, dim: Int): String =
     (0 until bitsPerBand).map { r =>
       val i = j * bitsPerBand + r
       val lo = i * dim + 1
-      s"(CASE WHEN list_dot_product(CAST($emb AS DOUBLE[]), [sin(CAST(m AS DOUBLE)) for m in range($lo, ${lo + dim})]) >= 0 THEN '1' ELSE '0' END)"
+      val comp = "(list_sum([(strpos('0123456789abcdef', " +
+        "substr(md5(CAST(m AS VARCHAR)), d, 1)) - 1) * power(16.0, 8 - d) " +
+        "for d in range(1, 9)]) / 2147483648.0 - 1)"
+      s"(CASE WHEN list_dot_product(CAST($emb AS DOUBLE[]), [$comp for m in range($lo, ${lo + dim})]) >= 0 THEN '1' ELSE '0' END)"
     }.mkString(" || ")
 
   private def annLshOracle(numBands: Int, bitsPerBand: Int, dim: Int,
@@ -263,11 +269,16 @@ object LlmQueries {
 
     // ---- random-hyperplane LSH cosine threshold self-join (the scale
     // path): (band, key) bucket join + exact verification; the oracle
-    // regenerates the same hyperplanes from sin(i), so both engines run the
+    // regenerates the same md5-derived hyperplanes, so both engines run the
     // identical algorithm independently.
+    // bitsPerBand = 0 → occupancy-sized signatures (r7 scale-rehearsal fix:
+    // pinned (16, 8) measured 35× cost at 10× data — candidate pairs grow
+    // quadratically with bucket occupancy). At every gate SF (n ≤ 2000) the
+    // auto sizing resolves to exactly (16, 8), the values this static
+    // oracle replicates; above that the signature widens with log2(n).
     q("q50_ann_lsh_threshold", annLshOracle(16, 8, 64, 0.4)) { (s, dir) =>
       AnnOps.lshThresholdPairs(T.embeddings(s, dir), dim = 64,
-          numBands = 16, bitsPerBand = 8, threshold = 0.4)
+          numBands = 16, bitsPerBand = 0, threshold = 0.4)
         .orderBy("ida", "idb")
     },
 
@@ -509,8 +520,10 @@ object LlmQueries {
     // with a recursive CTE.
     q("q86_embedding_dedup_clusters",
       annClusterOracle(16, 8, 64, 0.4)) { (s, dir) =>
+      // bitsPerBand = 0 → occupancy-sized (see q50); identical to the
+      // oracle's (16, 8) at every gate SF, log2(n)-wide above that.
       val pairs = AnnOps.lshThresholdPairs(T.embeddings(s, dir), dim = 64,
-        numBands = 16, bitsPerBand = 8, threshold = 0.4)
+        numBands = 16, bitsPerBand = 0, threshold = 0.4)
       TextOps.connectedComponents(pairs.select(col("ida"), col("idb")))
         .select(col("id").as("vec_id"), col("cluster"))
         .orderBy("vec_id")
