@@ -102,6 +102,41 @@ object Algebra {
     * (splitter.rs:33-69); ASK and CONSTRUCT are beyond-parity surface. */
   sealed trait SparqlQuery
 
+  // -------------------------------------------------- SPARQL 1.1 Update
+
+  /** One template/data block of an update: triples plus an optional graph
+    * designator (None = default graph; a variable only in WHERE-driven
+    * templates). */
+  final case class QuadBlock(graph: Option[VarOrTerm], triples: Seq[TriplePattern])
+
+  /** One update operation (SPARQL 1.1 Update §3). The reference engine is
+    * read-only (no update entry point anywhere in hybrid/src); this is
+    * beyond-parity surface, executed functionally — an update maps an
+    * immutable [[graft.graph.TriplesGraph]] to a new one. */
+  sealed trait UpdateOp
+  /** INSERT DATA { quads }: ground triples, no variables (§3.1.1). */
+  final case class InsertDataOp(quads: Seq[QuadBlock]) extends UpdateOp
+  /** DELETE DATA { quads }: ground triples, no variables/bnodes (§3.1.2). */
+  final case class DeleteDataOp(quads: Seq[QuadBlock]) extends UpdateOp
+  /** DELETE {} INSERT {} WHERE {} (§3.1.3), covering the DELETE WHERE
+    * shorthand (delete = where's triples) and WITH (default graph for the
+    * templates and the WHERE pattern). */
+  final case class ModifyOp(delete: Seq[QuadBlock], insert: Seq[QuadBlock],
+      where: Pattern, withIri: Option[String] = None) extends UpdateOp
+  sealed trait ClearTarget
+  case object ClearDefault extends ClearTarget
+  case object ClearNamed extends ClearTarget
+  case object ClearAll extends ClearTarget
+  final case class ClearGraph(iri: String) extends ClearTarget
+  /** CLEAR [SILENT] DEFAULT|NAMED|ALL|GRAPH <iri> (§3.2.2; DROP behaves
+    * identically in a store without empty-graph bookkeeping, so the parser
+    * accepts both words). */
+  final case class ClearOp(target: ClearTarget, silent: Boolean) extends UpdateOp
+
+  /** A ';'-separated update request: ops apply in sequence, each over the
+    * graph produced by the previous one (§3). */
+  final case class UpdateRequest(ops: Seq[UpdateOp])
+
   /** ASK { pattern }: does the pattern have at least one solution? */
   final case class AskQuery(where: Pattern) extends SparqlQuery
 

@@ -55,6 +55,11 @@ final class SparqlExecutor(
   def execute(sparql: String): DataFrame =
     execute(graft.parser.SparqlParser.parse(sparql))
 
+  /** Solution frame of a bare pattern (no projection) — the WHERE engine
+    * behind the UPDATE forms ([[SparqlUpdate]]). */
+  private[graft] def solutions(p: Pattern): DataFrame =
+    translatePattern(p, unitSol).df
+
   /** ASK: does the pattern have any solution? (Beyond-parity — the
     * reference is SELECT-only.) One `limit(1)`-style existence job. */
   def executeAsk(q: AskQuery): Boolean =
@@ -82,26 +87,44 @@ final class SparqlExecutor(
     * collapsed. */
   def executeConstruct(q: ConstructQuery): DataFrame = {
     val sol = translatePattern(q.where, unitSol)
+    instantiateQuads(sol.df, Seq(QuadBlock(None, q.template)), allowBnodes = true)
+      .select(col("s"), col("p"), col("o"))
+      .distinct()
+  }
+
+  /** Instantiate template quad blocks once per solution row — the shared
+    * kernel behind CONSTRUCT and the UPDATE template forms. Returns the
+    * canonical string quad frame (s, p, o, g, ol): g null = default graph,
+    * ol = language tag carried by a constant lang literal (bound variables
+    * contribute their canonical lexical only). Triples with an unbound
+    * variable drop (§16.2), as do GRAPH-?var blocks on solutions where the
+    * var is unbound. Blank-node minting (fresh per solution, shared per
+    * label — §16.2.1) is only legal where `allowBnodes` (CONSTRUCT and
+    * INSERT templates; DELETE templates reject it, Update §3.1.3). */
+  private[graft] def instantiateQuads(solDf: DataFrame, blocks: Seq[QuadBlock],
+      allowBnodes: Boolean): DataFrame = {
     def isTemplateBlankVar(v: String): Boolean =
       v.startsWith("__bnode_") || v.startsWith("__anon")
-    val needsMinting = q.template.exists { t =>
-      Seq(t.s, t.o).exists {
-        case T(Blank(_)) => true
-        case V(v) => isTemplateBlankVar(v)
-        case _ => false
-      }
+    def isBlank(vt: VarOrTerm): Boolean = vt match {
+      case T(Blank(_)) => true
+      case V(v) => isTemplateBlankVar(v)
+      case _ => false
     }
+    val allTriples = blocks.flatMap(_.triples)
+    val needsMinting = allTriples.exists(t => isBlank(t.s) || isBlank(t.o))
+    if (needsMinting && !allowBnodes) throw new IllegalArgumentException(
+      "blank nodes are not allowed in DELETE templates (SPARQL 1.1 Update §3.1.3)")
     val rowId = freshName("rowid")
     val df0 =
-      if (!needsMinting) sol.df
+      if (!needsMinting) solDf
       else {
         // content-hash row id + per-duplicate counter: deterministic across
         // executions/retries, unique per solution row (see BNODE())
-        val rowCols = sol.df.columns.toSeq.map(col(_).cast(StringType))
+        val rowCols = solDf.columns.toSeq.map(col(_).cast(StringType))
         val h = xxhash64((lit(0) +: rowCols): _*)
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(h).orderBy(lit(1))
-        sol.df.withColumn(rowId,
+        solDf.withColumn(rowId,
           concat(hex(h), lit("r"), row_number().over(w).cast(StringType)))
       }
     def mint(label: String): Column =
@@ -114,23 +137,41 @@ final class SparqlExecutor(
       case T(Blank(id)) => mint("t" + id)
       case T(t) => lit(t.canonical)
     }
-    val parts = q.template.map { case TriplePattern(s, p, o) =>
-      val pCol = p match {
-        case PLink(iri) => lit(iri)
-        case PVar(v) =>
-          if (df0.columns.contains(v)) col(v).cast(StringType)
-          else lit(null).cast(StringType)
-        case other => throw new IllegalArgumentException(
-          s"CONSTRUCT template predicate must be an IRI or variable, got $other")
+    def langCol(vt: VarOrTerm): Column = vt match {
+      case T(Lit(_, _, Some(lang))) => lit(lang)
+      case _ => lit(null).cast(StringType)
+    }
+    val parts = blocks.flatMap { block =>
+      val (gCol, gFilter): (Column, Option[Column]) = block.graph match {
+        case None => (lit(null).cast(StringType), None)
+        case Some(T(Iri(g))) => (lit(g), None)
+        case Some(T(other)) => throw new IllegalArgumentException(
+          s"GRAPH designator must be an IRI or variable, got $other")
+        case Some(V(v)) =>
+          if (df0.columns.contains(v)) (col(v).cast(StringType),
+            Some(col(v).isNotNull)) // unbound graph var: quad drops
+          else (lit(null).cast(StringType), Some(lit(false)))
       }
-      df0.select(termCol(s).as("s"), pCol.as("p"), termCol(o).as("o"))
+      block.triples.map { case TriplePattern(s, p, o) =>
+        val pCol = p match {
+          case PLink(iri) => lit(iri)
+          case PVar(v) =>
+            if (df0.columns.contains(v)) col(v).cast(StringType)
+            else lit(null).cast(StringType)
+          case other => throw new IllegalArgumentException(
+            s"template predicate must be an IRI or variable, got $other")
+        }
+        val base = df0.select(termCol(s).as("s"), pCol.as("p"),
+          termCol(o).as("o"), gCol.as("g"), langCol(o).as("ol"))
+        gFilter.fold(base)(f => df0.filter(f).select(termCol(s).as("s"),
+          pCol.as("p"), termCol(o).as("o"), gCol.as("g"), langCol(o).as("ol")))
+      }
     }
     parts.reduceOption(_.unionByName(_))
       .getOrElse(spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
-        StructType(Seq(StructField("s", StringType), StructField("p", StringType),
-          StructField("o", StringType)))))
+        StructType(Seq("s", "p", "o", "g", "ol")
+          .map(StructField(_, StringType)))))
       .filter(col("s").isNotNull && col("p").isNotNull && col("o").isNotNull)
-      .distinct()
   }
 
   def executeConstruct(sparql: String): DataFrame =

@@ -1,0 +1,107 @@
+package graft.exec
+
+import graft.algebra.Algebra._
+import graft.graph.TriplesGraph
+import graft.rdf.{Blank, Iri, Lit, Term}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+/** SPARQL 1.1 Update over immutable graphs — each operation maps a
+  * [[TriplesGraph]] to a NEW one (this is the idiomatic Spark spelling of
+  * mutation: DataFrames are immutable, so an update is a functional delta,
+  * exactly like a Delta-Lake/Iceberg commit producing a new snapshot). The
+  * reference engine is read-only (no update entry point in hybrid/src;
+  * spargebra's Update types are never constructed) — beyond-parity surface.
+  *
+  * Covered: INSERT DATA / DELETE DATA (ground quads, GRAPH blocks), DELETE
+  * WHERE, [WITH g] DELETE/INSERT…WHERE (templates may use GRAPH <iri> and
+  * GRAPH ?var; INSERT templates may mint blank nodes), CLEAR/DROP
+  * DEFAULT|NAMED|ALL|GRAPH. Semantics: the WHERE pattern is evaluated ONCE
+  * against the pre-update graph, deletes apply before inserts (§3.1.3), and
+  * ';'-separated operations see each predecessor's result.
+  *
+  * Scale: template instantiation and the per-slice anti-join/union deltas
+  * are fully distributed ([[TriplesGraph.applyDelta]]); driver work is
+  * bounded by the query text (ground DATA rows) plus one vocabulary-sized
+  * touched-predicate collect. */
+object SparqlUpdate {
+
+  def execute(graph: TriplesGraph, sparql: String): TriplesGraph =
+    execute(graph, graft.parser.SparqlParser.parseUpdate(sparql))
+
+  def execute(graph: TriplesGraph, req: UpdateRequest): TriplesGraph =
+    req.ops.foldLeft(graph)(applyOp)
+
+  def applyOp(graph: TriplesGraph, op: UpdateOp): TriplesGraph = op match {
+    case InsertDataOp(quads) =>
+      graph.applyDelta(emptyDelta(graph.spark), groundFrame(graph.spark, quads))
+    case DeleteDataOp(quads) =>
+      graph.applyDelta(groundFrame(graph.spark, quads), emptyDelta(graph.spark))
+    case ModifyOp(del, ins, where, withIri) =>
+      val ex = new SparqlExecutor(graph)
+      // one WHERE evaluation feeds both templates (§3.1.3); checkpoint only
+      // when both sides actually consume it
+      val sol0 = ex.solutions(where)
+      val sol = if (del.nonEmpty && ins.nonEmpty) sol0.localCheckpoint() else sol0
+      def resolved(blocks: Seq[QuadBlock]): Seq[QuadBlock] = blocks.map { b =>
+        if (b.graph.isDefined) b
+        else b.copy(graph = withIri.map(g => T(Iri(g)): VarOrTerm))
+      }
+      val delF =
+        if (del.isEmpty) emptyDelta(graph.spark)
+        else ex.instantiateQuads(sol, resolved(del), allowBnodes = false)
+      val insF =
+        if (ins.isEmpty) emptyDelta(graph.spark)
+        else ex.instantiateQuads(sol, resolved(ins), allowBnodes = true)
+      graph.applyDelta(delF, insF)
+    case ClearOp(target, _) => target match {
+      // graph existence isn't tracked separately from contents, so CLEAR
+      // and CLEAR SILENT coincide (documented; DROP is accepted as CLEAR)
+      case ClearDefault => graph.clearDefault()
+      case ClearNamed => graph.clearNamed()
+      case ClearAll => graph.clearAll()
+      case ClearGraph(iri) => graph.clearGraph(iri)
+    }
+  }
+
+  private val deltaSchema = StructType(
+    Seq("s", "p", "o", "g", "ol").map(StructField(_, StringType)))
+
+  private def emptyDelta(spark: SparkSession): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], deltaSchema)
+
+  /** Ground DATA quads → canonical quad frame. Driver-side by construction:
+    * the rows are literal query text, bounded by the update string. */
+  private def groundFrame(spark: SparkSession, quads: Seq[QuadBlock]): DataFrame = {
+    val rows = quads.flatMap { b =>
+      val g: String = b.graph match {
+        case Some(T(Iri(v))) => v
+        case None => null
+        case other => throw new IllegalArgumentException(
+          s"DATA operations need a constant graph, got $other")
+      }
+      b.triples.map { t =>
+        val s = constTerm(t.s, "subject").canonical
+        val p = t.p match {
+          case PLink(iri) => iri
+          case other => throw new IllegalArgumentException(
+            s"DATA operations need constant predicates, got $other")
+        }
+        val o = constTerm(t.o, "object")
+        val ol: String = o match {
+          case Lit(_, _, Some(lang)) => lang
+          case _ => null
+        }
+        Row(s, p, o.canonical, g, ol)
+      }
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), deltaSchema)
+  }
+
+  private def constTerm(vt: VarOrTerm, what: String): Term = vt match {
+    case T(t @ (Iri(_) | Lit(_, _, _))) => t
+    case T(b: Blank) => b // legal in INSERT DATA (a fixed skolem label here)
+    case V(v) => throw new IllegalArgumentException(
+      s"DATA operations must be ground; $what has variable ?$v")
+  }
+}

@@ -269,6 +269,147 @@ final class TriplesGraph(
     objIris.foldLeft(subj)(_.unionByName(_)).distinct()
   }
 
+  /** Apply a triple delta FUNCTIONALLY: returns a new graph with `deletes`
+    * removed and `inserts` added (RDF set semantics on both sides); this
+    * graph is untouched. Both frames are canonical long-form quads —
+    * columns `s, p, o, g, ol` (all strings; g null = default graph, ol =
+    * language tag of a lang literal, else null) — the shape
+    * [[graft.exec.SparqlExecutor]]'s template instantiation emits.
+    *
+    * Scale shape: updates are SURGICAL per vertical partition. The touched
+    * predicate set is a vocabulary-sized `collect` (the same bound as the
+    * probed-cid set in the IVF reader); an untouched predicate keeps its
+    * slice object — same DataFrame, zero recompute, and on a persisted
+    * store the same `p=…` partition directories. A touched slice gets one
+    * left-anti join (deletes, matched on TYPED object values so `"5"` vs
+    * `"5.0"` lexical drift can't miss) and/or one anti-join + union
+    * (inserts, cast to the slice's object kind, deduplicated against the
+    * existing rows). Both delta frames are localCheckpointed once —
+    * delete/insert sets are output-sized, and each is re-read by every
+    * touched slice. Derived caches (byClass branches, property-table
+    * fusion) drop on touched slices; declared subjectClasses survive
+    * deletes (removing rows cannot break the completeness contract) but
+    * drop on inserted-into slices. The `store` pointer is cleared — the
+    * updated graph is an in-memory overlay; re-[[save]] to re-bucket.
+    *
+    * v1 scope, documented: inserts of a brand-new predicate build a
+    * string-kind slice (no type inference from lexicals); an insert whose
+    * lexical does not cast to the target slice's kind is REJECTED (the
+    * per-predicate metadata aggregate doubles as the validation pass). */
+  def applyDelta(deletes: DataFrame, inserts: DataFrame): TriplesGraph = {
+    import TriplesGraph.quadCols
+    val del = quadCols(deletes).localCheckpoint()
+    val ins = quadCols(inserts).localCheckpoint()
+    // one vocabulary-sized metadata pass over each side: touched predicates,
+    // plus per-predicate "carries named graphs / lang tags" for promotion
+    val delPs: Set[String] =
+      del.select("p").na.drop().distinct().collect().map(_.getString(0)).toSet
+    case class InsMeta(hasG: Boolean, hasLang: Boolean, n: Long)
+    val insMeta: Map[String, InsMeta] =
+      ins.na.drop(Seq("p")).groupBy("p")
+        .agg(max(col("g").isNotNull).as("hg"), max(col("ol").isNotNull).as("hl"),
+          count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) ->
+          InsMeta(r.getBoolean(1), r.getBoolean(2), r.getLong(3))).toMap
+
+    def withG(df: DataFrame, has: Boolean): (DataFrame, Boolean) =
+      if (has) (df, true)
+      else (df.withColumn("g", lit(null).cast(StringType)), true)
+
+    val updated = slices.map { case (p, sl) =>
+      val needDel = delPs.contains(p)
+      val needIns = insMeta.contains(p)
+      if (!needDel && !needIns) p -> sl
+      else {
+        val oType = OKind.sparkType(sl.kind)
+        var df = sl.df
+        var hasG = sl.hasGraph
+        var hasLang = sl.hasLang
+        if (needIns && insMeta(p).hasG && !hasG) {
+          val r = withG(df, has = false); df = r._1; hasG = true
+        }
+        if (needIns && insMeta(p).hasLang && !hasLang) {
+          df = df.withColumn("o_lang", lit(null).cast(StringType)); hasLang = true
+        }
+        if (needDel) {
+          // try_cast: an uncastable delete lexical simply matches nothing
+          // (and ANSI mode would otherwise fail the whole job on it)
+          val d0 = del.filter(col("p") === lit(p))
+            .select(col("s").as("__ds"), col("o").try_cast(oType).as("__do"),
+              col("g").as("__dg"), col("ol").as("__dl"))
+          // a named-graph delete can't touch an untagged slice
+          val d = if (hasG) d0 else d0.filter(col("__dg").isNull)
+          val cond = (col("s") === col("__ds")) && (col("o") === col("__do")) &&
+            (if (hasG) col("g") <=> col("__dg") else lit(true)) &&
+            (if (hasLang) col("o_lang") <=> col("__dl") else lit(true))
+          df = df.join(d, cond, "left_anti")
+        }
+        if (needIns) {
+          val rows0 = ins.filter(col("p") === lit(p))
+          val bad = rows0.filter(col("o").isNotNull &&
+            col("o").try_cast(oType).isNull).limit(1).collect()
+          if (bad.nonEmpty) throw new IllegalArgumentException(
+            s"INSERT into <$p> (object kind ${sl.kind}): lexical " +
+              s"'${bad.head.getAs[String]("o")}' does not cast")
+          val cols = Seq(col("s"), col("o").try_cast(oType).as("o")) ++
+            (if (hasLang) Seq(col("ol").as("o_lang")) else Nil) ++
+            (if (hasG) Seq(col("g")) else Nil)
+          val rows = rows0.select(cols: _*).distinct()
+          df = rows.join(df,
+            rows.columns.map(c => df(c) <=> rows(c)).reduce(_ && _),
+            "left_anti").select(df.columns.map(c => rows(c)): _*)
+            .unionByName(df)
+        }
+        p -> PredicateSlice(df, sl.kind, hasLang = hasLang,
+          fused = Nil, byClass = Map.empty,
+          subjectClasses = if (needIns) Set.empty else sl.subjectClasses,
+          hasGraph = hasG)
+      }
+    }
+    val fresh = (insMeta.keySet -- slices.keySet).map { p =>
+      val m = insMeta(p)
+      val cols = Seq(col("s"), col("o")) ++
+        (if (m.hasLang) Seq(col("ol").as("o_lang")) else Nil) ++
+        (if (m.hasG) Seq(col("g")) else Nil)
+      p -> PredicateSlice(
+        ins.filter(col("p") === lit(p)).select(cols: _*).distinct(),
+        OKind.KStr, hasLang = m.hasLang, hasGraph = m.hasG)
+    }.toMap
+    new TriplesGraph(spark, updated ++ fresh, ts, store = None)
+  }
+
+  /** CLEAR semantics (SPARQL 1.1 Update §3.2.2), functional like
+    * [[applyDelta]]: default = drop untagged triples, named = drop all
+    * tagged ones, graph(iri) = drop that graph, all = empty dataset.
+    * Untouched slices keep their objects; DROP is the same operation in a
+    * store without empty-graph bookkeeping. */
+  def clearDefault(): TriplesGraph = {
+    val kept = slices.flatMap { case (p, sl) =>
+      if (!sl.hasGraph) None // whole slice lives in the default graph
+      else Some(p -> sl.copy(df = sl.df.filter(col("g").isNotNull),
+        fused = Nil, byClass = Map.empty))
+    }
+    new TriplesGraph(spark, kept, ts, store = None)
+  }
+  def clearNamed(): TriplesGraph = {
+    val kept = slices.map { case (p, sl) =>
+      if (!sl.hasGraph) p -> sl
+      else p -> sl.copy(df = sl.df.filter(col("g").isNull),
+        fused = Nil, byClass = Map.empty)
+    }
+    new TriplesGraph(spark, kept, ts, store = None)
+  }
+  def clearGraph(iri: String): TriplesGraph = {
+    val kept = slices.map { case (p, sl) =>
+      if (!sl.hasGraph) p -> sl
+      else p -> sl.copy(df = sl.df.filter(!(col("g") <=> lit(iri))),
+        fused = Nil, byClass = Map.empty)
+    }
+    new TriplesGraph(spark, kept, ts, store = None)
+  }
+  def clearAll(): TriplesGraph =
+    new TriplesGraph(spark, Map.empty, ts, store = None)
+
   /** Persist the graph as ONE parquet dataset partitioned by
     * (predicate, object-kind, subject-class, subject-bucket) — the 100 TB
     * storage layout: a constant-predicate scan is partition pruning, a
@@ -347,6 +488,16 @@ final class TriplesGraph(
 }
 
 object TriplesGraph {
+
+  /** Normalize a delta frame to the canonical quad shape (s, p, o, g, ol) —
+    * missing graph/lang columns become nulls, o is stringified. */
+  private[graft] def quadCols(df: DataFrame): DataFrame = {
+    val have = df.columns.toSet
+    var out = df
+    if (!have.contains("g")) out = out.withColumn("g", lit(null).cast(StringType))
+    if (!have.contains("ol")) out = out.withColumn("ol", lit(null).cast(StringType))
+    out.select(col("s"), col("p"), col("o").cast(StringType), col("g"), col("ol"))
+  }
 
   /** Subject-bucket count for the persisted layout. 16 keeps the test-scale
     * directory fan-out sane; a 100 TB deployment would raise it (buckets ×

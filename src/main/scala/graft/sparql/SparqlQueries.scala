@@ -547,5 +547,35 @@ object SparqlQueries {
              |    FILTER(?seg = "BUILDING")
              |  }
              |} ORDER BY ?nname ?cname ?seg""".stripMargin)),
+
+    // ---- SPARQL 1.1 Update (beyond both engines — the reference is
+    // read-only): DELETE/INSERT WHERE uppercases every Nation's name in
+    // place, then a SELECT over the UPDATED graph returns all names. The
+    // update is surgical: only the g:name slice is rewritten (one anti-join
+    // + union); every other slice keeps its DataFrame. The oracle rebuilds
+    // the same post-update state relationally: nation names uppercased,
+    // region/supplier names untouched. Not an sq entry: sq replays run
+    // against the persisted pre-update store.
+    Q("q106_sparql_update", Some(
+      s"""SELECT s, o FROM (
+         |  SELECT ${TpchGraph.sqlIri("nation", "n_nationkey")} AS s,
+         |         UPPER(n_name) AS o FROM nation
+         |  UNION ALL
+         |  SELECT ${TpchGraph.sqlIri("region", "r_regionkey")} AS s,
+         |         r_name AS o FROM region
+         |  UNION ALL
+         |  SELECT ${TpchGraph.sqlIri("supplier", "s_suppkey")} AS s,
+         |         s_name AS o FROM supplier)
+         |ORDER BY s NULLS FIRST, o NULLS FIRST""".stripMargin))(
+      (s, dir) => {
+        val updated = graft.exec.SparqlUpdate.execute(TpchGraph.graph(s, dir),
+          prologue +
+            """DELETE { ?s g:name ?n }
+              |INSERT { ?s g:name ?u }
+              |WHERE { ?s rdf:type g:Nation . ?s g:name ?n .
+              |        BIND(UCASE(?n) AS ?u) }""".stripMargin)
+        new SparqlExecutor(updated).execute(prologue +
+          "SELECT ?s ?o WHERE { ?s g:name ?o } ORDER BY ?s ?o")
+      }),
   )
 }

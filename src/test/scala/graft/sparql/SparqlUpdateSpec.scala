@@ -1,0 +1,187 @@
+package graft.sparql
+
+import graft.SparkTestBase
+import graft.exec.{SparqlExecutor, SparqlUpdate}
+import graft.graph.TriplesGraph
+import graft.rdf.{Iri, Lit, Term, Xsd}
+
+/** SPARQL 1.1 Update — beyond both engines (the reference is read-only).
+  * Updates are functional: each op maps the graph to a new one; the
+  * original graph object must stay intact (immutability is the Spark
+  * contract, not an implementation detail). */
+class SparqlUpdateSpec extends SparkTestBase {
+
+  private val ex = "http://example.net/ns#"
+  private val g1 = s"${ex}graph1"
+
+  private def t(s: String, p: String, o: Term) = (Iri(ex + s): Term, ex + p, o)
+
+  private def base: TriplesGraph = TriplesGraph.fromTerms(spark, Seq(
+    t("a", "name", Lit("Alice", Xsd.string)),
+    t("b", "name", Lit("Bob", Xsd.string)),
+    t("a", "age", Lit("30", Xsd.integer)),
+    t("b", "age", Lit("40", Xsd.integer)),
+    t("a", "knows", Iri(s"${ex}b"))))
+
+  private def names(g: TriplesGraph): Seq[String] =
+    new SparqlExecutor(g)
+      .execute(s"PREFIX ex:<$ex> SELECT ?n WHERE { ?s ex:name ?n } ORDER BY ?n")
+      .collect().map(_.getString(0)).toSeq
+
+  private def upd(g: TriplesGraph, s: String): TriplesGraph =
+    SparqlUpdate.execute(g, s"PREFIX ex:<$ex>\n" + s)
+
+  test("INSERT DATA adds triples; original graph untouched") {
+    val g0 = base
+    val g2 = upd(g0, """INSERT DATA { ex:c ex:name "Cara" . ex:c ex:age 25 }""")
+    assert(names(g2) == Seq("Alice", "Bob", "Cara"))
+    assert(names(g0) == Seq("Alice", "Bob"))
+    // typed insert landed in the long-kind slice, not a string overflow
+    val ages = new SparqlExecutor(g2)
+      .execute(s"PREFIX ex:<$ex> SELECT ?a WHERE { ex:c ex:age ?a }")
+      .collect().map(_.getLong(0)).toSeq
+    assert(ages == Seq(25L))
+  }
+
+  test("INSERT DATA is set-semantic: re-inserting an existing triple is a no-op") {
+    val g2 = upd(base, """INSERT DATA { ex:a ex:name "Alice" }""")
+    assert(names(g2) == Seq("Alice", "Bob"))
+  }
+
+  test("DELETE DATA removes exactly the matching typed triple") {
+    val g2 = upd(base, """DELETE DATA { ex:a ex:age 30 . ex:zz ex:age 99 }""")
+    val left = new SparqlExecutor(g2)
+      .execute(s"PREFIX ex:<$ex> SELECT ?s ?a WHERE { ?s ex:age ?a } ORDER BY ?a")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(left == Seq((s"${ex}b", 40L)))
+  }
+
+  test("DELETE WHERE removes all pattern matches") {
+    val g2 = upd(base, "DELETE WHERE { ?s ex:name ?n }")
+    assert(names(g2).isEmpty)
+    // other predicates untouched
+    assert(!new SparqlExecutor(g2)
+      .execute(s"PREFIX ex:<$ex> SELECT ?a WHERE { ex:a ex:age ?a }").isEmpty)
+  }
+
+  test("DELETE/INSERT WHERE rewrites derived values, one WHERE evaluation") {
+    val g2 = upd(base,
+      """DELETE { ?s ex:name ?n }
+        |INSERT { ?s ex:name ?u }
+        |WHERE { ?s ex:name ?n . BIND(UCASE(?n) AS ?u) }""".stripMargin)
+    assert(names(g2) == Seq("ALICE", "BOB"))
+  }
+
+  test("INSERT WHERE derives new triples from joins") {
+    val g2 = upd(base,
+      """INSERT { ?x ex:knowsName ?n }
+        |WHERE { ?x ex:knows ?y . ?y ex:name ?n }""".stripMargin)
+    val got = new SparqlExecutor(g2)
+      .execute(s"PREFIX ex:<$ex> SELECT ?n WHERE { ex:a ex:knowsName ?n }")
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq("Bob"))
+  }
+
+  test("untouched predicates keep their slice object (surgical delta)") {
+    val g0 = base
+    val g2 = upd(g0, """DELETE DATA { ex:a ex:age 30 }""")
+    assert(g2.slices("http://example.net/ns#knows").df eq
+      g0.slices("http://example.net/ns#knows").df)
+    assert(g2.slices("http://example.net/ns#name").df eq
+      g0.slices("http://example.net/ns#name").df)
+  }
+
+  test("insert of an uncastable lexical into a typed slice fails loudly") {
+    val e = intercept[IllegalArgumentException] {
+      upd(base, """INSERT DATA { ex:c ex:age "not-a-number" }""")
+    }
+    assert(e.getMessage.contains("does not cast"))
+  }
+
+  test("GRAPH blocks in DATA ops + CLEAR GRAPH") {
+    val g2 = upd(base,
+      s"""INSERT DATA { GRAPH <$g1> { ex:a ex:name "G1Alice" } }""")
+    // default graph unchanged
+    assert(names(g2) == Seq("Alice", "Bob"))
+    val inG1 = new SparqlExecutor(g2).execute(
+      s"PREFIX ex:<$ex> SELECT ?n WHERE { GRAPH <$g1> { ex:a ex:name ?n } }")
+      .collect().map(_.getString(0)).toSeq
+    assert(inG1 == Seq("G1Alice"))
+    val g3 = upd(g2, s"CLEAR GRAPH <$g1>")
+    assert(new SparqlExecutor(g3).execute(
+      s"PREFIX ex:<$ex> SELECT ?n WHERE { GRAPH <$g1> { ?s ex:name ?n } }")
+      .isEmpty)
+    assert(names(g3) == Seq("Alice", "Bob"))
+  }
+
+  test("WITH routes templates and WHERE to the named graph") {
+    val g2 = upd(base,
+      s"""INSERT DATA { GRAPH <$g1> { ex:a ex:name "G1Alice" } }""")
+    val g3 = upd(g2,
+      s"""WITH <$g1> DELETE { ?s ex:name ?n } INSERT { ?s ex:name "Renamed" }
+         |WHERE { ?s ex:name ?n }""".stripMargin)
+    // default-graph names untouched (WITH scoped the WHERE to g1)
+    assert(names(g3) == Seq("Alice", "Bob"))
+    val inG1 = new SparqlExecutor(g3).execute(
+      s"PREFIX ex:<$ex> SELECT ?n WHERE { GRAPH <$g1> { ?s ex:name ?n } }")
+      .collect().map(_.getString(0)).toSeq
+    assert(inG1 == Seq("Renamed"))
+  }
+
+  test("sequenced ops: the second sees the first's effects") {
+    val g2 = upd(base,
+      """INSERT DATA { ex:c ex:name "Cara" } ;
+        |DELETE WHERE { ?s ex:name "Alice" }""".stripMargin)
+    assert(names(g2) == Seq("Bob", "Cara"))
+  }
+
+  test("INSERT of a new predicate creates a string-kind slice") {
+    val g2 = upd(base, """INSERT DATA { ex:a ex:nickname "Al" }""")
+    val got = new SparqlExecutor(g2)
+      .execute(s"PREFIX ex:<$ex> SELECT ?n WHERE { ex:a ex:nickname ?n }")
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq("Al"))
+  }
+
+  test("blank nodes rejected in DELETE templates, minted in INSERT templates") {
+    intercept[IllegalArgumentException] {
+      upd(base, "DELETE { ?s ex:name _:b } WHERE { ?s ex:name ?n }")
+    }
+    val g2 = upd(base,
+      """INSERT { ?s ex:addr _:a . _:a ex:city "Oslo" }
+        |WHERE { ?s ex:name "Alice" }""".stripMargin)
+    val got = new SparqlExecutor(g2).execute(
+      s"""PREFIX ex:<$ex>
+         |SELECT ?c WHERE { ex:a ex:addr ?b . ?b ex:city ?c }""".stripMargin)
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq("Oslo"))
+  }
+
+  test("CLEAR DEFAULT / NAMED / ALL") {
+    val g2 = upd(base,
+      s"""INSERT DATA { GRAPH <$g1> { ex:a ex:name "G1Alice" } }""")
+    val noDefault = upd(g2, "CLEAR DEFAULT")
+    assert(names(noDefault).isEmpty)
+    assert(!new SparqlExecutor(noDefault).execute(
+      s"PREFIX ex:<$ex> SELECT ?n WHERE { GRAPH <$g1> { ?s ex:name ?n } }")
+      .isEmpty)
+    val noNamed = upd(g2, "CLEAR NAMED")
+    assert(names(noNamed) == Seq("Alice", "Bob"))
+    assert(new SparqlExecutor(noNamed).execute(
+      s"PREFIX ex:<$ex> SELECT ?n WHERE { GRAPH <$g1> { ?s ex:name ?n } }")
+      .isEmpty)
+    val empty = upd(g2, "CLEAR ALL")
+    assert(empty.slices.isEmpty)
+  }
+
+  test("lang-tagged literals round-trip and delete precisely") {
+    val g0 = TriplesGraph.fromTerms(spark, Seq(
+      t("a", "label", Lit("colour", Xsd.langString, Some("en"))),
+      t("a", "label", Lit("farge", Xsd.langString, Some("no")))))
+    val g2 = upd(g0, """DELETE DATA { ex:a ex:label "farge"@no }""")
+    val left = new SparqlExecutor(g2)
+      .execute(s"PREFIX ex:<$ex> SELECT ?l WHERE { ex:a ex:label ?l }")
+      .collect().map(_.getString(0)).toSeq
+    assert(left == Seq("colour"))
+  }
+}
