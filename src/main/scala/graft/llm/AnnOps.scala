@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -65,17 +65,20 @@ object AnnOps {
     * full-rank planes. Integer arithmetic end to end (the quotient is exact
     * in ieee754), so any engine regenerates the planes bit-identically —
     * no cross-libm `sin` edge cases. */
-  def hyperplane(i: Int, dim: Int): Seq[Double] = {
+  def hyperplane(i: Int, dim: Int): Seq[Double] =
+    (0 until dim).map(k => md5Comp((i.toLong * dim + k + 1).toString))
+
+  /** First 8 md5 hex digits of `key` as a uint32, mapped to [−1, 1) — the
+    * deterministic pseudo-random scalar behind [[hyperplane]] and the hash
+    * PQ codebooks. Integer arithmetic end to end: any engine regenerates it
+    * bit-identically from the same key string. */
+  private[llm] def md5Comp(key: String): Double = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    (0 until dim).map { k =>
-      val m = i.toLong * dim + k + 1
-      md.reset()
-      val d = md.digest(m.toString.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
-      var h = 0L
-      var b = 0
-      while (b < 4) { h = (h << 8) | (d(b) & 0xffL); b += 1 }
-      h.toDouble / 2147483648.0 - 1.0
-    }
+    val d = md.digest(key.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    var h = 0L
+    var b = 0
+    while (b < 4) { h = (h << 8) | (d(b) & 0xffL); b += 1 }
+    h.toDouble / 2147483648.0 - 1.0
   }
 
   /** Band width sized to the corpus so bucket occupancy stays bounded.
@@ -570,5 +573,210 @@ object AnnOps {
     candidates.join(ea, "ida").join(eb, "idb")
       .filter(dot(col("ea"), col("eb"), dim) / (col("na") * col("nb")) >= threshold)
       .select(col("ida"), col("idb"))
+  }
+
+  // --------------------------------------------- product quantization
+
+  /** A product-quantization model: the vector space is split into `m`
+    * contiguous subspaces of `dim/m` components; each subspace has its own
+    * `k`-entry codebook. A vector encodes to `m` small integers — at
+    * (m=8, k=16), 8 nibbles for a 64-float vector, a 64× compression — and
+    * approximate L2 distances come from per-subspace lookup tables without
+    * ever decoding (ADC, asymmetric distance computation; Jégou et al.,
+    * TPAMI 2011). This is the standard way to fit 100 TB of embeddings in
+    * servable form: the encoded corpus is small enough to scan, and scoring
+    * is m table lookups per vector instead of dim multiplies. */
+  final case class PqModel(dim: Int, m: Int, k: Int,
+      codebooks: Array[Array[Array[Double]]]) {
+    require(dim % m == 0, s"dim $dim must split into $m subspaces")
+    require(codebooks.length == m && codebooks.forall(_.length == k))
+    def subDim: Int = dim / m
+  }
+
+  /** Deterministic hash-derived codebooks: entry (j, c, t) is
+    * `md5Comp("pq:" + flat)` with flat = (j·k + c)·subDim + t + 1 — the
+    * "pq:" namespace keeps the stream disjoint from [[hyperplane]]'s. Any
+    * engine regenerates them bit-identically (the oracle-checkable
+    * baseline); [[trainPq]] refines them on the corpus for real recall. */
+  def hashPqCodebooks(dim: Int = 64, m: Int = 8, k: Int = 16): PqModel = {
+    val sd = dim / m
+    PqModel(dim, m, k, Array.tabulate(m, k, sd) { (j, c, t) =>
+      md5Comp("pq:" + ((j.toLong * k + c) * sd + t + 1))
+    })
+  }
+
+  /** Train the per-subspace codebooks with distributed Lloyd rounds, all m
+    * subspaces in one corpus pass per round: each partition accumulates
+    * (sum, count) per (subspace, code) — an m×k×subDim-double accumulator,
+    * metadata-sized — and one record per partition shuffles to the driver.
+    * Init is the deterministic hash model and empty cells keep their
+    * previous center, so training is deterministic for a given input
+    * partitioning; across DIFFERENT partitionings centroids agree only up
+    * to float-sum reordering (use [[hashPqCodebooks]] where bit-stable
+    * cross-engine reproducibility matters, e.g. the q107 oracle). */
+  def trainPq(corpus: DataFrame, dim: Int = 64, m: Int = 8, k: Int = 16,
+      lloydRounds: Int = 8): PqModel = {
+    val spark = corpus.sparkSession
+    val base = corpus.select(col("vec_id"), col("embedding"))
+    var model = hashPqCodebooks(dim, m, k)
+    val sd = model.subDim
+    for (_ <- 1 to lloydRounds) {
+      val cb = spark.sparkContext.broadcast(model.codebooks)
+      val (sums, cnts) = base.rdd.mapPartitions { rows =>
+        val books = cb.value
+        val acc = Array.fill(m, k)(new Array[Double](sd))
+        val cnt = Array.fill(m)(new Array[Long](k))
+        rows.foreach { row =>
+          val emb = row.getSeq[Float](1)
+          var j = 0
+          while (j < m) {
+            val c = nearestSub(books(j), emb, j * sd, sd)
+            cnt(j)(c) += 1
+            var t = 0
+            while (t < sd) { acc(j)(c)(t) += emb(j * sd + t).toDouble; t += 1 }
+            j += 1
+          }
+        }
+        Iterator.single((acc, cnt))
+      }.reduce { case ((a1, c1), (a2, c2)) =>
+        for (j <- 0 until m; c <- 0 until k) {
+          c1(j)(c) += c2(j)(c)
+          var t = 0
+          while (t < sd) { a1(j)(c)(t) += a2(j)(c)(t); t += 1 }
+        }
+        (a1, c1)
+      }
+      cb.destroy()
+      model = model.copy(codebooks = Array.tabulate(m, k) { (j, c) =>
+        if (cnts(j)(c) == 0) model.codebooks(j)(c)
+        else sums(j)(c).map(_ / cnts(j)(c))
+      })
+    }
+    model
+  }
+
+  /** Strict-min nearest code for one subspace, ties to the smaller index —
+    * the deterministic rule the oracle replicates with `arg_min(c, [d², c])`. */
+  private def nearestSub(book: Array[Array[Double]], emb: Seq[Float],
+      off: Int, sd: Int): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < book.length) {
+      val cv = book(c)
+      var d = 0.0
+      var t = 0
+      while (t < sd) {
+        val diff = emb(off + t).toDouble - cv(t)
+        d += diff * diff
+        t += 1
+      }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Encode the corpus: (vec_id, codes array<int>) — a zero-shuffle map
+    * kernel with the codebooks broadcast. The encoded frame is what a lake
+    * deployment persists (and re-scans per query batch) instead of the raw
+    * vectors. */
+  def encodePq(corpus: DataFrame, model: PqModel): DataFrame = {
+    val spark = corpus.sparkSession
+    val sd = model.subDim
+    val m = model.m
+    val cb = spark.sparkContext.broadcast(model.codebooks)
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("codes", ArrayType(IntegerType))))
+    val rdd = corpus.select(col("vec_id"), col("embedding")).rdd
+      .mapPartitions { rows =>
+        val books = cb.value
+        rows.map { row =>
+          val emb = row.getSeq[Float](1)
+          val codes = new Array[Int](m)
+          var j = 0
+          while (j < m) { codes(j) = nearestSub(books(j), emb, j * sd, sd); j += 1 }
+          Row(row.getLong(0), codes.toSeq)
+        }
+      }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** ADC top-k over an encoded corpus for a bounded query batch: the
+    * queries collect to the driver (same batch bound as [[topKForQueries]]),
+    * their per-(subspace, code) distance tables — |q|·m·k doubles — are
+    * broadcast, and one map over the encoded corpus scores every
+    * (query, vector) pair with m array lookups, summed in subspace order so
+    * the result is bit-reproducible. Per-query top-k via one window.
+    * Output (qid, rk, nid). */
+  def pqTopKForQueries(encoded: DataFrame, queries: DataFrame, model: PqModel,
+      topK: Int): DataFrame = {
+    val spark = encoded.sparkSession
+    val sd = model.subDim
+    val m = model.m
+    val k = model.k
+    val qRows = queries.select(col("vec_id"), col("embedding")).collect()
+    val tables: Array[(Long, Array[Array[Double]])] = qRows.map { row =>
+      val emb = row.getSeq[Float](1)
+      val tab = Array.tabulate(m, k) { (j, c) =>
+        val cv = model.codebooks(j)(c)
+        var d = 0.0
+        var t = 0
+        while (t < sd) {
+          val diff = emb(j * sd + t).toDouble - cv(t)
+          d += diff * diff
+          t += 1
+        }
+        d
+      }
+      (row.getLong(0), tab)
+    }
+    val tb = spark.sparkContext.broadcast(tables)
+    val schema = StructType(Seq(StructField("qid", LongType),
+      StructField("nid", LongType), StructField("dist", DoubleType)))
+    val scored = spark.createDataFrame(
+      encoded.select(col("vec_id"), col("codes")).rdd.mapPartitions { rows =>
+        val ts = tb.value
+        rows.flatMap { row =>
+          val nid = row.getLong(0)
+          val codes = row.getSeq[Int](1)
+          ts.iterator.collect { case (qid, tab) if qid != nid =>
+            var d = 0.0
+            var j = 0
+            while (j < m) { d += tab(j)(codes(j)); j += 1 }
+            Row(qid, nid, d)
+          }
+        }
+      }, schema)
+    val w = Window.partitionBy(col("qid")).orderBy(col("dist"), col("nid"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= topK)
+      .select(col("qid"), col("rk").cast(LongType), col("nid"))
+  }
+
+  /** The production PQ pattern: ADC over the compressed corpus produces a
+    * per-query SHORTLIST (cheap — m lookups per vector), then only the
+    * shortlisted raw vectors are fetched and re-ranked exactly. At lake
+    * scale the expensive exact scoring touches `|q|·shortlist` vectors
+    * instead of the corpus; the shortlist frame is qids × ids, so the raw
+    * fetch is a broadcast-able semi-join against the vector store. Output
+    * (qid, rk, nid) ranked by exact cosine. */
+  def pqTopKReranked(encoded: DataFrame, corpus: DataFrame, queries: DataFrame,
+      model: PqModel, topK: Int, shortlist: Int = 100): DataFrame = {
+    require(shortlist >= topK)
+    val dim = model.dim
+    graft.functions.ArrayDotProduct.register(corpus.sparkSession)
+    val short = pqTopKForQueries(encoded, queries, model, shortlist)
+      .select(col("qid"), col("nid"))
+    val c = corpus.select(col("vec_id").as("nid"), col("embedding").as("nemb"))
+      .withColumn("cn", norm(col("nemb"), dim))
+    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+      .withColumn("qn", norm(col("qemb"), dim))
+    val rescored = short.join(c, "nid").join(broadcast(q), "qid")
+      .withColumn("cos", dot(col("qemb"), col("nemb"), dim) / (col("qn") * col("cn")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    rescored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= topK)
+      .select(col("qid"), col("rk").cast(LongType), col("nid"))
   }
 }

@@ -62,6 +62,50 @@ object LlmQueries {
       s"(CASE WHEN list_dot_product(CAST($emb AS DOUBLE[]), [$comp for m in range($lo, ${lo + dim})]) >= 0 THEN '1' ELSE '0' END)"
     }.mkString(" || ")
 
+  // Oracle spelling of q107: hash PQ codebooks (AnnOps.md5Comp's integer
+  // arithmetic, "pq:" namespace), nearest-code encoding with the (d², c)
+  // tie-break as a window, ADC distance tables for the query batch, and
+  // the per-query top-3 ranking — the identical algorithm, independently.
+  private def pqAdcOracle(m: Int, k: Int, dim: Int): String = {
+    val sd = dim / m
+    def comp(flat: String) =
+      "(list_sum([(strpos('0123456789abcdef', " +
+        s"substr(md5('pq:' || CAST($flat AS VARCHAR)), d, 1)) - 1) * power(16.0, 8 - d) " +
+        "for d in range(1, 9)]) / 2147483648.0 - 1)"
+    def d2(vec: String) =
+      s"list_sum([($vec[j*$sd + t + 1] - cv[t + 1]) * ($vec[j*$sd + t + 1] - cv[t + 1]) " +
+        s"for t in range(0, $sd)])"
+    s"""WITH cb AS (
+       |  SELECT j, c, [${comp(s"(j*$k + c)*$sd + t + 1")} for t in range(0, $sd)] AS cv
+       |  FROM range(0, $m) tj(j), range(0, $k) tc(c)),
+       |sub AS (
+       |  SELECT vec_id, j, CAST(embedding AS DOUBLE[]) AS e
+       |  FROM embeddings, range(0, $m) tj(j)),
+       |enc AS (
+       |  SELECT vec_id, j, c AS code FROM (
+       |    SELECT vec_id, j, c, row_number() OVER (
+       |        PARTITION BY vec_id, j ORDER BY d2v, c) AS rn
+       |    FROM (SELECT vec_id, j, c, ${d2("e")} AS d2v
+       |          FROM sub JOIN cb USING (j)))
+       |  WHERE rn = 1),
+       |q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+       |      FROM embeddings WHERE vec_id < 20),
+       |qtab AS (
+       |  SELECT qid, j, c, ${d2("qe")} AS d2
+       |  FROM q, cb),
+       |scored AS (
+       |  SELECT qid, e.vec_id AS nid, list_sum(list(d2 ORDER BY qtab.j)) AS dist
+       |  FROM enc e JOIN qtab ON e.j = qtab.j AND e.code = qtab.c
+       |  WHERE qid <> e.vec_id
+       |  GROUP BY qid, e.vec_id)
+       |SELECT qid, rk, nid FROM (
+       |  SELECT qid, nid,
+       |    CAST(row_number() OVER (PARTITION BY qid ORDER BY dist, nid) AS BIGINT) AS rk
+       |  FROM scored)
+       |WHERE rk <= 3
+       |ORDER BY qid NULLS FIRST, rk NULLS FIRST""".stripMargin
+  }
+
   private def annLshOracle(numBands: Int, bitsPerBand: Int, dim: Int,
       threshold: Double): String = {
     val keys = (0 until numBands)
@@ -860,6 +904,23 @@ object LlmQueries {
         TextOps.collocations(T.documents(s, dir), "text", k = 20,
             minCount = 5L)
           .orderBy("rank")
+    },
+
+    // ---- product quantization + ADC top-k (beyond-parity, the 100 TB
+    // embedding-compression path): encode the corpus to m=8 codes of k=16
+    // from deterministic hash codebooks (bit-reproducible in any engine —
+    // the oracle rebuilds codebooks, encoding, distance tables, and ranking
+    // from the same md5 stream), then score a bounded query batch with
+    // per-subspace lookup tables. Trained-codebook recall is PqSpec's job;
+    // this entry pins the ADC machinery end to end. Distances sum in
+    // subspace order on both engines (list_sum over an ORDER BY j list in
+    // the oracle), so ranking cannot drift on summation order.
+    q("q107_pq_adc_topk", pqAdcOracle(8, 16, 64)) { (s, dir) =>
+      val emb = T.embeddings(s, dir)
+      val model = AnnOps.hashPqCodebooks(dim = 64, m = 8, k = 16)
+      val enc = AnnOps.encodePq(emb, model)
+      AnnOps.pqTopKForQueries(enc, emb.filter(col("vec_id") < 20), model, 3)
+        .orderBy("qid", "rk")
     },
   )
 }
