@@ -674,13 +674,20 @@ object TextOps {
   val defaultAutoPairBudget: Double = 5e7
 
   /** The auto policy's decision, factored out for observability: estimate
-    * hash-order candidate volume from the df table and return which order
-    * to run. Σdf² is exact (one vocabulary-sized aggregation with map-side
-    * combine — never corpus-shaped); doubles avoid overflow at any scale. */
+    * hash-order candidate volume from a df table and return which order to
+    * run. With `sampleRate` < 1 the df table came from a doc sample at that
+    * rate and the Σdf² estimate applies the unbiased correction
+    * `Σ(df_s² − (1−p)·df_s)/p²` (E[df_s²] = p²df² + p(1−p)df under
+    * per-doc inclusion) — hot shingles appear in every doc sample with
+    * df_s ≈ p·df, so skew detection never rides an inclusion lottery the
+    * way sampling shingle TYPES would. Doubles avoid overflow at any
+    * scale. */
   private[graft] def choosePrefixOrder(dfTab: DataFrame, threshold: Double,
-      autoPairBudget: Double): String = {
+      autoPairBudget: Double, sampleRate: Double = 1.0): String = {
+    val p = sampleRate
+    val d = col("df").cast(DoubleType)
     val sumD2 = dfTab
-      .agg(sum(col("df").cast(DoubleType) * col("df").cast(DoubleType)))
+      .agg(sum((d * d - lit(1.0 - p) * d) / lit(p * p)))
       .head.getDouble(0)
     val rho = 1.0 - threshold
     if (rho * rho * sumD2 / 2.0 > autoPairBudget) "df" else "hash"
@@ -726,11 +733,20 @@ object TextOps {
           .select("ida", "idb")
       case "df" => dfOrder(dfTable)
       case "auto" =>
-        // localCheckpoint: the df table feeds both the decision (Σdf²)
-        // and, when df-order wins, the rank join — one pass either way
-        val dfTab = dfTable.localCheckpoint()
-        choosePrefixOrder(dfTab, threshold, autoPairBudget) match {
-          case "df" => dfOrder(dfTab)
+        // the decision runs on a DETERMINISTIC 1-in-8 doc sample (hash of
+        // id), not the full corpus: the common hash-order outcome then
+        // costs ~1/8 of a df pass instead of a full explode+shuffle
+        // (measured: the full-table decision added ~12% to q67 when hash
+        // order won anyway). Doc sampling keeps hot shingles visible at
+        // df_s ≈ df/8; choosePrefixOrder applies the unbiased Σdf²
+        // correction. A df-order win recomputes the full table — that
+        // branch's rank join dwarfs the extra pass.
+        val p = 1.0 / 8.0
+        val sampled = base.filter(pmod(xxhash64(col("id")), lit(8)) === 0)
+          .select(col("id"), explode(col("sh")).as("s"))
+          .groupBy("s").agg(count(lit(1)).as("df"))
+        choosePrefixOrder(sampled, threshold, autoPairBudget, p) match {
+          case "df" => dfOrder(dfTable)
           case _ => ngramPrefixCandidates(base, threshold, "hash")
         }
       case other => throw new IllegalArgumentException(
