@@ -360,7 +360,14 @@ final class TriplesGraph(
             "left_anti").select(df.columns.map(c => rows(c)): _*)
             .unionByName(df)
         }
-        p -> PredicateSlice(df, sl.kind, hasLang = hasLang,
+        // lazy localCheckpoint = the commit boundary: a CHAIN of updates
+        // would otherwise stack one join tree per op onto every touched
+        // slice until the optimizer chokes (measured: 40 chained ground
+        // ops hung analysis). Lazy, so a one-shot update pays nothing
+        // extra until the slice is first read; on a lake deployment the
+        // equivalent boundary is rewriting the touched p=… partitions.
+        p -> PredicateSlice(df.localCheckpoint(false), sl.kind,
+          hasLang = hasLang,
           fused = Nil, byClass = Map.empty,
           subjectClasses = if (needIns) Set.empty else sl.subjectClasses,
           hasGraph = hasG)
@@ -372,7 +379,8 @@ final class TriplesGraph(
         (if (m.hasLang) Seq(col("ol").as("o_lang")) else Nil) ++
         (if (m.hasG) Seq(col("g")) else Nil)
       p -> PredicateSlice(
-        ins.filter(col("p") === lit(p)).select(cols: _*).distinct(),
+        ins.filter(col("p") === lit(p)).select(cols: _*).distinct()
+          .localCheckpoint(false),
         OKind.KStr, hasLang = m.hasLang, hasGraph = m.hasG)
     }.toMap
     new TriplesGraph(spark, updated ++ fresh, ts, store = None)

@@ -1,0 +1,97 @@
+package graft.sparql
+
+import graft.SparkTestBase
+import graft.exec.{SparqlExecutor, SparqlUpdate}
+import graft.graph.TriplesGraph
+import graft.rdf.{Iri, Lit, Term, Xsd}
+
+/** Randomized model check for SPARQL Update: a scripted sequence of ground
+  * INSERT DATA / DELETE DATA ops against the engine must match a plain
+  * Scala Set[(s, p, o-lexical)] model applying RDF set semantics. Seeded —
+  * failures replay exactly. Also: update a PERSISTED store round-trip
+  * (load → update → save → reload) to pin the load/applyDelta interplay. */
+class SparqlUpdateModelSpec extends SparkTestBase {
+
+  private val ex = "http://example.net/ns#"
+
+  test("scripted ground updates match the set-semantics model (seeded)") {
+    val rnd = new scala.util.Random(42)
+    val subjects = (0 until 6).map(i => s"s$i")
+    val preds = Seq("name", "age", "tag")
+    def randTriple(): (String, String, Term) = {
+      val p = preds(rnd.nextInt(preds.length))
+      val o: Term = p match {
+        case "age" => Lit(rnd.nextInt(5).toString, Xsd.integer)
+        case "name" => Lit("n" + rnd.nextInt(4), Xsd.string)
+        case _ => Iri(ex + "t" + rnd.nextInt(3))
+      }
+      (subjects(rnd.nextInt(subjects.length)), p, o)
+    }
+    def lex(t: Term): String = t.canonical
+
+    var graph = TriplesGraph.fromTerms(spark,
+      Seq((Iri(ex + "s0"): Term, ex + "name", Lit("n0", Xsd.string))))
+    val model = scala.collection.mutable.Set[(String, String, String)](
+      ("s0", "name", "n0"))
+
+    def tripleSyntax(s: String, p: String, o: Term): String = {
+      val oTxt = o match {
+        case Lit(v, dt, _) if dt == Xsd.integer => v
+        case Lit(v, _, _) => "\"" + v + "\""
+        case Iri(v) => s"<$v>"
+        case other => fail(s"unexpected $other")
+      }
+      s"ex:$s ex:$p $oTxt"
+    }
+
+    for (step <- 1 to 40) {
+      val batch = Seq.fill(1 + rnd.nextInt(3))(randTriple())
+      val isInsert = rnd.nextBoolean()
+      val op = (if (isInsert) "INSERT DATA" else "DELETE DATA") +
+        batch.map { case (s, p, o) => tripleSyntax(s, p, o) }
+          .mkString(" { ", " . ", " }")
+      graph = SparqlUpdate.execute(graph, s"PREFIX ex:<$ex>\n" + op)
+      batch.foreach { case (s, p, o) =>
+        if (isInsert) model += ((s, p, lex(o))) else model -= ((s, p, lex(o)))
+      }
+      if (step % 10 == 0) { // full-state compare every few steps
+        val got = new SparqlExecutor(graph)
+          .execute(s"PREFIX ex:<$ex> SELECT ?s ?p ?o WHERE { ?s ?p ?o }")
+          .collect()
+          .map(r => (r.getString(0).stripPrefix(ex),
+            r.getString(1).stripPrefix(ex), r.getString(2)))
+          .toSet
+        assert(got == model.toSet, s"divergence at step $step")
+      }
+    }
+  }
+
+  test("update survives a persisted-store round-trip") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-upd-store").toString
+    val g0 = TriplesGraph.fromTerms(spark, Seq(
+      (Iri(ex + "a"): Term, ex + "name", Lit("Alice", Xsd.string): Term),
+      (Iri(ex + "a"): Term, ex + "age", Lit("30", Xsd.integer): Term),
+      (Iri(ex + "b"): Term, ex + "name", Lit("Bob", Xsd.string): Term)))
+    g0.save(dir)
+    val loaded = TriplesGraph.load(spark, dir)
+    val updated = SparqlUpdate.execute(loaded,
+      s"""PREFIX ex:<$ex>
+         |DELETE { ?s ex:name ?n } INSERT { ?s ex:name "Renamed" }
+         |WHERE { ?s ex:name ?n . FILTER(?n = "Alice") } ;
+         |INSERT DATA { ex:c ex:age 99 }""".stripMargin)
+    // updated graph queries correctly in memory
+    def names(g: TriplesGraph) = new SparqlExecutor(g)
+      .execute(s"PREFIX ex:<$ex> SELECT ?n WHERE { ?s ex:name ?n } ORDER BY ?n")
+      .collect().map(_.getString(0)).toSeq
+    assert(names(updated) == Seq("Bob", "Renamed"))
+    // and persists + reloads (re-save re-buckets; store pointer was cleared)
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-upd-store2").toString
+    updated.save(dir2)
+    val reloaded = TriplesGraph.load(spark, dir2)
+    assert(names(reloaded) == Seq("Bob", "Renamed"))
+    val ages = new SparqlExecutor(reloaded)
+      .execute(s"PREFIX ex:<$ex> SELECT ?a WHERE { ?s ex:age ?a } ORDER BY ?a")
+      .collect().map(_.getLong(0)).toSeq
+    assert(ages == Seq(30L, 99L))
+  }
+}
