@@ -111,7 +111,11 @@ final class TriplesGraph(
     /** Set by [[TriplesGraph.load]]: the persisted base dataset plus its
       * subject-bucket count, enabling subject-addressed reads
       * ([[outboundTriples]]) to prune by bucket partition. */
-    val store: Option[(DataFrame, Int)] = None) {
+    val store: Option[(DataFrame, Int)] = None,
+    /** Predicates whose slices diverge from the persisted base — grown by
+      * [[applyDelta]]/CLEAR across a chain of updates; [[saveDelta]]
+      * rewrites exactly these `p=…` partition directories. */
+    val touched: Set[String] = Set.empty) {
 
   def slice(predicate: String): Option[PredicateSlice] = slices.get(predicate)
 
@@ -383,7 +387,8 @@ final class TriplesGraph(
           .localCheckpoint(false),
         OKind.KStr, hasLang = m.hasLang, hasGraph = m.hasG)
     }.toMap
-    new TriplesGraph(spark, updated ++ fresh, ts, store = None)
+    new TriplesGraph(spark, updated ++ fresh, ts, store = None,
+      touched = touched ++ delPs ++ insMeta.keySet)
   }
 
   /** CLEAR semantics (SPARQL 1.1 Update §3.2.2), functional like
@@ -397,7 +402,8 @@ final class TriplesGraph(
       else Some(p -> sl.copy(df = sl.df.filter(col("g").isNotNull),
         fused = Nil, byClass = Map.empty))
     }
-    new TriplesGraph(spark, kept, ts, store = None)
+    new TriplesGraph(spark, kept, ts, store = None,
+      touched = touched ++ slices.keySet)
   }
   def clearNamed(): TriplesGraph = {
     val kept = slices.map { case (p, sl) =>
@@ -405,7 +411,8 @@ final class TriplesGraph(
       else p -> sl.copy(df = sl.df.filter(col("g").isNull),
         fused = Nil, byClass = Map.empty)
     }
-    new TriplesGraph(spark, kept, ts, store = None)
+    new TriplesGraph(spark, kept, ts, store = None,
+      touched = touched ++ slices.collect { case (p, sl) if sl.hasGraph => p })
   }
   def clearGraph(iri: String): TriplesGraph = {
     val kept = slices.map { case (p, sl) =>
@@ -413,10 +420,12 @@ final class TriplesGraph(
       else p -> sl.copy(df = sl.df.filter(!(col("g") <=> lit(iri))),
         fused = Nil, byClass = Map.empty)
     }
-    new TriplesGraph(spark, kept, ts, store = None)
+    new TriplesGraph(spark, kept, ts, store = None,
+      touched = touched ++ slices.collect { case (p, sl) if sl.hasGraph => p })
   }
   def clearAll(): TriplesGraph =
-    new TriplesGraph(spark, Map.empty, ts, store = None)
+    new TriplesGraph(spark, Map.empty, ts, store = None,
+      touched = touched ++ slices.keySet)
 
   /** Persist the graph as ONE parquet dataset partitioned by
     * (predicate, object-kind, subject-class, subject-bucket) — the 100 TB
@@ -429,55 +438,59 @@ final class TriplesGraph(
     * `nBuckets` is part of the layout contract — reload with the same
     * value via [[TriplesGraph.load]], which cross-checks it against the
     * partition inventory. */
-  def save(path: String, nBuckets: Int = TriplesGraph.defaultSubjectBuckets): Unit = {
+  /** The persisted wide-row form of one slice (all branches), shared by
+    * [[save]] and [[saveDelta]]. */
+  private def storeRows(p: String, sl: PredicateSlice, nBuckets: Int): Seq[DataFrame] = {
     def nullc(t: DataType) = lit(null).cast(t)
-    val parts = slices.toSeq.flatMap { case (p, sl) =>
-      val kindTag = sl.kind match {
-        case OKind.KIri => "iri"
-        case OKind.KStr => if (sl.hasLang) "strlang" else "str"
-        case OKind.KLong => "long"
-        case OKind.KDbl => "dbl"
-        case OKind.KBool => "bool"
-        case OKind.KTs => "ts"
-      }
-      val branches: Seq[(String, DataFrame)] =
-        if (sl.byClass.nonEmpty) sl.byClass.toSeq
-        else Seq((sl.subjectClasses.toSeq match {
-          case Seq(one) => one
-          case _ => "__all"
-        }) -> sl.df)
-      branches.map { case (cls, df) =>
-        val o = col("o")
-        val typed = sl.kind match {
-          case OKind.KIri | OKind.KStr => Seq(o.cast(StringType).as("o_str"),
-            nullc(LongType).as("o_long"), nullc(DoubleType).as("o_dbl"),
-            nullc(BooleanType).as("o_bool"), nullc(TimestampType).as("o_ts"))
-          case OKind.KLong => Seq(nullc(StringType).as("o_str"), o.cast(LongType).as("o_long"),
-            nullc(DoubleType).as("o_dbl"), nullc(BooleanType).as("o_bool"),
-            nullc(TimestampType).as("o_ts"))
-          case OKind.KDbl => Seq(nullc(StringType).as("o_str"), nullc(LongType).as("o_long"),
-            o.cast(DoubleType).as("o_dbl"), nullc(BooleanType).as("o_bool"),
-            nullc(TimestampType).as("o_ts"))
-          case OKind.KBool => Seq(nullc(StringType).as("o_str"), nullc(LongType).as("o_long"),
-            nullc(DoubleType).as("o_dbl"), o.cast(BooleanType).as("o_bool"),
-            nullc(TimestampType).as("o_ts"))
-          case OKind.KTs => Seq(nullc(StringType).as("o_str"), nullc(LongType).as("o_long"),
-            nullc(DoubleType).as("o_dbl"), nullc(BooleanType).as("o_bool"),
-            o.cast(TimestampType).as("o_ts"))
-        }
-        val lang = if (sl.hasLang) col("o_lang").cast(StringType) else nullc(StringType)
-        // named-graph tag rides along as a data column (null = default
-        // graph) so quad graphs round-trip; partitioning stays on
-        // (p, kind, cls, sb) — named graphs can be many and skewed, a poor
-        // partition key
-        val gtag = if (sl.hasGraph) col("g").cast(StringType) else nullc(StringType)
-        df.select(Seq(col("s").cast(StringType).as("s")) ++ typed ++ Seq(
-          lang.as("o_lang"), gtag.as("g"), lit(p).as("p"), lit(kindTag).as("kind"),
-          lit(cls).as("cls"),
-          pmod(xxhash64(col("s").cast(StringType)), lit(nBuckets))
-            .cast(IntegerType).as("sb")): _*)
-      }
+    val kindTag = sl.kind match {
+      case OKind.KIri => "iri"
+      case OKind.KStr => if (sl.hasLang) "strlang" else "str"
+      case OKind.KLong => "long"
+      case OKind.KDbl => "dbl"
+      case OKind.KBool => "bool"
+      case OKind.KTs => "ts"
     }
+    val branches: Seq[(String, DataFrame)] =
+      if (sl.byClass.nonEmpty) sl.byClass.toSeq
+      else Seq((sl.subjectClasses.toSeq match {
+        case Seq(one) => one
+        case _ => "__all"
+      }) -> sl.df)
+    branches.map { case (cls, df) =>
+      val o = col("o")
+      val typed = sl.kind match {
+        case OKind.KIri | OKind.KStr => Seq(o.cast(StringType).as("o_str"),
+          nullc(LongType).as("o_long"), nullc(DoubleType).as("o_dbl"),
+          nullc(BooleanType).as("o_bool"), nullc(TimestampType).as("o_ts"))
+        case OKind.KLong => Seq(nullc(StringType).as("o_str"), o.cast(LongType).as("o_long"),
+          nullc(DoubleType).as("o_dbl"), nullc(BooleanType).as("o_bool"),
+          nullc(TimestampType).as("o_ts"))
+        case OKind.KDbl => Seq(nullc(StringType).as("o_str"), nullc(LongType).as("o_long"),
+          o.cast(DoubleType).as("o_dbl"), nullc(BooleanType).as("o_bool"),
+          nullc(TimestampType).as("o_ts"))
+        case OKind.KBool => Seq(nullc(StringType).as("o_str"), nullc(LongType).as("o_long"),
+          nullc(DoubleType).as("o_dbl"), o.cast(BooleanType).as("o_bool"),
+          nullc(TimestampType).as("o_ts"))
+        case OKind.KTs => Seq(nullc(StringType).as("o_str"), nullc(LongType).as("o_long"),
+          nullc(DoubleType).as("o_dbl"), nullc(BooleanType).as("o_bool"),
+          o.cast(TimestampType).as("o_ts"))
+      }
+      val lang = if (sl.hasLang) col("o_lang").cast(StringType) else nullc(StringType)
+      // named-graph tag rides along as a data column (null = default
+      // graph) so quad graphs round-trip; partitioning stays on
+      // (p, kind, cls, sb) — named graphs can be many and skewed, a poor
+      // partition key
+      val gtag = if (sl.hasGraph) col("g").cast(StringType) else nullc(StringType)
+      df.select(Seq(col("s").cast(StringType).as("s")) ++ typed ++ Seq(
+        lang.as("o_lang"), gtag.as("g"), lit(p).as("p"), lit(kindTag).as("kind"),
+        lit(cls).as("cls"),
+        pmod(xxhash64(col("s").cast(StringType)), lit(nBuckets))
+          .cast(IntegerType).as("sb")): _*)
+    }
+  }
+
+  def save(path: String, nBuckets: Int = TriplesGraph.defaultSubjectBuckets): Unit = {
+    val parts = slices.toSeq.flatMap { case (p, sl) => storeRows(p, sl, nBuckets) }
     parts.reduce(_.unionByName(_))
       .write.mode("overwrite").partitionBy("p", "kind", "cls", "sb").parquet(path)
     // persist the layout contract next to the data: load() reads nBuckets
@@ -493,6 +506,45 @@ final class TriplesGraph(
     try out.write(s"""{"nBuckets": $nBuckets}""".getBytes("UTF-8"))
     finally out.close()
   }
+
+  /** Rewrite ONLY the [[touched]] predicates' `p=…` partition directories
+    * of an existing store at `path` — the persistence half of the surgical
+    * update story: after a chain of [[applyDelta]]/CLEAR ops, untouched
+    * predicates' files are left byte-for-byte alone (the spec asserts
+    * their modification times), touched ones are dropped and re-appended.
+    * A full directory drop (not just dynamic partition overwrite) because
+    * an update can MOVE rows between cls/kind/sb sub-partitions — stale
+    * sibling directories would double-count on reload. The bucket count
+    * comes from the store's own sidecar. Not atomic (delete + append, two
+    * FS operations); a lake deployment gets atomicity from its table
+    * format's commit protocol, which is out of scope here. */
+  def saveDelta(path: String): Unit = {
+    if (touched.isEmpty) return
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val nBuckets = TriplesGraph.readMeta(spark, path).getOrElse(
+      throw new IllegalArgumentException(
+        s"no store sidecar at $path — saveDelta needs a store written by save()"))
+    // materialize every touched slice BEFORE unlinking its old partition
+    // files: the slices' (lazy-checkpointed) plans still read those files,
+    // and the write job below would otherwise chase deleted parts. Forcing
+    // the checkpoint pins the new contents in the block manager — the
+    // read-old-write-new discipline of any in-place partition rewrite.
+    slices.foreach { case (p, sl) => if (touched.contains(p)) sl.df.count() }
+    fs.listStatus(root).foreach { st =>
+      val name = st.getPath.getName
+      if (st.isDirectory && name.startsWith("p=") &&
+          touched.contains(TriplesGraph.unescapePath(name.drop(2))))
+        fs.delete(st.getPath, true)
+    }
+    val parts = slices.toSeq.filter(kv => touched.contains(kv._1))
+      .flatMap { case (p, sl) => storeRows(p, sl, nBuckets) }
+    parts.reduceOption(_.unionByName(_)).foreach(
+      _.write.mode("append").partitionBy("p", "kind", "cls", "sb").parquet(path))
+    // the session caches file listings per path; readers opened before this
+    // delta would otherwise chase deleted part files
+    spark.catalog.refreshByPath(path)
+  }
 }
 
 object TriplesGraph {
@@ -505,6 +557,37 @@ object TriplesGraph {
     if (!have.contains("g")) out = out.withColumn("g", lit(null).cast(StringType))
     if (!have.contains("ol")) out = out.withColumn("ol", lit(null).cast(StringType))
     out.select(col("s"), col("p"), col("o").cast(StringType), col("g"), col("ol"))
+  }
+
+  /** The store sidecar's recorded bucket count, if the sidecar exists. */
+  private[graft] def readMeta(spark: SparkSession, path: String): Option[Int] = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val metaPath = new org.apache.hadoop.fs.Path(path, metaFileName)
+    if (!fs.exists(metaPath)) None
+    else {
+      val in = fs.open(metaPath)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      """"nBuckets"\s*:\s*(\d+)""".r.findFirstMatchIn(txt).map(_.group(1).toInt)
+    }
+  }
+
+  /** Decode Spark's partition-directory escaping (%xx sequences) — the
+    * inverse of the encoding `partitionBy` applies to special characters
+    * in partition values (e.g. `p=urn%3Agraft%3Aname`). */
+  private[graft] def unescapePath(name: String): String = {
+    val sb = new StringBuilder(name.length)
+    var i = 0
+    while (i < name.length) {
+      val c = name.charAt(i)
+      val hex = if (c == '%' && i + 2 < name.length)
+        name.substring(i + 1, i + 3) else ""
+      if (hex.length == 2 && hex.forall(Character.digit(_, 16) >= 0)) {
+        sb.append(Integer.parseInt(hex, 16).toChar); i += 3
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
   }
 
   /** Subject-bucket count for the persisted layout. 16 keeps the test-scale
@@ -607,17 +690,7 @@ object TriplesGraph {
     // load under the default 16, making every sb.isin probe silently drop
     // most of a node's triples. The nBuckets parameter is only a fallback
     // for pre-sidecar stores.
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val metaPath = new org.apache.hadoop.fs.Path(path, metaFileName)
-    val savedBuckets: Option[Int] =
-      if (fs.exists(metaPath)) {
-        val in = fs.open(metaPath)
-        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-          finally in.close()
-        """"nBuckets"\s*:\s*(\d+)""".r.findFirstMatchIn(txt).map(_.group(1).toInt)
-      } else None
-    val effBuckets = savedBuckets.getOrElse(nBuckets)
+    val effBuckets = readMeta(spark, path).getOrElse(nBuckets)
     val inventoryRows = base.select("p", "kind", "cls", "sb").distinct().collect()
     // cross-check against the partition inventory either way: a bucket id
     // at or past the contract means a corrupt/mixed store — fail loudly,

@@ -94,4 +94,70 @@ class SparqlUpdateModelSpec extends SparkTestBase {
       .collect().map(_.getLong(0)).toSeq
     assert(ages == Seq(30L, 99L))
   }
+
+  test("saveDelta rewrites only the touched predicate directories") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-savedelta").toString
+    val g0 = TriplesGraph.fromTerms(spark, Seq(
+      (Iri(ex + "a"): Term, ex + "name", Lit("Alice", Xsd.string): Term),
+      (Iri(ex + "b"): Term, ex + "name", Lit("Bob", Xsd.string): Term),
+      (Iri(ex + "a"): Term, ex + "age", Lit("30", Xsd.integer): Term),
+      (Iri(ex + "a"): Term, ex + "tag", Iri(ex + "t1"): Term)))
+    g0.save(dir)
+
+    def partFiles(): Map[String, Long] = {
+      val buf = scala.collection.mutable.Map.empty[String, Long]
+      def walk(f: java.io.File): Unit =
+        if (f.isDirectory) f.listFiles().foreach(walk)
+        else if (f.getName.endsWith(".parquet"))
+          buf(f.getAbsolutePath) = f.lastModified()
+      walk(new java.io.File(dir))
+      buf.toMap
+    }
+    val before = partFiles()
+
+    val loaded = TriplesGraph.load(spark, dir)
+    val updated = SparqlUpdate.execute(loaded,
+      s"""PREFIX ex:<$ex>
+         |DELETE DATA { ex:b ex:name "Bob" } ;
+         |INSERT DATA { ex:c ex:name "Cara" }""".stripMargin)
+    assert(updated.touched == Set(ex + "name"))
+    updated.saveDelta(dir)
+
+    val after = partFiles()
+    // every untouched predicate's files are byte-level untouched
+    val untouchedBefore = before.filterNot(_._1.contains("name"))
+    val untouchedAfter = after.filterNot(_._1.contains("name"))
+    assert(untouchedBefore == untouchedAfter,
+      s"untouched files changed: before=$untouchedBefore after=$untouchedAfter")
+    // the name partitions were rewritten (different file set)
+    assert(before.keySet.filter(_.contains("name")) !=
+      after.keySet.filter(_.contains("name")))
+
+    val reloaded = TriplesGraph.load(spark, dir)
+    val names = new SparqlExecutor(reloaded)
+      .execute(s"PREFIX ex:<$ex> SELECT ?n WHERE { ?s ex:name ?n } ORDER BY ?n")
+      .collect().map(_.getString(0)).toSeq
+    assert(names == Seq("Alice", "Cara"))
+    // untouched predicates still read correctly
+    val tags = new SparqlExecutor(reloaded)
+      .execute(s"PREFIX ex:<$ex> SELECT ?t WHERE { ex:a ex:tag ?t }")
+      .collect().map(_.getString(0)).toSeq
+    assert(tags == Seq(ex + "t1"))
+  }
+
+  test("saveDelta removes a fully-deleted predicate's directory") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-savedelta2").toString
+    val g0 = TriplesGraph.fromTerms(spark, Seq(
+      (Iri(ex + "a"): Term, ex + "name", Lit("Alice", Xsd.string): Term),
+      (Iri(ex + "a"): Term, ex + "tag", Iri(ex + "t1"): Term)))
+    g0.save(dir)
+    val updated = SparqlUpdate.execute(TriplesGraph.load(spark, dir),
+      s"PREFIX ex:<$ex> DELETE WHERE { ?s ex:tag ?t }")
+    updated.saveDelta(dir)
+    val reloaded = TriplesGraph.load(spark, dir)
+    assert(new SparqlExecutor(reloaded)
+      .execute(s"PREFIX ex:<$ex> SELECT ?t WHERE { ?s ex:tag ?t }").isEmpty)
+    assert(!new SparqlExecutor(reloaded)
+      .execute(s"PREFIX ex:<$ex> SELECT ?n WHERE { ?s ex:name ?n }").isEmpty)
+  }
 }
