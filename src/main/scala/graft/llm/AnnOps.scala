@@ -702,6 +702,22 @@ object AnnOps {
     spark.createDataFrame(rdd, schema)
   }
 
+  /** Pack an `array<int>` of m ≤ 16 codes (k ≤ 16, so 4 bits each) into
+    * ONE BIGINT — the true storage form of a 64-dim/8-subspace PQ corpus:
+    * 8 bytes per vector, 32× smaller than the raw floats. Codegen'd Column
+    * (functions.aggregate), big-endian nibble order. */
+  def packCodes(codes: Column, m: Int, k: Int): Column = {
+    require(m <= 16 && k <= 16, "packCodes fits 4-bit codes into 64 bits")
+    aggregate(codes, lit(0L), (acc, c) => acc * 16L + c.cast(LongType))
+  }
+
+  /** Inverse of [[packCodes]]: BIGINT → `array<int>` of m codes. Exact bit
+    * ops with plan-time shift constants (no float detour). */
+  def unpackCodes(packed: Column, m: Int): Column =
+    array((0 until m).map(j =>
+      shiftright(packed, (m - 1 - j) * 4).bitwiseAND(lit(15L))
+        .cast(IntegerType)): _*)
+
   /** ADC top-k over an encoded corpus for a bounded query batch: the
     * queries collect to the driver (same batch bound as [[topKForQueries]]),
     * their per-(subspace, code) distance tables — |q|·m·k doubles — are

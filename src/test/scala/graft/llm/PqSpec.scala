@@ -76,6 +76,26 @@ class PqSpec extends SparkTestBase {
     assert(reranked >= 0.65, s"reranked recall@10 $reranked below 0.65")
   }
 
+  test("nibble packing: 8 bytes per vector, exact round-trip, same ADC ranks") {
+    val model = AnnOps.hashPqCodebooks(64, 8, 16)
+    val enc = AnnOps.encodePq(emb, model).localCheckpoint()
+    val packed = enc.select(col("vec_id"),
+      AnnOps.packCodes(col("codes"), 8, 16).as("packed"))
+    assert(packed.schema("packed").dataType.simpleString == "bigint")
+    val roundTrip = packed.select(col("vec_id"),
+      AnnOps.unpackCodes(col("packed"), 8).as("codes"))
+    val a = enc.orderBy("vec_id").collect().map(_.getSeq[Int](1)).toSeq
+    val b = roundTrip.orderBy("vec_id").collect().map(_.getSeq[Int](1)).toSeq
+    assert(a == b)
+    // ADC over the unpacked form ranks identically to the array form
+    val queries = emb.filter(col("vec_id") < 10)
+    val viaArrays = AnnOps.pqTopKForQueries(enc, queries, model, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val viaPacked = AnnOps.pqTopKForQueries(roundTrip, queries, model, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaArrays == viaPacked)
+  }
+
   test("trainPq is deterministic for a given input partitioning") {
     val a = AnnOps.trainPq(emb, 64, 8, 16, lloydRounds = 3)
     val b = AnnOps.trainPq(emb, 64, 8, 16, lloydRounds = 3)
