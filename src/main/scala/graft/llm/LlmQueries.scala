@@ -62,6 +62,31 @@ object LlmQueries {
       s"(CASE WHEN list_dot_product(CAST($emb AS DOUBLE[]), [$comp for m in range($lo, ${lo + dim})]) >= 0 THEN '1' ELSE '0' END)"
     }.mkString(" || ")
 
+  // q108's frozen tokenizer: the first 16 merges Bpe.train learns on the
+  // sf0.01 documents corpus (deterministic: count desc, pair lex asc) —
+  // frozen here the way production tokenizers are frozen artifacts.
+  private val frozenBpeMerges: Seq[(String, String)] = Seq(
+    "e" -> "r", "e" -> "</w>", "n" -> "</w>", "er" -> "</w>",
+    "o" -> "w", "ow" -> "</w>", "o" -> "r", "s" -> "t",
+    "h" -> "</w>", "a" -> "t", "l" -> "u", "i" -> "n",
+    "a" -> "</w>", "g" -> "</w>", "y" -> "</w>", "a" -> "r")
+
+  // Oracle spelling of q108: the identical wrapped-symbol replace chain,
+  // built from the same frozen merge table.
+  private def bpeOracle(merges: Seq[(String, String)]): String = {
+    def wrapSql(sym: String) = s"chr(1) || '${sym.replace("'", "''")}' || chr(2)"
+    val wrapped = "array_to_string([array_to_string([chr(1) || c || chr(2) " +
+      "for c in string_split(w, '')], '') || chr(1) || '</w>' || chr(2) " +
+      "for w in list_filter(string_split(trim(text), ' '), w -> w <> '')], '')"
+    val chained = merges.foldLeft(wrapped) { case (acc, (a, b)) =>
+      s"replace($acc, ${wrapSql(a)} || ${wrapSql(b)}, ${wrapSql(a + b)})"
+    }
+    s"""SELECT doc_id,
+       |  CAST(length(s) - length(replace(s, chr(1), '')) AS BIGINT) AS n_bpe
+       |FROM (SELECT doc_id, $chained AS s FROM documents)
+       |ORDER BY doc_id NULLS FIRST""".stripMargin
+  }
+
   // Oracle spelling of q107: hash PQ codebooks (AnnOps.md5Comp's integer
   // arithmetic, "pq:" namespace), nearest-code encoding with the (d², c)
   // tie-break as a window, ADC distance tables for the query batch, and
@@ -921,6 +946,19 @@ object LlmQueries {
       val enc = AnnOps.encodePq(emb, model)
       AnnOps.pqTopKForQueries(enc, emb.filter(col("vec_id") < 20), model, 3)
         .orderBy("qid", "rk")
+    },
+
+    // ---- BPE tokenization under a FROZEN merge table (beyond-parity):
+    // per-doc token count after applying the 16 frozen merges single-pass
+    // in rank order — tokenizers are frozen artifacts in real pipelines,
+    // and the single-pass spelling is a chain of literal replaces over a
+    // delimiter-wrapped symbol string that any engine reproduces exactly
+    // (Bpe.singlePassTokenCount scaladoc). Training (distributed word
+    // histogram + driver merge loop) and the production greedy encoder are
+    // BpeSpec's job. Map-only at any corpus size.
+    q("q108_bpe_tokens", bpeOracle(frozenBpeMerges)) { (s, dir) =>
+      Bpe.singlePassTokenCount(T.documents(s, dir), "doc_id", "text",
+        frozenBpeMerges).orderBy("doc_id")
     },
   )
 }
