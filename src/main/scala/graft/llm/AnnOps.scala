@@ -770,6 +770,188 @@ object AnnOps {
       .select(col("qid"), col("rk").cast(LongType), col("nid"))
   }
 
+  /** IVF-PQ: the FAISS-standard at-scale serving composition — a k-means||
+    * coarse quantizer routes each vector to a cell, the RESIDUAL
+    * (unit vector − its centroid) is PQ-encoded, and queries score only
+    * their `nProbe` best cells' codes via per-(query, cell) ADC tables.
+    * Residual encoding is what makes PQ accurate here: residual variance
+    * is a fraction of the raw vectors', so the same code budget quantizes
+    * much finer. Storage is (cid, packed codes) — the index is
+    * 8 bytes/vector and cell-prunable at any corpus size.
+    *
+    * Scale shape: two corpus passes (residual assignment; encoding), both
+    * map-only kernels with broadcast models; query tables are
+    * |q|·nProbe·m·k doubles, broadcast; scoring is one scan of the probed
+    * cells' codes; one window for top-k. Returns (qid, rk, nid). */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      dim: Int = 64, nCentroids: Int = 16, nProbe: Int = 4,
+      m: Int = 8, kCodes: Int = 16, lloydRounds: Int = 4): DataFrame = {
+    val spark = corpus.sparkSession
+    val cents: Array[(Long, Array[Float], Double)] =
+      kmeansParCentroids(corpus, nCentroids, dim)
+    val centArr: Array[Array[Float]] = cents.map(_._2)
+    val cb = spark.sparkContext.broadcast(centArr)
+
+    // pass 1a: cell assignment (vec_id, cid, unit vector)
+    val asgSchema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("cid", IntegerType),
+      StructField("u", ArrayType(FloatType))))
+    val assigned = spark.createDataFrame(
+      corpus.select(col("vec_id"), col("embedding")).rdd.mapPartitions { rows =>
+        val cs = cb.value
+        rows.map { r =>
+          val u = unit(r.getSeq[Float](1), dim)
+          var bestC = 0; var bestCos = Double.NegativeInfinity
+          var j = 0
+          while (j < cs.length) {
+            val ce = cs(j)
+            var d = 0.0; var i = 0
+            while (i < dim) { d += u(i) * ce(i); i += 1 }
+            if (d > bestCos) { bestCos = d; bestC = j }
+            j += 1
+          }
+          Row(r.getLong(0), bestC, u.map(_.toFloat).toSeq)
+        }
+      }, asgSchema).localCheckpoint()
+
+    // cell MEANS (not the unit centroids): the mean minimizes residual
+    // variance — subtracting the unit-normalized spherical centroid
+    // actually INFLATES residuals on weakly-clustered data
+    // (‖v̂−ĉ‖² = 2−2cos > within-cell variance). One metadata-sized
+    // accumulator pass: nCentroids×dim doubles per partition.
+    val (mSums, mCnts) = assigned.rdd.mapPartitions { rows =>
+      val acc = Array.fill(nCentroids)(new Array[Double](dim))
+      val cnt = new Array[Long](nCentroids)
+      rows.foreach { r =>
+        val cId = r.getInt(1); val u = r.getSeq[Float](2)
+        cnt(cId) += 1
+        var i = 0
+        while (i < dim) { acc(cId)(i) += u(i).toDouble; i += 1 }
+      }
+      Iterator.single((acc, cnt))
+    }.reduce { case ((a1, c1), (a2, c2)) =>
+      var j = 0
+      while (j < nCentroids) {
+        c1(j) += c2(j)
+        var i = 0
+        while (i < dim) { a1(j)(i) += a2(j)(i); i += 1 }
+        j += 1
+      }
+      (a1, c1)
+    }
+    val means: Array[Array[Double]] = Array.tabulate(nCentroids) { j =>
+      if (mCnts(j) == 0) centArr(j).map(_.toDouble)
+      else mSums(j).map(_ / mCnts(j))
+    }
+    val mb = spark.sparkContext.broadcast(means)
+
+    // pass 1b: residual = unit vector − its cell mean
+    val resSchema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("cid", IntegerType),
+      StructField("embedding", ArrayType(FloatType))))
+    val residuals = spark.createDataFrame(
+      assigned.rdd.mapPartitions { rows =>
+        val ms = mb.value
+        rows.map { r =>
+          val cId = r.getInt(1); val u = r.getSeq[Float](2)
+          val res = new Array[Float](dim)
+          var i = 0
+          while (i < dim) { res(i) = (u(i).toDouble - ms(cId)(i)).toFloat; i += 1 }
+          Row(r.getLong(0), cId, res.toSeq)
+        }
+      }, resSchema).localCheckpoint()
+
+    // PQ over residuals, then pass 2: encode keeping the cell id
+    val pq = trainPq(residuals, dim, m, kCodes, lloydRounds)
+    val sd = pq.subDim
+    val pqB = spark.sparkContext.broadcast(pq.codebooks)
+    val encSchema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("cid", IntegerType),
+      StructField("codes", ArrayType(IntegerType))))
+    val encoded = spark.createDataFrame(
+      residuals.rdd.mapPartitions { rows =>
+        val books = pqB.value
+        rows.map { r =>
+          val emb = r.getSeq[Float](2)
+          val codes = new Array[Int](m)
+          var j = 0
+          while (j < m) { codes(j) = nearestSub(books(j), emb, j * sd, sd); j += 1 }
+          Row(r.getLong(0), r.getInt(1), codes.toSeq)
+        }
+      }, encSchema)
+
+    // query side: probe tables per (query, probed cell), driver-built from
+    // the bounded query batch, broadcast as cid -> [(qid, table)]
+    val qRows = queries.select(col("vec_id"), col("embedding")).collect()
+    val probeTables: Map[Int, Array[(Long, Array[Array[Double]])]] = qRows
+      .flatMap { r =>
+        val u = unit(r.getSeq[Float](1), dim)
+        val byCos = centArr.indices
+          .map(j => j -> centArr(j).indices.foldLeft(0.0)((a, i) => a + u(i) * centArr(j)(i)))
+          .sortBy { case (j, cos) => (-cos, j) }.take(nProbe)
+        byCos.map { case (cidx, _) =>
+          val ce = means(cidx) // query residual vs the same cell MEAN
+          val tab = Array.tabulate(m, kCodes) { (j, c) =>
+            val cv = pq.codebooks(j)(c)
+            var d = 0.0; var t = 0
+            while (t < sd) {
+              val diff = (u(j * sd + t) - ce(j * sd + t)) - cv(t)
+              d += diff * diff; t += 1
+            }
+            d
+          }
+          (cidx, (r.getLong(0), tab))
+        }
+      }.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val tb = spark.sparkContext.broadcast(probeTables)
+
+    val scoreSchema = StructType(Seq(StructField("qid", LongType),
+      StructField("nid", LongType), StructField("dist", DoubleType)))
+    val scored = spark.createDataFrame(
+      encoded.rdd.mapPartitions { rows =>
+        val pt = tb.value
+        rows.flatMap { r =>
+          pt.get(r.getInt(1)) match {
+            case None => Iterator.empty
+            case Some(qs) =>
+              val nid = r.getLong(0)
+              val codes = r.getSeq[Int](2)
+              qs.iterator.collect { case (qid, tab) if qid != nid =>
+                var d = 0.0; var j = 0
+                while (j < m) { d += tab(j)(codes(j)); j += 1 }
+                Row(qid, nid, d)
+              }
+          }
+        }
+      }, scoreSchema)
+    val w = Window.partitionBy(col("qid")).orderBy(col("dist"), col("nid"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("rk").cast(LongType), col("nid"))
+  }
+
+  /** IVF-PQ shortlist + exact cosine re-rank — the full production serving
+    * path (probe → ADC shortlist → fetch only shortlisted raw vectors →
+    * exact re-rank). */
+  def ivfPqTopKReranked(corpus: DataFrame, queries: DataFrame, k: Int,
+      shortlist: Int = 100, dim: Int = 64, nCentroids: Int = 16,
+      nProbe: Int = 4, m: Int = 8, kCodes: Int = 16): DataFrame = {
+    require(shortlist >= k)
+    graft.functions.ArrayDotProduct.register(corpus.sparkSession)
+    val short = ivfPqTopK(corpus, queries, shortlist, dim, nCentroids,
+      nProbe, m, kCodes).select(col("qid"), col("nid"))
+    val c = corpus.select(col("vec_id").as("nid"), col("embedding").as("nemb"))
+      .withColumn("cn", norm(col("nemb"), dim))
+    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+      .withColumn("qn", norm(col("qemb"), dim))
+    val rescored = short.join(c, "nid").join(broadcast(q), "qid")
+      .withColumn("cos", dot(col("qemb"), col("nemb"), dim) / (col("qn") * col("cn")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    rescored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("rk").cast(LongType), col("nid"))
+  }
+
   /** The production PQ pattern: ADC over the compressed corpus produces a
     * per-query SHORTLIST (cheap — m lookups per vector), then only the
     * shortlisted raw vectors are fetched and re-ranked exactly. At lake

@@ -1,0 +1,64 @@
+package graft.llm
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** IVF-PQ (coarse quantizer → cell-mean residual PQ → per-cell ADC →
+  * optional exact re-rank): recall bounds on the near-random test corpus,
+  * measured headroom over raw-vector ADC, and probe-count behavior. */
+class IvfPqSpec extends SparkTestBase {
+
+  private lazy val emb =
+    graft.T.embeddings(spark, "/root/testdata/sf0.001").localCheckpoint()
+
+  private def recallOf(df: org.apache.spark.sql.DataFrame,
+      exact: Map[Long, Set[Long]]): Double = {
+    val got = df.select("qid", "nid").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    exact.map { case (q, t) => got.getOrElse(q, Set.empty).count(t) }.sum.toDouble /
+      exact.values.map(_.size).sum
+  }
+
+  test("IVF-PQ recall: residual ADC clears raw ADC; rerank clears 0.6") {
+    val queries = emb.filter(col("vec_id") < 50)
+    val exact = AnnOps.topKForQueries(emb, queries, 10)
+      .select("qid", "nid").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+
+    // probing ALL cells isolates quantization quality: cell-mean residual
+    // PQ must beat raw-vector trained PQ at the same (m, k) budget —
+    // residual variance is a fraction of the raw variance. Measured 0.21
+    // vs 0.20 raw on this near-random corpus (clusters barely exist; on
+    // clustered data the gap widens), so the bound pins ≥, not a margin.
+    val allCells = AnnOps.ivfPqTopK(emb, queries, 10, nProbe = 16)
+    val rawPq = {
+      val model = AnnOps.trainPq(emb, 64, 8, 16)
+      AnnOps.pqTopKForQueries(AnnOps.encodePq(emb, model), queries, model, 10)
+    }
+    val resRecall = recallOf(allCells, exact)
+    val rawRecall = recallOf(rawPq, exact)
+    info(f"ADC recall@10: residual=$resRecall%.3f raw=$rawRecall%.3f")
+    assert(resRecall >= rawRecall,
+      s"residual PQ ($resRecall) fell below raw PQ ($rawRecall)")
+
+    // the serving path: probe half the cells, ADC shortlist, exact rerank
+    val served = AnnOps.ivfPqTopKReranked(emb, queries, 10,
+      shortlist = 100, nProbe = 8)
+    val servedRecall = recallOf(served, exact)
+    info(f"reranked(100) nProbe=8 recall@10 $servedRecall%.3f")
+    assert(servedRecall >= 0.6, s"served recall $servedRecall below 0.6")
+  }
+
+  test("more probes never hurt (same index, wider scan)") {
+    val queries = emb.filter(col("vec_id") < 30)
+    val exact = AnnOps.topKForQueries(emb, queries, 10)
+      .select("qid", "nid").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val r4 = recallOf(AnnOps.ivfPqTopKReranked(emb, queries, 10, 100,
+      nProbe = 4), exact)
+    val r16 = recallOf(AnnOps.ivfPqTopKReranked(emb, queries, 10, 100,
+      nProbe = 16), exact)
+    info(f"rerank recall@10: nProbe=4 $r4%.3f nProbe=16 $r16%.3f")
+    assert(r16 >= r4 - 1e-9)
+  }
+}
