@@ -590,6 +590,36 @@ object TriplesGraph {
     sb.toString
   }
 
+  /** Compact a persisted store in place: parallel writes and saveDelta
+    * cycles leave up to one file per task per partition directory;
+    * compaction rewrites the whole dataset with rows repartitioned BY the
+    * partition key, so every (p, kind, cls, sb) directory lands in exactly
+    * one task → one file. Layout, sidecar, and contents are unchanged —
+    * the classic small-files maintenance job of any partitioned lake
+    * table. Rewrite-then-swap (write to a sibling temp dir, delete old,
+    * rename); like [[TriplesGraph#saveDelta]] the swap is not atomic —
+    * table-format commit protocols are out of scope. */
+  def compact(spark: SparkSession, path: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val nBuckets = readMeta(spark, path).getOrElse(
+      throw new IllegalArgumentException(
+        s"no store sidecar at $path — compact only handles save()-written stores"))
+    val tmp = new Path(path + "__compacting")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    spark.read.parquet(path)
+      .repartition(col("p"), col("kind"), col("cls"), col("sb"))
+      .write.partitionBy("p", "kind", "cls", "sb").parquet(tmp.toString)
+    val out = fs.create(new Path(tmp, metaFileName), true)
+    try out.write(s"""{"nBuckets": $nBuckets}""".getBytes("UTF-8"))
+    finally out.close()
+    fs.delete(root, true)
+    if (!fs.rename(tmp, root))
+      throw new IllegalStateException(s"rename $tmp -> $root failed")
+    spark.catalog.refreshByPath(path)
+  }
+
   /** Subject-bucket count for the persisted layout. 16 keeps the test-scale
     * directory fan-out sane; a 100 TB deployment would raise it (buckets ×
     * predicates × classes directories, each holding 1/nBuckets of the

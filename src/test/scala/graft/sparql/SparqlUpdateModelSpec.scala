@@ -145,6 +145,41 @@ class SparqlUpdateModelSpec extends SparkTestBase {
     assert(tags == Seq(ex + "t1"))
   }
 
+  test("compact collapses partition files, preserves contents and sidecar") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    val terms = (0 until 200).flatMap { i =>
+      Seq((Iri(s"$ex s$i"): Term, ex + "name", Lit(s"n$i", Xsd.string): Term),
+        (Iri(s"$ex s$i"): Term, ex + "age", Lit(i.toString, Xsd.integer): Term))
+    }
+    TriplesGraph.fromTerms(spark, terms).save(dir)
+    // fragment: a couple of delta cycles with multi-task appends
+    var g = TriplesGraph.load(spark, dir)
+    g = SparqlUpdate.execute(g,
+      s"""PREFIX ex:<$ex> INSERT DATA { ex:extra ex:name "X" }""")
+    g.saveDelta(dir)
+
+    def files(): Seq[String] = {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+      def walk(f: java.io.File): Unit =
+        if (f.isDirectory) f.listFiles().foreach(walk)
+        else if (f.getName.endsWith(".parquet")) buf += f.getAbsolutePath
+      walk(new java.io.File(dir)); buf.toSeq
+    }
+    def names(): Seq[String] = new SparqlExecutor(TriplesGraph.load(spark, dir))
+      .execute(s"PREFIX ex:<$ex> SELECT ?n WHERE { ?s ex:name ?n } ORDER BY ?n")
+      .collect().map(_.getString(0)).toSeq
+
+    val beforeFiles = files().size
+    val beforeNames = names()
+    TriplesGraph.compact(spark, dir)
+    val afterFiles = files().size
+    assert(afterFiles < beforeFiles,
+      s"compact did not shrink file count: $beforeFiles -> $afterFiles")
+    assert(names() == beforeNames)
+    // sidecar survived: a fresh load must not fall back to caller defaults
+    assert(TriplesGraph.readMeta(spark, dir).nonEmpty)
+  }
+
   test("saveDelta removes a fully-deleted predicate's directory") {
     val dir = java.nio.file.Files.createTempDirectory("graft-savedelta2").toString
     val g0 = TriplesGraph.fromTerms(spark, Seq(
