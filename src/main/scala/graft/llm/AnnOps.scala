@@ -485,6 +485,23 @@ object AnnOps {
       .map { case (c, j) => (j.toLong, c.map(_.toFloat), 1.0) }
   }
 
+  /** Occupancy-sized signature parameters for [[lshThresholdPairs]]'s auto
+    * mode: bits grow with log2(n/8) so expected bucket occupancy stays ~8;
+    * bands scale by 1/p per extra bit (p = random-hyperplane collision
+    * probability at the threshold angle) to hold recall, capped at 64.
+    * INVARIANT (pinned by LshSizingSpec): at every gate scale factor
+    * (n ≤ 2048) this resolves to exactly (16, 8) — the static values the
+    * q50/q86 DuckDB oracles replicate. */
+  private[llm] def autoBandParams(n: Long, numBands: Int,
+      threshold: Double): (Int, Int) = {
+    val bits = math.max(8, math.ceil(
+      math.log(n / 8.0) / math.log(2.0)).toInt)
+    val p = 1.0 - math.acos(threshold) / math.Pi
+    val b = math.min(64, math.ceil(
+      numBands * math.pow(1.0 / p, (bits - 8).toDouble)).toInt)
+    (b, bits)
+  }
+
   /** Random-hyperplane LSH threshold self-join: numBands bands of
     * bitsPerBand sign bits each (band key = the bit string), candidates from
     * the bucket join, verified with exact cosine >= threshold.
@@ -511,15 +528,7 @@ object AnnOps {
     // (16, 8), the values the static DuckDB oracles replicate.
     val (bands, bitsB) =
       if (bitsPerBand > 0) (numBands, bitsPerBand)
-      else {
-        val n = math.max(1L, base.count())
-        val bits = math.max(8, math.ceil(
-          math.log(n / 8.0) / math.log(2.0)).toInt)
-        val p = 1.0 - math.acos(threshold) / math.Pi
-        val b = math.min(64, math.ceil(
-          numBands * math.pow(1.0 / p, (bits - 8).toDouble)).toInt)
-        (b, bits)
-      }
+      else autoBandParams(math.max(1L, base.count()), numBands, threshold)
     // Signature kernel as per-partition imperative code: bands×bitsB
     // dot products per row in a tight loop. A Column spelling of the same
     // math is a ~25k-node expression tree that costs more in optimizer and
