@@ -873,6 +873,67 @@ object RelationalQueries {
           events(s, dir).select(col("event_type").as("k"), col("ts"), col("value")),
           Seq("k"), "ts", "value", stepMicros = 3600000000L, mode = "locf")
         .orderBy("k", "gus")
+    },
+
+    // ---- conversion funnel (classic event analytics): per user, first
+    // signup and the first purchase AT OR AFTER it, kept when conversion
+    // happens within 7 days. Exact integer microseconds end to end. Two
+    // partial-agg min shuffles + two key equi-joins; the signup table is
+    // user-sized and broadcasts when small — never an event×event join.
+    q("q109_funnel",
+      """WITH su AS (
+        |  SELECT user_id, MIN(epoch_ns(ts) // 1000) AS s_us
+        |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+        |pu AS (
+        |  SELECT e.user_id, MIN(epoch_ns(e.ts) // 1000) AS p_us
+        |  FROM events e JOIN su ON e.user_id = su.user_id
+        |  WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) // 1000 >= su.s_us
+        |  GROUP BY e.user_id)
+        |SELECT su.user_id, su.s_us, pu.p_us, pu.p_us - su.s_us AS delta_us
+        |FROM su JOIN pu ON su.user_id = pu.user_id
+        |WHERE pu.p_us - su.s_us <= 604800000000
+        |ORDER BY su.user_id NULLS FIRST""".stripMargin) { (s, dir) =>
+      val e = events(s, dir).select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      val su = e.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min(col("us")).as("s_us"))
+      val pu = e.filter(col("event_type") === "purchase")
+        .join(su, "user_id").filter(col("us") >= col("s_us"))
+        .groupBy("user_id").agg(min(col("us")).as("p_us"))
+      su.join(pu, "user_id")
+        .withColumn("delta_us", col("p_us") - col("s_us"))
+        .filter(col("delta_us") <= 604800000000L)
+        .select(col("user_id"), col("s_us"), col("p_us"), col("delta_us"))
+        .orderBy("user_id")
+    },
+
+    // ---- retention cohort matrix (the other classic): cohort = each
+    // user's first active day, cell (cohort_day, offset_day) counts the
+    // DISTINCT users of that cohort active that many days later. Exact
+    // integer day indexes; one user-sized first-day agg joined back to
+    // the distinct (user, day) activity set, then one count-distinct —
+    // all partial-agg shuffles on user/day keys.
+    q("q110_retention_cohorts",
+      """WITH f AS (
+        |  SELECT user_id, MIN(epoch_ns(ts) // 1000) // 86400000000 AS cohort
+        |  FROM events GROUP BY user_id),
+        |a AS (
+        |  SELECT DISTINCT user_id, epoch_ns(ts) // 1000 // 86400000000 AS d
+        |  FROM events)
+        |SELECT f.cohort AS cohort_day, a.d - f.cohort AS offset_day,
+        |  CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users
+        |FROM a JOIN f ON a.user_id = f.user_id
+        |GROUP BY 1, 2
+        |ORDER BY cohort_day NULLS FIRST, offset_day NULLS FIRST""".stripMargin) {
+      (s, dir) =>
+        val e = events(s, dir).select(col("user_id"),
+          expr("unix_micros(ts) DIV 86400000000").as("d"))
+        val f = e.groupBy("user_id").agg(min(col("d")).as("cohort"))
+        e.distinct().join(f, "user_id")
+          .groupBy(col("cohort").as("cohort_day"),
+            (col("d") - col("cohort")).as("offset_day"))
+          .agg(countDistinct(col("user_id")).as("n_users"))
+          .orderBy("cohort_day", "offset_day")
     }
   )
 }
