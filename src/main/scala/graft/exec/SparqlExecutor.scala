@@ -139,6 +139,10 @@ final class SparqlExecutor(
     }
     def langCol(vt: VarOrTerm): Column = vt match {
       case T(Lit(_, _, Some(lang))) => lit(lang)
+      // a variable-bound object carries its language tag in the hidden
+      // <v>__lang companion column: DELETE { ?s ex:label ?l } must match
+      // lang-tagged rows, and INSERT of a bound lang literal keeps its tag
+      case V(v) if df0.columns.contains(s"${v}__lang") => col(s"${v}__lang")
       case _ => lit(null).cast(StringType)
     }
     val parts = blocks.flatMap { block =>

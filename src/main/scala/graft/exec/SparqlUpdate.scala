@@ -34,9 +34,11 @@ object SparqlUpdate {
 
   def applyOp(graph: TriplesGraph, op: UpdateOp): TriplesGraph = op match {
     case InsertDataOp(quads) =>
-      graph.applyDelta(emptyDelta(graph.spark), groundFrame(graph.spark, quads))
+      graph.applyDelta(emptyDelta(graph.spark),
+        groundFrame(graph.spark, quads, allowBnodes = true))
     case DeleteDataOp(quads) =>
-      graph.applyDelta(groundFrame(graph.spark, quads), emptyDelta(graph.spark))
+      graph.applyDelta(groundFrame(graph.spark, quads, allowBnodes = false),
+        emptyDelta(graph.spark))
     case ModifyOp(del, ins, where, withIri) =>
       val ex = new SparqlExecutor(graph)
       // one WHERE evaluation feeds both templates (§3.1.3); checkpoint only
@@ -72,7 +74,8 @@ object SparqlUpdate {
 
   /** Ground DATA quads → canonical quad frame. Driver-side by construction:
     * the rows are literal query text, bounded by the update string. */
-  private def groundFrame(spark: SparkSession, quads: Seq[QuadBlock]): DataFrame = {
+  private def groundFrame(spark: SparkSession, quads: Seq[QuadBlock],
+      allowBnodes: Boolean): DataFrame = {
     val rows = quads.flatMap { b =>
       val g: String = b.graph match {
         case Some(T(Iri(v))) => v
@@ -81,13 +84,13 @@ object SparqlUpdate {
           s"DATA operations need a constant graph, got $other")
       }
       b.triples.map { t =>
-        val s = constTerm(t.s, "subject").canonical
+        val s = constTerm(t.s, "subject", allowBnodes).canonical
         val p = t.p match {
           case PLink(iri) => iri
           case other => throw new IllegalArgumentException(
             s"DATA operations need constant predicates, got $other")
         }
-        val o = constTerm(t.o, "object")
+        val o = constTerm(t.o, "object", allowBnodes)
         val ol: String = o match {
           case Lit(_, _, Some(lang)) => lang
           case _ => null
@@ -98,9 +101,15 @@ object SparqlUpdate {
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), deltaSchema)
   }
 
-  private def constTerm(vt: VarOrTerm, what: String): Term = vt match {
+  private def constTerm(vt: VarOrTerm, what: String,
+      allowBnodes: Boolean): Term = vt match {
     case T(t @ (Iri(_) | Lit(_, _, _))) => t
-    case T(b: Blank) => b // legal in INSERT DATA (a fixed skolem label here)
+    // legal in INSERT DATA only (a fixed skolem label here); SPARQL 1.1
+    // Update §3.1.2 forbids blank nodes in DELETE DATA — they could never
+    // match a stored triple, so the spec makes them a syntax error
+    case T(b: Blank) if allowBnodes => b
+    case T(Blank(id)) => throw new IllegalArgumentException(
+      s"blank node _:$id is not allowed in DELETE DATA (Update §3.1.2)")
     case V(v) => throw new IllegalArgumentException(
       s"DATA operations must be ground; $what has variable ?$v")
   }

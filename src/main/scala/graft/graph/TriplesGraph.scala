@@ -341,8 +341,15 @@ final class TriplesGraph(
           val d0 = del.filter(col("p") === lit(p))
             .select(col("s").as("__ds"), col("o").try_cast(oType).as("__do"),
               col("g").as("__dg"), col("ol").as("__dl"))
-          // a named-graph delete can't touch an untagged slice
-          val d = if (hasG) d0 else d0.filter(col("__dg").isNull)
+          // a named-graph delete can't touch an untagged slice, and a
+          // lang-tagged delete can't touch a lang-free slice ("x"@en and
+          // "x" are distinct RDF terms, so the tagged delete matches none)
+          val d = {
+            var dd = d0
+            if (!hasG) dd = dd.filter(col("__dg").isNull)
+            if (!hasLang) dd = dd.filter(col("__dl").isNull)
+            dd
+          }
           val cond = (col("s") === col("__ds")) && (col("o") === col("__do")) &&
             (if (hasG) col("g") <=> col("__dg") else lit(true)) &&
             (if (hasLang) col("o_lang") <=> col("__dl") else lit(true))

@@ -21,17 +21,31 @@ object Bpe {
     * word-final units without crossing word boundaries. */
   val EndOfWord = "</w>"
 
+  /** Cap on the word histogram rows brought to the driver. 4M entries ×
+    * ~100 B ≈ a few hundred MB — comfortable driver heap; far above any
+    * vocabulary a tokenizer trainer benefits from (GPT-2 trains from ~50k
+    * symbol types). The cap is a top-N BY COUNT, so what falls off is the
+    * lowest-frequency tail — exactly what `min_frequency` drops in
+    * HF/SentencePiece trainers. */
+  val DefaultMaxDistinctWords: Int = 4 << 20
+
   /** Train `numMerges` merge rules. Deterministic: the best pair is chosen
     * by (count desc, pair lexicographic asc) — integer counts, so the rule
     * sequence is reproducible on any engine/partitioning. Pairs below
-    * `minCount` stop training early. */
+    * `minCount` stop training early.
+    *
+    * Driver-side memory is BOUNDED: the word histogram is filtered to
+    * `count >= minCount` (a 100 TB web crawl's distinct-token tail — URLs,
+    * typos, code — is overwhelmingly singletons) and capped to the
+    * `maxDistinctWords` most frequent words (TakeOrderedAndProject, a
+    * distributed top-N, not a full sort) BEFORE `.collect()`. Both bounds
+    * mirror the standard trainer knob (HF `min_frequency`); the merge loop
+    * itself then runs over the histogram like every published BPE trainer. */
   def train(df: DataFrame, textCol: String, numMerges: Int,
-      minCount: Long = 2L): Seq[(String, String)] = {
-    val wordCounts: Array[(String, Long)] = df
-      .select(explode(split(trim(col(textCol)), " ")).as("w"))
-      .filter(col("w") =!= "")
-      .groupBy("w").agg(count(lit(1)).as("c"))
-      .collect().map(r => (r.getString(0), r.getLong(1)))
+      minCount: Long = 2L,
+      maxDistinctWords: Int = DefaultMaxDistinctWords): Seq[(String, String)] = {
+    val wordCounts: Array[(String, Long)] =
+      wordHistogram(df, textCol, minCount, maxDistinctWords)
 
     // mutable symbol sequences per distinct word, weighted by word count
     val words: Array[Array[String]] = wordCounts.map { case (w, _) =>
@@ -68,6 +82,23 @@ object Bpe {
       }
     }
     merges.toSeq
+  }
+
+  /** The bounded distributed word histogram `train` collects: one
+    * partial-agg shuffle, then `c >= minCount` and a top-`maxDistinctWords`
+    * by (count desc, word asc) — the sort+limit compiles to
+    * TakeOrderedAndProject, so no partition ever holds the full histogram
+    * and the driver sees at most `maxDistinctWords` rows. Exposed for the
+    * bound spec. */
+  private[llm] def wordHistogram(df: DataFrame, textCol: String,
+      minCount: Long, maxDistinctWords: Int): Array[(String, Long)] = {
+    df.select(explode(split(trim(col(textCol)), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minCount)
+      .orderBy(col("c").desc, col("w").asc)
+      .limit(maxDistinctWords)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
   }
 
   /** One merge applied left-to-right, non-overlapping. */
@@ -156,10 +187,15 @@ object Bpe {
 
   private[llm] def wrap(sym: String): String = "\u0001" + sym + "\u0002"
 
-  /** Words → wrapped char symbols + end-of-word marker, concatenated. */
+  /** Words → wrapped char symbols + end-of-word marker, concatenated.
+    * The seam delimiters \u0001/\u0002 are stripped from the input FIRST
+    * (before word splitting, mirrored in the q108 oracle SQL) — otherwise
+    * input containing them would corrupt both the replace chain and the
+    * \u0001-counting token count. */
   private[llm] def wrapText(text: String): String = {
     val sb = new StringBuilder
-    text.trim.split(" ", -1).foreach { w =>
+    val clean = text.replace("\u0001", "").replace("\u0002", "")
+    clean.trim.split(" ", -1).foreach { w =>
       if (w.nonEmpty) {
         w.foreach(c => sb.append(wrap(c.toString)))
         sb.append(wrap(EndOfWord))

@@ -75,9 +75,13 @@ object LlmQueries {
   // built from the same frozen merge table.
   private def bpeOracle(merges: Seq[(String, String)]): String = {
     def wrapSql(sym: String) = s"chr(1) || '${sym.replace("'", "''")}' || chr(2)"
+    // chr(1)/chr(2) are the seam delimiters — strip them from the input
+    // BEFORE word splitting (mirrors Bpe.wrapText) so adversarial text
+    // can't corrupt the replace chain or the delimiter-counting count.
+    val cleanText = "replace(replace(text, chr(1), ''), chr(2), '')"
     val wrapped = "array_to_string([array_to_string([chr(1) || c || chr(2) " +
       "for c in string_split(w, '')], '') || chr(1) || '</w>' || chr(2) " +
-      "for w in list_filter(string_split(trim(text), ' '), w -> w <> '')], '')"
+      s"for w in list_filter(string_split(trim($cleanText), ' '), w -> w <> '')], '')"
     val chained = merges.foldLeft(wrapped) { case (acc, (a, b)) =>
       s"replace($acc, ${wrapSql(a)} || ${wrapSql(b)}, ${wrapSql(a + b)})"
     }

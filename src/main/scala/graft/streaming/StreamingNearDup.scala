@@ -35,10 +35,14 @@ import org.apache.spark.sql.types._
   * Determinism: cross-batch order is arrival order (exactly the contract
   * of dedup-at-ingest); within a batch, the transitive keep-lowest-id rule
   * is order-free. Restart note: the index append is not atomic with the
-  * checkpoint commit, so a crash between them can re-run a batch; rows are
-  * re-derived identically (deterministic ids + signatures), so the dedup
-  * DECISIONS are stable and the output sink dedups on doc_id — the
-  * idempotent-upsert discipline any foreachBatch sink needs.
+  * checkpoint commit, so a crash between them can re-run a batch whose
+  * survivors are ALREADY indexed. Three guards make the replay a no-op:
+  * the batch×index candidate join drops self-matches (`ida =!= idb` —
+  * otherwise a replayed survivor matches itself at Jaccard 1.0 and is
+  * permanently lost), and both the index and output appends anti-join on
+  * doc_id against what the sink already holds — the idempotent-upsert
+  * discipline any foreachBatch sink needs (a Delta/Iceberg MERGE at lake
+  * scale; parquet anti-join + append here).
   *
   * Scale: the index is the emitted corpus's band table. At lake scale it
   * would be bucketed by bandHash so step 2's join prunes; the per-batch
@@ -76,7 +80,7 @@ object StreamingNearDup {
     q.awaitTermination()
   }
 
-  private def processBatch(batch: DataFrame, indexDir: String, outDir: String,
+  private[streaming] def processBatch(batch: DataFrame, indexDir: String, outDir: String,
       shingleN: Int, numHashes: Int, rowsPerBand: Int, threshold: Double,
       numBands: Int): Unit = {
     val spark = batch.sparkSession
@@ -101,7 +105,10 @@ object StreamingNearDup {
     val bi = if (haveIndex) {
       bandLong(index).select(col("id").as("ida"), col("band"), col("bh"))
         .join(b.select(col("id").as("idb"), col("band").as("b2"), col("bh").as("h2")),
-          col("band") === col("b2") && col("bh") === col("h2"))
+          col("band") === col("b2") && col("bh") === col("h2") &&
+            // a replayed batch's survivor is already indexed: without this
+            // guard it self-matches at Jaccard 1.0 and drops forever
+            col("ida") =!= col("idb"))
         .select("ida", "idb")
     } else bb.limit(0)
     val candidates = bb.unionByName(bi).distinct()
@@ -138,9 +145,23 @@ object StreamingNearDup {
       .unionByName(dominated)
       .distinct()
 
-    val survivors = banded.join(dropped, banded("id") === dropped("id"), "left_anti")
+    // idempotent appends: a replayed batch re-derives the same survivors
+    // (deterministic ids + signatures), so anti-joining on doc_id against
+    // what each sink already holds makes the re-append a no-op
+    val survivors0 = banded.join(dropped, banded("id") === dropped("id"), "left_anti")
+    val survivors = if (haveIndex)
+      survivors0.join(index.select("id").distinct(), Seq("id"), "left_anti")
+    else survivors0
     survivors.write.mode("append").parquet(indexDir)
-    batch.join(dropped, batch("doc_id") === dropped("id"), "left_anti")
-      .write.mode("append").parquet(outDir)
+
+    val outPath = new org.apache.hadoop.fs.Path(outDir)
+    val haveOut = outPath.getFileSystem(
+      spark.sparkContext.hadoopConfiguration).exists(outPath)
+    val out0 = batch.join(dropped, batch("doc_id") === dropped("id"), "left_anti")
+    val out = if (haveOut)
+      out0.join(spark.read.parquet(outDir).select("doc_id").distinct(),
+        Seq("doc_id"), "left_anti")
+    else out0
+    out.write.mode("append").parquet(outDir)
   }
 }

@@ -184,4 +184,45 @@ class SparqlUpdateSpec extends SparkTestBase {
       .collect().map(_.getString(0)).toSeq
     assert(left == Seq("colour"))
   }
+
+  test("lang-tagged delete matches nothing on a lang-free slice") {
+    // "x"@en and "x" are distinct RDF terms: deleting the tagged one must
+    // not remove the plain literal from a slice that carries no lang column
+    val g2 = upd(base, """DELETE DATA { ex:a ex:name "Alice"@en }""")
+    assert(names(g2) == Seq("Alice", "Bob"))
+  }
+
+  test("DELETE WHERE with a bound object variable removes lang-tagged rows") {
+    val g0 = TriplesGraph.fromTerms(spark, Seq(
+      t("a", "label", Lit("colour", Xsd.langString, Some("en"))),
+      t("a", "label", Lit("farge", Xsd.langString, Some("no"))),
+      t("b", "label", Lit("plain", Xsd.string))))
+    val g2 = upd(g0,
+      """DELETE { ?s ex:label ?l } WHERE { ?s ex:label ?l . FILTER(LANG(?l) = "no") }""")
+    val left = new SparqlExecutor(g2)
+      .execute(s"PREFIX ex:<$ex> SELECT ?l WHERE { ?s ex:label ?l } ORDER BY ?l")
+      .collect().map(_.getString(0)).toSeq
+    assert(left == Seq("colour", "plain"))
+  }
+
+  test("INSERT WHERE of a bound lang literal keeps its language tag") {
+    val g0 = TriplesGraph.fromTerms(spark, Seq(
+      t("a", "label", Lit("colour", Xsd.langString, Some("en")))))
+    val g2 = upd(g0,
+      """INSERT { ?s ex:alias ?l } WHERE { ?s ex:label ?l }""")
+    val tags = new SparqlExecutor(g2)
+      .execute(s"PREFIX ex:<$ex> SELECT ?t WHERE { ?s ex:alias ?l . BIND(LANG(?l) AS ?t) }")
+      .collect().map(_.getString(0)).toSeq
+    assert(tags == Seq("en"))
+  }
+
+  test("blank nodes are rejected in DELETE DATA but allowed in INSERT DATA") {
+    val e = intercept[IllegalArgumentException] {
+      upd(base, """DELETE DATA { _:b ex:name "Alice" }""")
+    }
+    assert(e.getMessage.contains("DELETE DATA"))
+    // INSERT DATA keeps the skolem-label allowance
+    val g2 = upd(base, """INSERT DATA { _:b ex:name "Cara" }""")
+    assert(names(g2) == Seq("Alice", "Bob", "Cara"))
+  }
 }

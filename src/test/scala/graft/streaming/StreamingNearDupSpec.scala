@@ -100,5 +100,24 @@ class StreamingNearDupSpec extends SparkTestBase {
     assert(expected.size < fileA.size + fileB.size)
     assert(got == expected,
       s"stream=${got.toSeq.sorted} reference=${expected.toSeq.sorted}")
+
+    // crash-replay idempotency: re-running an already-committed batch
+    // (index append done, checkpoint commit lost) must not self-match the
+    // replayed survivors out of existence, re-drop them from the output,
+    // or duplicate them in the index/output
+    val batchB = spark.createDataFrame(
+      spark.sparkContext.parallelize(fileB.map(d => Row(d._1, d._2, d._3)), 1),
+      schema)
+    StreamingNearDup.processBatch(batchB, tmp.resolve("index").toString,
+      tmp.resolve("out").toString, shingleN = 3, numHashes = 128,
+      rowsPerBand = 2, threshold = 0.5, numBands = 64)
+    val afterOut = spark.read.parquet(tmp.resolve("out").toString)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(afterOut.sorted == got.toSeq.sorted,
+      "replaying a committed batch changed the output")
+    val idxIds = spark.read.parquet(tmp.resolve("index").toString)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(idxIds.distinct.size == idxIds.size,
+      "replaying a committed batch duplicated index rows")
   }
 }
