@@ -49,8 +49,29 @@ object Bench {
       out
     }
 
+    // CALIBRATION: a fixed, data-independent CPU loop (xorshift mixing,
+    // constant iteration count) timed once per measured pass. Cross-round
+    // BENCH comparisons divide query medians by this number: on a shared
+    // box a slow host band shows up as calibration↑ by the same factor,
+    // so "every query uniformly 1.5× slower" reads as host throughput,
+    // not a plan regression — the r6→r7 comparison needed a hand-run
+    // control experiment to establish exactly this; now every bench
+    // artifact carries its own control.
+    def calibrate(): Double = {
+      val t0 = System.nanoTime()
+      var x = 0x9e3779b97f4a7c15L
+      var i = 0L
+      while (i < 400000000L) {
+        x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+        i += 1
+      }
+      if (x == 42L) println("") // keep the loop live under JIT
+      (System.nanoTime() - t0) / 1e9
+    }
+
     val entries = SparkEntry.catalog.filter(_.bench)
-    // Warmup: full pass, unmeasured.
+    // Warmup: full pass, unmeasured (calibration too — first run JITs).
+    calibrate()
     entries.foreach(q => runOnce(q.fn))
     // Measured passes are INTERLEAVED (pass 1 runs every query, then pass 2,
     // ...) so a JIT/GC hiccup lands on one pass of many queries, not three
@@ -64,9 +85,11 @@ object Bench {
     val tStart = System.nanoTime()
     val samples = scala.collection.mutable.ArrayBuffer
       .empty[Seq[(Double, Boolean)]]
+    val calibSamples = scala.collection.mutable.ArrayBuffer.empty[Double]
     var pass = 0
     while (pass < passes &&
         (pass == 0 || (System.nanoTime() - tStart) / 1e9 < budgetSec)) {
+      calibSamples += calibrate()
       samples += entries.map(q => runOnce(q.fn))
       pass += 1
     }
@@ -101,12 +124,16 @@ object Bench {
     // because the driver captures only a bounded tail of sbt stdout — in
     // rounds 1–3 the long line fell off the window and "parsed" came back
     // null.
+    val calibSorted = calibSamples.sorted
+    val calib = calibSorted((calibSorted.size - 1) / 2)
+    val calibSpread =
+      "[" + f"${calibSorted.head}%.3f" + "," + f"${calibSorted.last}%.3f" + "]"
     val full =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","value_min":${f"$totalMin%.3f"},"passes":${samples.size},"queries":$qs,"spread":$spread,"ok":$status,"failed":$nFail,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","value_min":${f"$totalMin%.3f"},"passes":${samples.size},"calibration":${f"$calib%.3f"},"calibration_spread":$calibSpread,"queries":$qs,"spread":$spread,"ok":$status,"failed":$nFail,"sf":"$sfDir"}"""
     Files.writeString(Paths.get("bench.json"), full + "\n")
     spark.stop()
     val line =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"failed":$nFail,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","calibration":${f"$calib%.3f"},"queries":$qs,"failed":$nFail,"sf":"$sfDir"}"""
     println(line)
     Console.out.flush()
   }

@@ -518,39 +518,67 @@ final class TriplesGraph(
     * of an existing store at `path` — the persistence half of the surgical
     * update story: after a chain of [[applyDelta]]/CLEAR ops, untouched
     * predicates' files are left byte-for-byte alone (the spec asserts
-    * their modification times), touched ones are dropped and re-appended.
-    * A full directory drop (not just dynamic partition overwrite) because
-    * an update can MOVE rows between cls/kind/sb sub-partitions — stale
+    * their modification times), touched ones are swapped wholesale. A full
+    * directory swap (not just dynamic partition overwrite) because an
+    * update can MOVE rows between cls/kind/sb sub-partitions — stale
     * sibling directories would double-count on reload. The bucket count
-    * comes from the store's own sidecar. Not atomic (delete + append, two
-    * FS operations); a lake deployment gets atomicity from its table
-    * format's commit protocol, which is out of scope here. */
+    * comes from the store's own sidecar.
+    *
+    * CRASH CONSISTENCY (write-ahead staging + commit marker): new contents
+    * land first in `_graft_staging_delta/` (underscore prefix → invisible
+    * to Spark's listing, so concurrent readers of `path` never see them);
+    * then a commit-marker JSON naming every swap/drop is written; only
+    * then are the old directories unlinked and the staged ones renamed in;
+    * finally marker and staging are removed. [[TriplesGraph.recoverStore]]
+    * (run by [[TriplesGraph.load]] and by the mutators themselves) makes
+    * any crash land on a whole state: before the marker exists the store
+    * is untouched (staging is discarded); once it exists the swap is
+    * re-executed idempotently to completion. A reader therefore sees the
+    * OLD store or the NEW one, never a hybrid — the manifest-commit
+    * discipline of lake table formats, scoped to one store. Assumes
+    * same-filesystem atomic directory rename (HDFS/local; object stores
+    * need their table format's commit protocol). */
   def saveDelta(path: String): Unit = {
     if (touched.isEmpty) return
-    val root = new org.apache.hadoop.fs.Path(path)
+    import org.apache.hadoop.fs.Path
+    TriplesGraph.recoverStore(spark, path)
+    val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val nBuckets = TriplesGraph.readMeta(spark, path).getOrElse(
       throw new IllegalArgumentException(
         s"no store sidecar at $path — saveDelta needs a store written by save()"))
-    // materialize every touched slice BEFORE unlinking its old partition
-    // files: the slices' (lazy-checkpointed) plans still read those files,
-    // and the write job below would otherwise chase deleted parts. Forcing
-    // the checkpoint pins the new contents in the block manager — the
-    // read-old-write-new discipline of any in-place partition rewrite.
-    slices.foreach { case (p, sl) => if (touched.contains(p)) sl.df.count() }
-    fs.listStatus(root).foreach { st =>
-      val name = st.getPath.getName
-      if (st.isDirectory && name.startsWith("p=") &&
-          touched.contains(TriplesGraph.unescapePath(name.drop(2))))
-        fs.delete(st.getPath, true)
-    }
+    // 1. stage: write every touched slice's new contents BEFORE touching
+    // the live directories. The write also materializes the slices' lazy
+    // localCheckpoints, so their plans stop depending on the files the
+    // swap below unlinks — read-old-write-new in one step.
+    val staging = new Path(root, TriplesGraph.stagingDirName)
+    if (fs.exists(staging)) fs.delete(staging, true)
     val parts = slices.toSeq.filter(kv => touched.contains(kv._1))
       .flatMap { case (p, sl) => storeRows(p, sl, nBuckets) }
     parts.reduceOption(_.unionByName(_)).foreach(
-      _.write.mode("append").partitionBy("p", "kind", "cls", "sb").parquet(path))
-    // the session caches file listings per path; readers opened before this
-    // delta would otherwise chase deleted part files
-    spark.catalog.refreshByPath(path)
+      _.write.partitionBy("p", "kind", "cls", "sb").parquet(staging.toString))
+    TriplesGraph.crashHook("after-staging")
+    // 2. commit marker: predicates with staged content are swaps, touched
+    // predicates with no staged rows (fully deleted) are drops
+    val staged: Set[String] =
+      if (!fs.exists(staging)) Set.empty
+      else fs.listStatus(staging).collect {
+        case st if st.isDirectory && st.getPath.getName.startsWith("p=") =>
+          TriplesGraph.unescapePath(st.getPath.getName.drop(2))
+      }.toSet
+    val swaps = touched.intersect(staged)
+    val drops = touched.diff(staged)
+    def jarr(ps: Set[String]) = ps.toSeq.sorted.map(p =>
+      "\"" + p.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
+      .mkString("[", ",", "]")
+    val marker = new Path(root, TriplesGraph.deltaCommitFileName)
+    val out = fs.create(marker, true)
+    try out.write(
+      s"""{"swap": ${jarr(swaps)}, "drop": ${jarr(drops)}}""".getBytes("UTF-8"))
+    finally out.close()
+    TriplesGraph.crashHook("after-marker")
+    // 3+4. swap to completion, then clean up marker + staging
+    TriplesGraph.completeDeltaSwap(spark, path, swaps, drops)
   }
 }
 
@@ -603,17 +631,20 @@ object TriplesGraph {
     * partition key, so every (p, kind, cls, sb) directory lands in exactly
     * one task → one file. Layout, sidecar, and contents are unchanged —
     * the classic small-files maintenance job of any partitioned lake
-    * table. Rewrite-then-swap (write to a sibling temp dir, delete old,
-    * rename); like [[TriplesGraph#saveDelta]] the swap is not atomic —
-    * table-format commit protocols are out of scope. */
+    * table. Crash-safe rewrite-then-swap: the sibling temp dir gets a
+    * READY marker only once fully written (sidecar included); the old
+    * root is deleted only after that marker exists, and
+    * [[recoverStore]] promotes a ready temp whose root vanished — so a
+    * kill at any point leaves the old store or the promoted new one. */
   def compact(spark: SparkSession, path: String): Unit = {
     import org.apache.hadoop.fs.Path
+    recoverStore(spark, path)
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val nBuckets = readMeta(spark, path).getOrElse(
       throw new IllegalArgumentException(
         s"no store sidecar at $path — compact only handles save()-written stores"))
-    val tmp = new Path(path + "__compacting")
+    val tmp = new Path(path + compactingSuffix)
     if (fs.exists(tmp)) fs.delete(tmp, true)
     spark.read.parquet(path)
       .repartition(col("p"), col("kind"), col("cls"), col("sb"))
@@ -621,11 +652,125 @@ object TriplesGraph {
     val out = fs.create(new Path(tmp, metaFileName), true)
     try out.write(s"""{"nBuckets": $nBuckets}""".getBytes("UTF-8"))
     finally out.close()
+    val ready = fs.create(new Path(tmp, compactReadyFileName), true)
+    ready.close()
+    crashHook("compact-ready")
     fs.delete(root, true)
+    crashHook("compact-after-delete")
     if (!fs.rename(tmp, root))
       throw new IllegalStateException(s"rename $tmp -> $root failed")
     spark.catalog.refreshByPath(path)
   }
+
+  /** Test failpoint: throws at named protocol points when a spec installs
+    * a hook; a no-op in production. The crash-consistency specs use it to
+    * kill saveDelta/compact mid-protocol and assert [[recoverStore]]
+    * lands on a whole state. */
+  private[graft] var crashHook: String => Unit = _ => ()
+
+  /** Bring a store back to a whole state after a crashed [[compact]] or
+    * [[TriplesGraph#saveDelta]]. Idempotent; called by [[load]] and by the
+    * mutators before they start. Three cases:
+    *  - root missing but a READY `…__compacting` sibling exists → the
+    *    crash hit between compact's delete and rename; finish the rename.
+    *  - a delta commit marker exists → the delta was fully staged and
+    *    committed; re-execute the swap to completion (directories already
+    *    swapped are detected by their staging source being gone).
+    *  - staging exists with NO marker → the crash hit before commit; the
+    *    store is untouched, discard the staging leftovers.
+    */
+  private[graft] def recoverStore(spark: SparkSession, path: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(path + compactingSuffix)
+    if (!fs.exists(root)) {
+      if (fs.exists(tmp) && fs.exists(new Path(tmp, compactReadyFileName))) {
+        if (!fs.rename(tmp, root))
+          throw new IllegalStateException(s"recovery rename $tmp -> $root failed")
+        fs.delete(new Path(root, compactReadyFileName), false)
+        spark.catalog.refreshByPath(path)
+      }
+      return
+    }
+    // root exists: a ready-but-unswapped (or stale partial) compact temp is
+    // redundant — contents are identical to root or garbage — drop it
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    val marker = new Path(root, deltaCommitFileName)
+    val staging = new Path(root, stagingDirName)
+    if (fs.exists(marker)) {
+      val in = fs.open(marker)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      def parse(key: String): Set[String] =
+        (s""""$key"\\s*:\\s*\\[([^\\]]*)\\]""").r.findFirstMatchIn(txt)
+          .map(_.group(1)).filter(_.trim.nonEmpty)
+          .map(_.split("\",\\s*\"").map(
+            _.stripPrefix("\"").stripSuffix("\"")
+              .replace("\\\"", "\"").replace("\\\\", "\\")).toSet)
+          .getOrElse(Set.empty)
+      completeDeltaSwap(spark, path, parse("swap"), parse("drop"))
+    } else if (fs.exists(staging)) {
+      // staged but never committed: the store is whole as-is
+      fs.delete(staging, true)
+    }
+  }
+
+  /** Execute (or re-execute) a committed delta swap: for each swap
+    * predicate whose staged directory still exists, unlink the live
+    * directory and rename the staged one in; drop predicates are plain
+    * unlinks. Every step is idempotent — a staged dir already renamed in
+    * is simply absent from staging, an already-unlinked drop is a no-op —
+    * so the method can be re-run after a crash at any point. Ends by
+    * removing the commit marker, then the staging dir. */
+  private[graft] def completeDeltaSwap(spark: SparkSession, path: String,
+      swaps: Set[String], drops: Set[String]): Unit = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new Path(root, stagingDirName)
+    def predDirs(dir: Path): Map[String, Path] =
+      if (!fs.exists(dir)) Map.empty
+      else fs.listStatus(dir).collect {
+        case st if st.isDirectory && st.getPath.getName.startsWith("p=") =>
+          unescapePath(st.getPath.getName.drop(2)) -> st.getPath
+      }.toMap
+    val rootDirs = predDirs(root)
+    val stagedDirs = predDirs(staging)
+    var n = 0
+    swaps.toSeq.sorted.foreach { p =>
+      stagedDirs.get(p).foreach { src =>
+        rootDirs.get(p).foreach(old => fs.delete(old, true))
+        if (!fs.rename(src, new Path(root, src.getName)))
+          throw new IllegalStateException(s"delta rename of $src failed")
+        n += 1
+        if (n == 1) crashHook("mid-swap")
+      }
+    }
+    drops.toSeq.sorted.foreach(p => rootDirs.get(p).foreach(d => fs.delete(d, true)))
+    fs.delete(new Path(root, deltaCommitFileName), false)
+    if (fs.exists(staging)) fs.delete(staging, true)
+    // the session caches file listings per path; readers opened before this
+    // delta would otherwise chase swapped-out part files
+    spark.catalog.refreshByPath(path)
+  }
+
+  /** Sibling-directory suffix for [[compact]]'s rewrite-then-swap. */
+  private[graft] val compactingSuffix = "__compacting"
+
+  /** Marker inside a compact temp dir: contents are complete and
+    * promotable. */
+  private[graft] val compactReadyFileName = "_GRAFT_COMPACT_READY"
+
+  /** Commit marker for [[TriplesGraph#saveDelta]]'s staged swap (JSON:
+    * swap/drop predicate lists). Its existence means the delta is
+    * committed; recovery re-executes the swap. */
+  private[graft] val deltaCommitFileName = "_graft_delta_commit.json"
+
+  /** Staging directory (inside the store root, underscore-prefixed so
+    * Spark's file listing ignores it) holding a delta's new partition
+    * directories until the commit marker is written. */
+  private[graft] val stagingDirName = "_graft_staging_delta"
 
   /** Subject-bucket count for the persisted layout. 16 keeps the test-scale
     * directory fan-out sane; a 100 TB deployment would raise it (buckets ×
@@ -721,6 +866,9 @@ object TriplesGraph {
   def load(spark: SparkSession, path: String,
       ts: Option[TsProvider] = None,
       nBuckets: Int = defaultSubjectBuckets): TriplesGraph = {
+    // finish any crashed saveDelta/compact first: readers must only ever
+    // see a whole store (old or new), never a half-swapped hybrid
+    recoverStore(spark, path)
     val base = spark.read.parquet(path)
     // layout contract: the save-time sidecar is authoritative for the
     // bucket count — trusting the caller let a store saved with 8 buckets
