@@ -314,23 +314,60 @@ final class SparqlExecutor(
       // SILENT failure = the unit solution (SPARQL 1.1 Federated Query
       // §2.2: a single empty solution mapping), so the rest of the query
       // is unaffected; non-SILENT failure is a loud error.
-      val target = ep match {
-        case T(t) => services.get(t.canonical)
-        case V(_) => None // variable endpoints: no bindings to draw from
+      def evalAgainst(remote: graft.graph.TriplesGraph): Sol = {
+        val sub = new SparqlExecutor(remote, extraFunctions,
+          closureMaxIters, services)
+        val rs = sub.translatePattern(inner, sub.unitSol)
+        Sol(rs.df, rs.vars)
       }
-      target match {
-        case Some(remote) =>
-          val sub = new SparqlExecutor(remote, extraFunctions,
-            closureMaxIters, services)
-          val rs = sub.translatePattern(inner, sub.unitSol)
-          joinSols(input, Sol(rs.df, rs.vars))
-        case None if silent => input
-        case None => throw new IllegalArgumentException(ep match {
-          case T(t) => s"SERVICE endpoint ${t.canonical} is not registered " +
-            s"(known: ${services.keys.toSeq.sorted.mkString(", ")})"
-          case V(v) => s"SERVICE with a variable endpoint ?$v is not " +
-            "supported without SILENT (no endpoint bindings available)"
-        })
+      def known = services.keys.toSeq.sorted.mkString(", ")
+      ep match {
+        case T(t) => services.get(t.canonical) match {
+          case Some(remote) => joinSols(input, evalAgainst(remote))
+          case None if silent => input
+          case None => throw new IllegalArgumentException(
+            s"SERVICE endpoint ${t.canonical} is not registered (known: $known)")
+        }
+        // Variable endpoint (Federated Query §2.4): evaluate once per
+        // DISTINCT binding of the endpoint variable in the incoming
+        // solutions — each group joins against its own endpoint's inner
+        // results; SILENT lets groups bound to unknown (or null)
+        // endpoints pass through as the unit solution; non-SILENT makes
+        // them loud errors. The distinct-endpoint collect is bounded (an
+        // endpoint registry is vocabulary-sized; the limit+require below
+        // turns a misused data column into an error, not a driver OOM).
+        case V(v) if !input.df.columns.contains(v) =>
+          if (silent) input
+          else throw new IllegalArgumentException(
+            s"SERVICE ?$v: the endpoint variable is unbound — bind it in " +
+              "an earlier pattern or use SERVICE SILENT")
+        case V(v) =>
+          val maxEps = 256
+          val epRows = input.df.select(col(v).cast(StringType))
+            .distinct().limit(maxEps + 1).collect()
+          require(epRows.length <= maxEps,
+            s"SERVICE ?$v: more than $maxEps distinct endpoint bindings — " +
+              "?" + v + " does not look like an endpoint variable")
+          val groups = epRows.toSeq.map { r =>
+            val epVal = if (r.isNullAt(0)) None else Some(r.getString(0))
+            val part = Sol(input.df.filter(
+              epVal.map(e => col(v).cast(StringType) === lit(e))
+                .getOrElse(col(v).isNull)), input.vars)
+            epVal.flatMap(services.get) match {
+              case Some(remote) => joinSols(part, evalAgainst(remote))
+              case None if silent => part
+              case None => throw new IllegalArgumentException(
+                s"SERVICE ?$v: endpoint ${epVal.getOrElse("(null)")} is " +
+                  s"not registered (known: $known)")
+            }
+          }
+          groups match {
+            case Seq() => Sol(input.df.limit(0), input.vars)
+            case gs =>
+              val vars = gs.map(_.vars).maxBy(_.length)
+              Sol(gs.map(_.df).reduce(
+                _.unionByName(_, allowMissingColumns = true)), vars)
+          }
       }
     case Join(l, r) => translatePattern(r, translatePattern(l, input))
     case Filter(e, inner) =>

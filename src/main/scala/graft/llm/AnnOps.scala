@@ -18,6 +18,14 @@ import org.apache.spark.sql.types._
   */
 object AnnOps {
 
+  /** Byte budget for one IVF-PQ probe-table broadcast: each query costs
+    * ~nProbe·m·kCodes·8 B, so the default (64 MB) holds ~16k queries at
+    * the default parameters — far beyond a sane serving batch, but a
+    * BOUND, not an assumption: ivfPqTopK chunks any larger batch
+    * transparently (results are chunking-invariant). Var so specs can
+    * shrink it to force chunking on small fixtures. */
+  private[llm] var maxProbeBroadcastBytes: Long = 64L << 20
+
   /** Double-precision dot product via the native codegen'd
     * [[graft.functions.ArrayDotProduct]] expression — a tight generated
     * loop in the same sequential fold order as a plain external loop, so
@@ -889,50 +897,66 @@ object AnnOps {
         }
       }, encSchema)
 
-    // query side: probe tables per (query, probed cell), driver-built from
-    // the bounded query batch, broadcast as cid -> [(qid, table)]
+    // query side: probe tables per (query, probed cell), driver-built and
+    // broadcast as cid -> [(qid, table)].
+    // PROBE-TABLE MEMORY GUARD: each query contributes nProbe tables of
+    // m*kCodes doubles (nProbe*m*kCodes*8 B plus keys) to the broadcast,
+    // so an unbounded query batch would grow it without limit — the batch
+    // is chunked so every broadcast stays under maxProbeBroadcastBytes;
+    // chunks score against the SAME encoded corpus (checkpointed once
+    // when more than one chunk runs) and union ahead of the shared
+    // per-query top-k window, so results are chunking-invariant.
     val qRows = queries.select(col("vec_id"), col("embedding")).collect()
-    val probeTables: Map[Int, Array[(Long, Array[Array[Double]])]] = qRows
-      .flatMap { r =>
-        val u = unit(r.getSeq[Float](1), dim)
-        val byCos = centArr.indices
-          .map(j => j -> centArr(j).indices.foldLeft(0.0)((a, i) => a + u(i) * centArr(j)(i)))
-          .sortBy { case (j, cos) => (-cos, j) }.take(nProbe)
-        byCos.map { case (cidx, _) =>
-          val ce = means(cidx) // query residual vs the same cell MEAN
-          val tab = Array.tabulate(m, kCodes) { (j, c) =>
-            val cv = pq.codebooks(j)(c)
-            var d = 0.0; var t = 0
-            while (t < sd) {
-              val diff = (u(j * sd + t) - ce(j * sd + t)) - cv(t)
-              d += diff * diff; t += 1
-            }
-            d
-          }
-          (cidx, (r.getLong(0), tab))
-        }
-      }.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
-    val tb = spark.sparkContext.broadcast(probeTables)
+    val bytesPerQuery = nProbe.toLong * m * kCodes * 8L + 64L
+    val maxChunk = math.max(1L, maxProbeBroadcastBytes / bytesPerQuery).toInt
+    val qChunks = qRows.grouped(maxChunk).toSeq
+    val encodedSrc =
+      if (qChunks.lengthCompare(1) > 0) encoded.localCheckpoint()
+      else encoded
 
     val scoreSchema = StructType(Seq(StructField("qid", LongType),
       StructField("nid", LongType), StructField("dist", DoubleType)))
-    val scored = spark.createDataFrame(
-      encoded.rdd.mapPartitions { rows =>
-        val pt = tb.value
-        rows.flatMap { r =>
-          pt.get(r.getInt(1)) match {
-            case None => Iterator.empty
-            case Some(qs) =>
-              val nid = r.getLong(0)
-              val codes = r.getSeq[Int](2)
-              qs.iterator.collect { case (qid, tab) if qid != nid =>
-                var d = 0.0; var j = 0
-                while (j < m) { d += tab(j)(codes(j)); j += 1 }
-                Row(qid, nid, d)
+    val scoredChunks = qChunks.map { chunk =>
+      val probeTables: Map[Int, Array[(Long, Array[Array[Double]])]] = chunk
+        .flatMap { r =>
+          val u = unit(r.getSeq[Float](1), dim)
+          val byCos = centArr.indices
+            .map(j => j -> centArr(j).indices.foldLeft(0.0)((a, i) => a + u(i) * centArr(j)(i)))
+            .sortBy { case (j, cos) => (-cos, j) }.take(nProbe)
+          byCos.map { case (cidx, _) =>
+            val ce = means(cidx) // query residual vs the same cell MEAN
+            val tab = Array.tabulate(m, kCodes) { (j, c) =>
+              val cv = pq.codebooks(j)(c)
+              var d = 0.0; var t = 0
+              while (t < sd) {
+                val diff = (u(j * sd + t) - ce(j * sd + t)) - cv(t)
+                d += diff * diff; t += 1
               }
+              d
+            }
+            (cidx, (r.getLong(0), tab))
           }
-        }
-      }, scoreSchema)
+        }.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      val tb = spark.sparkContext.broadcast(probeTables)
+      spark.createDataFrame(
+        encodedSrc.rdd.mapPartitions { rows =>
+          val pt = tb.value
+          rows.flatMap { r =>
+            pt.get(r.getInt(1)) match {
+              case None => Iterator.empty
+              case Some(qs) =>
+                val nid = r.getLong(0)
+                val codes = r.getSeq[Int](2)
+                qs.iterator.collect { case (qid, tab) if qid != nid =>
+                  var d = 0.0; var j = 0
+                  while (j < m) { d += tab(j)(codes(j)); j += 1 }
+                  Row(qid, nid, d)
+                }
+            }
+          }
+        }, scoreSchema)
+    }
+    val scored = scoredChunks.reduce(_.unionByName(_))
     val w = Window.partitionBy(col("qid")).orderBy(col("dist"), col("nid"))
     scored.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)

@@ -577,5 +577,49 @@ object SparqlQueries {
         new SparqlExecutor(updated).execute(prologue +
           "SELECT ?s ?o WHERE { ?s g:name ?o } ORDER BY ?s ?o")
       }),
+
+    // ---- SERVICE with a VARIABLE endpoint (Federated Query §2.4): each
+    // nation routes to the endpoint its region's BIND computes — regions
+    // 0/1 to the even-custkey customer shard, 2/3 to the odd shard, and
+    // region 4 to an UNREGISTERED endpoint that SILENT turns into the
+    // unit solution (those nations survive with ?cname unbound). Each
+    // group evaluates the inner pattern against ITS endpoint only, so a
+    // nation never sees the other shard's customers. The oracle is the
+    // same routing as a union of per-endpoint relational queries. Not an
+    // sq entry: the persisted-store replay has no services registry.
+    Q("q111_sparql_service_var", Some(
+      s"""SELECT nname, cname FROM (
+         |  SELECT n_name AS nname, c_name AS cname
+         |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+         |  WHERE n_regionkey IN (0, 1) AND c_custkey % 2 = 0
+         |  UNION ALL
+         |  SELECT n_name, c_name
+         |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+         |  WHERE n_regionkey IN (2, 3) AND c_custkey % 2 = 1
+         |  UNION ALL
+         |  SELECT n_name, CAST(NULL AS VARCHAR) FROM nation
+         |  WHERE n_regionkey = 4)
+         |ORDER BY nname NULLS FIRST, cname NULLS FIRST""".stripMargin))(
+      (s, dir) => new SparqlExecutor(TpchGraph.graph(s, dir),
+        services = Map(
+          TpchGraph.customerEndpointEven ->
+            TpchGraph.customerParityGraph(s, dir, 0),
+          TpchGraph.customerEndpointOdd ->
+            TpchGraph.customerParityGraph(s, dir, 1)))
+        .execute(prologue +
+          s"""SELECT ?nname ?cname WHERE {
+             |  ?n rdf:type g:Nation .
+             |  ?n g:name ?nname .
+             |  ?n g:inRegion ?r .
+             |  BIND(IF(?r = <${ns}region:0> || ?r = <${ns}region:1>,
+             |          <${TpchGraph.customerEndpointEven}>,
+             |          IF(?r = <${ns}region:2> || ?r = <${ns}region:3>,
+             |             <${TpchGraph.customerEndpointOdd}>,
+             |             <${ns}service:unreachable>)) AS ?svc)
+             |  SERVICE SILENT ?svc {
+             |    ?c g:nation ?n .
+             |    ?c g:name ?cname .
+             |  }
+             |} ORDER BY ?nname ?cname""".stripMargin)),
   )
 }

@@ -167,8 +167,20 @@ object TpchGraph {
     * `nationOf` links whose OBJECT IRIs intentionally coincide with the
     * main graph's nation IRIs — the shared-variable join surface a
     * federated `SERVICE` query exercises. */
-  def customerGraph(s: SparkSession, dir: String): TriplesGraph = {
-    val customer = T.customer(s, dir)
+  def customerGraph(s: SparkSession, dir: String): TriplesGraph =
+    customerGraphOf(s, T.customer(s, dir))
+
+  /** Parity-sharded customer endpoints: two disjoint federated datasets
+    * (even/odd custkey) behind distinct endpoint IRIs — the fixture for
+    * variable-endpoint SERVICE (q111), where each solution row routes to
+    * ITS endpoint and sees only that shard's customers. */
+  val customerEndpointEven = s"${ns}service:customersEven"
+  val customerEndpointOdd = s"${ns}service:customersOdd"
+  def customerParityGraph(s: SparkSession, dir: String, parity: Int): TriplesGraph =
+    customerGraphOf(s, T.customer(s, dir)
+      .filter(col("c_custkey") % 2 === parity))
+
+  private def customerGraphOf(s: SparkSession, customer: DataFrame): TriplesGraph = {
     val cIri = iri("customer", col("c_custkey"))
     val cNIri = iri("nation", col("c_nationkey"))
     val slices = Map(

@@ -49,6 +49,21 @@ class IvfPqSpec extends SparkTestBase {
     assert(servedRecall >= 0.6, s"served recall $servedRecall below 0.6")
   }
 
+  test("probe-table broadcast is chunked under a byte budget, results invariant") {
+    val queries = emb.filter(col("vec_id") < 40)
+    def run(): Seq[(Long, Long, Long)] =
+      AnnOps.ivfPqTopK(emb, queries, 5)
+        .select("qid", "rk", "nid").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    val oneChunk = run()
+    val saved = AnnOps.maxProbeBroadcastBytes
+    // ~4 KB per query at default params → a 16 KB budget forces ~10 chunks
+    AnnOps.maxProbeBroadcastBytes = 16L << 10
+    val manyChunks = try run() finally AnnOps.maxProbeBroadcastBytes = saved
+    assert(manyChunks == oneChunk,
+      "chunked probe-table scoring changed the top-k result")
+  }
+
   test("more probes never hurt (same index, wider scan)") {
     val queries = emb.filter(col("vec_id") < 30)
     val exact = AnnOps.topKForQueries(emb, queries, 10)

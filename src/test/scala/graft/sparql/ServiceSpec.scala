@@ -95,7 +95,7 @@ class ServiceSpec extends SparkTestBase {
       "a registered endpoint under SILENT behaves exactly as without")
   }
 
-  test("variable endpoints need SILENT; with it they are the unit solution") {
+  test("unbound variable endpoints need SILENT; with it they are the unit solution") {
     intercept[IllegalArgumentException] {
       run(s"SELECT ?a WHERE { SERVICE ?svc { ?p ex:age ?a } }")
     }
@@ -106,6 +106,52 @@ class ServiceSpec extends SparkTestBase {
          |} ORDER BY ?name""".stripMargin)
       .collect().map(_.getString(0)).toSeq
     assert(got == Seq("Alice", "Bob", "Carol"))
+  }
+
+  // fixture for BOUND endpoint variables: each person names their service;
+  // both remotes hold a val for every person, with different numbers, so a
+  // cross-endpoint leak is detectable (alice via B would read 91, not 1)
+  private val epB = s"${ex}remoteB"
+  private lazy val localRouted: TriplesGraph = TriplesGraph.fromTerms(spark, Seq(
+    triple("alice", "name", Lit("Alice", Xsd.string)),
+    triple("bob", "name", Lit("Bob", Xsd.string)),
+    triple("carol", "name", Lit("Carol", Xsd.string)),
+    triple("alice", "svc", Iri(ep)),
+    triple("bob", "svc", Iri(epB)),
+    triple("carol", "svc", Iri(ex + "nowhere"))))
+  private lazy val remoteA2: TriplesGraph = TriplesGraph.fromTerms(spark, Seq(
+    triple("alice", "value", Lit("1", Xsd.integer)),
+    triple("bob", "value", Lit("92", Xsd.integer))))
+  private lazy val remoteB2: TriplesGraph = TriplesGraph.fromTerms(spark, Seq(
+    triple("alice", "value", Lit("91", Xsd.integer)),
+    triple("bob", "value", Lit("2", Xsd.integer))))
+
+  test("bound variable endpoint routes each solution to ITS endpoint") {
+    val got = new SparqlExecutor(localRouted,
+      services = Map(ep -> remoteA2, epB -> remoteB2))
+      .execute(s"""PREFIX ex:<$ex>
+        |SELECT ?name ?v WHERE {
+        |  ?p ex:name ?name . ?p ex:svc ?svc .
+        |  SERVICE SILENT ?svc { ?p ex:value ?v }
+        |} ORDER BY ?name""".stripMargin)
+      .collect().map(r =>
+        (r.getString(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSeq
+    // alice reads A's 1 (not B's 91), bob reads B's 2 (not A's 92), and
+    // carol's unknown endpoint passes through under SILENT with ?v unbound
+    assert(got == Seq(("Alice", 1L), ("Bob", 2L), ("Carol", -1L)))
+  }
+
+  test("bound variable endpoint without SILENT fails loudly on an unknown one") {
+    val e = intercept[IllegalArgumentException] {
+      new SparqlExecutor(localRouted,
+        services = Map(ep -> remoteA2, epB -> remoteB2))
+        .execute(s"""PREFIX ex:<$ex>
+          |SELECT ?name ?v WHERE {
+          |  ?p ex:name ?name . ?p ex:svc ?svc .
+          |  SERVICE ?svc { ?p ex:value ?v }
+          |} ORDER BY ?name""".stripMargin).collect()
+    }
+    assert(e.getMessage.contains("nowhere"))
   }
 
   test("two SERVICE clauses federate three datasets in one query") {
