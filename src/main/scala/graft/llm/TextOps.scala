@@ -693,6 +693,17 @@ object TextOps {
     if (rho * rho * sumD2 / 2.0 > autoPairBudget) "df" else "hash"
   }
 
+  /** PPJoin's LENGTH filter, applied inside both candidate joins: Jaccard
+    * ≥ t implies |x∩y| ≤ min(|x|,|y|) and |x∪y| ≥ max(|x|,|y|), hence
+    * min/max ≥ t — so any size-incompatible pair can be dropped BEFORE the
+    * verify join ever fetches its full shingle arrays. Exactness is
+    * untouched (the filter is implied by the threshold); what it buys is
+    * quadratic: a hot prefix bucket of B docs with mixed sizes emits only
+    * the size-compatible fraction of B²/2. */
+  private def lengthCompatible(threshold: Double): Column =
+    least(col("sza"), col("szb")).cast(DoubleType) >=
+      lit(threshold) * greatest(col("sza"), col("szb")).cast(DoubleType)
+
   /** Candidate pairs from the prefix index over `base` (id, sh, pre) — see
     * [[ngramJaccardPairs]] for the orders. Package-visible so specs can
     * measure candidate volume independently of the verified result. */
@@ -715,21 +726,26 @@ object TextOps {
       val prefixes = ex.join(dfTab, "s")
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
-        .select(col("id"), col("s"))
-      prefixes.select(col("id").as("ida"), col("s"))
-        .join(prefixes.select(col("id").as("idb"), col("s").as("s2")),
-          col("s") === col("s2") && col("ida") < col("idb"))
+        .select(col("id"), col("sz"), col("s"))
+      prefixes.select(col("id").as("ida"), col("sz").as("sza"), col("s"))
+        .join(prefixes.select(col("id").as("idb"), col("sz").as("szb"),
+          col("s").as("s2")),
+          col("s") === col("s2") && col("ida") < col("idb") &&
+            lengthCompatible(threshold))
         .select("ida", "idb")
     }
     prefixOrder match {
       case "hash" =>
-        val prefixes = base.select(col("id"), explode(col("pre")).as("h"))
+        val prefixes = base.select(col("id"), size(col("sh")).as("sz"),
+          explode(col("pre")).as("h"))
         // no distinct here: pairs sharing several prefix hashes are rare
         // (measured raw ≈ distinct), so dedup waits for the far smaller
         // verified output instead of shuffling the whole candidate set
-        prefixes.select(col("id").as("ida"), col("h"))
-          .join(prefixes.select(col("id").as("idb"), col("h").as("h2")),
-            col("h") === col("h2") && col("ida") < col("idb"))
+        prefixes.select(col("id").as("ida"), col("sz").as("sza"), col("h"))
+          .join(prefixes.select(col("id").as("idb"), col("sz").as("szb"),
+            col("h").as("h2")),
+            col("h") === col("h2") && col("ida") < col("idb") &&
+              lengthCompatible(threshold))
           .select("ida", "idb")
       case "df" => dfOrder(dfTable)
       case "auto" =>
