@@ -964,5 +964,109 @@ object LlmQueries {
       Bpe.singlePassTokenCount(T.documents(s, dir), "doc_id", "text",
         frozenBpeMerges).orderBy("doc_id")
     },
+
+    // ---- BM25 retrieval (beyond-parity): top-10 documents per query term
+    // by Okapi BM25 (k1=1.2, b=0.75, Lucene +1 idf floor). The corpus is
+    // never shuffled: tf comes from a map-side array filter over the
+    // literal term list, df reduces map-side to ≤|terms| rows, and the
+    // top-k runs two-phase so a hot term's postings never serialize
+    // through one reducer (TextOps.bm25TermTopK scaladoc). Scores round
+    // to 6 decimals on both engines to absorb ln()'s last-ulp libm
+    // variance; every other float op mirrors the oracle's parse tree.
+    q("q112_bm25",
+      """WITH tok AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
+        |             FROM documents),
+        |d AS (SELECT doc_id, toks, len(toks) AS dl FROM tok),
+        |c AS (SELECT count(*) AS n_docs,
+        |        CAST(sum(len(toks)) AS DOUBLE) / count(*) AS avgdl FROM tok),
+        |t AS (SELECT unnest(['join','window','hash','scan','stream','filter'])
+        |        AS term),
+        |m AS (SELECT doc_id, dl, term,
+        |        len(list_filter(toks, x -> x = term)) AS tf
+        |      FROM d CROSS JOIN t),
+        |mm AS (SELECT * FROM m WHERE tf > 0),
+        |df AS (SELECT term, count(*) AS dfc FROM mm GROUP BY term),
+        |s AS (SELECT term, doc_id, tf, dl,
+        |        round(ln((n_docs - dfc + 0.5) / (dfc + 0.5) + 1.0)
+        |          * (tf * (1.2 + 1.0))
+        |          / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)), 6) AS score
+        |      FROM mm JOIN df USING (term), c),
+        |r AS (SELECT term, doc_id, tf, dl, score,
+        |        ROW_NUMBER() OVER (PARTITION BY term
+        |          ORDER BY score DESC, doc_id) AS rank FROM s)
+        |SELECT term, rank, doc_id, CAST(tf AS BIGINT) AS tf,
+        |       CAST(dl AS BIGINT) AS dl, score
+        |FROM r WHERE rank <= 10
+        |ORDER BY term NULLS FIRST, rank NULLS FIRST""".stripMargin) {
+      (s, dir) =>
+        TextOps.bm25TermTopK(T.documents(s, dir), "doc_id", "text",
+            terms = Seq("join", "window", "hash", "scan", "stream", "filter"),
+            k1 = 1.2, b = 0.75, topK = 10)
+          .select(col("term"), col("rank").cast(LongType).as("rank"),
+            col("doc_id"), col("tf").cast(LongType).as("tf"),
+            col("dl").cast(LongType).as("dl"), col("score"))
+          .orderBy("term", "rank")
+    },
+
+    // ---- token-budgeted dataset mixture (beyond-parity): per-source
+    // md5-ordered greedy prefixes under explicit token budgets — the "mix
+    // 600 tokens of src0, 450 of src3, ..." step that assembles a training
+    // corpus from weighted sources; unlisted sources contribute nothing.
+    // The oracle spells it as a per-source window cumsum; the engine runs
+    // the two-phase within-stratum distributed prefix sum (bucket partial
+    // sums → broadcast offsets → 1/256-stratum windows) because one
+    // reducer per source is a cliff when one source is half the lake
+    // (SampleOps.budgetedMixture scaladoc). Integer-exact.
+    q("q113_dataset_mixture",
+      """WITH w AS (SELECT doc_id, source,
+        |    len(string_split(trim(text), ' ')) AS n_tok FROM documents),
+        |c AS (SELECT doc_id, source, n_tok,
+        |    SUM(n_tok) OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tok
+        |  FROM w),
+        |b AS (SELECT * FROM (VALUES ('src0', 600), ('src3', 450),
+        |       ('src7', 800), ('src12', 300), ('src15', 250),
+        |       ('src19', 500)) v(source, budget))
+        |SELECT doc_id, source, CAST(n_tok AS BIGINT) AS n_tok,
+        |       CAST(cum_tok AS BIGINT) AS cum_tok
+        |FROM c JOIN b USING (source)
+        |WHERE cum_tok - n_tok < budget
+        |ORDER BY doc_id NULLS FIRST""".stripMargin) { (s, dir) =>
+      SampleOps.budgetedMixture(T.documents(s, dir), "doc_id", "source",
+          size(TextOps.tokens(col("text"))),
+          budgets = Map("src0" -> 600L, "src3" -> 450L, "src7" -> 800L,
+            "src12" -> 300L, "src15" -> 250L, "src19" -> 500L))
+        .select(col("doc_id"), col("stratum").as("source"), col("n_tok"),
+          col("cum_tok"))
+        .orderBy("doc_id")
+    },
+
+    // ---- exact n-gram containment (beyond-parity): ordered pairs where
+    // ≥80% of doc A's 3-gram shingles appear in doc B — the asymmetric
+    // dedup axis Jaccard misses (a short doc quoted verbatim inside a
+    // long host dilutes the union but not the containment). Prefix filter
+    // on the probe side against a full-postings index, one-sided length
+    // filter, exact verify kernel; both joins bucketed equi-joins, never
+    // a cross product (TextOps.ngramContainmentPairs scaladoc).
+    q("q114_ngram_containment",
+      s"""WITH sh AS (
+         |  SELECT doc_id, $sqlShingles AS shingles
+         |  FROM (SELECT doc_id, $sqlToks AS toks FROM documents)
+         |)
+         |SELECT a.doc_id AS ida, b.doc_id AS idb,
+         |  CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+         |    / len(a.shingles) AS containment
+         |FROM sh a, sh b
+         |WHERE a.doc_id != b.doc_id
+         |  AND len(a.shingles) > 0 AND len(b.shingles) > 0
+         |  AND CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+         |      >= 0.8 * len(a.shingles)
+         |ORDER BY ida NULLS FIRST, idb NULLS FIRST""".stripMargin) {
+      (s, dir) =>
+        TextOps.ngramContainmentPairs(T.documents(s, dir), "doc_id", "text",
+            n = 3, threshold = 0.8)
+          .orderBy("ida", "idb")
+    },
   )
 }

@@ -138,4 +138,58 @@ object SampleOps {
       StructField("doc_id", LongType), StructField("n_tok", LongType),
       StructField("cum_tok", LongType), StructField("shard", LongType))))
   }
+
+  /** Token-budgeted dataset mixture: for each stratum (source) with an
+    * entry in `budgets`, keep a deterministic md5(id)-ordered prefix of
+    * its documents whose running token total stays under that stratum's
+    * budget — the "mix N tokens of web, M of code, K of books" step every
+    * training-data pipeline ends with. The document that CROSSES the
+    * boundary is kept (greedy prefix: a mixture spec is a floor, and
+    * truncating mid-document is the tokenizer's job, not the sampler's);
+    * strata absent from `budgets` contribute nothing. Hash order makes
+    * the mixture rebuildable on any engine and stable under corpus
+    * growth everywhere except at the budget boundary.
+    *
+    * Returns (doc_id, stratum, n_tok, cum_tok) for kept rows.
+    *
+    * Scale: the naive spelling is `sum(n_tok) OVER (PARTITION BY stratum
+    * ORDER BY md5(id))` — one reducer per stratum, a cliff when one
+    * source is half the lake. This runs the two-phase prefix sum
+    * WITHIN each stratum: bucket rows by the first two md5 hex chars
+    * (the bucket is a PREFIX of the order key, so bucket order refines
+    * hash order), aggregate one partial sum per (stratum, bucket) —
+    * O(|strata|·256) rows to the driver — broadcast exclusive offsets
+    * back, and run the within-bucket window over 1/256 of a stratum.
+    * Integer arithmetic throughout — bitwise deterministic. */
+  def budgetedMixture(df: DataFrame, idCol: String, strataCol: String,
+      weight: Column, budgets: Map[String, Long]): DataFrame = {
+    require(budgets.nonEmpty, "need at least one stratum budget")
+    require(budgets.values.forall(_ > 0), "budgets must be positive")
+    import org.apache.spark.sql.types.LongType
+    val spark = df.sparkSession
+    import spark.implicits._
+    val h = md5(col(idCol).cast("string"))
+    val base = df.select(col(idCol).cast(LongType).as("doc_id"),
+      col(strataCol).as("stratum"), weight.cast(LongType).as("n_tok"),
+      h.as("__h"), substring(h, 1, 2).as("__bk"))
+    val bdf = broadcast(budgets.toSeq.toDF("stratum", "__budget"))
+    val lim = base.join(bdf, "stratum").localCheckpoint()
+    val sums = lim.groupBy("stratum", "__bk").agg(sum("n_tok").as("s"))
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
+    val offsets = sums.groupBy(_._1._1).toSeq.flatMap { case (_, rows) =>
+      val sorted = rows.sortBy(_._1._2)
+      sorted.map(_._1).zip(sorted.map(_._2).scanLeft(0L)(_ + _))
+    }
+    val offDf = broadcast(offsets
+      .map { case ((st, bk), o) => (st, bk, o) }
+      .toDF("stratum", "__bk", "__off"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("stratum", "__bk").orderBy(col("__h"), col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    lim.join(offDf, Seq("stratum", "__bk"))
+      .withColumn("cum_tok", sum(col("n_tok")).over(w) + col("__off"))
+      .filter(col("cum_tok") - col("n_tok") < col("__budget"))
+      .select(col("doc_id"), col("stratum"), col("n_tok"), col("cum_tok"))
+  }
 }

@@ -686,8 +686,10 @@ object TextOps {
       autoPairBudget: Double, sampleRate: Double = 1.0): String = {
     val p = sampleRate
     val d = col("df").cast(DoubleType)
+    // coalesce: an empty df table (tiny corpus whose 1-in-8 doc sample
+    // came up empty) sums to NULL, not 0 — getDouble would throw
     val sumD2 = dfTab
-      .agg(sum((d * d - lit(1.0 - p) * d) / lit(p * p)))
+      .agg(coalesce(sum((d * d - lit(1.0 - p) * d) / lit(p * p)), lit(0.0)))
       .head.getDouble(0)
     val rho = 1.0 - threshold
     if (rho * rho * sumD2 / 2.0 > autoPairBudget) "df" else "hash"
@@ -918,5 +920,150 @@ object TextOps {
       labels = next.select(col("id"), col("s2").as("lbl"))
     }
     (labels.select(col("id"), col("lbl").as("cluster")), iter)
+  }
+
+  /** BM25 term-weight retrieval: the top `topK` documents per query term by
+    * Okapi BM25 score (Robertson idf with Lucene's +1 floor, so idf is
+    * always positive). Returns (term, rank, doc_id, tf, dl, score).
+    *
+    * Scale (100 TB): per-doc term frequencies come from a map-side
+    * array-filter + generator explode over the (small, broadcast-literal)
+    * query term list — the corpus is never shuffled and never tokenized
+    * into an exploded token table. The only shuffles are (a) the
+    * term-document-frequency aggregation, bounded by the matched postings
+    * and reduced map-side to ≤|terms| rows, and (b) the top-k itself,
+    * which runs TWO-PHASE: a per-(term, salt-bucket) row_number keeps topK
+    * rows per bucket, then the global per-term rank sees ≤ 64·topK rows —
+    * a hot term's full posting list never lands on one reducer (the naive
+    * `row_number() OVER (PARTITION BY term)` spelling does exactly that).
+    *
+    * Determinism: tf/dl/df/N are integers; avgdl is one integer division;
+    * every float op mirrors the oracle SQL's parse tree ULP-for-ULP except
+    * `ln`, whose last-ulp variance across libm implementations is absorbed
+    * by rounding the score to 6 decimals (ordering ties broken by doc_id
+    * on the ROUNDED score in both engines). */
+  def bm25TermTopK(df: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+      topK: Int = 10): DataFrame = {
+    require(terms.nonEmpty, "need at least one query term")
+    val toks = tokens(col(textCol))
+    val pairs = array(terms.map(t =>
+      struct(lit(t).as("term"),
+        size(filter(toks, x => x === lit(t))).as("tf"))): _*)
+    val m = df
+      .select(col(idCol).cast(LongType).as("doc_id"), size(toks).as("dl"),
+        explode(pairs).as("p"))
+      .select(col("doc_id"), col("dl"), col("p.term"), col("p.tf"))
+      .filter(col("tf") > 0)
+    // corpus scalars: one partial-agg pass, attached as a 1-row broadcast
+    val stats = df.select(size(toks).as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot"))
+      .select(col("n_docs"),
+        (col("tot").cast(DoubleType) / col("n_docs")).as("avgdl"))
+    val dft = m.groupBy("term").agg(count(lit(1)).as("dfc"))
+    val idf = log(
+      (col("n_docs") - col("dfc") + lit(0.5)) / (col("dfc") + lit(0.5)) +
+        lit(1.0))
+    val norm = col("tf") + lit(k1) *
+      (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))
+    val scored = m.join(broadcast(dft), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("score",
+        round(idf * (col("tf") * (lit(k1) + lit(1.0))) / norm, 6))
+    val w1 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("term"), pmod(xxhash64(col("doc_id")), lit(64)))
+      .orderBy(col("score").desc, col("doc_id"))
+    val w2 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("term"))
+      .orderBy(col("score").desc, col("doc_id"))
+    scored.withColumn("__rn1", row_number().over(w1))
+      .filter(col("__rn1") <= topK)
+      .withColumn("rank", row_number().over(w2))
+      .filter(col("rank") <= topK)
+      .select(col("term"), col("rank"), col("doc_id"), col("tf"), col("dl"),
+        col("score"))
+  }
+
+  /** Exact n-gram CONTAINMENT pairs: (ida, idb, containment) for every
+    * ORDERED pair with |A∩B| / |A| ≥ threshold (A = doc ida's shingle set).
+    * Containment is the asymmetric cousin of q67's Jaccard: it catches a
+    * small document embedded verbatim inside a larger one (quoted posts,
+    * boilerplate wrappers, subset duplicates) that Jaccard misses because
+    * the union is dominated by the host document.
+    *
+    * Same prefix-filtering exactness argument as [[ngramJaccardPairs]],
+    * adapted to asymmetry: a qualifying pair shares ≥ ⌈t·|A|⌉ shingles, of
+    * which at most |A| − k = ⌈t·|A|⌉ − 1 can avoid A's first
+    * k = |A| − ⌈t·|A|⌉ + 1 shingles in hash order — so probing with A's
+    * prefix against an index of ALL of B's shingles finds every pair. The
+    * only admissible length filter is one-sided (|B| ≥ t·|A|, since
+    * |A∩B| ≤ |B|); there is no upper bound on |B|, which is the point.
+    * Candidates dedup BEFORE the verify join (the full-postings index
+    * makes multi-shingle hits common, unlike the prefix×prefix join).
+    *
+    * Scale: both joins are bucketed equi-joins on the shingle / id keys —
+    * never a cross product. Hash-order prefixes sample high-df shingles
+    * uniformly, so a shingle in df docs contributes ~ρ·df² candidates
+    * (ρ = 1 − t); for a boilerplate-heavy lake corpus, scrub known hot
+    * spans first (q92) — the rarest-first df order does not apply here
+    * because the index side must carry every shingle regardless. */
+  def ngramContainmentPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val sigSchema = StructType(Seq(StructField("id", LongType),
+      StructField("sh", ArrayType(StringType)),
+      StructField("pre", ArrayType(StringType))))
+    val rdd = df.select(col(idCol).cast(LongType), col(textCol)).rdd
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val toks = Option(r.getString(1)).map(_.trim.split(" "))
+            .getOrElse(Array.empty)
+          if (toks.length < n) None
+          else {
+            val seen = new scala.collection.mutable.LinkedHashSet[String]
+            var i = 0
+            while (i + n <= toks.length) {
+              seen += toks.slice(i, i + n).mkString(" "); i += 1
+            }
+            val sz = seen.size
+            val k = sz - math.ceil(threshold * sz).toInt + 1
+            val pre = seen.toArray
+              .map(s => (scala.util.hashing.MurmurHash3.stringHash(s).toLong, s))
+              .sorted.take(k).map(_._2)
+            Some(org.apache.spark.sql.Row(r.getLong(0), seen.toSeq, pre.toSeq))
+          }
+        }
+      }
+    val base = df.sparkSession.createDataFrame(rdd, sigSchema).localCheckpoint()
+    val probe = base.select(col("id").as("ida"), size(col("sh")).as("sza"),
+      explode(col("pre")).as("s"))
+    val target = base.select(col("id").as("idb"), size(col("sh")).as("szb"),
+      explode(col("sh")).as("s2"))
+    val candidates = probe.join(target,
+        col("s") === col("s2") && col("ida") =!= col("idb") &&
+          col("szb").cast(DoubleType) >= lit(threshold) * col("sza").cast(DoubleType))
+      .select("ida", "idb").distinct()
+    val sa = base.select(col("id").as("ida"), col("sh").as("sha"))
+    val sb = base.select(col("id").as("idb"), col("sh").as("shb"))
+    val joined = candidates.join(sa, "ida").join(sb, "idb")
+      .select(col("ida"), col("idb"), col("sha"), col("shb"))
+      .localCheckpoint()
+    val outSchema = StructType(Seq(StructField("ida", LongType),
+      StructField("idb", LongType), StructField("containment", DoubleType)))
+    val scored = joined.rdd.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val a = r.getSeq[String](2)
+        val b = r.getSeq[String](3)
+        val bset = b.toSet
+        var inter = 0
+        a.foreach(x => if (bset.contains(x)) inter += 1)
+        // the predicate mirrors the oracle's `len(∩) >= t * len(A)` double
+        // arithmetic exactly (int-to-double promote, one multiply)
+        if (inter.toDouble >= threshold * a.size)
+          Some(org.apache.spark.sql.Row(r.getLong(0), r.getLong(1),
+            inter.toDouble / a.size))
+        else None
+      }
+    }
+    df.sparkSession.createDataFrame(scored, outSchema)
   }
 }
