@@ -994,24 +994,30 @@ object TextOps {
     * Same prefix-filtering exactness argument as [[ngramJaccardPairs]],
     * adapted to asymmetry: a qualifying pair shares ≥ ⌈t·|A|⌉ shingles, of
     * which at most |A| − k = ⌈t·|A|⌉ − 1 can avoid A's first
-    * k = |A| − ⌈t·|A|⌉ + 1 shingles in hash order — so probing with A's
-    * prefix against an index of ALL of B's shingles finds every pair. The
-    * only admissible length filter is one-sided (|B| ≥ t·|A|, since
-    * |A∩B| ≤ |B|); there is no upper bound on |B|, which is the point.
-    * Candidates dedup BEFORE the verify join (the full-postings index
-    * makes multi-shingle hits common, unlike the prefix×prefix join).
+    * k = |A| − ⌈t·|A|⌉ + 1 shingles in a FIXED global order — so probing
+    * with A's prefix against an index of ALL of B's shingles finds every
+    * pair. The only admissible length filter is one-sided (|B| ≥ t·|A|,
+    * since |A∩B| ≤ |B|); there is no upper bound on |B|, which is the
+    * point. Candidates dedup BEFORE the verify join (the full-postings
+    * index makes multi-shingle hits common, unlike the prefix×prefix
+    * join).
     *
     * Scale: both joins are bucketed equi-joins on the shingle / id keys —
-    * never a cross product. Hash-order prefixes sample high-df shingles
-    * uniformly, so a shingle in df docs contributes ~ρ·df² candidates
-    * (ρ = 1 − t); for a boilerplate-heavy lake corpus, scrub known hot
-    * spans first (q92) — the rarest-first df order does not apply here
-    * because the index side must carry every shingle regardless. */
+    * never a cross product. The global order is ALWAYS rarest-first
+    * (document frequency ascending): because the index side must carry
+    * every shingle regardless, a hot shingle reached by probe prefixes
+    * costs df_probe·df_index ~ df² pairs — under hash order (which
+    * samples prefixes uniformly) the 10× rehearsal measured 80 s against
+    * 9 s rarest-first, since df order drops hot shingles out of every
+    * probe prefix and they then generate NO candidates at all. The
+    * symmetric Jaccard kernel's hash-vs-df auto policy does not transfer:
+    * there the index side is also a prefix, so hash order's fan-out is
+    * only ρ²·df², 1/ρ smaller. */
   def ngramContainmentPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.8): DataFrame = {
     val sigSchema = StructType(Seq(StructField("id", LongType),
       StructField("sh", ArrayType(StringType)),
-      StructField("pre", ArrayType(StringType))))
+      StructField("hs", ArrayType(LongType))))
     val rdd = df.select(col(idCol).cast(LongType), col(textCol)).rdd
       .mapPartitions { rows =>
         rows.flatMap { r =>
@@ -1024,27 +1030,79 @@ object TextOps {
             while (i + n <= toks.length) {
               seen += toks.slice(i, i + n).mkString(" "); i += 1
             }
-            val sz = seen.size
-            val k = sz - math.ceil(threshold * sz).toInt + 1
-            val pre = seen.toArray
-              .map(s => (scala.util.hashing.MurmurHash3.stringHash(s).toLong, s))
-              .sorted.take(k).map(_._2)
-            Some(org.apache.spark.sql.Row(r.getLong(0), seen.toSeq, pre.toSeq))
+            // sorted 64-bit fingerprints for the merge-intersect verify
+            val hs = seen.toArray.map(fnv1a64).sorted
+            Some(org.apache.spark.sql.Row(r.getLong(0), seen.toSeq, hs.toSeq))
           }
         }
       }
     val base = df.sparkSession.createDataFrame(rdd, sigSchema).localCheckpoint()
-    val probe = base.select(col("id").as("ida"), size(col("sh")).as("sza"),
-      explode(col("pre")).as("s"))
-    val target = base.select(col("id").as("idb"), size(col("sh")).as("szb"),
-      explode(col("sh")).as("s2"))
+    val ex = base.select(col("id"), size(col("sh")).as("sz"),
+      explode(col("sh")).as("s"))
+    val dfTab = ex.groupBy("s").agg(count(lit(1)).as("df"))
+    // probe prefixes: per-doc rank in (df asc, shingle) order, keep the
+    // first sz − ⌈t·sz⌉ + 1 — partitioned by id, never a global sort
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("df"), col("s"))
+    // both sides rank their shingles in the same (df asc, shingle) order:
+    // the probe keeps only its prefix, the index keeps every position but
+    // CARRIES it for PPJoin's positional filter below
+    val ranked = ex.join(dfTab, "s").withColumn("rn", row_number().over(w))
+    val probe = ranked
+      .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+      .select(col("id").as("ida"), col("sz").as("sza"), col("s"),
+        col("rn").as("rna"))
+    val target = ranked.select(col("id").as("idb"), col("sz").as("szb"),
+      col("s").as("s2"), col("rn").as("rnb"))
+    // positional filter: at a common shingle sitting at rank rna of A and
+    // rnb of B, the intersection can reach at most
+    // 1 + min(|A|−rna, |B|−rnb); a pair whose EVERY generating occurrence
+    // is below ⌈t·|A|⌉ cannot qualify, and a qualifying pair's first
+    // common shingle always passes (all ⌈t·|A|⌉−1 remaining common
+    // shingles rank after it on both sides) — so the filter is exact
+    val positional =
+      lit(1) + least(col("sza") - col("rna"), col("szb") - col("rnb")) >=
+        ceil(lit(threshold) * col("sza"))
     val candidates = probe.join(target,
         col("s") === col("s2") && col("ida") =!= col("idb") &&
-          col("szb").cast(DoubleType) >= lit(threshold) * col("sza").cast(DoubleType))
+          col("szb").cast(DoubleType) >= lit(threshold) * col("sza").cast(DoubleType) &&
+          positional)
       .select("ida", "idb").distinct()
+    // Two-stage verify. Stage 1 runs the candidate bulk through a sorted
+    // merge-intersect over 64-bit shingle fingerprints — no string
+    // hashing, no per-pair set builds (measured 6.1 s → sub-second on
+    // 206k sf0.1 candidates). A fingerprint collision can only INFLATE
+    // the intersection (equal strings hash equal), so stage 1 passes a
+    // SUPERSET of the qualifying pairs; stage 2 re-verifies the few
+    // survivors exactly on the string sets, so the result is collision-
+    // proof, not merely collision-improbable.
+    val ha = base.select(col("id").as("ida"), col("hs").as("hsa"))
+    val hb = base.select(col("id").as("idb"), col("hs").as("hsb"))
+    val hJoined = candidates.join(ha, "ida").join(hb, "idb")
+      .select(col("ida"), col("idb"), col("hsa"), col("hsb"))
+      .localCheckpoint()
+    val survSchema = StructType(Seq(StructField("ida", LongType),
+      StructField("idb", LongType)))
+    val survivors = hJoined.rdd.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val a = r.getSeq[Long](2)
+        val b = r.getSeq[Long](3)
+        var i = 0; var j = 0; var inter = 0
+        while (i < a.size && j < b.size) {
+          val x = a(i); val y = b(j)
+          if (x == y) { inter += 1; i += 1; j += 1 }
+          else if (x < y) i += 1
+          else j += 1
+        }
+        if (inter.toDouble >= threshold * a.size)
+          Some(org.apache.spark.sql.Row(r.getLong(0), r.getLong(1)))
+        else None
+      }
+    }
+    val survDf = df.sparkSession.createDataFrame(survivors, survSchema)
     val sa = base.select(col("id").as("ida"), col("sh").as("sha"))
     val sb = base.select(col("id").as("idb"), col("sh").as("shb"))
-    val joined = candidates.join(sa, "ida").join(sb, "idb")
+    val joined = survDf.join(sa, "ida").join(sb, "idb")
       .select(col("ida"), col("idb"), col("sha"), col("shb"))
       .localCheckpoint()
     val outSchema = StructType(Seq(StructField("ida", LongType),
@@ -1065,5 +1123,19 @@ object TextOps {
       }
     }
     df.sparkSession.createDataFrame(scored, outSchema)
+  }
+
+  /** FNV-1a 64-bit over UTF-8 bytes — a portable, allocation-free 64-bit
+    * string fingerprint for the merge-intersect verify fast path. */
+  private[graft] def fnv1a64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
   }
 }
