@@ -1068,5 +1068,41 @@ object LlmQueries {
             n = 3, threshold = 0.8)
           .orderBy("ida", "idb")
     },
+
+    // ---- per-node triangle counts on the doc-similarity graph (edges =
+    // pairs sharing ≥2 distinct 3-gram shingles): the community-structure
+    // signal dedup clustering (q60) doesn't expose — a doc in many
+    // triangles sits in a dense template family. Degree-ordered
+    // orientation bounds wedge fan-out by ~√|E| instead of the hub degree
+    // and finds each triangle exactly once (GraphAlgos.triangleCounts
+    // scaladoc); the oracle brute-forces E³ over the x<y<z chain.
+    q("q115_triangle_count",
+      s"""WITH sh AS (
+         |  SELECT doc_id, $sqlShingles AS shingles
+         |  FROM (SELECT doc_id, $sqlToks AS toks FROM documents)
+         |),
+         |E AS (SELECT a.doc_id AS a, b.doc_id AS b
+         |      FROM sh a, sh b
+         |      WHERE a.doc_id < b.doc_id
+         |        AND len(list_intersect(a.shingles, b.shingles)) >= 2),
+         |T AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         |      FROM E e1 JOIN E e2 ON e2.a = e1.b
+         |                JOIN E e3 ON e3.a = e1.a AND e3.b = e2.b),
+         |n AS (SELECT x AS v FROM T UNION ALL SELECT y FROM T
+         |      UNION ALL SELECT z FROM T)
+         |SELECT v AS doc_id, count(*) AS n_tri FROM n GROUP BY v
+         |ORDER BY doc_id NULLS FIRST""".stripMargin) { (s, dir) =>
+      val docs = T.documents(s, dir)
+      val post = docs.select(col("doc_id"),
+        explode(TextOps.wordShingles(col("text"), 3)).as("s"))
+      val edges = post.select(col("doc_id").as("a"), col("s"))
+        .join(post.select(col("doc_id").as("b"), col("s").as("s2")),
+          col("s") === col("s2") && col("a") < col("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("c"))
+        .filter(col("c") >= 2).select("a", "b")
+      graft.relational.GraphAlgos.triangleCounts(edges)
+        .select(col("v").as("doc_id"), col("n_tri"))
+        .orderBy("doc_id")
+    },
   )
 }

@@ -1,0 +1,109 @@
+package graft.relational
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed graph analytics as DataFrame plans — the batch-graph
+  * operations a training-data / analytics pipeline reaches for (influence
+  * ranking, community structure) without leaving Spark SQL.
+  *
+  * Both operators are INTEGER-EXACT by construction: PageRank runs in
+  * fixed-point arithmetic (damping as the rational 17/20, ranks as scaled
+  * longs) so partial-aggregation order cannot perturb a single bit and the
+  * DuckDB oracle reproduces results exactly — the float spelling would
+  * hash-mismatch on summation order. Triangle counts are plain integers.
+  */
+object GraphAlgos {
+
+  /** Fixed-point PageRank over a DIRECTED edge list (cols `s` → `d`).
+    * Ranks are scaled longs (`scale` = 1.0); damping is the rational
+    * dampNum/dampDen (default 17/20 = 0.85). Every arithmetic step is
+    * integer (`div`), so the result is bitwise deterministic under any
+    * partitioning and any engine. Returns (v, rank_fixed).
+    *
+    * rank₀(v) = scale/N;
+    * rankₖ₊₁(v) = (scale·(den−num)/den)/N +
+    *              Σ_{u→v} (rankₖ(u)·num/den)/outdeg(u)
+    *
+    * Scale (100 TB lens): each of the K iterations is one edge-sized
+    * equi-join (edges ⨝ ranks on src, partial-agg sum on dst) plus a
+    * node-sized left join — the textbook Pregel-on-DataFrames shape. No
+    * collects, no windows; the rank lineage is cut every
+    * `checkpointEvery` rounds — measured at 10× data: never cutting lets
+    * the nested DAG's adaptive re-planning blow up (64 s vs 13 s), while
+    * cutting every round pays an extra materialization barrier per step
+    * (~30% slower than every-2 at both scales). Sinks (no out-edges)
+    * leak rank mass by design — feed an undirected graph (both edge
+    * directions) when sink handling matters, as the catalog entry does. */
+  def pageRankFixedPoint(edges: DataFrame, iterations: Int = 5,
+      scale: Long = 1000000000000L, dampNum: Int = 17, dampDen: Int = 20,
+      checkpointEvery: Int = 2): DataFrame = {
+    require(iterations >= 1 && iterations <= 50, "iterations in [1, 50]")
+    val e = edges.select(col("s").cast("long").as("s"),
+      col("d").cast("long").as("d")).localCheckpoint()
+    val nodes = e.select(col("s").as("v"))
+      .union(e.select(col("d").as("v"))).distinct()
+      .localCheckpoint()
+    val n = nodes.count()
+    // pre-join degree onto the edges ONCE: the iteration loop then joins
+    // only on the rank frame, not rank + degree every round
+    val deg = e.groupBy(col("s").as("v")).agg(count(lit(1)).as("dg"))
+    val ed = e.join(deg.withColumnRenamed("v", "s"), "s").localCheckpoint()
+    val base = (scale * (dampDen - dampNum) / dampDen) / n
+    var ranks = nodes.select(col("v"), lit(scale / n).as("r"))
+    for (k <- 1 to iterations) {
+      val contrib = ed
+        .join(ranks.withColumnRenamed("v", "s"), "s")
+        .groupBy(col("d").as("v"))
+        .agg(sum(expr(s"r * $dampNum div $dampDen div dg")).as("m"))
+      ranks = nodes.join(contrib, Seq("v"), "left")
+        .select(col("v"), (lit(base) + coalesce(col("m"), lit(0L))).as("r"))
+      if (k % checkpointEvery == 0 && k < iterations)
+        ranks = ranks.localCheckpoint()
+    }
+    ranks.select(col("v"), col("r").as("rank_fixed"))
+  }
+
+  /** Per-node triangle counts over an UNDIRECTED simple graph given as
+    * unique edges with `a` < `b`. Returns (v, n_tri) for nodes in ≥ 1
+    * triangle.
+    *
+    * Scale: the naive wedge join (all 2-paths) is quadratic in the hub
+    * degree — one celebrity node of degree 10⁶ emits 5·10¹¹ wedges. This
+    * runs the degree-ordered orientation (Cohen's MapReduce algorithm /
+    * Suri–Vassilvitskii): orient every edge from its lower-(deg, id)
+    * endpoint to the higher; every triangle then has exactly ONE vertex
+    * with out-edges to the other two in that order, wedges are built only
+    * from ORIENTED out-pairs — bounding wedge fan-out by the graph's
+    * arboricity-ish out-degree (≤ √|E| on any simple graph) instead of
+    * the raw hub degree — and each triangle is found exactly once, at its
+    * lowest-ordered vertex. All equi-joins; integer-exact. */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val e0 = edges.select(col("a").cast("long"), col("b").cast("long"))
+      .localCheckpoint()
+    val deg = e0.select(col("a").as("v")).union(e0.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("dg"))
+    // orientation key: (deg, id) lexicographic, packed for one comparison
+    val da = deg.select(col("v").as("a"), col("dg").as("dga"))
+    val db = deg.select(col("v").as("b"), col("dg").as("dgb"))
+    val oriented = e0.join(da, "a").join(db, "b")
+      .select(
+        when(col("dga") < col("dgb") ||
+          (col("dga") === col("dgb") && col("a") < col("b")),
+          col("a")).otherwise(col("b")).as("u"),
+        when(col("dga") < col("dgb") ||
+          (col("dga") === col("dgb") && col("a") < col("b")),
+          col("b")).otherwise(col("a")).as("w"))
+      .localCheckpoint()
+    // wedges at u: ordered out-pairs (v1 < v2 by node id keeps each
+    // unordered out-pair once); close against the undirected edge set in
+    // its canonical a<b spelling
+    val o1 = oriented.select(col("u"), col("w").as("x"))
+    val o2 = oriented.select(col("u"), col("w").as("y"))
+    val wedges = o1.join(o2, "u").filter(col("x") < col("y"))
+    val tri = wedges.join(e0, col("a") === col("x") && col("b") === col("y"))
+      .select(col("u"), col("x"), col("y"))
+    tri.select(explode(array(col("u"), col("x"), col("y"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("n_tri"))
+  }
+}

@@ -934,6 +934,51 @@ object RelationalQueries {
             (col("d") - col("cohort")).as("offset_day"))
           .agg(countDistinct(col("user_id")).as("n_users"))
           .orderBy("cohort_day", "offset_day")
+    },
+
+    // ---- fixed-point PageRank on the part↔supplier graph (suppliers as
+    // negated keys; both edge directions, so no rank-leaking sinks).
+    // All-integer arithmetic — damping as the rational 17/20, ranks as
+    // 10¹²-scaled longs — so partial-agg order cannot move a bit and the
+    // oracle (5 unrolled iteration CTEs of the same integer ops) matches
+    // exactly; a float PageRank could never hash-match across engines.
+    // Each iteration is one edge-sized equi-join + partial-agg sum
+    // (GraphAlgos.pageRankFixedPoint scaladoc).
+    q("q116_pagerank", pageRankOracle(5)) { (s, dir) =>
+      // one distinct over the raw pairs; the two directions then derive
+      // map-only and are disjoint by sign, so no second distinct
+      val pairs = lineitem(s, dir)
+        .select(col("l_partkey").cast("long").as("p"),
+          col("l_suppkey").cast("long").as("k")).distinct()
+      val fwd = pairs.select(col("p").as("s"), (-col("k")).as("d"))
+      val bwd = pairs.select((-col("k")).as("s"), col("p").as("d"))
+      GraphAlgos.pageRankFixedPoint(fwd.union(bwd), iterations = 5)
+        .orderBy("v")
     }
   )
+
+  /** Oracle for q116: `iters` unrolled fixed-point iterations, every step
+    * the same integer ops the Spark side runs (see pageRankFixedPoint). */
+  private def pageRankOracle(iters: Int): String = {
+    val S = "1000000000000"
+    val iterCtes = (1 to iters).map { k =>
+      s"""c$k AS (SELECT e.d AS v, SUM(r.r * 17 // 20 // dg.dg) AS m
+         |  FROM e JOIN r${k - 1} r ON r.v = e.s JOIN deg dg ON dg.v = e.s
+         |  GROUP BY e.d),
+         |r$k AS (SELECT nd.v,
+         |    ($S * 3 // 20) // (SELECT n FROM cnt) + COALESCE(c$k.m, 0) AS r
+         |  FROM nodes nd LEFT JOIN c$k ON c$k.v = nd.v)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT DISTINCT l_partkey AS s, -l_suppkey AS d FROM lineitem
+       |  UNION
+       |  SELECT DISTINCT -l_suppkey AS s, l_partkey AS d FROM lineitem),
+       |nodes AS (SELECT DISTINCT s AS v FROM e),
+       |deg AS (SELECT s AS v, count(*) AS dg FROM e GROUP BY s),
+       |cnt AS (SELECT count(*) AS n FROM nodes),
+       |r0 AS (SELECT v, $S // (SELECT n FROM cnt) AS r FROM nodes),
+       |$iterCtes
+       |SELECT v, CAST(r AS BIGINT) AS rank_fixed FROM r$iters
+       |ORDER BY v NULLS FIRST""".stripMargin
+  }
 }

@@ -1,0 +1,62 @@
+package graft.relational
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class GraphAlgosSpec extends SparkTestBase {
+
+  test("triangleCounts equals brute force on a random graph") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val n = 60
+    val edges = (for {
+      a <- 0L until n; b <- (a + 1) until n if rnd.nextDouble() < 0.12
+    } yield (a, b)).toSet
+    val got = GraphAlgos.triangleCounts(edges.toSeq.toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // brute force: all a<b<c with all three edges present
+    val tri = for {
+      a <- 0L until n; b <- (a + 1) until n; c <- (b + 1) until n
+      if edges((a, b)) && edges((b, c)) && edges((a, c))
+    } yield (a, b, c)
+    val exp = tri.flatMap(t => Seq(t._1, t._2, t._3))
+      .groupBy(identity).map { case (v, xs) => v -> xs.size.toLong }
+    assert(got == exp)
+    assert(tri.nonEmpty, "fixture must actually contain triangles")
+  }
+
+  test("pageRankFixedPoint matches a driver-side integer reference") {
+    import spark.implicits._
+    // directed edges, both directions of a small undirected graph
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L))
+    val dir = und ++ und.map(_.swap)
+    val got = GraphAlgos.pageRankFixedPoint(dir.toDF("s", "d"),
+        iterations = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    val scale = 1000000000000L
+    val nodes = dir.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val n = nodes.size
+    val outdeg = dir.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val base = (scale * 3 / 20) / n
+    var r = nodes.map(_ -> scale / n).toMap
+    for (_ <- 1 to 4) {
+      val contrib = dir.groupBy(_._2).map { case (v, es) =>
+        v -> es.map(e => r(e._1) * 17 / 20 / outdeg(e._1)).sum
+      }
+      r = nodes.map(v => v -> (base + contrib.getOrElse(v, 0L))).toMap
+    }
+    assert(got == r)
+    // ranks differ by centrality: degree-3 node 3 outranks leaf 5
+    assert(got(3L) > got(5L))
+  }
+
+  test("pageRank plans stay equi-join only (no cartesian)") {
+    import spark.implicits._
+    val dir = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)).toDF("s", "d")
+    val out = GraphAlgos.pageRankFixedPoint(dir, iterations = 2)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+}
