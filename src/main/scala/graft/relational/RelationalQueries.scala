@@ -946,12 +946,16 @@ object RelationalQueries {
     // (GraphAlgos.pageRankFixedPoint scaladoc).
     q("q116_pagerank", pageRankOracle(5)) { (s, dir) =>
       // one distinct over the raw pairs; the two directions then derive
-      // map-only and are disjoint by sign, so no second distinct
+      // map-only. Supplier node ids are -(key+1), NOT -key: keys start at
+      // 0, and -0 = 0 would conflate part 0 with supplier 0 into one node
+      // with a double-counted self-loop (caught by the sf0.001 gate,
+      // where a (0, 0) lineitem pair exists). With the shift the two id
+      // spaces are disjoint by sign, so the union needs no dedup.
       val pairs = lineitem(s, dir)
         .select(col("l_partkey").cast("long").as("p"),
           col("l_suppkey").cast("long").as("k")).distinct()
-      val fwd = pairs.select(col("p").as("s"), (-col("k")).as("d"))
-      val bwd = pairs.select((-col("k")).as("s"), col("p").as("d"))
+      val fwd = pairs.select(col("p").as("s"), (-col("k") - 1).as("d"))
+      val bwd = pairs.select((-col("k") - 1).as("s"), col("p").as("d"))
       GraphAlgos.pageRankFixedPoint(fwd.union(bwd), iterations = 5)
         .orderBy("v")
     }
@@ -970,9 +974,9 @@ object RelationalQueries {
          |  FROM nodes nd LEFT JOIN c$k ON c$k.v = nd.v)""".stripMargin
     }.mkString(",\n")
     s"""WITH e AS (
-       |  SELECT DISTINCT l_partkey AS s, -l_suppkey AS d FROM lineitem
+       |  SELECT DISTINCT l_partkey AS s, -l_suppkey - 1 AS d FROM lineitem
        |  UNION
-       |  SELECT DISTINCT -l_suppkey AS s, l_partkey AS d FROM lineitem),
+       |  SELECT DISTINCT -l_suppkey - 1 AS s, l_partkey AS d FROM lineitem),
        |nodes AS (SELECT DISTINCT s AS v FROM e),
        |deg AS (SELECT s AS v, count(*) AS dg FROM e GROUP BY s),
        |cnt AS (SELECT count(*) AS n FROM nodes),
