@@ -1070,21 +1070,28 @@ object LlmQueries {
     },
 
     // ---- per-node triangle counts on the doc-similarity graph (edges =
-    // pairs sharing ≥2 distinct 3-gram shingles): the community-structure
-    // signal dedup clustering (q60) doesn't expose — a doc in many
-    // triangles sits in a dense template family. Degree-ordered
-    // orientation bounds wedge fan-out by ~√|E| instead of the hub degree
-    // and finds each triangle exactly once (GraphAlgos.triangleCounts
-    // scaladoc); the oracle brute-forces E³ over the x<y<z chain.
+    // pairs sharing ≥2 distinct DISTINCTIVE 3-gram shingles, df ≤ 50):
+    // the community-structure signal dedup clustering (q60) doesn't
+    // expose — a doc in many triangles sits in a dense template family.
+    // The df cap is the standard stop-shingle cut AND the scale guard:
+    // without it the postings self-join pays df² on every boilerplate
+    // shingle (measured 7.3 s of the entry's 9.9 s at sf0.1; 1.9 s with
+    // the cap), and a shingle in half the corpus says nothing about
+    // similarity anyway. Degree-ordered orientation bounds wedge fan-out
+    // by ~√|E| instead of the hub degree and finds each triangle exactly
+    // once (GraphAlgos.triangleCounts scaladoc); the oracle brute-forces
+    // E³ over the x<y<z chain.
     q("q115_triangle_count",
       s"""WITH sh AS (
-         |  SELECT doc_id, $sqlShingles AS shingles
+         |  SELECT doc_id, unnest($sqlShingles) AS s
          |  FROM (SELECT doc_id, $sqlToks AS toks FROM documents)
          |),
+         |rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 50),
+         |p AS (SELECT doc_id, s FROM sh JOIN rare USING (s)),
          |E AS (SELECT a.doc_id AS a, b.doc_id AS b
-         |      FROM sh a, sh b
-         |      WHERE a.doc_id < b.doc_id
-         |        AND len(list_intersect(a.shingles, b.shingles)) >= 2),
+         |      FROM p a JOIN p b ON a.s = b.s AND a.doc_id < b.doc_id
+         |      GROUP BY a.doc_id, b.doc_id
+         |      HAVING count(*) >= 2),
          |T AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
          |      FROM E e1 JOIN E e2 ON e2.a = e1.b
          |                JOIN E e3 ON e3.a = e1.a AND e3.b = e2.b),
@@ -1093,10 +1100,18 @@ object LlmQueries {
          |SELECT v AS doc_id, count(*) AS n_tri FROM n GROUP BY v
          |ORDER BY doc_id NULLS FIRST""".stripMargin) { (s, dir) =>
       val docs = T.documents(s, dir)
+      // materialize the postings once: the shingle explode is an
+      // interpreted higher-order function and feeds FOUR consumers (df
+      // count + both self-join sides through p) — recomputing it per
+      // consumer measured 6 s of the entry's cost at sf0.1
       val post = docs.select(col("doc_id"),
         explode(TextOps.wordShingles(col("text"), 3)).as("s"))
-      val edges = post.select(col("doc_id").as("a"), col("s"))
-        .join(post.select(col("doc_id").as("b"), col("s").as("s2")),
+        .localCheckpoint()
+      val rare = post.groupBy("s").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= 50).select("s")
+      val p = post.join(rare, "s").localCheckpoint()
+      val edges = p.select(col("doc_id").as("a"), col("s"))
+        .join(p.select(col("doc_id").as("b"), col("s").as("s2")),
           col("s") === col("s2") && col("a") < col("b"))
         .groupBy("a", "b").agg(count(lit(1)).as("c"))
         .filter(col("c") >= 2).select("a", "b")
