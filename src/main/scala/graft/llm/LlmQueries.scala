@@ -28,6 +28,17 @@ object LlmQueries {
       path
     })
 
+  /** Once-per-dataset-per-JVM persisted inverted text index (TextIndex).
+    * Same contract as [[ivfIndexFor]]: first use in a JVM rebuilds. */
+  private val textIndexes = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def textIndexFor(dir: String, docs: DataFrame): String =
+    textIndexes.getOrElseUpdate(dir, {
+      val path = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft-textidx-" + dir.replaceAll("[^A-Za-z0-9]", "_")).getAbsolutePath
+      TextIndex.buildIndex(docs, "doc_id", "text", path, nBuckets = 64)
+      path
+    })
+
   // DuckDB spelling of TextOps.tokens / wordShingles(3)
   private val sqlToks = "string_split(trim(text), ' ')"
   private val sqlShingles =
@@ -1118,6 +1129,81 @@ object LlmQueries {
       graft.relational.GraphAlgos.triangleCounts(edges)
         .select(col("v").as("doc_id"), col("n_tri"))
         .orderBy("doc_id")
+    },
+
+    // ---- bigram LM quality scoring (beyond-parity): the CCNet/KenLM
+    // perplexity-filter skeleton — train an add-one-smoothed bigram LM on
+    // the corpus, score each doc by mean bigram log-probability. The only
+    // shuffles are the Zipf-sublinear unigram/bigram count tables; each
+    // bigram's log-prob is rounded and scaled to a LONG before the per-doc
+    // sum, so partial-agg order cannot move a bit (a raw double sum could
+    // never hash-match the oracle — TextOps.bigramLmDocScores scaladoc).
+    q("q117_lm_quality",
+      """WITH tok AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
+        |             FROM documents),
+        |uni AS (SELECT t AS w1, count(*) AS c1
+        |        FROM (SELECT unnest(toks) AS t FROM tok) GROUP BY t),
+        |v AS (SELECT count(*) AS vsz FROM uni),
+        |pos AS (SELECT doc_id, toks,
+        |          unnest(generate_series(1, len(toks) - 1)) AS i
+        |        FROM tok WHERE len(toks) >= 2),
+        |big AS (SELECT doc_id, list_extract(toks, i) AS w1,
+        |          list_extract(toks, i + 1) AS w2 FROM pos),
+        |bc AS (SELECT w1, w2, count(*) AS c2 FROM big GROUP BY w1, w2),
+        |term AS (SELECT doc_id,
+        |    CAST(round(ln((c2 + 1.0) / (c1 + vsz)) * 1000000) AS BIGINT) AS t
+        |  FROM big JOIN bc USING (w1, w2) JOIN uni USING (w1), v)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  round(CAST(sum(t) AS DOUBLE) / (1000000.0 * count(*)), 6)
+        |    AS avg_logprob
+        |FROM term GROUP BY doc_id
+        |ORDER BY doc_id NULLS FIRST""".stripMargin) { (s, dir) =>
+      TextOps.bigramLmDocScores(T.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
+    // ---- BM25 served from a PERSISTED inverted index (beyond-parity):
+    // the retrieval counterpart of q76's persisted IVF — the corpus-sized
+    // tokenize/aggregate shuffle is paid once at build, every query batch
+    // then reads only the term-bucket partitions its terms hash into
+    // (explicit tb partition filter, PlanSpec-asserted) plus the broadcast
+    // ≤|terms| df rows; dl is denormalized into the postings row so
+    // serving does zero doc-table joins (TextIndex scaladoc). The oracle
+    // recomputes the identical scores from the raw corpus.
+    q("q120_bm25_index",
+      """WITH tok AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
+        |             FROM documents),
+        |d AS (SELECT doc_id, toks, len(toks) AS dl FROM tok),
+        |c AS (SELECT count(*) AS n_docs,
+        |        CAST(sum(len(toks)) AS DOUBLE) / count(*) AS avgdl FROM tok),
+        |t AS (SELECT unnest(['sort','merge','group','batch','vector'])
+        |        AS term),
+        |m AS (SELECT doc_id, dl, term,
+        |        len(list_filter(toks, x -> x = term)) AS tf
+        |      FROM d CROSS JOIN t),
+        |mm AS (SELECT * FROM m WHERE tf > 0),
+        |df AS (SELECT term, count(*) AS dfc FROM mm GROUP BY term),
+        |s AS (SELECT term, doc_id, tf, dl,
+        |        round(ln((n_docs - dfc + 0.5) / (dfc + 0.5) + 1.0)
+        |          * (tf * (1.2 + 1.0))
+        |          / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)), 6) AS score
+        |      FROM mm JOIN df USING (term), c),
+        |r AS (SELECT term, doc_id, tf, dl, score,
+        |        ROW_NUMBER() OVER (PARTITION BY term
+        |          ORDER BY score DESC, doc_id) AS rank FROM s)
+        |SELECT term, rank, doc_id, CAST(tf AS BIGINT) AS tf,
+        |       CAST(dl AS BIGINT) AS dl, score
+        |FROM r WHERE rank <= 10
+        |ORDER BY term NULLS FIRST, rank NULLS FIRST""".stripMargin) {
+      (s, dir) =>
+        val path = textIndexFor(dir, T.documents(s, dir))
+        TextIndex.bm25FromIndex(s, path,
+            terms = Seq("sort", "merge", "group", "batch", "vector"),
+            k1 = 1.2, b = 0.75, topK = 10)
+          .select(col("term"), col("rank").cast(LongType).as("rank"),
+            col("doc_id"), col("tf").cast(LongType).as("tf"),
+            col("dl").cast(LongType).as("dl"), col("score"))
+          .orderBy("term", "rank")
     },
   )
 }

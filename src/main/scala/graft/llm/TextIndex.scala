@@ -1,0 +1,124 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Persisted inverted text index + BM25 serving — the text-retrieval
+  * counterpart of the persisted IVF index (AnnOps.buildIvfIndex): pay the
+  * corpus-sized tokenize/aggregate shuffle ONCE at build time, then serve
+  * every query batch by reading only the term-bucket partitions its terms
+  * hash into.
+  *
+  * Layout at `path`:
+  *  - `postings/` — (term, doc_id, tf, dl) parquet, partitioned by
+  *    `tb = pmod(xxhash64(term), nBuckets)`. A query's scan carries an
+  *    explicit tb partition filter, so the data read is bounded by the
+  *    probed buckets' postings, not the corpus (PlanSpec asserts
+  *    PartitionFilters). dl is denormalized into the postings row — the
+  *    Lucene norm trick — so serving needs NO doc-table join.
+  *  - `df/` — (term, dfc), the Zipf-small document-frequency table,
+  *    partitioned by the same tb.
+  *  - `_graft_text_meta.json` — nBuckets + the two corpus scalars
+  *    (n_docs, tot_len) BM25 needs; rewriting it is the index commit.
+  *
+  * Scale (100 TB): build is one explode + one partial-agg shuffle (the
+  * minimum possible: tf aggregation is the index's definition). Serving
+  * reads ~|probed buckets|/nBuckets of the postings, broadcasts the ≤|terms|
+  * df rows, and runs the same two-phase top-k as TextOps.bm25TermTopK so a
+  * hot term's posting list never serializes through one reducer. */
+object TextIndex {
+
+  /** Tokenize, aggregate, and persist the index. One corpus pass. */
+  def buildIndex(docs: DataFrame, idCol: String, textCol: String,
+      path: String, nBuckets: Int = 64): Unit = {
+    val spark = docs.sparkSession
+    val toks = TextOps.tokens(col(textCol))
+    val base = docs.select(col(idCol).cast(LongType).as("doc_id"),
+      toks.as("toks")).select(col("doc_id"), size(col("toks")).as("dl"),
+      explode(col("toks")).as("term"))
+    val postings = base.groupBy("term", "doc_id", "dl")
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("tb", pmod(xxhash64(col("term")), lit(nBuckets)))
+    postings.write.mode("overwrite").partitionBy("tb")
+      .parquet(s"$path/postings")
+    // df re-derives from the written postings (one Zipf-small agg) so the
+    // two datasets can never disagree
+    spark.read.parquet(s"$path/postings")
+      .groupBy("tb", "term").agg(count(lit(1)).as("dfc"))
+      .write.mode("overwrite").partitionBy("tb").parquet(s"$path/df")
+    val Array(nDocs, totLen) = docs
+      .select(col(idCol).cast(LongType).as("doc_id"), size(toks).as("dl"))
+      .agg(count(lit(1)), sum(col("dl"))).collect()
+      .flatMap(r => Array(r.getLong(0), r.getLong(1)))
+    writeMeta(spark, path, nBuckets, nDocs, totLen)
+  }
+
+  /** BM25 top-k per query term, served from the persisted index. The term
+    * list's bucket set (≤ |terms| values) is computed through the SAME
+    * xxhash64 the build used and lands on the scan as a literal partition
+    * filter. */
+  def bm25FromIndex(spark: SparkSession, path: String, terms: Seq[String],
+      k1: Double = 1.2, b: Double = 0.75, topK: Int = 10): DataFrame = {
+    require(terms.nonEmpty, "need at least one query term")
+    val (nBuckets, nDocs, totLen) = readMeta(spark, path)
+    import spark.implicits._
+    val buckets = terms.toDF("t")
+      .select(pmod(xxhash64(col("t")), lit(nBuckets)).as("tb"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    val postings = spark.read.parquet(s"$path/postings")
+      .filter(col("tb").isin(buckets: _*) && col("term").isin(terms: _*))
+    val dft = spark.read.parquet(s"$path/df")
+      .filter(col("tb").isin(buckets: _*) && col("term").isin(terms: _*))
+      .select("term", "dfc")
+    val avgdl = lit(totLen.toDouble / nDocs)
+    val idf = log((lit(nDocs) - col("dfc") + lit(0.5)) /
+      (col("dfc") + lit(0.5)) + lit(1.0))
+    val norm = col("tf") + lit(k1) *
+      (lit(1.0) - lit(b) + lit(b) * col("dl") / avgdl)
+    val scored = postings.join(broadcast(dft), "term")
+      .withColumn("score",
+        round(idf * (col("tf") * (lit(k1) + lit(1.0))) / norm, 6))
+    val w1 = Window
+      .partitionBy(col("term"), pmod(xxhash64(col("doc_id")), lit(64)))
+      .orderBy(col("score").desc, col("doc_id"))
+    val w2 = Window.partitionBy(col("term"))
+      .orderBy(col("score").desc, col("doc_id"))
+    scored.withColumn("__rn1", row_number().over(w1))
+      .filter(col("__rn1") <= topK)
+      .withColumn("rank", row_number().over(w2))
+      .filter(col("rank") <= topK)
+      .select(col("term"), col("rank"), col("doc_id"), col("tf"), col("dl"),
+        col("score"))
+  }
+
+  private def writeMeta(spark: SparkSession, path: String, nBuckets: Int,
+      nDocs: Long, totLen: Long): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(path, "_graft_text_meta.json"), true)
+    try out.write(
+      (s"""{"nBuckets": $nBuckets, "nDocs": $nDocs, """ +
+        s""""totLen": $totLen}""").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private[llm] def readMeta(spark: SparkSession,
+      path: String): (Int, Long, Long) = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(
+      new org.apache.hadoop.fs.Path(path, "_graft_text_meta.json"))
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    def l(k: String): Long =
+      (s""""$k"\\s*:\\s*(\\d+)""").r.findFirstMatchIn(txt) match {
+        case Some(m) => m.group(1).toLong
+        case None => throw new IllegalStateException(
+          s"malformed index meta at $path: missing $k in $txt")
+      }
+    (l("nBuckets").toInt, l("nDocs"), l("totLen"))
+  }
+}

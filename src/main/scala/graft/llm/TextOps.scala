@@ -984,6 +984,53 @@ object TextOps {
         col("score"))
   }
 
+  /** Bigram language-model quality score per document — the CCNet/KenLM
+    * quality-filter skeleton: train an add-one-smoothed bigram LM on the
+    * corpus itself, score each document by its mean bigram log-probability
+    * ln((c(w1,w2) + 1) / (c(w1) + V)). Low scores flag incoherent or
+    * boilerplate text. Returns (doc_id, n_bigrams, avg_logprob) for
+    * documents with ≥ 2 tokens.
+    *
+    * Scale (100 TB): the bigram/unigram count tables are the only shuffles
+    * — both partial-aggregated map-side and Zipf-sublinear in the corpus;
+    * scoring joins the exploded bigram stream back on those tables
+    * (broadcast when they fit) and re-aggregates per doc. No windows, no
+    * collects; V is one scalar attached as a 1-row broadcast.
+    *
+    * Determinism: counts and V are integers; each bigram's log-probability
+    * is rounded to 6 decimals and scaled to a LONG before the per-doc sum,
+    * so partial-agg order cannot move a bit (a raw double sum would be
+    * order-dependent and could never hash-match an oracle). `ln`'s
+    * last-ulp libm variance is absorbed by the same rounding (q112's
+    * argument). */
+  def bigramLmDocScores(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    val base = df
+      .select(col(idCol).cast(LongType).as("doc_id"), toks.as("toks"))
+      .filter(size(col("toks")) >= 2)
+    val big = base.select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("toks")) - 1), i =>
+          struct(element_at(col("toks"), i).as("w1"),
+            element_at(col("toks"), i + 1).as("w2")))).as("b"))
+      .select(col("doc_id"), col("b.w1"), col("b.w2"))
+    val uni = df.select(explode(tokens(col(textCol))).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("c1"))
+    val v = uni.agg(count(lit(1)).as("vsz"))
+    val bc = big.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val term = big
+      .join(bc, Seq("w1", "w2"))
+      .join(uni, "w1")
+      .crossJoin(broadcast(v))
+      .select(col("doc_id"),
+        round(log((col("c2") + lit(1.0)) / (col("c1") + col("vsz"))) *
+          lit(1000000)).cast(LongType).as("t"))
+    term.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("t")).cast(DoubleType) /
+          (lit(1000000.0) * count(lit(1))), 6).as("avg_logprob"))
+  }
+
   /** Exact n-gram CONTAINMENT pairs: (ida, idb, containment) for every
     * ORDERED pair with |A∩B| / |A| ≥ threshold (A = doc ida's shingle set).
     * Containment is the asymmetric cousin of q67's Jaccard: it catches a

@@ -1,0 +1,44 @@
+package graft.relational
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Blocked fuzzy string matching — the entity-resolution primitive: find
+  * record pairs whose names are within a small edit distance, without ever
+  * forming the |n|² cross product.
+  *
+  * The blocking pattern is the same candidate-generation discipline as the
+  * LSH band join (llm/AnnOps) and the PPJoin prefix filter (llm/TextOps):
+  * an equi-join on a cheap blocking key proposes candidates, an exact
+  * verifier (here the Wagner–Fischer edit-distance DP, integer-exact on
+  * every engine) confirms them. Recall is bounded by the blocking key —
+  * records differing in the key are never compared — which is the
+  * standard, documented trade; production pipelines union several blocking
+  * passes (multi-key blocking) exactly like LSH runs several bands.
+  *
+  * Scale (100 TB): one shuffle on the blocking key; per-block work is
+  * quadratic in BLOCK occupancy, so keys must be chosen with bounded
+  * occupancy (salt or sub-split hot blocks; an AQE skew split handles
+  * moderate skew). The distance itself is `levenshtein`, codegen'd, no UDF.
+  */
+object FuzzyJoin {
+
+  /** Unordered candidate pairs (ida < idb) from equi-blocking on
+    * `blockCols`, kept when levenshtein(stra, strb) ≤ maxDist.
+    * Returns (ida, idb, dist). */
+  def blockedLevenshtein(df: DataFrame, idCol: String, strCol: String,
+      blockCols: Seq[String], maxDist: Int): DataFrame = {
+    require(blockCols.nonEmpty, "need at least one blocking column")
+    val a = df.select(col(idCol).as("ida") +: col(strCol).as("sa") +:
+      blockCols.map(col): _*)
+    val b = df.select(col(idCol).as("idb") +: col(strCol).as("sb") +:
+      blockCols.map(c => col(c).as(s"__b_$c")): _*)
+    val blockEq: Column = blockCols
+      .map(c => col(c) === col(s"__b_$c"))
+      .reduce(_ && _)
+    a.join(b, blockEq && col("ida") < col("idb"))
+      .withColumn("dist", levenshtein(col("sa"), col("sb")))
+      .filter(col("dist") <= maxDist)
+      .select(col("ida"), col("idb"), col("dist"))
+  }
+}

@@ -958,6 +958,54 @@ object RelationalQueries {
       val bwd = pairs.select((-col("k") - 1).as("s"), col("p").as("d"))
       GraphAlgos.pageRankFixedPoint(fwd.union(bwd), iterations = 5)
         .orderBy("v")
+    },
+
+    // ---- §2.5 distribution-rank window family: ntile / percent_rank /
+    // cume_dist over each customer's orders — the remaining SQL:2003
+    // ranking functions q16/q69 didn't cover. Partitioned by a key whose
+    // cardinality GROWS with the data (custkey), so no partition ever
+    // lands a corpus on one reducer; within a partition the total order is
+    // the operator's defining semantics. The measures are exact integer
+    // ratios ((rank-1)/(n-1), rows/n) — identical doubles on any engine;
+    // rounded to 6 anyway to keep the convention.
+    q("q118_window_distribution",
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        |  ntile(4) OVER w AS bucket,
+        |  round(percent_rank() OVER w, 6) AS pr,
+        |  round(cume_dist() OVER w, 6) AS cd
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |             ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_custkey NULLS FIRST, o_orderkey NULLS FIRST""".stripMargin) {
+      (s, dir) =>
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        orders(s, dir)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+            ntile(4).over(w).as("bucket"),
+            round(percent_rank().over(w), 6).as("pr"),
+            round(cume_dist().over(w), 6).as("cd"))
+          .orderBy("o_custkey", "o_orderkey")
+    },
+
+    // ---- blocked fuzzy match (entity resolution): customer-name pairs
+    // within edit distance 2, candidates proposed by a nation-key
+    // equi-block and verified by the codegen'd integer levenshtein DP —
+    // the same propose-with-an-equi-join / verify-exactly discipline as
+    // the LSH band join and the PPJoin prefix filter; never a cross
+    // product (FuzzyJoin.blockedLevenshtein scaladoc).
+    q("q119_fuzzy_match",
+      """SELECT a.c_custkey AS ida, b.c_custkey AS idb,
+        |  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+        |FROM customer a JOIN customer b
+        |  ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+        |WHERE levenshtein(a.c_name, b.c_name) <= 2
+        |ORDER BY ida NULLS FIRST, idb NULLS FIRST""".stripMargin) {
+      (s, dir) =>
+        FuzzyJoin.blockedLevenshtein(customer(s, dir), "c_custkey", "c_name",
+            blockCols = Seq("c_nationkey"), maxDist = 2)
+          .select(col("ida"), col("idb"), col("dist").cast(LongType).as("dist"))
+          .orderBy("ida", "idb")
     }
   )
 

@@ -99,6 +99,20 @@ class PlanSpec extends SparkTestBase {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("persisted text index: the postings scan is partition-pruned to probed buckets") {
+    // q120 serves BM25 from the tb-partitioned postings dataset; the scan
+    // must carry a non-empty PartitionFilters on tb — unpruned, a 5-term
+    // query reads the whole inverted index
+    val plan = executedPlan("q120_bm25_index")
+    val postingScans = plan.split("FileScan parquet").toSeq.tail
+      .filter(_.contains("postings"))
+    assert(postingScans.nonEmpty, "expected a postings scan in the plan")
+    assert(postingScans.forall(s =>
+      s.contains("PartitionFilters") && !s.contains("PartitionFilters: []")),
+      "postings scan must be partition-pruned by term bucket")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("DESCRIBE with class evidence skips fact and sensor slices") {
     // q73 describes nations (?n g:inRegion ?r proves class Nation): the
     // outbound-triples union must not touch lineitem or events — at 100 TB
