@@ -133,6 +133,26 @@ object Algebra {
     * accepts both words). */
   final case class ClearOp(target: ClearTarget, silent: Boolean) extends UpdateOp
 
+  /** Graph selector for the graph-management ops: the default graph or one
+    * named graph. */
+  sealed trait GraphRef
+  case object GraphDefault extends GraphRef
+  final case class GraphIri(iri: String) extends GraphRef
+  /** ADD / COPY / MOVE [SILENT] src TO dst (§3.2.3–3.2.5): ADD inserts
+    * src's triples into dst (src kept, set semantics); COPY replaces dst
+    * with src; MOVE is COPY followed by dropping src. src = dst is a
+    * no-op for all three per spec. */
+  sealed trait TransferKind
+  case object TransferAdd extends TransferKind
+  case object TransferCopy extends TransferKind
+  case object TransferMove extends TransferKind
+  final case class TransferOp(kind: TransferKind, src: GraphRef,
+      dst: GraphRef, silent: Boolean) extends UpdateOp
+  /** CREATE [SILENT] GRAPH <iri> (§3.2.1): a store without empty-graph
+    * bookkeeping represents every absent graph as empty, so CREATE is a
+    * semantic no-op — accepted for round-trip compatibility. */
+  final case class CreateGraphOp(iri: String, silent: Boolean) extends UpdateOp
+
   /** A ';'-separated update request: ops apply in sequence, each over the
     * graph produced by the previous one (§3). */
   final case class UpdateRequest(ops: Seq[UpdateOp])

@@ -56,6 +56,26 @@ object SparqlUpdate {
         if (ins.isEmpty) emptyDelta(graph.spark)
         else ex.instantiateQuads(sol, resolved(ins), allowBnodes = true)
       graph.applyDelta(delF, insF)
+    case TransferOp(kind, src, dst, _) =>
+      def sel(r: GraphRef): Option[String] = r match {
+        case GraphDefault => None
+        case GraphIri(i) => Some(i)
+      }
+      val (s, d) = (sel(src), sel(dst))
+      // graph existence isn't tracked separately from contents, so the
+      // non-SILENT missing-source error cannot arise (empty ≡ absent, same
+      // documented coincidence as CLEAR/DROP); src == dst is a spec no-op
+      kind match {
+        case TransferAdd => graph.transferGraph(s, d,
+          keepSrc = true, replaceDst = false)
+        case TransferCopy => graph.transferGraph(s, d,
+          keepSrc = true, replaceDst = true)
+        case TransferMove => graph.transferGraph(s, d,
+          keepSrc = false, replaceDst = true)
+      }
+    // CREATE GRAPH is a semantic no-op here: every absent graph already
+    // behaves as empty (§3.2.1 allows stores that need no bookkeeping)
+    case CreateGraphOp(_, _) => graph
     case ClearOp(target, _) => target match {
       // graph existence isn't tracked separately from contents, so CLEAR
       // and CLEAR SILENT coincide (documented; DROP is accepted as CLEAR)

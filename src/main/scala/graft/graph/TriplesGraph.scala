@@ -434,6 +434,79 @@ final class TriplesGraph(
     new TriplesGraph(spark, Map.empty, ts, store = None,
       touched = touched ++ slices.keySet)
 
+  /** Graph-to-graph transfer — the engine behind SPARQL 1.1 Update's
+    * ADD (keepSrc, no replace), COPY (keepSrc + replaceDst) and MOVE
+    * (replaceDst, src dropped). `None` selects the default graph.
+    * Functional like the other mutators; src == dst is a spec no-op.
+    *
+    * Scale shape: per slice, the result is filter/union surgery over the
+    * SAME lineage (no self-joins): rows outside the destination pass
+    * through untouched, source rows are re-tagged map-side, and only ADD
+    * pays a dedup shuffle — bounded by the src+dst rows of the slice, not
+    * the slice (RDF graphs are sets; COPY/MOVE replace the destination so
+    * their re-tagged rows are already distinct). Slices that cannot hold
+    * source or destination rows keep their DataFrame object. */
+  def transferGraph(src: Option[String], dst: Option[String],
+      keepSrc: Boolean, replaceDst: Boolean): TriplesGraph = {
+    if (src == dst) return this
+    val changed = scala.collection.mutable.Set.empty[String]
+    val updated = slices.flatMap { case (p, sl) =>
+      val hasG = sl.hasGraph
+      val srcPossible = src.isEmpty || hasG
+      if (!srcPossible) {
+        // no source rows here; only destination clearing can touch it
+        if (!replaceDst) Some(p -> sl)
+        else dst match {
+          case None =>
+            changed += p
+            if (hasG) Some(p -> sl.copy(
+              df = sl.df.filter(col("g").isNotNull).localCheckpoint(false),
+              fused = Nil, byClass = Map.empty))
+            else None // whole slice was default-graph content, now replaced
+          case Some(i) =>
+            if (!hasG) Some(p -> sl)
+            else {
+              changed += p
+              Some(p -> sl.copy(
+                df = sl.df.filter(!(col("g") <=> lit(i)))
+                  .localCheckpoint(false),
+                fused = Nil, byClass = Map.empty))
+            }
+        }
+      } else {
+        changed += p
+        var df = sl.df
+        var hg = hasG
+        if (dst.isDefined && !hg) {
+          df = df.withColumn("g", lit(null).cast(StringType)); hg = true
+        }
+        // src == dst was handled above, so hg holds whenever either side
+        // is a named graph; hg is only false when both are default, which
+        // cannot reach here
+        def pred(sel: Option[String]) = sel match {
+          case None => col("g").isNull
+          case Some(i) => col("g") <=> lit(i)
+        }
+        val dstVal = dst.map(i => lit(i).cast(StringType))
+          .getOrElse(lit(null).cast(StringType))
+        val retag = df.filter(pred(src)).withColumn("g", dstVal)
+        val result =
+          if (!replaceDst) // ADD: set-union into dst (dedup dst ∪ retag)
+            df.filter(!pred(dst))
+              .unionByName(df.filter(pred(dst)).unionByName(retag).distinct())
+          else if (keepSrc) // COPY: dst := src
+            df.filter(!pred(dst)).unionByName(retag)
+          else // MOVE: dst := src, then drop src
+            df.filter(!pred(dst) && !pred(src)).unionByName(retag)
+        Some(p -> PredicateSlice(result.localCheckpoint(false), sl.kind,
+          hasLang = sl.hasLang, fused = Nil, byClass = Map.empty,
+          subjectClasses = sl.subjectClasses, hasGraph = hg))
+      }
+    }
+    new TriplesGraph(spark, updated, ts, store = None,
+      touched = touched ++ changed)
+  }
+
   /** Persist the graph as ONE parquet dataset partitioned by
     * (predicate, object-kind, subject-class, subject-bucket) — the 100 TB
     * storage layout: a constant-predicate scan is partition pruning, a

@@ -114,6 +114,72 @@ class SparqlUpdateSpec extends SparkTestBase {
     assert(names(g3) == Seq("Alice", "Bob"))
   }
 
+  // ---- ADD / COPY / MOVE / CREATE (§3.2.1, §3.2.3–3.2.5) ----
+
+  private val g2iri = s"${ex}graph2"
+
+  private def graphNames(g: TriplesGraph, iri: String): Seq[String] =
+    new SparqlExecutor(g).execute(
+      s"PREFIX ex:<$ex> SELECT ?n WHERE { GRAPH <$iri> { ?s ex:name ?n } } ORDER BY ?n")
+      .collect().map(_.getString(0)).toSeq
+
+  test("ADD copies default into a named graph, set-semantic, src kept") {
+    val g0 = upd(base,
+      s"""INSERT DATA { GRAPH <$g1> { ex:z ex:name "Zoe" . ex:a ex:name "Alice" } }""")
+    val g = upd(g0, s"ADD DEFAULT TO GRAPH <$g1>")
+    assert(names(g) == Seq("Alice", "Bob")) // source intact
+    // "Alice" was already in g1: set union, no duplicate row
+    assert(graphNames(g, g1) == Seq("Alice", "Bob", "Zoe"))
+    val aliceRows = new SparqlExecutor(g).execute(
+      s"""PREFIX ex:<$ex> SELECT ?s WHERE { GRAPH <$g1> { ?s ex:name "Alice" } }""")
+      .collect()
+    assert(aliceRows.length == 1)
+  }
+
+  test("COPY replaces the destination graph entirely") {
+    val g0 = upd(base,
+      s"""INSERT DATA { GRAPH <$g1> { ex:z ex:name "Zoe" . ex:z ex:age 9 } }""")
+    val g = upd(g0, s"COPY DEFAULT TO <$g1>")
+    assert(graphNames(g, g1) == Seq("Alice", "Bob")) // Zoe gone
+    assert(new SparqlExecutor(g).execute(
+      s"PREFIX ex:<$ex> SELECT ?a WHERE { GRAPH <$g1> { ?s ex:age ?a } } ORDER BY ?a")
+      .collect().map(_.getLong(0)).toSeq == Seq(30L, 40L))
+    assert(names(g) == Seq("Alice", "Bob")) // source intact
+  }
+
+  test("MOVE between named graphs drops the source") {
+    val g0 = upd(base,
+      s"""INSERT DATA { GRAPH <$g1> { ex:z ex:name "Zoe" } .
+         |  GRAPH <$g2iri> { ex:q ex:name "Quinn" } }""".stripMargin)
+    val g = upd(g0, s"MOVE GRAPH <$g1> TO GRAPH <$g2iri>")
+    assert(graphNames(g, g1).isEmpty)
+    assert(graphNames(g, g2iri) == Seq("Zoe")) // Quinn replaced
+    assert(names(g) == Seq("Alice", "Bob"))    // default untouched
+  }
+
+  test("MOVE a named graph to DEFAULT replaces the default graph") {
+    val g0 = upd(base,
+      s"""INSERT DATA { GRAPH <$g1> { ex:z ex:name "Zoe" } }""")
+    val g = upd(g0, s"MOVE <$g1> TO DEFAULT")
+    assert(names(g) == Seq("Zoe"))
+    assert(graphNames(g, g1).isEmpty)
+    // non-name default triples are gone too (COPY-then-drop semantics)
+    assert(new SparqlExecutor(g).execute(
+      s"PREFIX ex:<$ex> SELECT ?a WHERE { ?s ex:age ?a }").isEmpty)
+  }
+
+  test("ADD/COPY/MOVE with src = dst are no-ops; CREATE GRAPH accepted") {
+    val g0 = upd(base,
+      s"""INSERT DATA { GRAPH <$g1> { ex:z ex:name "Zoe" } }""")
+    for (op <- Seq(s"ADD <$g1> TO <$g1>", s"COPY DEFAULT TO DEFAULT",
+        s"MOVE <$g1> TO GRAPH <$g1>", s"CREATE GRAPH <${ex}fresh>",
+        s"CREATE SILENT GRAPH <$g1>")) {
+      val g = upd(g0, op)
+      assert(names(g) == Seq("Alice", "Bob"), s"op: $op")
+      assert(graphNames(g, g1) == Seq("Zoe"), s"op: $op")
+    }
+  }
+
   test("WITH routes templates and WHERE to the named graph") {
     val g2 = upd(base,
       s"""INSERT DATA { GRAPH <$g1> { ex:a ex:name "G1Alice" } }""")
