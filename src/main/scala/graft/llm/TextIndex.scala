@@ -93,6 +93,44 @@ object TextIndex {
         col("score"))
   }
 
+  /** Incrementally APPEND documents to a persisted index — the text
+    * counterpart of AnnOps.appendToIvfIndex. New postings land as files
+    * inside their tb partition directories (no index rewrite); the
+    * document-frequency dataset is merged incrementally (existing df +
+    * batch term counts — vocabulary-sized work, never a re-aggregation of
+    * the corpus-sized postings), and the meta rewrite (updated nDocs /
+    * totLen) is the commit that makes the new stats visible to scoring.
+    *
+    * Serving concurrency caveat (same as every non-transactional parquet
+    * index here): a query racing the df overwrite can observe a partial df
+    * dataset; production deployments put a table format (Delta/Iceberg)
+    * under this layout. */
+  def appendToIndex(spark: SparkSession, path: String, docs: DataFrame,
+      idCol: String, textCol: String): Unit = {
+    val (nBuckets, nDocs, totLen) = readMeta(spark, path)
+    val toks = TextOps.tokens(col(textCol))
+    val base = docs.select(col(idCol).cast(LongType).as("doc_id"),
+      toks.as("toks")).select(col("doc_id"), size(col("toks")).as("dl"),
+      explode(col("toks")).as("term")).localCheckpoint()
+    val postings = base.groupBy("term", "doc_id", "dl")
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("tb", pmod(xxhash64(col("term")), lit(nBuckets)))
+      .localCheckpoint()
+    postings.select("term", "doc_id", "dl", "tf", "tb")
+      .write.mode("append").partitionBy("tb").parquet(s"$path/postings")
+    val batchDf = postings.groupBy("tb", "term").agg(count(lit(1)).as("dfc"))
+    val merged = spark.read.parquet(s"$path/df")
+      .select("tb", "term", "dfc").unionByName(batchDf)
+      .groupBy("tb", "term").agg(sum("dfc").as("dfc"))
+      .localCheckpoint() // materialize BEFORE overwriting its own input
+    merged.write.mode("overwrite").partitionBy("tb").parquet(s"$path/df")
+    val Array(bDocs, bLen) = docs
+      .select(col(idCol).cast(LongType).as("doc_id"), size(toks).as("dl"))
+      .agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).collect()
+      .flatMap(r => Array(r.getLong(0), r.getLong(1)))
+    writeMeta(spark, path, nBuckets, nDocs + bDocs, totLen + bLen)
+  }
+
   private def writeMeta(spark: SparkSession, path: String, nBuckets: Int,
       nDocs: Long, totLen: Long): Unit = {
     val fs = new org.apache.hadoop.fs.Path(path)
@@ -105,7 +143,7 @@ object TextIndex {
     finally out.close()
   }
 
-  private[llm] def readMeta(spark: SparkSession,
+  private[graft] def readMeta(spark: SparkSession,
       path: String): (Int, Long, Long) = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
