@@ -1205,5 +1205,49 @@ object LlmQueries {
             col("dl").cast(LongType).as("dl"), col("score"))
           .orderBy("term", "rank")
     },
+
+    // ---- end-to-end curation pipeline (beyond-parity): quality gate →
+    // exact-dedup canonical selection → deterministic 50% sample → token-
+    // budget sharding, COMPOSED from the catalog's own operators (q46/q44/
+    // q84/q93 machinery) — the "documents in, training shards out" path a
+    // user actually runs, as ONE lazy plan. Every stage is integer-exact
+    // and hash-reproducible; the only corpus-sized shuffles are the dedup
+    // fingerprint window and the two-phase prefix sum (no global window —
+    // SampleOps.packIntoShards scaladoc).
+    q("q121_curation_pipeline",
+      """WITH tok AS (SELECT doc_id, text, string_split(trim(text), ' ') AS toks
+        |             FROM documents),
+        |q AS (SELECT doc_id, text, len(toks) AS n_tok,
+        |        md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fp
+        |      FROM tok
+        |      WHERE len(toks) >= 8
+        |        AND len(list_distinct(toks)) >= 0.3 * len(toks)),
+        |canon AS (SELECT doc_id, n_tok FROM (
+        |    SELECT doc_id, n_tok, ROW_NUMBER() OVER (PARTITION BY fp
+        |      ORDER BY length(text) DESC, doc_id) AS rn FROM q)
+        |  WHERE rn = 1),
+        |samp AS (SELECT doc_id, n_tok FROM canon
+        |         WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '8000'),
+        |packed AS (SELECT doc_id, n_tok,
+        |    SUM(n_tok) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tok
+        |  FROM samp)
+        |SELECT doc_id, n_tok, cum_tok,
+        |       (greatest(cum_tok, 1) - 1) // 512 AS shard
+        |FROM packed ORDER BY doc_id NULLS FIRST""".stripMargin) { (s, dir) =>
+      val toks = TextOps.tokens(col("text"))
+      val q = T.documents(s, dir)
+        .select(col("doc_id"), col("text"), size(toks).as("n_tok"),
+          size(array_distinct(toks)).as("n_uniq"))
+        .filter(col("n_tok") >= 8 &&
+          col("n_uniq") >= lit(0.3) * col("n_tok"))
+      val canon = TextOps.canonicalDocs(q, "doc_id", "text").select("doc_id")
+      val samp = q.join(canon, "doc_id")
+        .filter(SampleOps.hashBucket(col("doc_id")) <
+          lit(SampleOps.rateThreshold(0.5)))
+        .select("doc_id", "n_tok")
+      SampleOps.packIntoShards(samp, "doc_id", col("n_tok"), budget = 512L)
+        .orderBy("doc_id")
+    },
   )
 }
