@@ -50,14 +50,22 @@ object GraphAlgos {
     val deg = e.groupBy(col("s").as("v")).agg(count(lit(1)).as("dg"))
     val ed = e.join(deg.withColumnRenamed("v", "s"), "s").localCheckpoint()
     val base = (scale * (dampDen - dampNum) / dampDen) / n
+    // every node with ≥1 in-edge receives a contribution row EVERY round
+    // (all sources always carry a rank), so the per-round rank frame is
+    // contrib ∪ constant-rank sinks-of-in-degree-0 — computed once here.
+    // This replaces the former per-round node-sized LEFT JOIN with a
+    // union: one fewer shuffle per iteration, bit-identical results.
+    val noIn = nodes.join(e.select(col("d").as("v")).distinct(),
+        Seq("v"), "left_anti")
+      .select(col("v"), lit(base).as("r")).localCheckpoint()
     var ranks = nodes.select(col("v"), lit(scale / n).as("r"))
     for (k <- 1 to iterations) {
       val contrib = ed
         .join(ranks.withColumnRenamed("v", "s"), "s")
         .groupBy(col("d").as("v"))
         .agg(sum(expr(s"r * $dampNum div $dampDen div dg")).as("m"))
-      ranks = nodes.join(contrib, Seq("v"), "left")
-        .select(col("v"), (lit(base) + coalesce(col("m"), lit(0L))).as("r"))
+      ranks = contrib.select(col("v"), (lit(base) + col("m")).as("r"))
+        .unionByName(noIn)
       if (k % checkpointEvery == 0 && k < iterations)
         ranks = ranks.localCheckpoint()
     }
