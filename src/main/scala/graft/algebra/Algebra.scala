@@ -119,10 +119,13 @@ object Algebra {
   /** DELETE DATA { quads }: ground triples, no variables/bnodes (§3.1.2). */
   final case class DeleteDataOp(quads: Seq[QuadBlock]) extends UpdateOp
   /** DELETE {} INSERT {} WHERE {} (§3.1.3), covering the DELETE WHERE
-    * shorthand (delete = where's triples) and WITH (default graph for the
-    * templates and the WHERE pattern). */
+    * shorthand (delete = where's triples), WITH (default graph for the
+    * templates and — unless overridden — the WHERE pattern), and
+    * USING / USING NAMED (a FROM/FROM NAMED-style dataset for the WHERE
+    * pattern only; when present, WITH no longer scopes the WHERE). */
   final case class ModifyOp(delete: Seq[QuadBlock], insert: Seq[QuadBlock],
-      where: Pattern, withIri: Option[String] = None) extends UpdateOp
+      where: Pattern, withIri: Option[String] = None,
+      using: Option[DatasetClause] = None) extends UpdateOp
   sealed trait ClearTarget
   case object ClearDefault extends ClearTarget
   case object ClearNamed extends ClearTarget

@@ -60,6 +60,15 @@ final class SparqlExecutor(
   private[graft] def solutions(p: Pattern): DataFrame =
     translatePattern(p, unitSol).df
 
+  /** [[solutions]] under a USING / USING NAMED dataset (Update §3.1.3):
+    * same replacement semantics as FROM / FROM NAMED. */
+  private[graft] def solutions(p: Pattern,
+      dataset: Option[DatasetClause]): DataFrame = {
+    val saved = activeDataset
+    if (dataset.isDefined) activeDataset = dataset
+    try solutions(p) finally activeDataset = saved
+  }
+
   /** ASK: does the pattern have any solution? (Beyond-parity — the
     * reference is SELECT-only.) One `limit(1)`-style existence job. */
   def executeAsk(q: AskQuery): Boolean =

@@ -39,11 +39,12 @@ object SparqlUpdate {
     case DeleteDataOp(quads) =>
       graph.applyDelta(groundFrame(graph.spark, quads, allowBnodes = false),
         emptyDelta(graph.spark))
-    case ModifyOp(del, ins, where, withIri) =>
+    case ModifyOp(del, ins, where, withIri, using) =>
       val ex = new SparqlExecutor(graph)
-      // one WHERE evaluation feeds both templates (§3.1.3); checkpoint only
-      // when both sides actually consume it
-      val sol0 = ex.solutions(where)
+      // one WHERE evaluation feeds both templates (§3.1.3), under the
+      // USING dataset when present; checkpoint only when both sides
+      // actually consume it
+      val sol0 = ex.solutions(where, using)
       val sol = if (del.nonEmpty && ins.nonEmpty) sol0.localCheckpoint() else sol0
       def resolved(blocks: Seq[QuadBlock]): Seq[QuadBlock] = blocks.map { b =>
         if (b.graph.isDefined) b

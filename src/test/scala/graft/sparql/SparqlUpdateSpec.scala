@@ -180,6 +180,60 @@ class SparqlUpdateSpec extends SparkTestBase {
     }
   }
 
+  test("USING matches the WHERE against a named graph; templates hit default") {
+    val g0 = upd(base,
+      s"""INSERT DATA { GRAPH <$g1> { ex:a ex:flag "y" } }""")
+    // WHERE matches in g1 (USING makes it the WHERE's default graph);
+    // the DELETE template still targets the real default graph
+    val g = upd(g0,
+      s"""DELETE { ?s ex:name ?n }
+         |USING <$g1>
+         |WHERE { ?s ex:flag "y" . ?s ex:name ?n }""".stripMargin)
+    // the WHERE can only bind ?n if ex:name is visible THROUGH the USING
+    // dataset — it is not (names live in the default graph), so nothing
+    // matches and nothing is deleted
+    assert(names(g) == Seq("Alice", "Bob"))
+    // now put the name into g1 as well: the join completes inside g1 and
+    // the default-graph row for Alice is deleted
+    val g2b = upd(g0,
+      s"""INSERT DATA { GRAPH <$g1> { ex:a ex:name "Alice" } }""")
+    val g3 = upd(g2b,
+      s"""DELETE { ?s ex:name ?n }
+         |USING <$g1>
+         |WHERE { ?s ex:flag "y" . ?s ex:name ?n }""".stripMargin)
+    assert(names(g3) == Seq("Bob"))
+    // g1's own copy of the name is untouched (template had no GRAPH block)
+    assert(graphNames(g3, g1) == Seq("Alice"))
+  }
+
+  test("USING NAMED scopes GRAPH ?g in the WHERE; USING overrides WITH") {
+    val g0 = upd(base,
+      s"""INSERT DATA { GRAPH <$g1> { ex:a ex:tag "t1" } .
+         |  GRAPH <$g2iri> { ex:b ex:tag "t2" } }""".stripMargin)
+    // GRAPH ?g ranges over USING NAMED graphs only → only g1's tag matches
+    val g = upd(g0,
+      s"""DELETE { ?s ex:name ?n }
+         |USING NAMED <$g1>
+         |WHERE { GRAPH ?g { ?s ex:tag ?t } . ?s ex:name ?n }""".stripMargin)
+    // ?s ex:name ?n matches the USING default graph — with only USING
+    // NAMED present the default is EMPTY, so nothing joins, nothing deleted
+    assert(names(g) == Seq("Alice", "Bob"))
+    // WITH is overridden by USING for the WHERE: WITH g2 would scope the
+    // WHERE to g2 (no ex:flag there), but USING g1 wins and the templates
+    // still go to WITH's graph
+    val g2b = upd(g0,
+      s"""INSERT DATA { GRAPH <$g1> { ex:a ex:name "Alice" . ex:a ex:flag "y" } .
+         |  GRAPH <$g2iri> { ex:a ex:name "Alice" } }""".stripMargin)
+    val g3 = upd(g2b,
+      s"""WITH <$g2iri>
+         |DELETE { ?s ex:name ?n }
+         |USING <$g1>
+         |WHERE { ?s ex:flag "y" . ?s ex:name ?n }""".stripMargin)
+    assert(graphNames(g3, g2iri).isEmpty, "template must hit WITH's graph")
+    assert(graphNames(g3, g1) == Seq("Alice"), "USING graph is read-only here")
+    assert(names(g3) == Seq("Alice", "Bob"), "default graph untouched")
+  }
+
   test("WITH routes templates and WHERE to the named graph") {
     val g2 = upd(base,
       s"""INSERT DATA { GRAPH <$g1> { ex:a ex:name "G1Alice" } }""")
