@@ -27,5 +27,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         functions.NfcNormalize.name),
       (children: Seq[Expression]) =>
         functions.NfcNormalize(children.head)))
+    e.injectFunction((
+      FunctionIdentifier(functions.BoundedLevenshtein.name),
+      new ExpressionInfo(classOf[functions.BoundedLevenshtein].getName,
+        functions.BoundedLevenshtein.name),
+      (children: Seq[Expression]) =>
+        functions.BoundedLevenshtein(children(0), children(1), children(2))))
   }
 }

@@ -18,17 +18,25 @@ import org.apache.spark.sql.functions._
   *
   * Scale (100 TB): one shuffle on the blocking key; per-block work is
   * quadratic in BLOCK occupancy, so keys must be chosen with bounded
-  * occupancy (salt or sub-split hot blocks; an AQE skew split handles
-  * moderate skew). The distance itself is `levenshtein`, codegen'd, no UDF.
+  * occupancy — cardinality that GROWS with the data (a record prefix, a
+  * normalized field), never a fixed-cardinality attribute whose blocks
+  * absorb the whole growth (measured: nation-key blocks over 10× data ran
+  * the pair count, and wall time, to ~10× — the definition of the cliff;
+  * a name-prefix block held occupancy constant). Salt or sub-split hot
+  * blocks; AQE's skew split handles moderate skew. The verifier is
+  * [[graft.functions.BoundedLevenshtein]] — Ukkonen's banded DP as a
+  * native codegen'd expression, O(maxDist·len) per pair with a
+  * row-minimum early exit, instead of the built-in's full O(len²) matrix.
   */
 object FuzzyJoin {
 
   /** Unordered candidate pairs (ida < idb) from equi-blocking on
     * `blockCols`, kept when levenshtein(stra, strb) ≤ maxDist.
-    * Returns (ida, idb, dist). */
+    * Returns (ida, idb, dist) with the exact distance. */
   def blockedLevenshtein(df: DataFrame, idCol: String, strCol: String,
       blockCols: Seq[String], maxDist: Int): DataFrame = {
     require(blockCols.nonEmpty, "need at least one blocking column")
+    graft.functions.BoundedLevenshtein.register(df.sparkSession)
     val a = df.select(col(idCol).as("ida") +: col(strCol).as("sa") +:
       blockCols.map(col): _*)
     val b = df.select(col(idCol).as("idb") +: col(strCol).as("sb") +:
@@ -37,7 +45,9 @@ object FuzzyJoin {
       .map(c => col(c) === col(s"__b_$c"))
       .reduce(_ && _)
     a.join(b, blockEq && col("ida") < col("idb"))
-      .withColumn("dist", levenshtein(col("sa"), col("sb")))
+      .withColumn("dist",
+        call_function(graft.functions.BoundedLevenshtein.name,
+          col("sa"), col("sb"), lit(maxDist)))
       .filter(col("dist") <= maxDist)
       .select(col("ida"), col("idb"), col("dist"))
   }

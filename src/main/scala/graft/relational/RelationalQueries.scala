@@ -989,21 +989,31 @@ object RelationalQueries {
     },
 
     // ---- blocked fuzzy match (entity resolution): customer-name pairs
-    // within edit distance 2, candidates proposed by a nation-key
-    // equi-block and verified by the codegen'd integer levenshtein DP —
-    // the same propose-with-an-equi-join / verify-exactly discipline as
-    // the LSH band join and the PPJoin prefix filter; never a cross
-    // product (FuzzyJoin.blockedLevenshtein scaladoc).
+    // within edit distance 2, candidates proposed by a name-prefix
+    // equi-block and verified by graft_lev — the native banded-DP
+    // Levenshtein expression (O(k·len) per pair + early row-min exit,
+    // codegen'd) — the same propose-with-an-equi-join / verify-exactly
+    // discipline as the LSH band join; never a cross product. The block
+    // key is the 16-char prefix: its CARDINALITY grows with the data, so
+    // block occupancy stays bounded as the table grows (the first cut
+    // blocked on the 25-value nation key, and 10× data ran wall time to
+    // ~10× — fixed-cardinality blocks absorb all growth as quadratic
+    // per-block work). Pairs differing inside the prefix are not
+    // reported — the standard, documented blocking-recall trade; the
+    // oracle mirrors the same blocking, so the contract is exact.
     q("q119_fuzzy_match",
       """SELECT a.c_custkey AS ida, b.c_custkey AS idb,
         |  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
         |FROM customer a JOIN customer b
-        |  ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+        |  ON substr(a.c_name, 1, 16) = substr(b.c_name, 1, 16)
+        |    AND a.c_custkey < b.c_custkey
         |WHERE levenshtein(a.c_name, b.c_name) <= 2
         |ORDER BY ida NULLS FIRST, idb NULLS FIRST""".stripMargin) {
       (s, dir) =>
-        FuzzyJoin.blockedLevenshtein(customer(s, dir), "c_custkey", "c_name",
-            blockCols = Seq("c_nationkey"), maxDist = 2)
+        val withBlock = customer(s, dir)
+          .withColumn("__blk", substring(col("c_name"), 1, 16))
+        FuzzyJoin.blockedLevenshtein(withBlock, "c_custkey", "c_name",
+            blockCols = Seq("__blk"), maxDist = 2)
           .select(col("ida"), col("idb"), col("dist").cast(LongType).as("dist"))
           .orderBy("ida", "idb")
     }

@@ -44,13 +44,21 @@ object MakeScaledData {
     write(read("region"), "region")
     write(read("nation"), "nation")
 
+    // names re-derive from the offset key (TPC-H's own Customer#%09d
+    // scheme): a 10× customer table has 10× DISTINCT names — replicating
+    // the name strings verbatim would hand the fuzzy-match family 10
+    // exact copies of every entity, a pathological workload, not scale
     val cust = read("customer"); val cS = stride(cust, "c_custkey")
-    write(rep(cust)((d, r) =>
-      d.withColumn("c_custkey", col("c_custkey") + lit(r * cS))), "customer")
+    write(rep(cust)((d, r) => d
+      .withColumn("c_custkey", col("c_custkey") + lit(r * cS))
+      .withColumn("c_name", format_string("Customer#%09d", col("c_custkey")))),
+      "customer")
 
     val supp = read("supplier"); val sS = stride(supp, "s_suppkey")
-    write(rep(supp)((d, r) =>
-      d.withColumn("s_suppkey", col("s_suppkey") + lit(r * sS))), "supplier")
+    write(rep(supp)((d, r) => d
+      .withColumn("s_suppkey", col("s_suppkey") + lit(r * sS))
+      .withColumn("s_name", format_string("Supplier#%09d", col("s_suppkey")))),
+      "supplier")
 
     val part = read("part"); val pS = stride(part, "p_partkey")
     write(rep(part)((d, r) =>

@@ -36,6 +36,30 @@ class FuzzyJoinSpec extends SparkTestBase {
     assert(!got.exists(p => p._2 == 4L))
   }
 
+  test("graft_lev equals full levenshtein when <= k, k+1 beyond; codegen == kernel") {
+    import spark.implicits._
+    graft.functions.BoundedLevenshtein.register(spark)
+    val rnd = new scala.util.Random(31)
+    def randStr(): String =
+      (0 until rnd.nextInt(14)).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString
+    val rows = (0 until 400).map(_ => (randStr(), randStr())) ++
+      Seq(("", ""), ("", "abc"), ("kettle", "kettle"),
+        ("café", "cafe"), ("😀ab", "ab")) // é, emoji (surrogate pair)
+    for (k <- Seq(0, 1, 2, 3)) {
+      val got = rows.toDF("a", "b")
+        .select(col("a"), col("b"),
+          expr(s"graft_lev(a, b, $k)").as("d"), levenshtein($"a", $"b").as("full"))
+        .collect()
+      got.foreach { r =>
+        val (a, b, d, full) = (r.getString(0), r.getString(1), r.getInt(2), r.getInt(3))
+        val want = math.min(full, k + 1)
+        assert(d == want, s"graft_lev('$a','$b',$k): got $d, want $want")
+        // the driver-side kernel agrees with the codegen'd path
+        assert(graft.functions.BoundedLevenshtein.compute(a, b, k) == want)
+      }
+    }
+  }
+
   test("plan is a blocked equi-join, never a cross product") {
     import spark.implicits._
     val df = (0L until 100L).map(i => (i, s"name$i", i % 7)).toDF("id", "name", "blk")
