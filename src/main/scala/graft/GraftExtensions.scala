@@ -33,5 +33,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         functions.BoundedLevenshtein.name),
       (children: Seq[Expression]) =>
         functions.BoundedLevenshtein(children(0), children(1), children(2))))
+    e.injectFunction((
+      FunctionIdentifier(functions.KmvSketchAgg.name),
+      new ExpressionInfo(classOf[functions.KmvSketchAgg].getName,
+        functions.KmvSketchAgg.name),
+      (children: Seq[Expression]) => {
+        require(children.size == 2 && children(1).foldable,
+          s"${functions.KmvSketchAgg.name}(value, k) needs a literal k")
+        functions.KmvSketchAgg(children.head,
+          children(1).eval().asInstanceOf[Int])
+      }))
   }
 }

@@ -1249,5 +1249,52 @@ object LlmQueries {
       SampleOps.packIntoShards(samp, "doc_id", col("n_tok"), budget = 512L)
         .orderBy("doc_id")
     },
+
+    // ---- per-source KMV distinct sketches via the native
+    // graft_kmv_sketch TypedImperativeAggregate (the custom-AGGREGATE tier
+    // of the extension ladder): each map task reduces its slice of the
+    // token stream to ≤ k longs and only sketch buffers cross the shuffle
+    // — the windowed rank-per-group spelling would shuffle every token
+    // row to its group's reducer (KmvSketchAgg scaladoc). Hashes use
+    // q62's md5 spelling so the oracle reproduces them digit-for-digit;
+    // groups under k distinct values estimate exactly.
+    q("q122_kmv_by_source", {
+      val digitFold = (0 until 15).map { i =>
+        val w = BigInt(16).pow(14 - i)
+        s"CAST(strpos('0123456789abcdef', substr(md5(t), ${i + 1}, 1)) - 1 AS BIGINT) * $w"
+      }.mkString(" + ")
+      s"""WITH tok AS (SELECT DISTINCT source, t
+         |  FROM (SELECT source, unnest($sqlToks) AS t FROM documents)),
+         |h AS (SELECT source, $digitFold AS h FROM tok),
+         |r AS (SELECT source, h,
+         |        ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn
+         |      FROM h)
+         |SELECT source, CAST(count(*) AS BIGINT) AS k_kept, MAX(h) AS hk,
+         |  CASE WHEN count(*) < 256 THEN CAST(count(*) AS DOUBLE)
+         |       ELSE (CAST(count(*) - 1 AS DOUBLE) * 1152921504606846976.0)
+         |            / CAST(MAX(h) AS DOUBLE) END AS est
+         |FROM r WHERE rn <= 256 GROUP BY source
+         |ORDER BY source NULLS FIRST""".stripMargin
+    }) { (s, dir) =>
+      graft.functions.KmvSketchAgg.register(s)
+      val h = conv(substring(md5(col("t")), 1, 15), 16, 10)
+        .cast(LongType).as("h")
+      T.documents(s, dir)
+        .select(col("source"), explode(TextOps.tokens(col("text"))).as("t"))
+        .select(col("source"), h)
+        .groupBy("source")
+        .agg(call_function(graft.functions.KmvSketchAgg.name,
+          col("h"), lit(256)).as("mins"))
+        .select(col("source"),
+          size(col("mins")).cast(LongType).as("k_kept"),
+          element_at(col("mins"), size(col("mins"))).as("hk"),
+          when(size(col("mins")) < 256,
+            size(col("mins")).cast(DoubleType))
+            .otherwise((size(col("mins")) - 1).cast(DoubleType) *
+              lit(1152921504606846976.0) /
+              element_at(col("mins"), size(col("mins"))).cast(DoubleType))
+            .as("est"))
+        .orderBy("source")
+    },
   )
 }
