@@ -34,10 +34,18 @@ object GraphAlgos {
     * cutting every round pays an extra materialization barrier per step
     * (~30% slower than every-2 at both scales). Sinks (no out-edges)
     * leak rank mass by design — feed an undirected graph (both edge
-    * directions) when sink handling matters, as the catalog entry does. */
+    * directions) when sink handling matters, as the catalog entry does.
+    *
+    * When the node count is at most `broadcastNodesBelow`, the per-round
+    * rank frame joins as a BROADCAST side: the edge frame then never
+    * shuffles for the join (only the map-side-combined contribution agg
+    * moves), at the cost of a node-sized collect per round. Web-scale
+    * graphs (nodes ≫ executor memory) exceed the threshold and fall back
+    * to the shuffled equi-join automatically. */
   def pageRankFixedPoint(edges: DataFrame, iterations: Int = 5,
       scale: Long = 1000000000000L, dampNum: Int = 17, dampDen: Int = 20,
-      checkpointEvery: Int = 2): DataFrame = {
+      checkpointEvery: Int = 2,
+      broadcastNodesBelow: Long = 4000000L): DataFrame = {
     require(iterations >= 1 && iterations <= 50, "iterations in [1, 50]")
     val e = edges.select(col("s").cast("long").as("s"),
       col("d").cast("long").as("d")).localCheckpoint()
@@ -58,15 +66,21 @@ object GraphAlgos {
     val noIn = nodes.join(e.select(col("d").as("v")).distinct(),
         Seq("v"), "left_anti")
       .select(col("v"), lit(base).as("r")).localCheckpoint()
+    val bcast = n <= broadcastNodesBelow
     var ranks = nodes.select(col("v"), lit(scale / n).as("r"))
     for (k <- 1 to iterations) {
+      val rs = ranks.withColumnRenamed("v", "s")
       val contrib = ed
-        .join(ranks.withColumnRenamed("v", "s"), "s")
+        .join(if (bcast) broadcast(rs) else rs, "s")
         .groupBy(col("d").as("v"))
         .agg(sum(expr(s"r * $dampNum div $dampDen div dg")).as("m"))
       ranks = contrib.select(col("v"), (lit(base) + col("m")).as("r"))
         .unionByName(noIn)
-      if (k % checkpointEvery == 0 && k < iterations)
+      // broadcasting evaluates the rank frame every round anyway (the
+      // broadcast build IS a materialization) — checkpoint each round so
+      // that evaluation happens ONCE, not once for the broadcast and
+      // again downstream; node-sized, so the extra caching is cheap
+      if (bcast || (k % checkpointEvery == 0 && k < iterations))
         ranks = ranks.localCheckpoint()
     }
     ranks.select(col("v"), col("r").as("rank_fixed"))

@@ -49,6 +49,13 @@ class GraphAlgosSpec extends SparkTestBase {
     assert(got == r)
     // ranks differ by centrality: degree-3 node 3 outranks leaf 5
     assert(got(3L) > got(5L))
+
+    // the shuffled-join fallback (node count above the broadcast
+    // threshold) is bit-identical to the broadcast path
+    val shuffled = GraphAlgos.pageRankFixedPoint(dir.toDF("s", "d"),
+        iterations = 4, broadcastNodesBelow = 0L)
+      .collect().map(r0 => r0.getLong(0) -> r0.getLong(1)).toMap
+    assert(shuffled == r)
   }
 
   test("pageRank plans stay equi-join only (no cartesian)") {
