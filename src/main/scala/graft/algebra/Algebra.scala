@@ -155,6 +155,13 @@ object Algebra {
     * bookkeeping represents every absent graph as empty, so CREATE is a
     * semantic no-op — accepted for round-trip compatibility. */
   final case class CreateGraphOp(iri: String, silent: Boolean) extends UpdateOp
+  /** LOAD [SILENT] <doc> [INTO GRAPH <g>] (§3.1.4): parse the N-Triples /
+    * N-Quads document at `source` (a file: IRI or plain path; no remote
+    * schemes in this engine) and insert its triples — all into `into` when
+    * given, else into each quad's own graph (default graph for triples).
+    * SILENT turns any read/parse failure into a no-op. */
+  final case class LoadOp(source: String, into: Option[String],
+      silent: Boolean) extends UpdateOp
 
   /** A ';'-separated update request: ops apply in sequence, each over the
     * graph produced by the previous one (§3). */

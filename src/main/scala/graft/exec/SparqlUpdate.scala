@@ -77,6 +77,30 @@ object SparqlUpdate {
     // CREATE GRAPH is a semantic no-op here: every absent graph already
     // behaves as empty (§3.2.1 allows stores that need no bookkeeping)
     case CreateGraphOp(_, _) => graph
+    case LoadOp(source, into, silent) =>
+      // the parse is distributed (NTriples.read — map-only over text
+      // splits); only the applyDelta metadata aggregates are driver-sized.
+      // Inserts flow through the SAME delta path as INSERT DATA, so typed
+      // slices cast lexicals identically; a brand-new predicate lands as
+      // a string-kind slice (applyDelta's documented v1 rule) — use
+      // NTriples.toGraph for fully-typed bulk construction.
+      try {
+        val path = {
+          val u = new java.net.URI(source)
+          if (u.getScheme == "file") u.getPath
+          else if (u.getScheme == null) source
+          else throw new IllegalArgumentException(
+            s"LOAD supports file: IRIs / local paths only, got $source")
+        }
+        import org.apache.spark.sql.functions.{col, lit}
+        val parsed = graft.sources.NTriples.read(graph.spark, path)
+        val ins = parsed.select(col("s"), col("p"), col("o_lex").as("o"),
+          into.map(lit(_)).getOrElse(col("g")).as("g"),
+          col("o_lang").as("ol"))
+        graph.applyDelta(emptyDelta(graph.spark), ins)
+      } catch {
+        case e: Throwable if silent => graph
+      }
     case ClearOp(target, _) => target match {
       // graph existence isn't tracked separately from contents, so CLEAR
       // and CLEAR SILENT coincide (documented; DROP is accepted as CLEAR)

@@ -404,31 +404,8 @@ final class Mapping(doc0: Stottr.Document, spark: SparkSession,
     * timestamps get XSD datetime lexicals — `%Y-%m-%dT%H:%M:%S%.f` for
     * naive values, plus a `±HH:MM` offset in [[serializationZone]] for
     * instants; everything else is Spark's canonical string cast. */
-  private def lexicalColumn(c: Column, dt: DataType): Column = dt match {
-    case TimestampType =>
-      val wall = from_utc_timestamp(c, serializationZone)
-      val offSec = wall.cast(LongType) - c.cast(LongType)
-      val sign = when(offSec < 0, "-").otherwise("+")
-      val offAbs = abs(offSec)
-      val offStr = concat(sign,
-        lpad((offAbs / 3600).cast(IntegerType).cast(StringType), 2, "0"), lit(":"),
-        lpad(((offAbs % 3600) / 60).cast(IntegerType).cast(StringType), 2, "0"))
-      concat(datetimeBody(wall), offStr)
-    case TimestampNTZType => datetimeBody(c)
-    case _ => c.cast(StringType)
-  }
-
-  /** `%Y-%m-%dT%H:%M:%S%.f` — fractional seconds only when non-zero, in
-    * millis or micros groups (chrono's %.f behavior, which the reference's
-    * golden lexicals carry). */
-  private def datetimeBody(c: Column): Column = {
-    val base = date_format(c, "yyyy-MM-dd'T'HH:mm:ss")
-    val frac6 = date_format(c, "SSSSSS")
-    val frac = when(frac6 === "000000", lit(""))
-      .when(substring(frac6, 4, 3) === "000", concat(lit("."), substring(frac6, 1, 3)))
-      .otherwise(concat(lit("."), frac6))
-    concat(base, frac)
-  }
+  private def lexicalColumn(c: Column, dt: DataType): Column =
+    graft.rdf.NtFormat.lexical(c, dt, serializationZone)
 
   private def objectColumns(owner: Template, a: Arg, df: DataFrame,
       languageTags: Map[String, String]): (Column, Column, Column) = a match {
@@ -463,33 +440,12 @@ final class Mapping(doc0: Stottr.Document, spark: SparkSession,
   }
 
   // ------------------------------------------------------------- exports
-  /** N-Triples term spelling of a subject/object resource: blank nodes keep
-    * their `_:` form, IRIs get angle brackets. */
-  private def resourceCol(c: Column): Column =
-    when(c.startsWith("_:"), c).otherwise(concat(lit("<"), c, lit(">")))
-
   /** One formatted N-Triples line per triple, as a codegen'd Column —
     * the distributed serialization kernel shared by [[ntriplesLines]] and
-    * [[writeNTriplesDistributed]]. */
-  private def ntLineCol: Column = {
-    // escape backslash FIRST, then quote/newline/cr/tab (N-Triples string
-    // escaping; reference streams the same per-triple formatting,
-    // mapping/ntriples_write.rs:52)
-    def esc(c: Column): Column = {
-      val b0 = regexp_replace(c, "\\\\", "\\\\\\\\")
-      val b1 = regexp_replace(b0, "\"", "\\\\\"")
-      val b2 = regexp_replace(b1, "\n", "\\\\n")
-      val b3 = regexp_replace(b2, "\r", "\\\\r")
-      regexp_replace(b3, "\t", "\\\\t")
-    }
-    val o =
-      when(col("o_dt").isNull && col("o_lang").isNull, resourceCol(col("o_lex")))
-      .when(col("o_lang").isNotNull,
-        concat(lit("\""), esc(col("o_lex")), lit("\"@"), col("o_lang")))
-      .otherwise(
-        concat(lit("\""), esc(col("o_lex")), lit("\"^^<"), col("o_dt"), lit(">")))
-    concat(resourceCol(col("s")), lit(" <"), col("p"), lit("> "), o, lit(" ."))
-  }
+    * [[writeNTriplesDistributed]] (shared spelling: [[graft.rdf.NtFormat]]). */
+  private def ntLineCol: Column =
+    graft.rdf.NtFormat.line(col("s"), col("p"), col("o_lex"), col("o_dt"),
+      col("o_lang"))
 
   /** Distributed N-Triples view: one string line per triple, still lazy. */
   def ntriplesLines: DataFrame = triplesDf.select(ntLineCol.as("value"))

@@ -621,5 +621,36 @@ object SparqlQueries {
              |    ?c g:name ?cname .
              |  }
              |} ORDER BY ?nname ?cname""".stripMargin)),
+
+    // ---- N-Triples interchange round-trip: the dimension slices of the
+    // TPC-H graph serialize to the distributed N-Triples sink
+    // (TriplesGraph.ntriplesLines — typed lexicals, map-only), parse back
+    // through the distributed reader (sources/NTriples — line-splittable,
+    // the one RDF syntax that scales), re-type through toGraph, and the
+    // query runs against the RELOADED graph. Passing the relational
+    // oracle proves serialize→parse→re-type is lossless for every slice
+    // kind it touches (KStr names, KIri edges, KDbl acctbal). Not an sq
+    // entry: the store-replay harness replays against its own graph.
+    Q("q123_ntriples_roundtrip", Some(
+      """SELECT s_name AS sname, n_name AS nname, r_name AS rname,
+        |       s_acctbal AS bal
+        |FROM supplier
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |WHERE s_acctbal > 2000
+        |ORDER BY sname NULLS FIRST""".stripMargin))(
+      (s, dir) => {
+        val g = TpchGraph.roundTrippedGraph(s, dir)
+        new SparqlExecutor(g).execute(prologue +
+          """SELECT ?sname ?nname ?rname ?bal WHERE {
+            |  ?s g:nation ?n .
+            |  ?s g:name ?sname .
+            |  ?s g:acctbal ?bal .
+            |  ?n g:inRegion ?r .
+            |  ?n g:name ?nname .
+            |  ?r g:name ?rname .
+            |  FILTER(?bal > 2000)
+            |} ORDER BY ?sname""".stripMargin)
+      }),
   )
 }
