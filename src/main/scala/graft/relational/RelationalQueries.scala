@@ -1016,7 +1016,53 @@ object RelationalQueries {
             blockCols = Seq("__blk"), maxDist = 2)
           .select(col("ida"), col("idb"), col("dist").cast(LongType).as("dist"))
           .orderBy("ida", "idb")
-    }
+    },
+
+    // ---- single-pass column profiler (data-quality triage: the first
+    // thing run against an unknown 100 TB table). ALL metrics for all
+    // profiled columns come from ONE aggregation over ONE scan — the
+    // row-count/null/min/max/sum side partial-aggregates map-side, and
+    // the n-distinct side plans as Catalyst's standard single-Expand
+    // multi-count-distinct (rows × |profiled columns|, combined BEFORE
+    // the exchange; never one scan per column, never per-column jobs).
+    // Exactness discipline: doubles are cents (TPC-H money/percent), so
+    // min/max/sum travel as ×100 scaled BIGINTs — a double SUM would
+    // hash-diverge on partial-agg order. String columns profile lexical
+    // min/max; their numeric slots are NULL (and vice versa).
+    q("q124_profile",
+      """WITH p AS (SELECT count(*) AS n_rows,
+        |  count(*) - count(l_quantity) AS nn_q,
+        |  count(DISTINCT l_quantity) AS nd_q,
+        |  CAST(round(min(l_quantity) * 100) AS BIGINT) AS mn_q,
+        |  CAST(round(max(l_quantity) * 100) AS BIGINT) AS mx_q,
+        |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sm_q,
+        |  count(*) - count(l_extendedprice) AS nn_p,
+        |  count(DISTINCT l_extendedprice) AS nd_p,
+        |  CAST(round(min(l_extendedprice) * 100) AS BIGINT) AS mn_p,
+        |  CAST(round(max(l_extendedprice) * 100) AS BIGINT) AS mx_p,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sm_p,
+        |  count(*) - count(l_discount) AS nn_d,
+        |  count(DISTINCT l_discount) AS nd_d,
+        |  CAST(round(min(l_discount) * 100) AS BIGINT) AS mn_d,
+        |  CAST(round(max(l_discount) * 100) AS BIGINT) AS mx_d,
+        |  CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS sm_d,
+        |  count(*) - count(l_returnflag) AS nn_f,
+        |  count(DISTINCT l_returnflag) AS nd_f,
+        |  min(l_returnflag) AS mns_f, max(l_returnflag) AS mxs_f
+        |FROM lineitem)
+        |SELECT * FROM (
+        |  SELECT 'l_quantity' AS col, n_rows, nn_q AS n_nulls, nd_q AS n_distinct,
+        |    mn_q AS min_c, mx_q AS max_c, sm_q AS sum_c,
+        |    CAST(NULL AS VARCHAR) AS min_s, CAST(NULL AS VARCHAR) AS max_s FROM p
+        |  UNION ALL SELECT 'l_extendedprice', n_rows, nn_p, nd_p, mn_p, mx_p, sm_p, NULL, NULL FROM p
+        |  UNION ALL SELECT 'l_discount', n_rows, nn_d, nd_d, mn_d, mx_d, sm_d, NULL, NULL FROM p
+        |  UNION ALL SELECT 'l_returnflag', n_rows, nn_f, nd_f, NULL, NULL, NULL, mns_f, mxs_f FROM p
+        |) ORDER BY col NULLS FIRST""".stripMargin) { (s, dir) =>
+      Profiler.profile(lineitem(s, dir),
+        numeric = Seq("l_quantity", "l_extendedprice", "l_discount"),
+        strings = Seq("l_returnflag"))
+        .orderBy("col")
+    },
   )
 
   /** Oracle for q116: `iters` unrolled fixed-point iterations, every step
