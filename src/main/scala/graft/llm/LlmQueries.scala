@@ -39,6 +39,27 @@ object LlmQueries {
       path
     })
 
+  /** Doc-similarity graph shared by q115/q125: unique edges between docs
+    * with ≥2 shared RARE 3-shingles (df ≤ 50 — the stop-shingle cap that
+    * keeps hot-shingle fan-out df-bounded). The postings materialize once:
+    * the shingle explode is an interpreted higher-order function feeding
+    * multiple consumers — recomputing it per consumer measured 6 s at
+    * sf0.1. */
+  private def docSimilarityEdges(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val post = T.documents(s, dir).select(col("doc_id"),
+      explode(TextOps.wordShingles(col("text"), 3)).as("s"))
+      .localCheckpoint()
+    val rare = post.groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 50).select("s")
+    val p = post.join(rare, "s").localCheckpoint()
+    p.select(col("doc_id").as("a"), col("s"))
+      .join(p.select(col("doc_id").as("b"), col("s").as("s2")),
+        col("s") === col("s2") && col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select("a", "b")
+  }
+
   // DuckDB spelling of TextOps.tokens / wordShingles(3)
   private val sqlToks = "string_split(trim(text), ' ')"
   private val sqlShingles =
@@ -1110,24 +1131,46 @@ object LlmQueries {
          |      UNION ALL SELECT z FROM T)
          |SELECT v AS doc_id, count(*) AS n_tri FROM n GROUP BY v
          |ORDER BY doc_id NULLS FIRST""".stripMargin) { (s, dir) =>
-      val docs = T.documents(s, dir)
-      // materialize the postings once: the shingle explode is an
-      // interpreted higher-order function and feeds FOUR consumers (df
-      // count + both self-join sides through p) — recomputing it per
-      // consumer measured 6 s of the entry's cost at sf0.1
-      val post = docs.select(col("doc_id"),
-        explode(TextOps.wordShingles(col("text"), 3)).as("s"))
-        .localCheckpoint()
-      val rare = post.groupBy("s").agg(count(lit(1)).as("df"))
-        .filter(col("df") <= 50).select("s")
-      val p = post.join(rare, "s").localCheckpoint()
-      val edges = p.select(col("doc_id").as("a"), col("s"))
-        .join(p.select(col("doc_id").as("b"), col("s").as("s2")),
-          col("s") === col("s2") && col("a") < col("b"))
-        .groupBy("a", "b").agg(count(lit(1)).as("c"))
-        .filter(col("c") >= 2).select("a", "b")
-      graft.relational.GraphAlgos.triangleCounts(edges)
+      graft.relational.GraphAlgos.triangleCounts(docSimilarityEdges(s, dir))
         .select(col("v").as("doc_id"), col("n_tri"))
+        .orderBy("doc_id")
+    },
+
+    // ---- bounded-round k-core peeling over the same doc-similarity
+    // graph (GraphAlgos.kCore scaladoc: each round one degree partial-agg
+    // + two shrinking equi-joins; bit-equal to the oracle's 4 unrolled
+    // peel CTEs whether or not the peel converges early, because a
+    // fixpoint is stable under further rounds). The surviving dense cores
+    // are near-dup template families; core_deg ranks how embedded each
+    // doc is.
+    q("q125_kcore", {
+      val peels = (1 to 4).map { r =>
+        s"""d$r AS (SELECT v, count(*) AS dg FROM (
+           |    SELECT a AS v FROM e${r - 1} UNION ALL SELECT b FROM e${r - 1})
+           |  GROUP BY v),
+           |k$r AS (SELECT v FROM d$r WHERE dg >= 4),
+           |e$r AS (SELECT e${r - 1}.a, e${r - 1}.b FROM e${r - 1}
+           |  JOIN k$r x ON e${r - 1}.a = x.v
+           |  JOIN k$r y ON e${r - 1}.b = y.v)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH sh AS (
+         |  SELECT doc_id, unnest($sqlShingles) AS s
+         |  FROM (SELECT doc_id, $sqlToks AS toks FROM documents)
+         |),
+         |rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 50),
+         |p AS (SELECT doc_id, s FROM sh JOIN rare USING (s)),
+         |e0 AS (SELECT a.doc_id AS a, b.doc_id AS b
+         |      FROM p a JOIN p b ON a.s = b.s AND a.doc_id < b.doc_id
+         |      GROUP BY a.doc_id, b.doc_id
+         |      HAVING count(*) >= 2),
+         |$peels
+         |SELECT v AS doc_id, count(*) AS core_deg FROM (
+         |  SELECT a AS v FROM e4 UNION ALL SELECT b FROM e4) GROUP BY v
+         |ORDER BY doc_id NULLS FIRST""".stripMargin
+    }) { (s, dir) =>
+      graft.relational.GraphAlgos.kCore(docSimilarityEdges(s, dir),
+          k = 4, maxRounds = 4)
+        .select(col("v").as("doc_id"), col("core_deg"))
         .orderBy("doc_id")
     },
 

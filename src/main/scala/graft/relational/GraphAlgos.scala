@@ -86,6 +86,52 @@ object GraphAlgos {
     ranks.select(col("v"), col("r").as("rank_fixed"))
   }
 
+  /** Bounded-round k-core peeling over an UNDIRECTED simple graph given
+    * as unique edges (`a`, `b`): repeatedly drop nodes of degree < k (and
+    * the edges touching them) for up to `maxRounds` rounds, stopping
+    * early at the fixpoint. Returns (v, core_deg): each surviving node
+    * with its degree in the surviving subgraph — the k-core when
+    * converged, the round-`maxRounds` peel state otherwise. The dense
+    * cohesive cores this exposes are the curation signal (template farms
+    * / boilerplate families in a near-dup graph survive peeling; loosely
+    * attached docs fall away).
+    *
+    * Determinism: peeling is confluent — the round-r edge set is a pure
+    * function of the round-(r−1) set, every step integer. Early exit is
+    * indistinguishable from running all rounds (a fixpoint is stable
+    * under further peels), so an oracle that unrolls exactly `maxRounds`
+    * rounds matches REGARDLESS of when convergence happens.
+    *
+    * Scale (100 TB lens): each round is one degree partial-agg plus two
+    * semi-join-shaped equi-joins, all edge-sized and monotonically
+    * shrinking; the convergence check rides the per-round edge count
+    * (driver-scalar). Lineage is cut per round (the count materializes
+    * the checkpoint anyway). Rounds are bounded by `maxRounds`, not the
+    * graph's peeling depth — the standard MapReduce k-core compromise. */
+  def kCore(edges: DataFrame, k: Int, maxRounds: Int = 10): DataFrame = {
+    require(k >= 1 && maxRounds >= 1 && maxRounds <= 100)
+    var e = edges.select(col("a").cast("long").as("a"),
+      col("b").cast("long").as("b")).localCheckpoint()
+    var nEdges = e.count()
+    var r = 0
+    var done = nEdges == 0
+    while (!done && r < maxRounds) {
+      val keep = e.select(col("a").as("v")).union(e.select(col("b").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("dg"))
+        .filter(col("dg") >= k).select("v")
+      val e2 = e.join(keep.withColumnRenamed("v", "a"), "a")
+        .join(keep.withColumnRenamed("v", "b"), "b")
+        .select("a", "b").localCheckpoint()
+      val n2 = e2.count()
+      // peeling only removes edges, so an unchanged count means an
+      // unchanged set — the fixpoint
+      done = n2 == nEdges
+      e = e2; nEdges = n2; r += 1
+    }
+    e.select(col("a").as("v")).union(e.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("core_deg"))
+  }
+
   /** Per-node triangle counts over an UNDIRECTED simple graph given as
     * unique edges with `a` < `b`. Returns (v, n_tri) for nodes in ≥ 1
     * triangle.

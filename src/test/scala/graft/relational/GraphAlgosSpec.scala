@@ -58,6 +58,41 @@ class GraphAlgosSpec extends SparkTestBase {
     assert(shuffled == r)
   }
 
+  test("kCore matches an independent driver-side peel, any partitioning") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val edges = (0 until 400).map(_ =>
+      (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter { case (a, b) => a < b }.distinct
+    def model(k: Int, rounds: Int): Map[Long, Long] = {
+      var e = edges.toSet
+      var r = 0
+      var done = false
+      while (!done && r < rounds) {
+        val deg = e.toSeq.flatMap(p => Seq(p._1, p._2))
+          .groupBy(identity).view.mapValues(_.size).toMap
+        val keep = deg.filter(_._2 >= k).keySet
+        val e2 = e.filter(p => keep(p._1) && keep(p._2))
+        done = e2.size == e.size; e = e2; r += 1
+      }
+      e.toSeq.flatMap(p => Seq(p._1, p._2)).groupBy(identity)
+        .map { case (v, vs) => v -> vs.size.toLong }
+    }
+    for ((k, rounds) <- Seq((3, 2), (4, 10)); parts <- Seq(1, 7)) {
+      val got = GraphAlgos.kCore(
+          edges.toDF("a", "b").repartition(parts), k, rounds)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == model(k, rounds), s"k=$k rounds=$rounds parts=$parts")
+    }
+    // converged peel is stable: more rounds change nothing (the property
+    // that makes a fixed-round oracle match an early-exiting engine)
+    val a = GraphAlgos.kCore(edges.toDF("a", "b"), 3, 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = GraphAlgos.kCore(edges.toDF("a", "b"), 3, 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b)
+  }
+
   test("pageRank plans stay equi-join only (no cartesian)") {
     import spark.implicits._
     val dir = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)).toDF("s", "d")
