@@ -1293,6 +1293,30 @@ object LlmQueries {
         .orderBy("doc_id")
     },
 
+    // ---- embedding second moments (EmbedStats scaladoc): ONE corpus
+    // pass reduces to a metadata-sized integer accumulator (n, Σq_i,
+    // Σq_iq_j upper triangle — ~17 KB at d=64) via treeAggregate; the
+    // PCA eigen step downstream is driver-sized. Coordinates quantize to
+    // round(x·2¹⁶) longs BEFORE accumulation, so the sums are exact under
+    // any partitioning and the oracle reproduces them digit-for-digit —
+    // the whitening statistics a similarity pipeline trains before PQ/IVF.
+    q("q126_embed_covariance",
+      """WITH u AS (
+        |  SELECT vec_id, r - 1 AS i,
+        |    CAST(round(CAST(embedding[r] AS DOUBLE) * 65536) AS BIGINT) AS q
+        |  FROM embeddings, generate_series(1, 64) t(r)),
+        |n AS (SELECT count(*) AS n FROM embeddings),
+        |s AS (SELECT i, CAST(sum(q) AS BIGINT) AS s FROM u GROUP BY i),
+        |d AS (SELECT a.i AS i, b.i AS j, CAST(sum(a.q * b.q) AS BIGINT) AS dot
+        |      FROM u a JOIN u b ON a.vec_id = b.vec_id AND a.i <= b.i
+        |      GROUP BY a.i, b.i)
+        |SELECT d.i, d.j, n.n, si.s AS si, sj.s AS sj, d.dot
+        |FROM d, n JOIN s si ON si.i = d.i JOIN s sj ON sj.i = d.j
+        |ORDER BY d.i NULLS FIRST, d.j NULLS FIRST""".stripMargin) { (s, dir) =>
+      EmbedStats.secondMoments(T.embeddings(s, dir), "embedding", dim = 64)
+        .orderBy("i", "j")
+    },
+
     // ---- per-source KMV distinct sketches via the native
     // graft_kmv_sketch TypedImperativeAggregate (the custom-AGGREGATE tier
     // of the extension ladder): each map task reduces its slice of the
