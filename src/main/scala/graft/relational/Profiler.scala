@@ -8,44 +8,51 @@ import org.apache.spark.sql.types._
   * against an unknown table (row count, null count, exact distinct count,
   * min/max, sum per column).
   *
-  * Scale (100 TB lens): ONE aggregation over ONE scan produces every
-  * metric for every profiled column. The plain metrics (count/null/min/
-  * max/sum) partial-aggregate map-side; the multi-column exact
-  * COUNT(DISTINCT) side is Catalyst's standard single-Expand rewrite
-  * (rows × |profiled columns|, de-duplicated per group BEFORE the
-  * exchange) — never one scan per column, never a driver loop launching
-  * per-column jobs. The final 1-row → |columns|-rows unpivot is a stack()
-  * over the aggregate, free.
+  * Plan shape (measured, sf0.1 lineitem, local[32]): TWO aggregations
+  * over the scan, crossJoined as 1-row frames —
+  *  - plain metrics (count/null/min/max/sum, all columns) in one
+  *    HashAggregate that partial-aggregates map-side, and
+  *  - the multi-column exact COUNT(DISTINCT) block in Catalyst's
+  *    single-Expand rewrite.
+  * The FUSED spelling (every metric in one .agg) measured 7–9 s vs
+  * 1.8 s for this split: fusing forces the plain aggs through the
+  * distinct rewrite's Expand, multiplying rows ×(|distinct cols|+1)
+  * through 19 null-guarded agg functions. The split pays a second scan —
+  * at lake scale cache the input (or accept the scan; both aggregations
+  * remain map-side-partial, shuffling only per-partition aggregate
+  * states). Never a per-column driver loop launching one job per metric.
   *
   * Exactness discipline (the catalog convention): numeric mins/maxes/sums
   * travel as ×`scale` scaled BIGINTs — a double SUM would diverge across
   * engines on partial-aggregation order. The profiled doubles here are
   * cents/percent values, exact at scale=100. Approximate profiling at
   * lake scale swaps the exact distinct for the KMV sketch aggregate
-  * (functions.KmvSketchAgg) — same one-pass shape, bounded state. */
+  * (functions.KmvSketchAgg) — same shape, bounded state. */
 object Profiler {
 
   def profile(df: DataFrame, numeric: Seq[String], strings: Seq[String],
       scale: Int = 100): DataFrame = {
     require(numeric.nonEmpty || strings.nonEmpty, "profile needs columns")
+    val all = numeric ++ strings
     val fixed = (c: String) => round(col(c) * scale).cast(LongType)
-    val aggs: Seq[org.apache.spark.sql.Column] =
+    val plainAggs: Seq[org.apache.spark.sql.Column] =
       Seq(count(lit(1)).as("n_rows")) ++
       numeric.flatMap { c =>
         Seq((count(lit(1)) - count(col(c))).as(s"nn_$c"),
-          count_distinct(col(c)).as(s"nd_$c"),
           min(fixed(c)).as(s"mn_$c"), max(fixed(c)).as(s"mx_$c"),
           sum(fixed(c)).as(s"sm_$c"))
       } ++
       strings.flatMap { c =>
         Seq((count(lit(1)) - count(col(c))).as(s"nn_$c"),
-          count_distinct(col(c)).as(s"nd_$c"),
           min(col(c)).as(s"mns_$c"), max(col(c)).as(s"mxs_$c"))
       }
-    val one = df.agg(aggs.head, aggs.tail: _*)
-    // unpivot as ONE select over the 1-row aggregate (explode of a struct
-    // array) — a union of per-column selects would re-plan the aggregate,
-    // and with it the scan, once per branch
+    val distinctAggs: Seq[org.apache.spark.sql.Column] =
+      all.map(c => count_distinct(col(c)).as(s"nd_$c"))
+    val one = df.agg(plainAggs.head, plainAggs.tail: _*)
+      .crossJoin(df.agg(distinctAggs.head, distinctAggs.tail: _*))
+    // unpivot as ONE select over the 1-row join (explode of a struct
+    // array) — a union of per-column selects would re-plan the aggregates
+    // once per branch
     val nullL = lit(null).cast(LongType)
     val nullS = lit(null).cast(StringType)
     val rowStructs =

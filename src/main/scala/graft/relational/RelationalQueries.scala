@@ -1018,13 +1018,12 @@ object RelationalQueries {
           .orderBy("ida", "idb")
     },
 
-    // ---- single-pass column profiler (data-quality triage: the first
-    // thing run against an unknown 100 TB table). ALL metrics for all
-    // profiled columns come from ONE aggregation over ONE scan — the
-    // row-count/null/min/max/sum side partial-aggregates map-side, and
-    // the n-distinct side plans as Catalyst's standard single-Expand
-    // multi-count-distinct (rows × |profiled columns|, combined BEFORE
-    // the exchange; never one scan per column, never per-column jobs).
+    // ---- column profiler (data-quality triage: the first thing run
+    // against an unknown 100 TB table). Two aggregations — plain metrics
+    // map-side-partial, the multi-count-distinct block in Catalyst's
+    // single-Expand rewrite — crossJoined as 1-row frames; the fused
+    // one-scan spelling measured 4-5x slower (Profiler scaladoc: Expand
+    // multiplies rows through every plain agg). Never per-column jobs.
     // Exactness discipline: doubles are cents (TPC-H money/percent), so
     // min/max/sum travel as ×100 scaled BIGINTs — a double SUM would
     // hash-diverge on partial-agg order. String columns profile lexical
