@@ -44,7 +44,12 @@ object FuzzyJoin {
     val blockEq: Column = blockCols
       .map(c => col(c) === col(s"__b_$c"))
       .reduce(_ && _)
-    a.join(b, blockEq && col("ida") < col("idb"))
+    // the length filter rides the join condition: it prunes pairs after
+    // the hash match but BEFORE the banded DP runs (a length check is a
+    // handful of instructions; the DP is the block's quadratic kernel).
+    // Sound because |len(a) − len(b)| > k forces distance > k.
+    a.join(b, blockEq && col("ida") < col("idb") &&
+        abs(length(col("sa")) - length(col("sb"))) <= maxDist)
       .withColumn("dist",
         call_function(graft.functions.BoundedLevenshtein.name,
           col("sa"), col("sb"), lit(maxDist)))

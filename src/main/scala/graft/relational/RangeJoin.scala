@@ -42,4 +42,37 @@ object RangeJoin {
       .filter(col(startCol) <= col(tsCol) && col(tsCol) < col(endCol))
       .drop(pb)
   }
+
+  /** Interval×interval OVERLAP join: pairs whose half-open windows
+    * intersect (`ls < re && rs < le`), per key — the third temporal-join
+    * shape (sessions × outage windows, exposure × campaign flights).
+    *
+    * Same bucketized discipline: both sides explode into the coarse
+    * buckets they cover and match on (keys…, bucket). An overlapping pair
+    * shares EVERY bucket its intersection covers, so each pair is emitted
+    * exactly once via the standard first-common-bucket rule: keep the
+    * match only in the bucket containing `greatest(ls, rs)` — the
+    * intersection's start — instead of a dedup shuffle over the pair set.
+    * Candidates stay bounded by per-bucket occupancy; a raw inequality
+    * join is the |L|×|R| cliff on hot keys. */
+  def intervalOverlapPairs(left: DataFrame, right: DataFrame,
+      keys: Seq[String], lStart: String, lEnd: String,
+      rStart: String, rEnd: String, bucketSeconds: Long): DataFrame = {
+    require(bucketSeconds > 0, "bucketSeconds must be positive")
+    val bUs = bucketSeconds * 1000000L
+    val pb = "__range_pb"
+    def explodeBuckets(df: DataFrame, s: String, e: String): DataFrame =
+      // half-open [s, e): the bucket of e is touched only when e is not
+      // exactly on the boundary — hence the e−1µs upper bound
+      df.withColumn(pb, explode(sequence(
+        floor(unix_micros(col(s)) / bUs),
+        floor((unix_micros(col(e)) - 1) / bUs))))
+    val l = explodeBuckets(left, lStart, lEnd)
+    val r = explodeBuckets(right, rStart, rEnd)
+    l.join(r, keys :+ pb)
+      .filter(col(lStart) < col(rEnd) && col(rStart) < col(lEnd))
+      .filter(col(pb) ===
+        floor(greatest(unix_micros(col(lStart)), unix_micros(col(rStart))) / bUs))
+      .drop(pb)
+  }
 }

@@ -788,6 +788,34 @@ object RelationalQueries {
         .orderBy("vid", "erid")
     },
 
+    // ---- interval×interval overlap join (the third temporal-join shape
+    // after as-of and point-in-interval): view windows [ts, ts+10m) ×
+    // same-user error windows [ts, ts+30m). Bucketized equi-join with the
+    // first-common-bucket emit-once rule — no dedup shuffle, candidates
+    // bounded by bucket occupancy (RangeJoin.intervalOverlapPairs).
+    q("q127_interval_overlap",
+      """SELECT v.event_id AS vid, e.event_id AS erid
+        |FROM (SELECT * FROM events WHERE event_type = 'view') v
+        |JOIN (SELECT * FROM events WHERE event_type = 'error') e
+        |  ON v.user_id = e.user_id
+        | AND v.ts < e.ts + INTERVAL 30 MINUTE
+        | AND e.ts < v.ts + INTERVAL 10 MINUTE
+        |ORDER BY vid NULLS FIRST, erid NULLS FIRST""".stripMargin) { (s, dir) =>
+      val ev = events(s, dir)
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("v_start"),
+          (col("ts") + expr("INTERVAL 10 MINUTES")).as("v_end"),
+          col("event_id").as("vid"))
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts").as("e_start"),
+          (col("ts") + expr("INTERVAL 30 MINUTES")).as("e_end"),
+          col("event_id").as("erid"))
+      RangeJoin.intervalOverlapPairs(views, errors, Seq("user_id"),
+          "v_start", "v_end", "e_start", "e_end", bucketSeconds = 1800L)
+        .select("vid", "erid")
+        .orderBy("vid", "erid")
+    },
+
     // ---- resample + linear interpolation (beyond-parity): each event
     // type's irregular value series projected onto an hourly grid, values
     // interpolated between the surrounding observations. One shuffle —

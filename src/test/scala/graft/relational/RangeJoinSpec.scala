@@ -38,6 +38,37 @@ class RangeJoinSpec extends SparkTestBase {
     assert(edges == Seq(1L))
   }
 
+  test("interval overlap join equals naive, emits once, half-open bounds") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    def mk(n: Int, span: Int) = (0 until n).map { i =>
+      val s = 100000L + rnd.nextInt(50000)
+      (i % 4L, ts(s), ts(s + 1 + rnd.nextInt(span)), i.toLong)
+    }
+    val L = mk(200, 4000).toDF("k", "ls", "le", "lid")
+    val R = mk(150, 9000).toDF("k", "rs", "re", "rid")
+    val got = RangeJoin.intervalOverlapPairs(L, R, Seq("k"),
+        "ls", "le", "rs", "re", bucketSeconds = 1800L)
+      .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val naive = L.join(R, Seq("k"))
+      .filter(col("ls") < col("re") && col("rs") < col("le"))
+      .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.sorted.toSeq == naive.sorted.toSeq)
+    assert(got.length == got.distinct.length, "pair emitted more than once")
+    assert(got.nonEmpty)
+
+    // half-open: touching intervals ([0,10) and [10,20)) do NOT overlap,
+    // and an interval ending exactly on a bucket boundary must not leak
+    // into the next bucket
+    val l2 = Seq((1L, ts(1800), ts(3600), 1L)).toDF("k", "ls", "le", "lid")
+    val r2 = Seq((1L, ts(3600), ts(5400), 1L),
+      (1L, ts(3599), ts(5400), 2L)).toDF("k", "rs", "re", "rid")
+    val touch = RangeJoin.intervalOverlapPairs(l2, r2, Seq("k"),
+        "ls", "le", "rs", "re", bucketSeconds = 1800L)
+      .select("rid").collect().map(_.getLong(0)).toSeq
+    assert(touch == Seq(2L))
+  }
+
   test("range join plans as an equi-join, never a cross product") {
     import spark.implicits._
     val points = (0 until 100).map(i => (1L, ts(100000L + i * 17), i.toLong))
