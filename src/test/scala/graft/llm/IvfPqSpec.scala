@@ -64,6 +64,34 @@ class IvfPqSpec extends SparkTestBase {
       "chunked probe-table scoring changed the top-k result")
   }
 
+  test("persisted index serves bit-identical results, partition-pruned") {
+    val queries = emb.filter(col("vec_id") < 40)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq").toString
+    AnnOps.buildIvfPqIndex(emb, dir)
+    val fromIdx = AnnOps.ivfPqTopKFromIndex(spark, dir, queries, 5, nProbe = 4)
+    // training is deterministic, so the in-memory spelling over the same
+    // corpus must produce the same model and therefore the same ranks
+    val inMem = AnnOps.ivfPqTopK(emb, queries, 5, nProbe = 4)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "rk", "nid").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    assert(rows(fromIdx) == rows(inMem))
+
+    // the cells scan carries the probed-cid PARTITION filter: only probed
+    // cells' packed codes are read (the serve path's scan shape — the ADC
+    // kernel consumes it through .rdd, which hides the scan from the
+    // outer DataFrame plan, so assert on the scan frame itself)
+    val model = AnnOps.readIvfPqModel(spark, dir)
+    val scan = spark.read.parquet(s"$dir/cells")
+      .filter(col("cid").isin(0, 3, 7))
+    val plan = scan.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cid") ||
+      (plan.contains("PartitionFilters") && plan.contains("cid#")),
+      s"expected cid partition filter on the cells scan:\n$plan")
+    // model sidecar round-trips exactly
+    assert(model.dim == 64 && model.pq.m == 8 && model.pq.k == 16)
+  }
+
   test("more probes never hurt (same index, wider scan)") {
     val queries = emb.filter(col("vec_id") < 30)
     val exact = AnnOps.topKForQueries(emb, queries, 10)
