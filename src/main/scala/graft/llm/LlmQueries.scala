@@ -1335,6 +1335,33 @@ object LlmQueries {
         .orderBy("i", "j")
     },
 
+    // ---- deterministic weighted sample (SampleOps.weightedSample
+    // scaladoc: Efraimidis–Spirakis A-Res as an order statistic, md5-
+    // derived u, 6-decimal key rounding + id tie-break → engine-identical
+    // selection; plans as TakeOrderedAndProject — per-partition top-n,
+    // no corpus shuffle). Weight = token count: longer docs
+    // proportionally likelier, the "sample by length/quality" op.
+    q("q128_weighted_sample", {
+      val digitFold = (0 until 15).map { i =>
+        val w = BigInt(16).pow(14 - i)
+        s"CAST(strpos('0123456789abcdef', substr(h, ${i + 1}, 1)) - 1 AS BIGINT) * $w"
+      }.mkString(" + ")
+      s"""WITH t AS (SELECT doc_id, len($sqlToks) AS n_tok,
+         |             md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+         |k AS (SELECT doc_id, n_tok,
+         |        round(ln((CAST($digitFold AS DOUBLE) + 1.0)
+         |                 / 1152921504606846976.0) / n_tok, 6) AS wkey
+         |      FROM t WHERE n_tok >= 1)
+         |SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok, wkey FROM k
+         |ORDER BY wkey DESC, doc_id LIMIT 100""".stripMargin
+    }) { (s, dir) =>
+      val docs = T.documents(s, dir)
+        .select(col("doc_id"), size(TextOps.tokens(col("text"))).as("n_tok"))
+      SampleOps.weightedSample(docs, "doc_id", col("n_tok"), n = 100)
+        .select(col("doc_id"), col("n_tok").cast(LongType).as("n_tok"),
+          col("wkey"))
+    },
+
     // ---- per-source KMV distinct sketches via the native
     // graft_kmv_sketch TypedImperativeAggregate (the custom-AGGREGATE tier
     // of the extension ladder): each map task reduces its slice of the

@@ -192,4 +192,31 @@ object SampleOps {
       .filter(col("cum_tok") - col("n_tok") < col("__budget"))
       .select(col("doc_id"), col("stratum"), col("n_tok"), col("cum_tok"))
   }
+
+  /** Deterministic WEIGHTED sample without replacement — the
+    * Efraimidis–Spirakis A-Res scheme as an order statistic: every row
+    * gets the key `ln(u)/w` (u uniform in (0,1], w its weight) and the n
+    * LARGEST keys are the sample; P(selected) is then proportional to
+    * weight, the "sample documents proportional to length/quality" op.
+    * u derives from md5(id) (the repo's reproducible-randomness
+    * convention), the key rounds to 6 decimals BEFORE ranking (absorbs
+    * libm last-ulp ln variance — the q112 discipline) and ties break by
+    * id, so the selected SET is identical on every engine and every
+    * partitioning.
+    *
+    * Scale: `orderBy.limit(n)` plans as TakeOrderedAndProject — each
+    * partition keeps its local top-n and only n·|partitions| rows reach
+    * the driver-side merge; no global sort, no shuffle of the corpus. */
+  def weightedSample(df: DataFrame, idCol: String, weight: Column,
+      n: Int): DataFrame = {
+    require(n >= 1)
+    // 60-bit md5 prefix → u ∈ (0, 1]; +1 keeps ln() finite at h = 0
+    val h = conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
+      .cast("double")
+    val u = (h + lit(1.0)) / lit(1152921504606846976.0)
+    df.filter(weight >= 1)
+      .withColumn("wkey", round(log(u) / weight, 6))
+      .orderBy(col("wkey").desc, col(idCol))
+      .limit(n)
+  }
 }

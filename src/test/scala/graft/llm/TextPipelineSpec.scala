@@ -343,4 +343,33 @@ class TextPipelineSpec extends SparkTestBase {
     assert(!plan.contains("Exchange hashpartitioning"),
       s"corpus must not shuffle:\n$plan")
   }
+
+  test("weighted sample favors heavy rows, invariant, TakeOrdered plan") {
+    import spark.implicits._
+    // half the ids weigh 50, half weigh 1: the 100-row sample from 2000
+    // must be dominated by heavy rows (E[heavy] ≈ 98) — and identical
+    // across partitionings
+    val rows = (0 until 2000).map(i => (i.toLong, if (i % 2 == 0) 50L else 1L))
+    val picks = Seq(1, 16).map { parts =>
+      val df = rows.toDF("doc_id", "w").repartition(parts)
+      SampleOps.weightedSample(df, "doc_id", col("w"), 100)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    }
+    assert(picks(0) == picks(1), "selection changed with partitioning")
+    val heavy = picks.head.count(_ % 2 == 0)
+    assert(heavy >= 85, s"expected heavy-row dominance, got $heavy/100")
+    assert(picks.head.size == 100)
+
+    // zero/negative weights are excluded, not selected-with-ln(0)
+    val withZero = (rows :+ (9999L, 0L)).toDF("doc_id", "w")
+    val z = SampleOps.weightedSample(withZero, "doc_id", col("w"), 2000)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!z.contains(9999L))
+
+    val plan = SampleOps.weightedSample(rows.toDF("doc_id", "w"),
+        "doc_id", col("w"), 100)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"global top-n must plan as TakeOrdered, not a sort:\n$plan")
+  }
 }
