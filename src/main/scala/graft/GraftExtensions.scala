@@ -37,11 +37,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier(functions.KmvSketchAgg.name),
       new ExpressionInfo(classOf[functions.KmvSketchAgg].getName,
         functions.KmvSketchAgg.name),
-      (children: Seq[Expression]) => {
-        require(children.size == 2 && children(1).foldable,
-          s"${functions.KmvSketchAgg.name}(value, k) needs a literal k")
-        functions.KmvSketchAgg(children.head,
-          children(1).eval().asInstanceOf[Int])
-      }))
+      (children: Seq[Expression]) => functions.KmvSketchAgg.build(children)))
   }
 }

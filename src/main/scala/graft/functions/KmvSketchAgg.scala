@@ -102,11 +102,16 @@ case class KmvSketchAgg(child: Expression, k: Int,
 object KmvSketchAgg {
   val name = "graft_kmv_sketch"
 
-  private def build(children: Seq[Expression]): KmvSketchAgg = {
+  private[graft] def build(children: Seq[Expression]): KmvSketchAgg = {
     require(children.size == 2, s"$name(value, k)")
     val kv = children(1)
     require(kv.foldable, s"$name: k must be a literal")
-    KmvSketchAgg(children.head, kv.eval().asInstanceOf[Int])
+    val k = kv.eval() match {
+      case n: Number => n.intValue()
+      case other => throw new IllegalArgumentException(
+        s"$name: k must be an integer literal, got $other")
+    }
+    KmvSketchAgg(children.head, k)
   }
 
   /** Idempotently register in the session function registry. */
