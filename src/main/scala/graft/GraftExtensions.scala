@@ -38,5 +38,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[functions.KmvSketchAgg].getName,
         functions.KmvSketchAgg.name),
       (children: Seq[Expression]) => functions.KmvSketchAgg.build(children)))
+    e.injectFunction((
+      FunctionIdentifier(functions.TopKAgg.name),
+      new ExpressionInfo(classOf[functions.TopKAgg].getName,
+        functions.TopKAgg.name),
+      (children: Seq[Expression]) => functions.TopKAgg.build(children)))
   }
 }

@@ -1362,6 +1362,36 @@ object LlmQueries {
           col("wkey"))
     },
 
+    // ---- per-source longest-docs via the native graft_topk bounded
+    // aggregate (TopKAgg scaladoc): each map task reduces its slice to
+    // ≤ k (score, id) pairs and only k-sized buffers cross the shuffle —
+    // per-group network cost k·|partitions|, independent of group size,
+    // vs the window spelling shuffling every row to its group's reducer.
+    // posexplode turns the rank-ordered id array into scalar rows for
+    // the gate; oracle is the equivalent rank window.
+    q("q129_topk_per_source",
+      s"""SELECT source, rank, doc_id FROM (
+         |  SELECT source, doc_id,
+         |    ROW_NUMBER() OVER (PARTITION BY source
+         |      ORDER BY len($sqlToks) DESC, doc_id) AS rank
+         |  FROM documents)
+         |WHERE rank <= 3
+         |ORDER BY source NULLS FIRST, rank NULLS FIRST""".stripMargin) {
+      (s, dir) =>
+        graft.functions.TopKAgg.register(s)
+        T.documents(s, dir)
+          .select(col("source"),
+            size(TextOps.tokens(col("text"))).cast(LongType).as("n_tok"),
+            col("doc_id"))
+          .groupBy("source")
+          .agg(call_function(graft.functions.TopKAgg.name,
+            col("n_tok"), col("doc_id"), lit(3)).as("ids"))
+          .select(col("source"), posexplode(col("ids")).as(Seq("p", "doc_id")))
+          .select(col("source"), (col("p") + 1).cast(LongType).as("rank"),
+            col("doc_id"))
+          .orderBy("source", "rank")
+    },
+
     // ---- per-source KMV distinct sketches via the native
     // graft_kmv_sketch TypedImperativeAggregate (the custom-AGGREGATE tier
     // of the extension ladder): each map task reduces its slice of the
