@@ -25,6 +25,68 @@ object Verify {
         s"harness cannot canonicalize — ${nested.mkString(", ")}; " +
         "stringify (concat_ws/base64) before returning")
   }
+
+  /** Oracle-SQL typing lint (the HUGEINT-promotion class): DuckDB promotes
+    * integer `SUM` to HUGEINT (int128); the driver's canonicalizer hashes
+    * int128 differently from Spark's int64 even when every value is equal —
+    * the r8 q121 gate red (and the r2 q17 one before it). The repo
+    * convention is therefore that every windowed `SUM(...) OVER (...)` in
+    * an oracle string is IMMEDIATELY wrapped in `CAST( ... AS BIGINT)`
+    * (casting a later alias reference is easy to miss when a derived
+    * column — q121's `shard` — leaks the uncast value). Returns one
+    * message per violation; empty = clean. Single-quoted literals are
+    * masked first so parens inside strings can't break the scan. */
+  def lintOracleSql(name: String, sql: String): Seq[String] = {
+    // mask '...' literals (DuckDB doubles quotes to escape: '' stays inside)
+    val masked = {
+      val b = sql.toCharArray
+      var i = 0
+      while (i < b.length) {
+        if (b(i) == '\'') {
+          b(i) = ' '; i += 1
+          while (i < b.length && b(i) != '\'') { b(i) = ' '; i += 1 }
+          if (i < b.length) { b(i) = ' '; i += 1 }
+        } else i += 1
+      }
+      new String(b)
+    }
+    def matchParen(open: Int): Int = {
+      var depth = 0
+      var i = open
+      while (i < masked.length) {
+        if (masked(i) == '(') depth += 1
+        else if (masked(i) == ')') { depth -= 1; if (depth == 0) return i }
+        i += 1
+      }
+      -1
+    }
+    val sumRe = "(?i)\\bsum\\s*\\(".r
+    sumRe.findAllMatchIn(masked).toSeq.flatMap { m =>
+      val open = masked.indexOf('(', m.start)
+      val close = matchParen(open)
+      var i = close + 1
+      while (i < masked.length && masked(i).isWhitespace) i += 1
+      val windowed = close > 0 && masked.regionMatches(true, i, "over", 0, 4) &&
+        (i + 4 >= masked.length || !Character.isLetterOrDigit(masked(i + 4)))
+      if (!windowed) None
+      else {
+        // require the char before SUM (ws-skipped) to be a '(' opened by CAST
+        var j = m.start - 1
+        while (j >= 0 && masked(j).isWhitespace) j -= 1
+        val castWrapped = j >= 0 && masked(j) == '(' && {
+          var k = j - 1
+          while (k >= 0 && masked(k).isWhitespace) k -= 1
+          k >= 3 && masked.regionMatches(true, k - 3, "cast", 0, 4) &&
+            (k - 4 < 0 || !Character.isLetterOrDigit(masked(k - 4)))
+        }
+        if (castWrapped) None
+        else Some(s"catalog entry '$name': windowed SUM at offset " +
+          s"${m.start} is not CAST-wrapped — DuckDB promotes integer SUM " +
+          "to HUGEINT and the driver hash-mismatches int128 vs int64; " +
+          "write CAST(SUM(...) OVER (...) AS BIGINT)")
+      }
+    }
+  }
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -70,6 +132,11 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // typing lint mirrors the sbt-test gate: surface violations in the
+    // verify log too (non-fatal here — the spec is the build-time gate)
+    SparkEntry.oracleSql.foreach { case (k, v) =>
+      lintOracleSql(k, v).foreach(msg => System.err.println(s"[verify] $msg"))
+    }
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

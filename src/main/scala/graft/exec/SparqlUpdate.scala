@@ -97,9 +97,16 @@ object SparqlUpdate {
         val ins = parsed.select(col("s"), col("p"), col("o_lex").as("o"),
           into.map(lit(_)).getOrElse(col("g")).as("g"),
           col("o_lang").as("ol"))
-        graph.applyDelta(emptyDelta(graph.spark), ins)
+        // force the lazy parse inside the try: SILENT must observe read/
+        // parse failures here, not rely on applyDelta happening to be
+        // eager (it localCheckpoints today, but that's an implementation
+        // detail of the delta path, not this contract)
+        val materialized = ins.localCheckpoint(true)
+        graph.applyDelta(emptyDelta(graph.spark), materialized)
       } catch {
-        case e: Throwable if silent => graph
+        // NonFatal only: swallowing OutOfMemoryError / InterruptedException
+        // under SILENT would hide fatal JVM state, not a LOAD failure
+        case scala.util.control.NonFatal(_) if silent => graph
       }
     case ClearOp(target, _) => target match {
       // graph existence isn't tracked separately from contents, so CLEAR

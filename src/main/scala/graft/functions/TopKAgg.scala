@@ -27,14 +27,23 @@ import org.apache.spark.sql.types._
   * SET semantics over (score, id) pairs: two identical rows occupy one
   * slot (ids are normally unique per group, where this is invisible). */
 case class TopKAgg(scoreChild: Expression, idChild: Expression, k: Int,
+    emitScores: Boolean = false,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[java.util.TreeSet[(Long, Long)]] {
 
   require(k >= 1 && k <= (1 << 20), "k in [1, 2^20]")
 
-  // score DESC, id ASC: "first" in the TreeSet = best
+  // score DESC, id ASC: "first" in the TreeSet = best. Explicit
+  // comparator — negating the score (`-s`) would map Long.MinValue to
+  // itself (two's complement), ranking the worst possible score as best
+  // and breaking the total order the reproducibility claim rests on.
   private val ord: Ordering[(Long, Long)] =
-    Ordering.by[(Long, Long), (Long, Long)] { case (s, i) => (-s, i) }
+    new Ordering[(Long, Long)] {
+      def compare(x: (Long, Long), y: (Long, Long)): Int = {
+        val s = java.lang.Long.compare(y._1, x._1) // score DESC
+        if (s != 0) s else java.lang.Long.compare(x._2, y._2) // id ASC
+      }
+    }
 
   override def children: Seq[Expression] = Seq(scoreChild, idChild)
   override def nullable: Boolean = false
@@ -67,10 +76,18 @@ case class TopKAgg(scoreChild: Expression, idChild: Expression, k: Int,
   }
 
   override def eval(buf: java.util.TreeSet[(Long, Long)]): Any = {
-    val out = new Array[Long](buf.size)
+    // emitScores: interleaved [s1, i1, s2, i2, …] in rank order — callers
+    // that pack a composite rank key into the score (q97) recover it
+    // without a second corpus join back to the scored rows
+    val stride = if (emitScores) 2 else 1
+    val out = new Array[Long](buf.size * stride)
     val it = buf.iterator()
     var i = 0
-    while (it.hasNext) { out(i) = it.next()._2; i += 1 }
+    while (it.hasNext) {
+      val (s, id) = it.next()
+      if (emitScores) { out(i) = s; out(i + 1) = id } else out(i) = id
+      i += stride
+    }
     new GenericArrayData(out)
   }
 
@@ -104,7 +121,8 @@ object TopKAgg {
   val name = "graft_topk"
 
   private[graft] def build(children: Seq[Expression]): TopKAgg = {
-    require(children.size == 3, s"$name(score, id, k)")
+    require(children.size == 3 || children.size == 4,
+      s"$name(score, id, k[, emitScores])")
     val kv = children(2)
     require(kv.foldable, s"$name: k must be a literal")
     val k = kv.eval() match {
@@ -112,7 +130,11 @@ object TopKAgg {
       case other => throw new IllegalArgumentException(
         s"$name: k must be an integer literal, got $other")
     }
-    TopKAgg(children(0), children(1), k)
+    val emit = children.size == 4 && {
+      require(children(3).foldable, s"$name: emitScores must be a literal")
+      children(3).eval() == true
+    }
+    TopKAgg(children(0), children(1), k, emit)
   }
 
   /** Idempotently register in the session function registry. */

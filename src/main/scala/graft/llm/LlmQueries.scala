@@ -777,11 +777,12 @@ object LlmQueries {
       """WITH w AS (SELECT doc_id,
         |    len(string_split(trim(text), ' ')) AS n_tok FROM documents),
         |c AS (SELECT doc_id, n_tok,
-        |    SUM(n_tok) OVER (ORDER BY doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tok
+        |    CAST(SUM(n_tok) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum_tok
         |  FROM w)
         |SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
-        |       CAST(cum_tok AS BIGINT) AS cum_tok,
+        |       cum_tok,
         |       CAST((greatest(cum_tok, 1) - 1) // 512 AS BIGINT) AS shard
         |FROM c ORDER BY doc_id NULLS FIRST""".stripMargin) {
       (s, dir) =>
@@ -1071,15 +1072,16 @@ object LlmQueries {
       """WITH w AS (SELECT doc_id, source,
         |    len(string_split(trim(text), ' ')) AS n_tok FROM documents),
         |c AS (SELECT doc_id, source, n_tok,
-        |    SUM(n_tok) OVER (PARTITION BY source
+        |    CAST(SUM(n_tok) OVER (PARTITION BY source
         |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tok
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum_tok
         |  FROM w),
         |b AS (SELECT * FROM (VALUES ('src0', 600), ('src3', 450),
         |       ('src7', 800), ('src12', 300), ('src15', 250),
         |       ('src19', 500)) v(source, budget))
         |SELECT doc_id, source, CAST(n_tok AS BIGINT) AS n_tok,
-        |       CAST(cum_tok AS BIGINT) AS cum_tok
+        |       cum_tok
         |FROM c JOIN b USING (source)
         |WHERE cum_tok - n_tok < budget
         |ORDER BY doc_id NULLS FIRST""".stripMargin) { (s, dir) =>
@@ -1290,11 +1292,12 @@ object LlmQueries {
         |samp AS (SELECT doc_id, n_tok FROM canon
         |         WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '8000'),
         |packed AS (SELECT doc_id, n_tok,
-        |    SUM(n_tok) OVER (ORDER BY doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tok
+        |    CAST(SUM(n_tok) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum_tok
         |  FROM samp)
         |SELECT doc_id, n_tok, cum_tok,
-        |       (greatest(cum_tok, 1) - 1) // 512 AS shard
+        |       CAST((greatest(cum_tok, 1) - 1) // 512 AS BIGINT) AS shard
         |FROM packed ORDER BY doc_id NULLS FIRST""".stripMargin) { (s, dir) =>
       val toks = TextOps.tokens(col("text"))
       val q = T.documents(s, dir)
@@ -1351,7 +1354,7 @@ object LlmQueries {
          |k AS (SELECT doc_id, n_tok,
          |        round(ln((CAST($digitFold AS DOUBLE) + 1.0)
          |                 / 1152921504606846976.0) / n_tok, 6) AS wkey
-         |      FROM t WHERE n_tok >= 1)
+         |      FROM t WHERE n_tok > 0)
          |SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok, wkey FROM k
          |ORDER BY wkey DESC, doc_id LIMIT 100""".stripMargin
     }) { (s, dir) =>

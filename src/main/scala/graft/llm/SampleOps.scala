@@ -214,7 +214,10 @@ object SampleOps {
     val h = conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
       .cast("double")
     val u = (h + lit(1.0)) / lit(1152921504606846976.0)
-    df.filter(weight >= 1)
+    // A-Res is defined for any POSITIVE weight — fractional weights are
+    // admitted (just proportionally less likely); only w <= 0 rows (for
+    // which ln(u)/w is undefined or order-inverting) are excluded
+    df.filter(weight > 0)
       .withColumn("wkey", round(log(u) / weight, 6))
       .orderBy(col("wkey").desc, col(idCol))
       .limit(n)

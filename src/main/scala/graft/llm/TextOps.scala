@@ -262,20 +262,98 @@ object TextOps {
     * result is bitwise deterministic on any engine). Returns
     * (doc_id, t, tf, dfc, rk) for rk ≤ k.
     *
-    * Scale: the tf aggregation partial-combines before its shuffle; the
-    * df table is vocabulary-sized (Zipf-small) and broadcasts when it
-    * fits — not forced, a web-scale vocab may not fit an executor. The
-    * rank window partitions by doc_id (bounded per-group work), never a
-    * global sort. */
+    * Scale (the r8→r9 rework; the first cut's 4.9× 10×-rehearsal ratio
+    * came from shuffling the corpus-sized tf table three times — groupBy,
+    * df join, rank window):
+    *  - per-doc (t, tf) pairs come from run-length-encoding each row's
+    *    SORTED token array — map-only, zero shuffle (a document is one
+    *    row, so its term frequencies never need a groupBy);
+    *  - corpus df is then a plain count over the distinct pairs (each
+    *    (doc, t) appears once), partial-combined to vocab-sized output;
+    *  - the vocabulary gets a contiguous rank `ridx` by (dfc asc, t asc)
+    *    via range-repartition + zipWithIndex (the [[vocabulary]] shape —
+    *    no single-reducer window);
+    *  - the per-doc ranking (tf desc, dfc asc, t asc) collapses to ONE
+    *    64-bit key `tf·2³² + (2³²−1−ridx)` (tf ≤ 2³¹−1 because a token
+    *    array's length is an Int; exact while |vocab| < 2³², guarded),
+    *    so [[graft.functions.TopKAgg]] keeps the top-k per doc as a
+    *    partial aggregate — only k-sized buffers cross the shuffle,
+    *    never the pair table;
+    *  - tf unpacks from the emitted score and (t, dfc) come back from the
+    *    vocab-sized map, so no second corpus join.
+    * The df join broadcasts the vocab map when it fits (not forced). A
+    * vocabulary at or beyond 2³² distinct tokens falls back to the
+    * windowed spelling, which is exact at any cardinality. */
   def distinctiveKeywords(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3): DataFrame = {
-    val tok = df.select(col(idCol).as("doc_id"),
-      explode(tokens(col(textCol))).as("t"))
-    val tf = tok.groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
-    val dfreq = tok.groupBy("t").agg(countDistinct(col("doc_id")).as("dfc"))
+    val spark = df.sparkSession
+    // map-only RLE: sorted tokens → run starts → (token, run length)
+    val st = sort_array(tokens(col(textCol)))
+    val pairs = df
+      .select(col(idCol).as("doc_id"), st.as("__st"))
+      .filter(size(col("__st")) > 0)
+      .withColumn("__b", filter(sequence(lit(0), size(col("__st")) - 1),
+        i => i === 0 ||
+          get(col("__st"), i) =!= get(col("__st"), i - 1)))
+      .select(col("doc_id"), explode(transform(col("__b"),
+        (b, j) => struct(
+          get(col("__st"), b).as("t"),
+          (coalesce(get(col("__b"), j + 1), size(col("__st"))) - b)
+            .cast(LongType).as("tf")))).as("p"))
+      .select(col("doc_id"), col("p.t").as("t"), col("p.tf").as("tf"))
+
+    // corpus df: one row per (doc, t) in `pairs`, so count(*) == distinct
+    // docs — a plain partial-combinable count, vocab-sized output
+    val dfreq = pairs.groupBy("t").agg(count(lit(1)).as("dfc"))
+    val ordered = dfreq
+      .repartitionByRange(col("dfc").asc, col("t").asc)
+      .sortWithinPartitions(col("dfc").asc, col("t").asc)
+    val vrdd = ordered.rdd.zipWithIndex.map { case (r, i) =>
+      org.apache.spark.sql.Row(r.getString(0), r.getLong(1), i)
+    }
+    val vmap = spark.createDataFrame(vrdd, StructType(Seq(
+      StructField("t", StringType), StructField("dfc", LongType),
+      StructField("ridx", LongType)))).cache()
+    val vocabSize = vmap.count()
+    if (vocabSize >= (1L << 32)) {
+      vmap.unpersist(blocking = false)
+      return distinctiveKeywordsWindowed(pairs, dfreq, k)
+    }
+
+    graft.functions.TopKAgg.register(spark)
+    // packed rank key: score desc == (tf desc, ridx asc) == the full
+    // (tf desc, dfc asc, t asc) order; unique per doc (ridx is), so the
+    // aggregate's id tie-break never fires
+    val scored = pairs.join(vmap.select("t", "ridx"), "t")
+      .select(col("doc_id"),
+        (shiftleft(col("tf"), 32) + (lit((1L << 32) - 1) - col("ridx")))
+          .as("score"),
+        col("ridx"))
+    val top = scored.groupBy("doc_id")
+      .agg(call_function(graft.functions.TopKAgg.name,
+        col("score"), col("ridx"), lit(k), lit(true)).as("si"))
+    top
+      .select(col("doc_id"), explode(transform(
+        // si is interleaved [s,i,…], always even-length; / is double
+        // division on Columns, hence the int cast back
+        sequence(lit(0), (size(col("si")) / 2).cast(IntegerType) - 1),
+        j => struct(
+          shiftright(get(col("si"), j * 2), 32).as("tf"),
+          get(col("si"), j * 2 + 1).as("ridx"),
+          (j + 1).as("rk")))).as("e"))
+      .select(col("doc_id"), col("e.tf").as("tf"),
+        col("e.ridx").as("ridx"), col("e.rk").as("rk"))
+      .join(vmap, "ridx")
+      .select(col("doc_id"), col("t"), col("tf"), col("dfc"), col("rk"))
+  }
+
+  /** Windowed spelling of [[distinctiveKeywords]] — exact at any
+    * vocabulary cardinality; the ≥2³²-token fallback. */
+  private def distinctiveKeywordsWindowed(pairs: DataFrame,
+      dfreq: DataFrame, k: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
       .orderBy(col("tf").desc, col("dfc").asc, col("t").asc)
-    tf.join(dfreq, "t")
+    pairs.join(dfreq, "t")
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select(col("doc_id"), col("t"), col("tf"), col("dfc"), col("rk"))

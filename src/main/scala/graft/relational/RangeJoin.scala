@@ -33,9 +33,15 @@ object RangeJoin {
     val bUs = bucketSeconds * 1000000L
     val pb = "__range_pb"
     val p = points.withColumn(pb, floor(unix_micros(col(tsCol)) / bUs))
-    val iv = intervals.withColumn(pb, explode(sequence(
-      floor(unix_micros(col(startCol)) / bUs),
-      floor(unix_micros(col(endCol)) / bUs))))
+    // degenerate guard: an empty/inverted window ([s,s) or end < start)
+    // matches nothing under half-open containment — and Spark's
+    // sequence(start, stop) silently generates a DESCENDING range for
+    // stop < start, so an inverted interval would explode spurious bucket
+    // rows instead of zero. Filter before exploding.
+    val iv = intervals.filter(col(startCol) < col(endCol))
+      .withColumn(pb, explode(sequence(
+        floor(unix_micros(col(startCol)) / bUs),
+        floor(unix_micros(col(endCol)) / bUs))))
     // a point meets each covering interval in exactly ONE bucket (its own),
     // so the equi-join emits no duplicates to dedup
     p.join(iv, keys :+ pb)
@@ -63,8 +69,13 @@ object RangeJoin {
     val pb = "__range_pb"
     def explodeBuckets(df: DataFrame, s: String, e: String): DataFrame =
       // half-open [s, e): the bucket of e is touched only when e is not
-      // exactly on the boundary — hence the e−1µs upper bound
-      df.withColumn(pb, explode(sequence(
+      // exactly on the boundary — hence the e−1µs upper bound. The
+      // s < e guard makes empty ([s,s)) and inverted (e < s) windows match
+      // nothing, consistent with pointsInIntervals — without it the pair
+      // filter `ls < re && rs < le` can pass for an empty window, and
+      // sequence() silently DESCENDS for e−1µs < s, exploding spurious
+      // bucket rows.
+      df.filter(col(s) < col(e)).withColumn(pb, explode(sequence(
         floor(unix_micros(col(s)) / bUs),
         floor((unix_micros(col(e)) - 1) / bUs))))
     val l = explodeBuckets(left, lStart, lEnd)

@@ -559,11 +559,11 @@ object RelationalQueries {
         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
         |), s AS (
         |  SELECT user_id, us,
-        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
-        |                   ROWS UNBOUNDED PRECEDING) AS sess
+        |    CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess
         |  FROM b
         |)
-        |SELECT user_id, CAST(sess AS BIGINT) AS sess,
+        |SELECT user_id, sess,
         |  CAST(COUNT(*) AS BIGINT) AS n_events,
         |  MIN(us) AS start_us, MAX(us) AS end_us
         |FROM s GROUP BY user_id, sess

@@ -33,4 +33,42 @@ class CatalogSchemaLintSpec extends SparkTestBase {
     Verify.assertScalarSchema("q_ok",
       StructType(Seq(StructField("a", StringType), StructField("b", DoubleType))))
   }
+
+  test("every catalog oracle passes the HUGEINT-promotion lint") {
+    val violations = Catalog.all.flatMap(q =>
+      q.sql.toSeq.flatMap(Verify.lintOracleSql(q.name, _)))
+    assert(violations.isEmpty, violations.mkString("\n"))
+  }
+
+  test("the oracle lint reds on the r8 q121 SQL and greens on the fix") {
+    // verbatim shape of the r8 q121 windowed sum that hash-mismatched
+    val r8 =
+      """packed AS (SELECT doc_id, n_tok,
+        |    SUM(n_tok) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tok
+        |  FROM samp)
+        |SELECT doc_id, n_tok, cum_tok,
+        |       (greatest(cum_tok, 1) - 1) // 512 AS shard
+        |FROM packed""".stripMargin
+    val errs = Verify.lintOracleSql("q121", r8)
+    assert(errs.nonEmpty)
+    assert(errs.head.contains("q121"))
+    assert(errs.head.contains("HUGEINT"))
+
+    val fixed =
+      """packed AS (SELECT doc_id, n_tok,
+        |    CAST(SUM(n_tok) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum_tok FROM samp)
+        |SELECT doc_id, cum_tok FROM packed""".stripMargin
+    assert(Verify.lintOracleSql("q121", fixed).isEmpty)
+
+    // non-windowed SUM is out of scope (plain aggregates are covered by
+    // the existing per-entry hash gates); parens inside literals are masked
+    assert(Verify.lintOracleSql("q",
+      "SELECT sum(x) FROM t WHERE s <> '(over(' GROUP BY k").isEmpty)
+    // a broadcast(SUM(...) OVER ...) wrapper that is not CAST still reds
+    assert(Verify.lintOracleSql("q",
+      "SELECT abs(SUM(x) OVER (ORDER BY id)) FROM t").nonEmpty)
+  }
 }

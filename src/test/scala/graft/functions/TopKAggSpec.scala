@@ -26,6 +26,21 @@ class TopKAggSpec extends SparkTestBase {
     }
   }
 
+  test("Long.MinValue scores rank worst, not best (negation-overflow guard)") {
+    import spark.implicits._
+    TopKAgg.register(spark)
+    // -Long.MinValue == Long.MinValue in two's complement, so an ordering
+    // keyed on -score would rank MinValue as the BEST score; the explicit
+    // comparator must rank it strictly worst
+    val got = Seq(
+      ("g", Long.MinValue, 1L), ("g", 0L, 2L),
+      ("g", Long.MaxValue, 3L), ("g", -5L, 4L))
+      .toDF("g", "score", "id").repartition(3)
+      .groupBy("g").agg(expr("graft_topk(score, id, 3)").as("ids"))
+      .collect().head.getSeq[Long](1).toList
+    assert(got == List(3L, 2L, 4L), s"MinValue leaked into top-3: $got")
+  }
+
   test("runs as a partial aggregate: only k-sized buffers cross the shuffle") {
     import spark.implicits._
     TopKAgg.register(spark)

@@ -83,6 +83,41 @@ class TextFeatureSpec extends SparkTestBase {
     assert(out((3L, 2)) == ("the", 1L, 3L))
   }
 
+  test("distinctiveKeywords matches the windowed reference on random docs " +
+      "and never plans a Window or a corpus-wide final shuffle") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(41)
+    val vocab = Vector("a", "b", "c", "dd", "ee", "ff", "ggg", "hh", "i", "jj")
+    val docs = (1L to 60L).map(id =>
+      (id, (0 until (1 + rnd.nextInt(25)))
+        .map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")))
+      .toDF("doc_id", "text")
+    val gotDf = TextOps.distinctiveKeywords(docs, "doc_id", "text", k = 3)
+    // the rework's contract: per-doc ranking via the bounded TopKAgg
+    // partial aggregate (k-sized buffers over the shuffle), no rank Window
+    val plan = gotDf.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"rank window leaked back in:\n$plan")
+    assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2,
+      s"expected partial+final TopKAgg:\n$plan")
+    val got = gotDf.collect()
+      .map(r => (r.getLong(0), r.getInt(4)) ->
+        (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    // windowed reference model (the documented ≥2³²-vocab fallback shape)
+    val tok = docs.select(col("doc_id"), explode(split(trim(col("text")), " ")).as("t"))
+    val tf = tok.groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+    val dfreq = tok.groupBy("t").agg(countDistinct(col("doc_id")).as("dfc"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("tf").desc, col("dfc").asc, col("t").asc)
+    val exp = tf.join(dfreq, "t").withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select("doc_id", "t", "tf", "dfc", "rk").collect()
+      .map(r => (r.getLong(0), r.getInt(4)) ->
+        (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == exp)
+  }
+
   // ------------------------------------------------------------- chunking
 
   test("chunkForEmbedding windows overlap at the stride and cover all tokens") {

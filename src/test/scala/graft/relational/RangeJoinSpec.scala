@@ -69,6 +69,42 @@ class RangeJoinSpec extends SparkTestBase {
     assert(touch == Seq(2L))
   }
 
+  test("degenerate windows: empty ([s,s)) and inverted (e < s) match nothing") {
+    import spark.implicits._
+    // inverted window on one side would make sequence() DESCEND and
+    // explode spurious bucket rows; empty windows could pass the pair
+    // filter `ls < re && rs < le` despite an empty intersection
+    val L = Seq(
+      (1L, ts(1000), ts(1000), 1L),   // empty
+      (1L, ts(5000), ts(2000), 2L),   // inverted
+      (1L, ts(1000), ts(4000), 3L)    // real
+    ).toDF("k", "ls", "le", "lid")
+    val R = Seq(
+      (1L, ts(500), ts(8000), 10L),   // covers everything real
+      (1L, ts(3000), ts(3000), 11L),  // empty
+      (1L, ts(9000), ts(100), 12L)    // inverted
+    ).toDF("k", "rs", "re", "rid")
+    val pairs = RangeJoin.intervalOverlapPairs(L, R, Seq("k"),
+        "ls", "le", "rs", "re", bucketSeconds = 1800L)
+      .select("lid", "rid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((3L, 10L)))
+
+    // pointsInIntervals: same guard — no phantom containment, no
+    // descending-sequence blowup
+    val p = Seq((1L, ts(1000), 1L), (1L, ts(3000), 2L)).toDF("k", "ts", "pid")
+    val iv = Seq(
+      (1L, ts(1000), ts(1000), 20L),  // empty: contains nothing
+      (1L, ts(7000), ts(100), 21L),   // inverted
+      (1L, ts(500), ts(2000), 22L)    // contains pid=1 only
+    ).toDF("k", "w_start", "w_end", "iid")
+    val hits = RangeJoin.pointsInIntervals(p, iv, Seq("k"),
+        "ts", "w_start", "w_end", 600L)
+      .select("pid", "iid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hits == Set((1L, 22L)))
+  }
+
   test("range join plans as an equi-join, never a cross product") {
     import spark.implicits._
     val points = (0 until 100).map(i => (1L, ts(100000L + i * 17), i.toLong))
