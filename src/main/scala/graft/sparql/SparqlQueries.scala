@@ -652,5 +652,85 @@ object SparqlQueries {
             |  FILTER(?bal > 2000)
             |} ORDER BY ?sname""".stripMargin)
       }),
+
+    // ---- the DSL front-end under the driver gate (SURVEY §2.10): a
+    // tag-path query in the reference's dsl/tests/ts_queries.rs:13 shape —
+    // glue variable, value condition, from/to window, group + bucketed
+    // aggregate — parsed by Dsl.parse, translated to the SPARQL algebra,
+    // and executed on the TPC-H graph's hybrid TS region (sensors →
+    // otit:hasTimeseries → events). MAX keeps the aggregate exact over
+    // doubles (mean/sum shapes are DslSpec-covered on integer series;
+    // float summation order is engine-specific, the q18 dsum lesson).
+    // Same plan properties as q42: time filter and series-id pruning push
+    // into the events scan.
+    Q("q131_dsl_query", Some(
+      """SELECT 'urn:graft:sensor:' || event_type AS sensor,
+        |  CAST(FLOOR(epoch(ts)/600.0)*600 AS BIGINT) AS ts_bucket,
+        |  MAX(value) AS value_0_max
+        |FROM events
+        |WHERE value > 50.5
+        |  AND ts >= TIMESTAMP '2024-01-05 00:00:00'
+        |  AND ts <= TIMESTAMP '2024-01-25 00:00:00'
+        |GROUP BY sensor, ts_bucket
+        |ORDER BY sensor NULLS FIRST, ts_bucket NULLS FIRST""".stripMargin))(
+      (s, dir) => {
+        val dsl = graft.dsl.Dsl.parse(
+          """[sensor] > 50.5
+            |from 2024-01-05T00:00:00+00:00
+            |to 2024-01-25T00:00:00+00:00
+            |group sensor
+            |aggregate max 10min""".stripMargin)
+        val cfg = graft.dsl.Dsl.TranslatorConfig(
+          connectiveMapping = Map("-" -> TpchGraph.locatedIn),
+          namePredicate = TpchGraph.name,
+          typeNamePredicate = TpchGraph.name)
+        val algebra = new graft.dsl.Dsl.Translator(cfg).translate(dsl)
+        new SparqlExecutor(TpchGraph.graph(s, dir)).execute(algebra)
+      }),
+
+    // ---- the OTTR mapper under the driver gate (SURVEY §2.9): stOttr
+    // templates (incl. a nested call and typed xsd:anyURI/xsd:double
+    // params) expand two driver tables into triples, the store hands off
+    // to the engine as typed slices (Mapping.toGraph), and a SPARQL join
+    // over the EXPANDED graph must reproduce the relational oracle —
+    // proving template validation → expansion → slice typing end-to-end,
+    // not just against the reference's golden files (MapperSpec).
+    Q("q132_mapper_expand", Some(
+      """SELECT s_name AS sname, n_name AS nname, s_acctbal AS bal
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE s_acctbal > 1000
+        |ORDER BY sname NULLS FIRST""".stripMargin))(
+      (s, dir) => {
+        import org.apache.spark.sql.functions.{col, concat, lit}
+        val stottr =
+          s"""@prefix g:<$ns>.
+             |g:NamedThing [xsd:anyURI ?x, ?n]
+             |  :: {
+             |    ottr:Triple(?x, g:name, ?n)
+             |  } .
+             |g:SupplierTemplate [xsd:anyURI ?s, ?name, xsd:double ?bal, xsd:anyURI ?nat]
+             |  :: {
+             |    g:NamedThing(?s, ?name) ,
+             |    ottr:Triple(?s, g:acctbal, ?bal) ,
+             |    ottr:Triple(?s, g:nation, ?nat)
+             |  } .""".stripMargin
+        val m = graft.mapper.Mapping.fromString(stottr, s)
+        val natIri = concat(lit(s"${ns}nation:"), col("n_nationkey"))
+        m.expand(s"${ns}NamedThing", graft.T.nation(s, dir)
+          .select(natIri.as("x"), col("n_name").as("n")))
+        val sIri = concat(lit(s"${ns}supplier:"), col("s_suppkey"))
+        val sNat = concat(lit(s"${ns}nation:"), col("s_nationkey"))
+        m.expand(s"${ns}SupplierTemplate", graft.T.supplier(s, dir)
+          .select(sIri.as("s"), col("s_name").as("name"),
+            col("s_acctbal").as("bal"), sNat.as("nat")))
+        new SparqlExecutor(m.toGraph).execute(prologue +
+          """SELECT ?sname ?nname ?bal WHERE {
+            |  ?s g:nation ?n .
+            |  ?s g:name ?sname .
+            |  ?s g:acctbal ?bal .
+            |  ?n g:name ?nname .
+            |  FILTER(?bal > 1000)
+            |} ORDER BY ?sname""".stripMargin)
+      }),
   )
 }
