@@ -547,8 +547,12 @@ object RelationalQueries {
     // ---- gap-based sessionization of the events stream: a session break
     // when a user is idle > 30 min; session id = running count of breaks
     // per user. All arithmetic in integer epoch-micros so both engines make
-    // identical break decisions; windows partition by user_id, so at lake
-    // scale this is one shuffle on the natural key with no global sort.
+    // identical break decisions. The engine runs the TIME-RANGE-SALTED
+    // spelling (Sessionize scaladoc): windows partition by (user, 6h salt
+    // range) and sessions stitch across boundaries via per-bucket
+    // summaries, so a 50%-hot user no longer serializes half the corpus
+    // through one window task (the SkewProbe finding); output numbering
+    // is bit-identical to the oracle's plain per-user window.
     q("q64_sessionize",
       """WITH e AS (
         |  SELECT event_id, user_id, epoch_ns(ts) // 1000 AS us FROM events
@@ -569,16 +573,10 @@ object RelationalQueries {
         |FROM s GROUP BY user_id, sess
         |ORDER BY user_id NULLS FIRST, sess NULLS FIRST""".stripMargin) {
       (s, dir) =>
-        import org.apache.spark.sql.expressions.Window
         val e = events(s, dir).select(col("event_id"), col("user_id"),
           unix_micros(col("ts")).as("us"))
-        val w = Window.partitionBy("user_id").orderBy("us", "event_id")
-        val b = e.withColumn("brk",
-          when(col("us") - lag(col("us"), 1).over(w) > 1800000000L || lag(col("us"), 1).over(w).isNull, 1L)
-            .otherwise(0L))
-        val sWin = Window.partitionBy("user_id").orderBy("us", "event_id")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        b.withColumn("sess", sum(col("brk")).over(sWin))
+        Sessionize.assign(e, "user_id", "us", "event_id",
+            gapUs = 1800000000L, saltRangeUs = 6L * 3600 * 1000000)
           .groupBy(col("user_id"), col("sess"))
           .agg(count(lit(1)).as("n_events"),
             min(col("us")).as("start_us"), max(col("us")).as("end_us"))

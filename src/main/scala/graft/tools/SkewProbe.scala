@@ -65,6 +65,14 @@ object SkewProbe {
         .groupBy("user_id", "sid").agg(count(lit(1)))
         .count()
     }
+    def sessionizeSalted(e: DataFrame): Long =
+      graft.relational.Sessionize.assign(
+          e.select(col("user_id"), unix_micros(col("ts")).as("us"),
+            col("event_id")),
+          "user_id", "us", "event_id",
+          gapUs = 1800L * 1000000, saltRangeUs = 6L * 3600 * 1000000)
+        .groupBy("user_id", "sess").agg(count(lit(1)))
+        .count()
     for (pass <- 1 to 2) {
       println(s"--- pass $pass")
       time("range join, uniform")(rangeJoin(ev))
@@ -73,7 +81,16 @@ object SkewProbe {
       time("overlap join, 50% hot key")(overlapJoin(skewed))
       time("sessionize window, uniform")(sessionize(ev))
       time("sessionize window, 50% hot key")(sessionize(skewed))
+      time("sessionize salted, uniform")(sessionizeSalted(ev))
+      time("sessionize salted, 50% hot key")(sessionizeSalted(skewed))
     }
+    // the cure's partition bound: biggest per-(user, salt) slice vs the
+    // hot user's whole history
+    val hot = skewed.filter(col("user_id") === 1L).count()
+    val biggest = skewed
+      .withColumn("salt", floor(unix_micros(col("ts")) / (6L * 3600 * 1000000)))
+      .groupBy("user_id", "salt").count().agg(max("count")).head.getLong(0)
+    println(s"hot-user history=$hot  biggest (user,salt) partition=$biggest")
     spark.stop()
   }
 }
