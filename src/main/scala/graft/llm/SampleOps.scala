@@ -111,8 +111,9 @@ object SampleOps {
     * the input is expensive to recompute. SampleSpec pins equality with
     * the window spelling and asserts no Window node in the plan. */
   def packIntoShards(df: DataFrame, idCol: String, weight: Column,
-      budget: Long): DataFrame = {
+      budget: Long, startAt: Long = 0L): DataFrame = {
     require(budget > 0, "budget must be positive")
+    require(startAt >= 0, "startAt must be non-negative")
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
     val spark = df.sparkSession
     val base = df.select(col(idCol).cast(LongType).as("doc_id"),
@@ -124,7 +125,10 @@ object SampleOps {
     val partSums = rdd.mapPartitionsWithIndex { (i, it) =>
       var s = 0L; it.foreach(r => s += r.getLong(1)); Iterator((i, s))
     }.collect().sortBy(_._1).map(_._2)
-    val offsets = spark.sparkContext.broadcast(partSums.scanLeft(0L)(_ + _))
+    // startAt seeds the running total — the streaming pipeline packs each
+    // micro-batch as a continuation of everything packed before it
+    val offsets = spark.sparkContext.broadcast(
+      partSums.scanLeft(startAt)(_ + _))
     val rows = rdd.mapPartitionsWithIndex { (i, it) =>
       var cum = offsets.value(i)
       it.map { r =>

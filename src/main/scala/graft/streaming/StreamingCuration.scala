@@ -1,0 +1,134 @@
+package graft.streaming
+
+import graft.llm.{SampleOps, TextOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+/** Streaming END-TO-END curation pipeline — the continuous counterpart of
+  * the batch composition q121 (gate → exact dedup → hash sample → token-
+  * budget shard packing), closing the ingest-to-training-shards loop.
+  *
+  * Shape: ONE `foreachBatch` pipeline (the [[StreamingNearDup]] pattern —
+  * state lives in queryable, compactable tables, not the state store).
+  * Per micro-batch:
+  *
+  *  1. GATE — q121's quality filter (≥8 tokens, ≥30% distinct), stateless;
+  *  2. DEDUP — q121's canonical rule WITHIN the batch (longest text,
+  *     smallest id per token-set fingerprint, [[TextOps.canonicalDocs]]),
+  *     then first-arrival-wins ACROSS batches via an anti-join against the
+  *     persisted fingerprint index (a stream cannot wait for a longer
+  *     duplicate that hasn't arrived — the documented causal divergence
+  *     from the batch plan, which sees the whole corpus at once; on a
+  *     single batch the two coincide exactly);
+  *  3. SAMPLE — the deterministic md5 hash gate at `rate`, stateless;
+  *  4. PACK — the q93/q121 two-phase distributed prefix sum over the
+  *     batch ([[SampleOps.packIntoShards]]), seeded with the lifetime
+  *     token total so shard numbering continues across batches.
+  *
+  * Crash/replay discipline (the saveDelta/NearDup lessons): the
+  * fingerprint-index append is not atomic with the checkpoint commit, so
+  * a replayed batch may find its own fps already indexed. Three guards
+  * make the replay a no-op: a batch doc is dropped only when its fp is
+  * indexed under a DIFFERENT doc_id (its own earlier append must not
+  * suppress it), and both appends anti-join against what their sink
+  * already holds (fp for the index, doc_id for the shards) — the
+  * idempotent-upsert discipline, a Delta/Iceberg MERGE at lake scale.
+  *
+  * Scale: every stage is the corresponding batch operator's shape — no
+  * single-reducer window (the pack is the two-phase prefix sum), no
+  * all-pairs joins (dedup is an equi-join on fp), and per-batch work is
+  * bounded by batch × index-postings on the fp key. The lifetime total
+  * is read as max(cum_tok) of the shards table (self-consistent under
+  * replay; a real deployment keeps it in the table's commit metadata). */
+object StreamingCuration {
+
+  /** documents.parquet schema for the file-source stream. */
+  val docSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType),
+    StructField("lang", StringType)))
+
+  /** Drain currently-available input through the curation pipeline:
+    * packed shard rows (doc_id, n_tok, cum_tok, shard) land in
+    * `shardsDir`, the fingerprint index in `fpIndexDir`. */
+  def run(spark: SparkSession, srcDir: String, fpIndexDir: String,
+      shardsDir: String, checkpointDir: String, budget: Long = 512L,
+      rate: Double = 0.5, maxFilesPerTrigger: Int = 1): Unit = {
+    val docs = spark.readStream.schema(docSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(srcDir)
+    val q = docs.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        processBatch(batch, fpIndexDir, shardsDir, budget, rate)
+      }
+      .start()
+    q.awaitTermination()
+  }
+
+  private def exists(spark: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  private[streaming] def processBatch(batch: DataFrame, fpIndexDir: String,
+      shardsDir: String, budget: Long, rate: Double): Unit = {
+    val spark = batch.sparkSession
+
+    // 1. gate — q121's quality filter, verbatim
+    val toks = TextOps.tokens(col("text"))
+    val gated = batch
+      .select(col("doc_id"), col("text"), size(toks).as("n_tok"),
+        size(array_distinct(toks)).as("n_uniq"))
+      .filter(col("n_tok") >= 8 &&
+        col("n_uniq") >= lit(0.3) * col("n_tok"))
+      .localCheckpoint()
+
+    // 2. dedup — q121's canonical rule within the batch, first-arrival
+    //    across batches via the persisted fp index
+    val canon = TextOps.canonicalDocs(gated, "doc_id", "text")
+      .select(col("doc_id"), col("fp"))
+      .join(gated.select("doc_id", "n_tok"), "doc_id")
+    val haveIdx = exists(spark, fpIndexDir)
+    val fresh = if (haveIdx) {
+      val idx = spark.read.parquet(fpIndexDir)
+        .select(col("fp"), col("doc_id").as("__seen"))
+      canon.join(idx, Seq("fp"), "left")
+        // replay guard: an fp indexed under THIS doc_id is our own earlier
+        // append — let it flow (the sink anti-joins make re-adds no-ops)
+        .filter(col("__seen").isNull || col("__seen") === col("doc_id"))
+        .drop("__seen")
+    } else canon
+    val freshCk = fresh.localCheckpoint()
+
+    // 3. sample — the deterministic hash gate
+    val sampled = freshCk.filter(
+      SampleOps.hashBucket(col("doc_id")) < lit(SampleOps.rateThreshold(rate)))
+
+    // 4. pack — continue the lifetime running total
+    val haveShards = exists(spark, shardsDir)
+    val startAt = if (haveShards)
+      spark.read.parquet(shardsDir).agg(coalesce(max("cum_tok"), lit(0L)))
+        .head.getLong(0)
+    else 0L
+    val packed = SampleOps.packIntoShards(
+      sampled.select("doc_id", "n_tok"), "doc_id", col("n_tok"),
+      budget, startAt)
+
+    // idempotent appends (index first: if the shards append is lost, the
+    // replayed batch re-packs the same docs at the same offset)
+    val idxAdd = if (haveIdx)
+      freshCk.select("fp", "doc_id")
+        .join(spark.read.parquet(fpIndexDir).select("fp"), Seq("fp"), "left_anti")
+    else freshCk.select("fp", "doc_id")
+    idxAdd.write.mode("append").parquet(fpIndexDir)
+
+    val shardAdd = if (haveShards)
+      packed.join(spark.read.parquet(shardsDir).select("doc_id"),
+        Seq("doc_id"), "left_anti")
+    else packed
+    shardAdd.write.mode("append").parquet(shardsDir)
+  }
+}
