@@ -1,0 +1,46 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Times q116's PageRank shape on one directory twice: once on the
+  * default path (node-sized rank frame broadcasts below the threshold)
+  * and once FORCED through the shuffled-equi-join fallback — the path a
+  * web-scale graph (nodes ≫ executor memory) takes automatically. The
+  * rehearsal evidence that the fallback's per-round edge join + partial
+  * agg holds up at scale, not just that it is bit-identical (GraphAlgosSpec
+  * pins that). Run: `runMain graft.tools.PageRankProbe <dir>`. */
+object PageRankProbe {
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val pairs = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_partkey").cast("long").as("p"),
+        col("l_suppkey").cast("long").as("k")).distinct()
+    val fwd = pairs.select(col("p").as("s"), (-col("k") - 1).as("d"))
+    val edges = fwd.union(
+      pairs.select((-col("k") - 1).as("s"), col("p").as("d")))
+      .localCheckpoint()
+    def time(tag: String, threshold: Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = graft.relational.GraphAlgos.pageRankFixedPoint(edges,
+        iterations = 5, broadcastNodesBelow = threshold).count()
+      println(f"$tag%-28s ${(System.nanoTime() - t0) / 1e9}%7.2f s  nodes=$n")
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
+    for (pass <- 1 to 2) {
+      println(s"--- pass $pass")
+      time("broadcast rank frame", Long.MaxValue)
+      time("shuffled fallback", 0L)
+    }
+    spark.stop()
+  }
+}
