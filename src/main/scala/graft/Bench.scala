@@ -25,6 +25,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // start every shuffle wide and let AQE coalesce: with only
+      // shuffle.partitions=cpus, a 100× corpus forces GB-scale partitions
+      // that spill (the 100× rehearsal measured q67 4× over linear on
+      // exactly this); 256 initial partitions cost nothing at sf0.1
+      // (AQE merges them back) and are the cluster-realistic shape
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "256")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

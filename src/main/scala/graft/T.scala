@@ -53,6 +53,28 @@ object T {
   /** Oracle-SQL spellings of the same helpers. */
   def sqlDsum(x: String): String = s"CAST(SUM(CAST($x AS DECIMAL(18,2))) AS DOUBLE)"
   def sqlDavg(x: String): String = s"(CAST(SUM(CAST($x AS DECIMAL(18,2))) AS DOUBLE) / COUNT($x))"
+
+  /** localCheckpoint for ITERATIVE fixpoints, severing the STATS lineage
+    * as well as the RDD lineage. Spark's `LogicalRDD.fromDataset`
+    * deliberately propagates the origin plan's ESTIMATED statistics (so
+    * broadcast-worthiness survives a checkpoint) — but in a loop whose
+    * round-r plan joins the round-(r−1) checkpoint k times, the size
+    * estimate obeys L_r ≈ c·L_{r−1}^k, so its BIT LENGTH grows k^r and
+    * Catalyst's BigInteger stats arithmetic overflows ("BigInteger would
+    * overflow supported range") once the loop runs deep enough. The 100×
+    * scale rehearsal hit exactly this: q86's connected components
+    * converges in ~8 rounds at sf0.1 (fine) but needs ~15+ on the 100×
+    * corpus, and round ~15's exponent tower (4^15 · 31 bits) crashes the
+    * PLANNER — a failure mode invisible at small scale. Rebuilding the
+    * frame from the checkpointed RDD yields a LogicalRDD with the default
+    * size estimate (constant per round, no recurrence); AQE re-derives
+    * real sizes from runtime shuffle statistics, so join strategies are
+    * unchanged. The Row re-encode this adds is node-table-sized — noise
+    * next to the per-round joins. */
+  def checkpointFlatStats(df: DataFrame): DataFrame = {
+    val cp = df.localCheckpoint()
+    cp.sparkSession.createDataFrame(cp.rdd, cp.schema)
+  }
 }
 
 /** One catalog entry: a Spark query plus (optionally) its DuckDB oracle SQL.

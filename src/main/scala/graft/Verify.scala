@@ -96,6 +96,8 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
+      // start shuffles wide, let AQE coalesce (see Bench for rationale)
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "256")
       // events.parquet carries TIMESTAMP(NANOS) — read as Long nanos.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // write micros (not INT96) so the driver-side reader sees plain int64.

@@ -682,16 +682,58 @@ object TextOps {
     val base = ngramSignatures(df, idCol, textCol, n, threshold)
     val candidates = ngramPrefixCandidates(base, threshold, prefixOrder,
       autoPairBudget)
-    // exact verification against the full shingle sets — scored in a
-    // per-partition kernel: Catalyst's array_intersect/array_union on
-    // string arrays measured 9.4s for 225k candidate pairs at sf0.1 where
-    // the same set intersection in plain JVM code is milliseconds
-    val sa = base.select(col("id").as("ida"), col("sh").as("sha"))
-    val sb = base.select(col("id").as("idb"), col("sh").as("shb"))
+    // Two-stage verify (the q114 containment pattern). Stage 1 runs the
+    // candidate bulk through a sorted merge-intersect over the 64-bit
+    // fingerprint MULTISETS — the pair payload is two long arrays instead
+    // of two string arrays, which is what overflowed the 32-partition
+    // shuffle at the 100× rehearsal scale (the string payload, not the
+    // candidate count: 3–5× the bytes per pair). Collision-proof, not
+    // merely collision-improbable: the arrays are NOT deduped, so each
+    // distinct string contributes its own element (|hs| = |A| exactly)
+    // and every common string aligns its own element on both sides —
+    // multiset intersection i_h ≥ exact i, hence
+    // i_h/(|A|+|B|−i_h) ≥ i/(|A|+|B|−i) = J. Testing that upper bound
+    // ≥ t passes a strict superset of the qualifying pairs; stage 2
+    // re-verifies the few (result-sized) survivors exactly on the string
+    // sets.
+    val ha = base.select(col("id").as("ida"), col("hs").as("hsa"))
+    val hb = base.select(col("id").as("idb"), col("hs").as("hsb"))
     // localCheckpoint: the .rdd conversion below plans WITHOUT AQE, which
     // turns these joins into sort-merge; materializing through the
     // DataFrame action keeps them adaptive (broadcast at this scale)
-    val joined = candidates.join(sa, "ida").join(sb, "idb")
+    val hJoined = candidates.join(ha, "ida").join(hb, "idb")
+      .select(col("ida"), col("idb"), col("hsa"), col("hsb"))
+      .localCheckpoint()
+    val survSchema = StructType(Seq(StructField("ida", LongType),
+      StructField("idb", LongType)))
+    val survivors = hJoined.rdd.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val a = r.getSeq[Long](2); val b = r.getSeq[Long](3)
+        var i = 0; var j = 0; var inter = 0
+        while (i < a.size && j < b.size) {
+          val x = a(i); val y = b(j)
+          if (x == y) { inter += 1; i += 1; j += 1 }
+          else if (x < y) i += 1
+          else j += 1
+        }
+        if (inter.toDouble / (a.size + b.size - inter) >= threshold)
+          Some(org.apache.spark.sql.Row(r.getLong(0), r.getLong(1)))
+        else None
+      }
+    }
+    // dedup here — candidates may repeat (hash order skips the distinct;
+    // df order emits one row per shared prefix shingle), and the survivor
+    // set is result-sized, far cheaper to shuffle than the candidate set
+    val survDf = df.sparkSession.createDataFrame(survivors, survSchema)
+      .distinct()
+    // stage 2: exact scoring on the full shingle sets, survivors only —
+    // scored in a per-partition kernel: Catalyst's array_intersect/
+    // array_union on string arrays measured 9.4s for 225k candidate pairs
+    // at sf0.1 where the same set intersection in plain JVM code is
+    // milliseconds
+    val sa = base.select(col("id").as("ida"), col("sh").as("sha"))
+    val sb = base.select(col("id").as("idb"), col("sh").as("shb"))
+    val joined = survDf.join(sa, "ida").join(sb, "idb")
       .select(col("ida"), col("idb"), col("sha"), col("shb"))
       .localCheckpoint()
     val outSchema = StructType(Seq(StructField("ida", LongType),
@@ -709,18 +751,23 @@ object TextOps {
         else None
       }
     }
-    df.sparkSession.createDataFrame(scored, outSchema).distinct()
+    df.sparkSession.createDataFrame(scored, outSchema)
   }
 
-  /** Shingle sets + hash-order prefixes (id, sh, pre) as one per-partition
-    * kernel, materialized ONCE (read by the index build and both verify
-    * sides); the Column spelling of shingling is an interpreted higher-order
-    * function — measured 3s slower at sf0.1. */
+  /** Shingle sets + hash-order prefixes + sorted 64-bit fingerprints
+    * (id, sh, pre, hs) as one per-partition kernel, materialized ONCE
+    * (read by the index build and both verify sides); the Column spelling
+    * of shingling is an interpreted higher-order function — measured 3s
+    * slower at sf0.1. `hs` (sorted distinct FNV-1a-64 of each shingle)
+    * feeds the stage-1 merge-intersect verify, which never ships the
+    * string arrays — at the 100× rehearsal scale the string payload per
+    * candidate pair is what overflowed the 32-partition shuffle. */
   private[graft] def ngramSignatures(df: DataFrame, idCol: String,
       textCol: String, n: Int, threshold: Double): DataFrame = {
     val sigSchema = StructType(Seq(StructField("id", LongType),
       StructField("sh", ArrayType(StringType)),
-      StructField("pre", ArrayType(LongType))))
+      StructField("pre", ArrayType(LongType)),
+      StructField("hs", ArrayType(LongType))))
     val rdd = df.select(col(idCol).cast(LongType), col(textCol)).rdd
       .mapPartitions { rows =>
         rows.flatMap { r =>
@@ -737,7 +784,12 @@ object TextOps {
             val pre = seen.toArray
               .map(s => (scala.util.hashing.MurmurHash3.stringHash(s).toLong, s))
               .sorted.take(k).map(_._1).distinct
-            Some(org.apache.spark.sql.Row(r.getLong(0), seen.toSeq, pre.toSeq))
+            // NO dedup: one array element per distinct STRING, so the
+            // array length is the true set size and the stage-1 multiset
+            // merge-intersect can only overcount (see the verify proof)
+            val hs = seen.toArray.map(fnv1a64).sorted
+            Some(org.apache.spark.sql.Row(r.getLong(0), seen.toSeq,
+              pre.toSeq, hs.toSeq))
           }
         }
       }
@@ -806,12 +858,27 @@ object TextOps {
       val prefixes = ex.join(dfTab, "s")
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
-        .select(col("id"), col("sz"), col("s"))
-      prefixes.select(col("id").as("ida"), col("sz").as("sza"), col("s"))
+        .select(col("id"), col("sz"), col("s"), col("rn"))
+      // PPJoin positional filter: at a shared shingle ranked rna in A and
+      // rnb in B (same global order), the intersection can reach at most
+      // 1 + min(|A|−rna, |B|−rnb), while J ≥ t needs
+      // i ≥ t·(|A|+|B|)/(1+t). A qualifying pair's FIRST common shingle
+      // (which lies in both prefixes — the prefix theorem, applied to the
+      // lowest-ranked common shingle) always passes: every other common
+      // shingle ranks after it on BOTH sides, so the bound at that
+      // occurrence is ≥ i. Non-first occurrences may drop; the verify
+      // stage dedups survivors anyway. 1e-9 slack keeps the double
+      // spelling of t/(1+t) provably one-sided (can only ADD candidates).
+      val positional =
+        (lit(1) + least(col("sza") - col("rna"), col("szb") - col("rnb")))
+          .cast(DoubleType) * lit(1.0 + threshold) >=
+          lit(threshold) * (col("sza") + col("szb")).cast(DoubleType) - lit(1e-9)
+      prefixes.select(col("id").as("ida"), col("sz").as("sza"), col("s"),
+          col("rn").as("rna"))
         .join(prefixes.select(col("id").as("idb"), col("sz").as("szb"),
-          col("s").as("s2")),
+          col("s").as("s2"), col("rn").as("rnb")),
           col("s") === col("s2") && col("ida") < col("idb") &&
-            lengthCompatible(threshold))
+            lengthCompatible(threshold) && positional)
         .select("ida", "idb")
     }
     prefixOrder match {
@@ -990,10 +1057,15 @@ object TextOps {
       // only ever copy ids of same-component nodes), so the lookup is a
       // self-join of the label table; labels can only shrink, never dangle.
       val jmap = stepped.select(col("id").as("jid"), col("s1").as("jlbl"))
-      val next = stepped.join(jmap, col("s1") === col("jid"), "left")
-        .select(col("id"), col("lbl"),
-          coalesce(col("jlbl"), col("s1")).as("s2"))
-        .localCheckpoint()
+      // checkpointFlatStats, not plain localCheckpoint: each round joins
+      // the previous round's checkpoint 4×, and Spark propagates the
+      // ESTIMATED stats through LogicalRDD — the estimate's bit length
+      // grows 4^round and overflowed the planner at the 100× rehearsal's
+      // ~15-round depth (see T.checkpointFlatStats)
+      val next = graft.T.checkpointFlatStats(
+        stepped.join(jmap, col("s1") === col("jid"), "left")
+          .select(col("id"), col("lbl"),
+            coalesce(col("jlbl"), col("s1")).as("s2")))
       changed = next.filter(col("s2") < col("lbl")).limit(1).count() > 0
       labels = next.select(col("id"), col("s2").as("lbl"))
     }
@@ -1201,6 +1273,11 @@ object TextOps {
     // SUPERSET of the qualifying pairs; stage 2 re-verifies the few
     // survivors exactly on the string sets, so the result is collision-
     // proof, not merely collision-improbable.
+    // Stage-1 bound, collision-proof via the MULTISET argument: `hs` is
+    // not deduped, so each distinct string contributes its own element
+    // (|hs| = |A| exactly) and every common string aligns its own element
+    // on both sides — the two-pointer multiset intersection i_h ≥ exact
+    // i, so i_h ≥ t·|A| passes a strict superset of the qualifying pairs.
     val ha = base.select(col("id").as("ida"), col("hs").as("hsa"))
     val hb = base.select(col("id").as("idb"), col("hs").as("hsb"))
     val hJoined = candidates.join(ha, "ida").join(hb, "idb")

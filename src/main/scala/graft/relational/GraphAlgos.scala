@@ -79,9 +79,14 @@ object GraphAlgos {
       // broadcasting evaluates the rank frame every round anyway (the
       // broadcast build IS a materialization) — checkpoint each round so
       // that evaluation happens ONCE, not once for the broadcast and
-      // again downstream; node-sized, so the extra caching is cheap
+      // again downstream; node-sized, so the extra caching is cheap.
+      // Flat-stats variant: the rank recurrence is only linear in the
+      // stats estimate (one self-reference per round), but severing the
+      // estimate keeps arbitrarily high iteration counts planner-safe
+      // (see T.checkpointFlatStats); the explicit broadcast() hint above
+      // is unaffected by the default size estimate.
       if (bcast || (k % checkpointEvery == 0 && k < iterations))
-        ranks = ranks.localCheckpoint()
+        ranks = graft.T.checkpointFlatStats(ranks)
     }
     ranks.select(col("v"), col("r").as("rank_fixed"))
   }
@@ -119,9 +124,13 @@ object GraphAlgos {
       val keep = e.select(col("a").as("v")).union(e.select(col("b").as("v")))
         .groupBy("v").agg(count(lit(1)).as("dg"))
         .filter(col("dg") >= k).select("v")
-      val e2 = e.join(keep.withColumnRenamed("v", "a"), "a")
-        .join(keep.withColumnRenamed("v", "b"), "b")
-        .select("a", "b").localCheckpoint()
+      // flat-stats checkpoint: e appears 3× in e2's plan, so the
+      // propagated size ESTIMATE grows 3^round in bit length and would
+      // overflow the planner on deep peels (see T.checkpointFlatStats)
+      val e2 = graft.T.checkpointFlatStats(
+        e.join(keep.withColumnRenamed("v", "a"), "a")
+          .join(keep.withColumnRenamed("v", "b"), "b")
+          .select("a", "b"))
       val n2 = e2.count()
       // peeling only removes edges, so an unchanged count means an
       // unchanged set — the fixpoint

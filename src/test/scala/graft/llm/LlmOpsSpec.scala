@@ -223,6 +223,27 @@ class LlmOpsSpec extends SparkTestBase {
     assert(rounds <= 15, s"expected O(log n) convergence, took $rounds rounds")
   }
 
+  test("connected components survive planner stats estimation on deep loops") {
+    import spark.implicits._
+    // Regression for the 100×-rehearsal planner crash: Spark's
+    // LogicalRDD.fromDataset propagates the ESTIMATED stats through
+    // localCheckpoint, and each CC round's plan joins the previous
+    // checkpoint 4× — so the size estimate's bit length grows 4^round
+    // and Catalyst's BigInteger stats arithmetic overflows ("BigInteger
+    // would overflow supported range") once the loop needs ~15 rounds.
+    // A 65k-node chain (diameter 65535 → ~17 halving rounds) reproduces
+    // the depth that crashed q86's 100× run; with T.checkpointFlatStats
+    // severing the stats lineage every round, planning stays O(1) per
+    // round and this completes.
+    val n = 1 << 16
+    val edges = (0 until n - 1).map(i => (i.toLong, i + 1L))
+    val (labels, rounds) =
+      TextOps.connectedComponentsStar(edges.toDF("ida", "idb"), maxIters = 40)
+    assert(rounds >= 15, s"need ≥15 rounds to exercise the overflow depth, got $rounds")
+    val counts = labels.groupBy("cluster").count().collect()
+    assert(counts.length == 1 && counts.head.getLong(1) == n)
+  }
+
   test("k-means|| centroids beat lowest-id seeds on a clustered corpus") {
     import spark.implicits._
     // 4 well-separated clusters with block-contiguous ids: the 4 lowest-id
