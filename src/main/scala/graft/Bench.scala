@@ -30,7 +30,8 @@ object Bench {
       // that spill (the 100× rehearsal measured q67 4× over linear on
       // exactly this); 256 initial partitions cost nothing at sf0.1
       // (AQE merges them back) and are the cluster-realistic shape
-      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "256")
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        sys.env.getOrElse("SPARK_GRAFT_INIT_PARTS", "256"))
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
