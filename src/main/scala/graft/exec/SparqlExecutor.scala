@@ -1212,6 +1212,13 @@ final class SparqlExecutor(
         }
         val stepped = frontier.join(stepEdges, joinCond)
           .select((Seq(col("src"), col("d2").as("dst")) ++ keep): _*).distinct()
+        // Plain localCheckpoint is SAFE here against the planner-stats
+        // overflow that hit the CC/k-core loops (T.checkpointFlatStats):
+        // this recurrence is product-free — Except's size visitor takes
+        // the LEFT child's size and Union SUMS — so the propagated
+        // estimate grows linearly per round (one edge-frame factor), not
+        // exponentially; the flat-stats rebuild would only add a
+        // per-round Row re-encode of the accumulated closure.
         val next = stepped.except(acc).localCheckpoint()
         if (next.isEmpty) done = true
         else {
