@@ -13,6 +13,41 @@ class ScaleHardeningSpec extends SparkTestBase {
 
   private val ex = "http://example.net/ns#"
 
+  test("checkpointFlatStats severs the estimated-stats lineage") {
+    import spark.implicits._
+    // Plain localCheckpoint goes through LogicalRDD.fromDataset, which
+    // PROPAGATES the origin plan's estimated sizeInBytes — a self-join
+    // squares it, so an iterative loop compounds the estimate's bit
+    // length exponentially (the 100×-rehearsal planner overflow).
+    // checkpointFlatStats must return a frame whose estimate does NOT
+    // inherit the inflated value, making the per-round estimate constant.
+    def sz(df: org.apache.spark.sql.DataFrame): BigInt =
+      df.queryExecution.optimizedPlan.stats.sizeInBytes
+    var inflated = Seq.tabulate(64)(i => (i.toLong, i.toLong)).toDF("a", "b")
+      .localCheckpoint()
+    for (_ <- 1 to 3) {
+      val j = inflated.join(
+        inflated.select(col("a").as("a2"), col("b").as("b2")),
+        col("a") === col("a2"))
+      inflated = j.select(col("a"), col("b")).localCheckpoint()
+    }
+    val flat = T.checkpointFlatStats(
+      inflated.join(
+        inflated.select(col("a").as("a2"), col("b").as("b2")),
+        col("a") === col("a2")).select(col("a"), col("b")))
+    assert(sz(inflated) > sz(flat),
+      s"plain localCheckpoint should carry the compounded estimate " +
+        s"(${sz(inflated)}) past the flat-stats rebuild's (${sz(flat)})")
+    // and the flat frame's estimate is round-invariant: another wrapped
+    // self-join round yields the same default-sized estimate
+    val flat2 = T.checkpointFlatStats(
+      flat.join(flat.select(col("a").as("a2"), col("b").as("b2")),
+        col("a") === col("a2")).select(col("a"), col("b")))
+    assert(sz(flat2) == sz(flat),
+      "the flat-stats estimate must not compound across rounds")
+    assert(flat2.count() == 64, "rebuild must preserve the data")
+  }
+
   test("closure runs past 32 hops to true fixpoint (deep chain)") {
     // 41-node / 40-edge chain: full `+` closure has 40*41/2 = 820 pairs and
     // needs 39 fixpoint iterations — the old silent 32-iteration cap
