@@ -32,6 +32,14 @@ object Bench {
       // (AQE merges them back) and are the cluster-realistic shape
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
         sys.env.getOrElse("SPARK_GRAFT_INIT_PARTS", "256"))
+      // parallelismFirst=false (coalesce to the 64MB advisory size) was
+      // A/B'd at sf0.1: it recovers the iterative entries' 256-partition
+      // overhead (q90 0.65×, q116 0.81×) but starves cheap CPU-heavy
+      // map stages of parallelism (q70 2.8×, q07 2.1×) for a net +8%
+      // total — Spark's default (true) wins on this catalog; the env
+      // knob keeps the experiment repeatable
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        sys.env.getOrElse("SPARK_GRAFT_PARALLELISM_FIRST", "true"))
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
