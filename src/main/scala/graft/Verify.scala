@@ -33,9 +33,16 @@ object Verify {
     * convention is therefore that every windowed `SUM(...) OVER (...)` in
     * an oracle string is IMMEDIATELY wrapped in `CAST( ... AS BIGINT)`
     * (casting a later alias reference is easy to miss when a derived
-    * column — q121's `shard` — leaks the uncast value). Returns one
-    * message per violation; empty = clean. Single-quoted literals are
-    * masked first so parens inside strings can't break the scan. */
+    * column — q121's `shard` — leaks the uncast value). The CAST's target
+    * type is checked too (ADVICE r9: `AS HUGEINT` would pass a
+    * presence-only lint while still hash-mismatching): BIGINT/INT8/LONG
+    * always pass; DOUBLE passes only when the SUM's argument is itself
+    * explicitly non-integer (contains a cast to DOUBLE/DECIMAL/FLOAT/REAL
+    * — q17's `SUM(CAST(... AS DECIMAL(18,2)))` shape, where DuckDB's
+    * result is DECIMAL, not HUGEINT, and the Spark side is double);
+    * anything else is red. Returns one message per violation; empty =
+    * clean. Single-quoted literals are masked first so parens inside
+    * strings can't break the scan. */
   def lintOracleSql(name: String, sql: String): Seq[String] = {
     // mask '...' literals (DuckDB doubles quotes to escape: '' stays inside)
     val masked = {
@@ -79,11 +86,34 @@ object Verify {
           k >= 3 && masked.regionMatches(true, k - 3, "cast", 0, 4) &&
             (k - 4 < 0 || !Character.isLetterOrDigit(masked(k - 4)))
         }
-        if (castWrapped) None
-        else Some(s"catalog entry '$name': windowed SUM at offset " +
-          s"${m.start} is not CAST-wrapped — DuckDB promotes integer SUM " +
-          "to HUGEINT and the driver hash-mismatches int128 vs int64; " +
-          "write CAST(SUM(...) OVER (...) AS BIGINT)")
+        if (!castWrapped)
+          Some(s"catalog entry '$name': windowed SUM at offset " +
+            s"${m.start} is not CAST-wrapped — DuckDB promotes integer SUM " +
+            "to HUGEINT and the driver hash-mismatches int128 vs int64; " +
+            "write CAST(SUM(...) OVER (...) AS BIGINT)")
+        else {
+          // the cast target type: last `AS <type>` inside the CAST parens
+          val castClose = matchParen(j)
+          val inner = if (castClose > j) masked.substring(j + 1, castClose)
+                      else ""
+          val tyRe = "(?i)\\bAS\\s+([A-Za-z0-9_]+)\\s*$".r
+          val ty = tyRe.findFirstMatchIn(inner.stripTrailing())
+            .map(_.group(1).toUpperCase).getOrElse("")
+          // SUM's own argument: an explicit non-integer cast inside it
+          // means DuckDB's SUM result is DECIMAL/DOUBLE, not HUGEINT
+          val sumArg = masked.substring(open + 1, close)
+          val nonIntArg =
+            "(?i)\\bAS\\s+(DOUBLE|DECIMAL|NUMERIC|FLOAT|REAL)\\b".r
+              .findFirstIn(sumArg).isDefined
+          val ok = Set("BIGINT", "INT8", "LONG").contains(ty) ||
+            (ty == "DOUBLE" && nonIntArg)
+          if (ok) None
+          else Some(s"catalog entry '$name': windowed SUM at offset " +
+            s"${m.start} is CAST to '$ty' — only BIGINT/INT8/LONG hash " +
+            "like Spark's int64 (DOUBLE is allowed only over an " +
+            "explicitly non-integer SUM argument); HUGEINT or a missing " +
+            "type re-opens the int128 hash-mismatch class")
+        }
       }
     }
   }

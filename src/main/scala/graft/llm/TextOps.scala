@@ -311,12 +311,22 @@ object TextOps {
     val vrdd = ordered.rdd.zipWithIndex.map { case (r, i) =>
       org.apache.spark.sql.Row(r.getString(0), r.getLong(1), i)
     }
-    val vmap = spark.createDataFrame(vrdd, StructType(Seq(
+    // RDD-level persist, NOT DataFrame.cache(): the CacheManager pins a
+    // cached plan until an explicit unpersist, so a lazily-returned result
+    // would leak one vocab-sized cache per invocation in a long-lived
+    // session (ADVICE r9). A persisted RDD is reclaimed by the
+    // ContextCleaner once the returned frame (whose lineage holds the only
+    // reference) is garbage-collected — callers own the lifetime without
+    // an API change, and the harness's between-entry unpersist-all still
+    // clears it deterministically.
+    val vrddP = vrdd.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vmap = spark.createDataFrame(vrddP, StructType(Seq(
       StructField("t", StringType), StructField("dfc", LongType),
-      StructField("ridx", LongType)))).cache()
+      StructField("ridx", LongType))))
     val vocabSize = vmap.count()
     if (vocabSize >= (1L << 32)) {
-      vmap.unpersist(blocking = false)
+      vrddP.unpersist(blocking = false)
       return distinctiveKeywordsWindowed(pairs, dfreq, k)
     }
 

@@ -40,8 +40,19 @@ import org.apache.spark.sql.types._
   * single-reducer window (the pack is the two-phase prefix sum), no
   * all-pairs joins (dedup is an equi-join on fp), and per-batch work is
   * bounded by batch × index-postings on the fp key. The lifetime total
-  * is read as max(cum_tok) of the shards table (self-consistent under
-  * replay; a real deployment keeps it in the table's commit metadata). */
+  * is read as max(cum_tok) of the shards table EXCLUDING rows tagged with
+  * the current batch id (ADVICE r9): a parquet append is not all-or-
+  * nothing visible, so a crash mid shard-append can leave a partial set
+  * of this batch's rows behind — including them in max(cum_tok) would
+  * shift the replay's offsets while the doc_id anti-join kept the stale
+  * partial rows. Excluding own-batch rows makes the replay re-pack from
+  * the same pre-batch total, deterministically reproducing the partial
+  * rows bit-for-bit, so surviving and replayed rows agree. Rows from
+  * OTHER batches stay in the max even when their doc_ids reappear in
+  * this batch (a re-delivered duplicate must not lower the total). A
+  * real deployment keeps the total in an atomically-committing table's
+  * metadata (Delta/Iceberg); the batch-id tag is the parquet-only
+  * equivalent. */
 object StreamingCuration {
 
   /** documents.parquet schema for the file-source stream. */
@@ -61,8 +72,8 @@ object StreamingCuration {
     val q = docs.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        processBatch(batch, fpIndexDir, shardsDir, budget, rate)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch, batchId, fpIndexDir, shardsDir, budget, rate)
       }
       .start()
     q.awaitTermination()
@@ -73,8 +84,14 @@ object StreamingCuration {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
-  private[streaming] def processBatch(batch: DataFrame, fpIndexDir: String,
-      shardsDir: String, budget: Long, rate: Double): Unit = {
+  /** One micro-batch. `batchId` must be the engine's replay-stable batch
+    * id (foreachBatch's second argument): shard rows are tagged with it,
+    * and the lifetime token total excludes rows of the CURRENT id so a
+    * replay after a partial shard append re-packs at the original
+    * offsets (see the crash/replay discipline above). */
+  private[streaming] def processBatch(batch: DataFrame, batchId: Long,
+      fpIndexDir: String, shardsDir: String, budget: Long,
+      rate: Double): Unit = {
     val spark = batch.sparkSession
 
     // 1. gate — q121's quality filter, verbatim
@@ -107,15 +124,22 @@ object StreamingCuration {
     val sampled = freshCk.filter(
       SampleOps.hashBucket(col("doc_id")) < lit(SampleOps.rateThreshold(rate)))
 
-    // 4. pack — continue the lifetime running total
+    // 4. pack — continue the lifetime running total. Exclude rows tagged
+    //    with THIS batch id: a crash mid shard-append leaves a partial
+    //    set of them visible, and counting those would shift the
+    //    replay's offsets (ADVICE r9). Other batches' rows always count,
+    //    even for re-delivered doc_ids.
     val haveShards = exists(spark, shardsDir)
     val startAt = if (haveShards)
-      spark.read.parquet(shardsDir).agg(coalesce(max("cum_tok"), lit(0L)))
+      spark.read.parquet(shardsDir)
+        .filter(col("batch_id") =!= lit(batchId))
+        .agg(coalesce(max("cum_tok"), lit(0L)))
         .head.getLong(0)
     else 0L
     val packed = SampleOps.packIntoShards(
-      sampled.select("doc_id", "n_tok"), "doc_id", col("n_tok"),
-      budget, startAt)
+        sampled.select("doc_id", "n_tok"), "doc_id", col("n_tok"),
+        budget, startAt)
+      .withColumn("batch_id", lit(batchId))
 
     // idempotent appends (index first: if the shards append is lost, the
     // replayed batch re-packs the same docs at the same offset)

@@ -71,4 +71,29 @@ class CatalogSchemaLintSpec extends SparkTestBase {
     assert(Verify.lintOracleSql("q",
       "SELECT abs(SUM(x) OVER (ORDER BY id)) FROM t").nonEmpty)
   }
+
+  test("the oracle lint checks the CAST's target type (ADVICE r9)") {
+    def lint(sql: String) = Verify.lintOracleSql("q", sql)
+    // presence of CAST is not enough: HUGEINT target re-opens the class
+    val hugeint =
+      "SELECT CAST(SUM(x) OVER (ORDER BY id) AS HUGEINT) AS c FROM t"
+    assert(lint(hugeint).exists(_.contains("HUGEINT")))
+    // DOUBLE over a plain integer sum is red (convention: BIGINT)
+    assert(lint(
+      "SELECT CAST(SUM(x) OVER (ORDER BY id) AS DOUBLE) AS c FROM t").nonEmpty)
+    // DOUBLE over an explicitly non-integer argument is the q17 shape: green
+    assert(lint(
+      """SELECT CAST(SUM(CAST(p AS DECIMAL(18,2)))
+        |  OVER (PARTITION BY k ORDER BY id) AS DOUBLE) AS c FROM t"""
+        .stripMargin).isEmpty)
+    // BIGINT / INT8 / LONG all hash like Spark's int64: green
+    for (ty <- Seq("BIGINT", "INT8", "LONG", "bigint"))
+      assert(lint(
+        s"SELECT CAST(SUM(x) OVER (ORDER BY id) AS $ty) AS c FROM t").isEmpty,
+        ty)
+    // a parameterized or missing target type is red
+    assert(lint(
+      "SELECT CAST(SUM(x) OVER (ORDER BY id) AS DECIMAL(18,2)) AS c FROM t")
+      .nonEmpty)
+  }
 }

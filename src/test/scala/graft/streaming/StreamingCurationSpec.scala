@@ -18,7 +18,8 @@ class StreamingCurationSpec extends SparkTestBase {
     graft.SparkEntry.queries("q121_curation_pipeline")(spark, dir)
 
   private def canonShards(dir: String): Seq[(Long, Long, Long, Long)] =
-    spark.read.parquet(dir).collect()
+    spark.read.parquet(dir).select("doc_id", "n_tok", "cum_tok", "shard")
+      .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       .sortBy(_._1).toSeq
 
@@ -30,7 +31,7 @@ class StreamingCurationSpec extends SparkTestBase {
   test("one micro-batch reproduces the q121 batch plan exactly") {
     val (idx, out) = (tmp("idx1"), tmp("out1"))
     val batch = spark.read.parquet(s"$sf/documents.parquet")
-    StreamingCuration.processBatch(batch, s"$idx/fp", s"$out/shards",
+    StreamingCuration.processBatch(batch, 0L, s"$idx/fp", s"$out/shards",
       budget = 512L, rate = 0.5)
     val got = canonShards(s"$out/shards")
     val exp = canonDf(q121(sf))
@@ -55,10 +56,10 @@ class StreamingCurationSpec extends SparkTestBase {
     // three doc_id-range batches in ascending order = the stream's
     // arrival order matches the batch plan's doc_id pack order
     val cuts = Seq(0L, 170L, 340L, Long.MaxValue)
-    cuts.sliding(2).foreach { case Seq(lo, hi) =>
+    cuts.sliding(2).zipWithIndex.foreach { case (Seq(lo, hi), b) =>
       StreamingCuration.processBatch(
         uniq.filter(col("doc_id") >= lo && col("doc_id") < hi),
-        s"$idx/fp", s"$out/shards", budget = 512L, rate = 0.5)
+        b.toLong, s"$idx/fp", s"$out/shards", budget = 512L, rate = 0.5)
     }
     val got = canonShards(s"$out/shards")
     val exp = canonDf(q121(srcUniq))
@@ -84,8 +85,8 @@ class StreamingCurationSpec extends SparkTestBase {
       (30L, "one two three four five six seven eight nine", "en"))
       .toDF("doc_id", "text", "lang")
     val (idx, out) = (tmp("idx3"), tmp("out3"))
-    StreamingCuration.processBatch(b1, s"$idx/fp", s"$out/shards", 512L, 1.0)
-    StreamingCuration.processBatch(b2, s"$idx/fp", s"$out/shards", 512L, 1.0)
+    StreamingCuration.processBatch(b1, 0L, s"$idx/fp", s"$out/shards", 512L, 1.0)
+    StreamingCuration.processBatch(b2, 1L, s"$idx/fp", s"$out/shards", 512L, 1.0)
     val ids = spark.read.parquet(s"$out/shards")
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(ids == Set(10L, 30L))
@@ -95,12 +96,54 @@ class StreamingCurationSpec extends SparkTestBase {
     val (idx, out) = (tmp("idx4"), tmp("out4"))
     val batch = spark.read.parquet(s"$sf/documents.parquet")
       .filter(col("doc_id") < 100)
-    StreamingCuration.processBatch(batch, s"$idx/fp", s"$out/shards", 512L, 0.5)
+    // a replay re-runs the SAME engine batch id
+    StreamingCuration.processBatch(batch, 7L, s"$idx/fp", s"$out/shards", 512L, 0.5)
     val once = canonShards(s"$out/shards")
     val idxOnce = spark.read.parquet(s"$idx/fp").count()
-    StreamingCuration.processBatch(batch, s"$idx/fp", s"$out/shards", 512L, 0.5)
+    StreamingCuration.processBatch(batch, 7L, s"$idx/fp", s"$out/shards", 512L, 0.5)
     assert(canonShards(s"$out/shards") == once)
     assert(spark.read.parquet(s"$idx/fp").count() == idxOnce)
+  }
+
+  test("a crash mid shard-append replays at the original offsets " +
+      "(ADVICE r9: own-batch rows are excluded from the lifetime total)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val b1 = docs.filter(col("doc_id") < 150)
+    val b2 = docs.filter(col("doc_id") >= 150 && col("doc_id") < 300)
+
+    // clone run: both batches complete — the expected end state
+    val (idxA, outA) = (tmp("idxA"), tmp("outA"))
+    StreamingCuration.processBatch(b1, 0L, s"$idxA/fp", s"$outA/shards", 512L, 0.5)
+    StreamingCuration.processBatch(b2, 1L, s"$idxA/fp", s"$outA/shards", 512L, 0.5)
+    val expected = canonShards(s"$outA/shards")
+
+    // crashed run: batch 0 completes; batch 1's first attempt finished the
+    // fp-index append (index-first discipline) but crashed mid shard
+    // append, leaving a PARTIAL set of its shard rows visible
+    val (idxB, outB) = (tmp("idxB"), tmp("outB"))
+    StreamingCuration.processBatch(b1, 0L, s"$idxB/fp", s"$outB/shards", 512L, 0.5)
+    // fp index: bring B to A's post-batch-1 state (the completed append)
+    spark.read.parquet(s"$idxA/fp")
+      .join(spark.read.parquet(s"$idxB/fp").select("fp"), Seq("fp"), "left_anti")
+      .write.mode("append").parquet(s"$idxB/fp")
+    // shards: append just ONE of batch 1's rows, tagged batch_id = 1 —
+    // and make it the row with the LARGEST cum_tok, the worst case for a
+    // max(cum_tok)-derived total
+    val b2rows = spark.read.parquet(s"$outA/shards").filter(col("batch_id") === 1L)
+    b2rows.orderBy(col("cum_tok").desc).limit(1)
+      .write.mode("append").parquet(s"$outB/shards")
+    assert(spark.read.parquet(s"$outB/shards").count() < expected.size)
+
+    // replay of batch 1 under the same engine batch id
+    StreamingCuration.processBatch(b2, 1L, s"$idxB/fp", s"$outB/shards", 512L, 0.5)
+    assert(canonShards(s"$outB/shards") == expected,
+      "replay after a partial shard append must reproduce the clean run")
+    // and the running total is contiguous: each row's cum_tok is the
+    // previous row's plus its own n_tok (global doc_id pack order)
+    val rows = canonShards(s"$outB/shards")
+    rows.foldLeft(0L) { case (prev, (_, n, cum, _)) =>
+      assert(cum == prev + n, s"discontinuity at cum_tok=$cum"); cum
+    }
   }
 
   test("the full streaming entry point drains a file source end-to-end") {
