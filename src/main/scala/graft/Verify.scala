@@ -99,12 +99,33 @@ object Verify {
           val tyRe = "(?i)\\bAS\\s+([A-Za-z0-9_]+)\\s*$".r
           val ty = tyRe.findFirstMatchIn(inner.stripTrailing())
             .map(_.group(1).toUpperCase).getOrElse("")
-          // SUM's own argument: an explicit non-integer cast inside it
-          // means DuckDB's SUM result is DECIMAL/DOUBLE, not HUGEINT
-          val sumArg = masked.substring(open + 1, close)
-          val nonIntArg =
-            "(?i)\\bAS\\s+(DOUBLE|DECIMAL|NUMERIC|FLOAT|REAL)\\b".r
-              .findFirstIn(sumArg).isDefined
+          // SUM's own argument: DuckDB's SUM result is DECIMAL/DOUBLE
+          // (not HUGEINT) only when the argument's OUTERMOST node is a
+          // cast to a non-integer type — an inner cast buried in a CASE
+          // (e.g. SUM(CASE WHEN CAST(f AS DOUBLE) > 0 THEN n END) over
+          // integer n) still sums integers and still promotes to HUGEINT
+          // (ADVICE r10: a substring scan greened exactly that shape)
+          val sumArg = masked.substring(open + 1, close).trim
+          val nonIntArg = "(?i)^cast\\s*\\(".r.findFirstMatchIn(sumArg)
+            .exists { cm =>
+              val co = sumArg.indexOf('(', cm.start)
+              var depth = 0; var i2 = co; var cc = -1
+              while (i2 < sumArg.length && cc < 0) {
+                if (sumArg(i2) == '(') depth += 1
+                else if (sumArg(i2) == ')') {
+                  depth -= 1; if (depth == 0) cc = i2
+                }
+                i2 += 1
+              }
+              // the CAST's parens must span the whole argument, and its
+              // target (the trailing `AS <type>[(p[,s])]`) must be non-int
+              cc == sumArg.length - 1 && {
+                val innerCast = sumArg.substring(co + 1, cc)
+                ("(?i)\\bAS\\s+(DOUBLE|DECIMAL|NUMERIC|FLOAT|REAL)\\s*" +
+                  "(\\(\\s*\\d+\\s*(,\\s*\\d+\\s*)?\\))?\\s*$").r
+                  .findFirstIn(innerCast).isDefined
+              }
+            }
           val ok = Set("BIGINT", "INT8", "LONG").contains(ty) ||
             (ty == "DOUBLE" && nonIntArg)
           if (ok) None

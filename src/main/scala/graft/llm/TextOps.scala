@@ -281,9 +281,14 @@ object TextOps {
     *    never the pair table;
     *  - tf unpacks from the emitted score and (t, dfc) come back from the
     *    vocab-sized map, so no second corpus join.
-    * The df join broadcasts the vocab map when it fits (not forced). A
-    * vocabulary at or beyond 2³² distinct tokens falls back to the
-    * windowed spelling, which is exact at any cardinality. */
+    * The vocab map is rebuilt from a persisted RDD, so its LogicalRDD has
+    * no size stats (plan-time broadcast can never fire on its own —
+    * ADVICE r10); since the exact row count is already in hand, the df
+    * join gets an explicit broadcast() hint while the vocabulary is small
+    * (≤2¹⁷ rows ≈ 16 MB at ~128 B/row), and beyond that AQE's runtime
+    * size-based conversion decides. A vocabulary at or beyond 2³²
+    * distinct tokens falls back to the windowed spelling, which is exact
+    * at any cardinality. */
   def distinctiveKeywords(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3): DataFrame = {
     val spark = df.sparkSession
@@ -331,10 +336,14 @@ object TextOps {
     }
 
     graft.functions.TopKAgg.register(spark)
+    // explicit hint: the RDD-rebuilt vmap has defaultSizeInBytes stats,
+    // so without this the broadcast could only happen via AQE at runtime
+    // (and never with AQE off) — see the scaladoc
+    val vmapB = if (vocabSize <= (1L << 17)) broadcast(vmap) else vmap
     // packed rank key: score desc == (tf desc, ridx asc) == the full
     // (tf desc, dfc asc, t asc) order; unique per doc (ridx is), so the
     // aggregate's id tie-break never fires
-    val scored = pairs.join(vmap.select("t", "ridx"), "t")
+    val scored = pairs.join(vmapB.select("t", "ridx"), "t")
       .select(col("doc_id"),
         (shiftleft(col("tf"), 32) + (lit((1L << 32) - 1) - col("ridx")))
           .as("score"),
@@ -353,7 +362,7 @@ object TextOps {
           (j + 1).as("rk")))).as("e"))
       .select(col("doc_id"), col("e.tf").as("tf"),
         col("e.ridx").as("ridx"), col("e.rk").as("rk"))
-      .join(vmap, "ridx")
+      .join(vmapB, "ridx")
       .select(col("doc_id"), col("t"), col("tf"), col("dfc"), col("rk"))
   }
 

@@ -52,7 +52,16 @@ import org.apache.spark.sql.types._
   * this batch (a re-delivered duplicate must not lower the total). A
   * real deployment keeps the total in an atomically-committing table's
   * metadata (Delta/Iceberg); the batch-id tag is the parquet-only
-  * equivalent. */
+  * equivalent.
+  *
+  * Two operational seams (round 11): a shards table written before the
+  * batch-id tag existed (no `batch_id` column) degrades gracefully — all
+  * of its rows count toward the lifetime total, since none can be this
+  * batch's; and because engine batch ids restart at 0 when a checkpoint
+  * dir is reset, resuming a FRESH checkpoint against an EXISTING sink is
+  * detected (own-tagged rows the deterministic re-pack does not
+  * reproduce) and fails loudly — checkpoint and sink dirs must be reset
+  * together. */
 object StreamingCuration {
 
   /** documents.parquet schema for the file-source stream. */
@@ -130,16 +139,53 @@ object StreamingCuration {
     //    replay's offsets (ADVICE r9). Other batches' rows always count,
     //    even for re-delivered doc_ids.
     val haveShards = exists(spark, shardsDir)
-    val startAt = if (haveShards)
-      spark.read.parquet(shardsDir)
-        .filter(col("batch_id") =!= lit(batchId))
+    val ownRows: Option[DataFrame] = if (haveShards) {
+      val raw = spark.read.option("mergeSchema", "true").parquet(shardsDir)
+      // a shards table written before the batch-id tag existed has no
+      // batch_id column (VERDICT r10): its rows are by definition not
+      // this batch's, so they all count toward the lifetime total
+      val shards =
+        if (raw.columns.contains("batch_id")) raw
+        else raw.withColumn("batch_id", lit(null).cast(LongType))
+      Some(shards)
+    } else None
+    val startAt = ownRows.fold(0L) { shards =>
+      // null-safe inequality: pre-upgrade files under a merged schema
+      // read batch_id as null — those are other batches' rows and must
+      // stay in the max (plain =!= would null them out of the filter)
+      shards.filter(!(col("batch_id") <=> lit(batchId)))
         .agg(coalesce(max("cum_tok"), lit(0L)))
         .head.getLong(0)
-    else 0L
+    }
     val packed = SampleOps.packIntoShards(
         sampled.select("doc_id", "n_tok"), "doc_id", col("n_tok"),
         budget, startAt)
       .withColumn("batch_id", lit(batchId))
+
+    // fresh-checkpoint guard (ADVICE r10): if the checkpoint dir was
+    // reset but the sink was not, engine batch ids restart at 0 and rows
+    // tagged with "this" batch id may belong to a FOREIGN run. A genuine
+    // replay reproduces its rows bit-for-bit (same input, same startAt),
+    // so any own-tagged row the deterministic re-pack does not reproduce
+    // means checkpoint and sink are out of sync — fail loudly instead of
+    // packing new rows at overlapping cum_tok offsets. (Checkpoint and
+    // sink dirs must always be reset TOGETHER.)
+    ownRows.foreach { shards =>
+      val own = shards.filter(col("batch_id") <=> lit(batchId))
+        .select("doc_id", "n_tok", "cum_tok", "shard")
+      if (!own.isEmpty) {
+        val stale = own.exceptAll(
+          packed.select("doc_id", "n_tok", "cum_tok", "shard"))
+        if (!stale.isEmpty)
+          throw new IllegalStateException(
+            s"shards table at $shardsDir already holds rows tagged with " +
+              s"batch id $batchId that this batch's deterministic re-pack " +
+              "does not reproduce — the streaming checkpoint was reset " +
+              "against an existing sink (engine batch ids restarted). " +
+              "Reset checkpoint and sink directories together, or resume " +
+              "with the original checkpoint.")
+      }
+    }
 
     // idempotent appends (index first: if the shards append is lost, the
     // replayed batch re-packs the same docs at the same offset)

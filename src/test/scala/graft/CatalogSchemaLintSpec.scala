@@ -96,4 +96,23 @@ class CatalogSchemaLintSpec extends SparkTestBase {
       "SELECT CAST(SUM(x) OVER (ORDER BY id) AS DECIMAL(18,2)) AS c FROM t")
       .nonEmpty)
   }
+
+  test("the DOUBLE allowance requires the cast to be the argument's " +
+      "outermost node (ADVICE r10)") {
+    def lint(sql: String) = Verify.lintOracleSql("q", sql)
+    // an inner cast buried in a CASE still sums integers → HUGEINT → red
+    assert(lint(
+      """SELECT CAST(SUM(CASE WHEN CAST(f AS DOUBLE) > 0 THEN n END)
+        |  OVER (ORDER BY id) AS DOUBLE) AS c FROM t""".stripMargin).nonEmpty)
+    // likewise a cast that is only a factor of the argument
+    assert(lint(
+      """SELECT CAST(SUM(CAST(p AS DECIMAL(18,2)) + n)
+        |  OVER (ORDER BY id) AS DOUBLE) AS c FROM t""".stripMargin).nonEmpty)
+    // the q17 shape — outermost CAST spanning the whole argument — greens
+    assert(lint(
+      """SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |  OVER (ORDER BY o_orderkey
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |  AS DOUBLE) AS running_total FROM orders""".stripMargin).isEmpty)
+  }
 }
