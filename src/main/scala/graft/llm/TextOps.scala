@@ -1231,6 +1231,35 @@ object TextOps {
     * only ρ²·df², 1/ρ smaller. */
   def ngramContainmentPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val base = shingleSigs(df, idCol, textCol, n).localCheckpoint()
+    val ex = base.select(col("id"), size(col("sh")).as("sz"),
+      explode(col("sh")).as("s"))
+    val dfTab = ex.groupBy("s").agg(count(lit(1)).as("df"))
+    // probe prefixes: per-doc rank in (df asc, shingle) order, keep the
+    // first sz − ⌈t·sz⌉ + 1 — partitioned by id, never a global sort
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("df"), col("s"))
+    // both sides rank their shingles in the same (df asc, shingle) order:
+    // the probe keeps only its prefix, the index keeps every position but
+    // CARRIES it for PPJoin's positional filter below
+    val ranked = ex.join(dfTab, "s").withColumn("rn", row_number().over(w))
+    val probe = ranked
+      .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+      .select(col("id").as("ida"), col("sz").as("sza"), col("s"),
+        col("rn").as("rna"))
+    val target = ranked.select(col("id").as("idb"), col("sz").as("szb"),
+      col("s").as("s2"), col("rn").as("rnb"))
+    val candidates = containmentCandidates(probe, target, threshold)
+    containmentVerify(candidates, base, base, threshold)
+  }
+
+  /** Per-doc containment signature: distinct n-gram shingles in
+    * first-occurrence order (`sh`) plus their SORTED FNV-64 fingerprints
+    * (`hs`) — the shared kernel of [[ngramContainmentPairs]] and the
+    * persisted [[ShingleIndex]]. Docs shorter than n tokens drop out.
+    * Map-only (one row per doc in, one out). */
+  private[llm] def shingleSigs(df: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame = {
     val sigSchema = StructType(Seq(StructField("id", LongType),
       StructField("sh", ArrayType(StringType)),
       StructField("hs", ArrayType(LongType))))
@@ -1252,24 +1281,16 @@ object TextOps {
           }
         }
       }
-    val base = df.sparkSession.createDataFrame(rdd, sigSchema).localCheckpoint()
-    val ex = base.select(col("id"), size(col("sh")).as("sz"),
-      explode(col("sh")).as("s"))
-    val dfTab = ex.groupBy("s").agg(count(lit(1)).as("df"))
-    // probe prefixes: per-doc rank in (df asc, shingle) order, keep the
-    // first sz − ⌈t·sz⌉ + 1 — partitioned by id, never a global sort
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("id").orderBy(col("df"), col("s"))
-    // both sides rank their shingles in the same (df asc, shingle) order:
-    // the probe keeps only its prefix, the index keeps every position but
-    // CARRIES it for PPJoin's positional filter below
-    val ranked = ex.join(dfTab, "s").withColumn("rn", row_number().over(w))
-    val probe = ranked
-      .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
-      .select(col("id").as("ida"), col("sz").as("sza"), col("s"),
-        col("rn").as("rna"))
-    val target = ranked.select(col("id").as("idb"), col("sz").as("szb"),
-      col("s").as("s2"), col("rn").as("rnb"))
+    df.sparkSession.createDataFrame(rdd, sigSchema)
+  }
+
+  /** Containment candidate join: probe prefix rows (ida, sza, s, rna)
+    * against full-postings rows (idb, szb, s2, rnb), both ranked in the
+    * SAME global (df asc, shingle asc) order — the positional filter's
+    * exactness depends on the shared order (see the proof below). Emits
+    * deduped (ida, idb). */
+  private[llm] def containmentCandidates(probe: DataFrame,
+      target: DataFrame, threshold: Double): DataFrame = {
     // positional filter: at a common shingle sitting at rank rna of A and
     // rnb of B, the intersection can reach at most
     // 1 + min(|A|−rna, |B|−rnb); a pair whose EVERY generating occurrence
@@ -1279,26 +1300,35 @@ object TextOps {
     val positional =
       lit(1) + least(col("sza") - col("rna"), col("szb") - col("rnb")) >=
         ceil(lit(threshold) * col("sza"))
-    val candidates = probe.join(target,
+    probe.join(target,
         col("s") === col("s2") && col("ida") =!= col("idb") &&
           col("szb").cast(DoubleType) >= lit(threshold) * col("sza").cast(DoubleType) &&
           positional)
       .select("ida", "idb").distinct()
-    // Two-stage verify. Stage 1 runs the candidate bulk through a sorted
-    // merge-intersect over 64-bit shingle fingerprints — no string
-    // hashing, no per-pair set builds (measured 6.1 s → sub-second on
-    // 206k sf0.1 candidates). A fingerprint collision can only INFLATE
-    // the intersection (equal strings hash equal), so stage 1 passes a
-    // SUPERSET of the qualifying pairs; stage 2 re-verifies the few
-    // survivors exactly on the string sets, so the result is collision-
-    // proof, not merely collision-improbable.
-    // Stage-1 bound, collision-proof via the MULTISET argument: `hs` is
-    // not deduped, so each distinct string contributes its own element
-    // (|hs| = |A| exactly) and every common string aligns its own element
-    // on both sides — the two-pointer multiset intersection i_h ≥ exact
-    // i, so i_h ≥ t·|A| passes a strict superset of the qualifying pairs.
-    val ha = base.select(col("id").as("ida"), col("hs").as("hsa"))
-    val hb = base.select(col("id").as("idb"), col("hs").as("hsb"))
+  }
+
+  /** Two-stage containment verify over candidate (ida, idb) pairs; sigsA
+    * and sigsB are (id, sh, hs) signature frames for the probe and target
+    * corpora ([[shingleSigs]] shape — possibly the same frame, possibly a
+    * persisted index's sigs dataset).
+    *
+    * Stage 1 runs the candidate bulk through a sorted merge-intersect
+    * over 64-bit shingle fingerprints — no string hashing, no per-pair
+    * set builds (measured 6.1 s → sub-second on 206k sf0.1 candidates).
+    * A fingerprint collision can only INFLATE the intersection (equal
+    * strings hash equal), so stage 1 passes a SUPERSET of the qualifying
+    * pairs; stage 2 re-verifies the few survivors exactly on the string
+    * sets, so the result is collision-proof, not merely
+    * collision-improbable. Stage-1 bound: each distinct string
+    * contributes its own element (|hs| = |A| exactly) and every common
+    * string aligns its own element on both sides — the two-pointer
+    * intersection i_h ≥ exact i, so i_h ≥ t·|A| passes a strict superset
+    * of the qualifying pairs. */
+  private[llm] def containmentVerify(candidates: DataFrame,
+      sigsA: DataFrame, sigsB: DataFrame, threshold: Double): DataFrame = {
+    val spark = candidates.sparkSession
+    val ha = sigsA.select(col("id").as("ida"), col("hs").as("hsa"))
+    val hb = sigsB.select(col("id").as("idb"), col("hs").as("hsb"))
     val hJoined = candidates.join(ha, "ida").join(hb, "idb")
       .select(col("ida"), col("idb"), col("hsa"), col("hsb"))
       .localCheckpoint()
@@ -1320,9 +1350,9 @@ object TextOps {
         else None
       }
     }
-    val survDf = df.sparkSession.createDataFrame(survivors, survSchema)
-    val sa = base.select(col("id").as("ida"), col("sh").as("sha"))
-    val sb = base.select(col("id").as("idb"), col("sh").as("shb"))
+    val survDf = spark.createDataFrame(survivors, survSchema)
+    val sa = sigsA.select(col("id").as("ida"), col("sh").as("sha"))
+    val sb = sigsB.select(col("id").as("idb"), col("sh").as("shb"))
     val joined = survDf.join(sa, "ida").join(sb, "idb")
       .select(col("ida"), col("idb"), col("sha"), col("shb"))
       .localCheckpoint()
@@ -1343,7 +1373,7 @@ object TextOps {
         else None
       }
     }
-    df.sparkSession.createDataFrame(scored, outSchema)
+    spark.createDataFrame(scored, outSchema)
   }
 
   /** FNV-1a 64-bit over UTF-8 bytes — a portable, allocation-free 64-bit

@@ -1,0 +1,122 @@
+package graft.llm
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Persisted shingle-postings index (ShingleIndex): build/serve split for
+  * the containment family — self-sweep bit-identical to the in-memory
+  * operator, incremental batch-vs-index sweep exact under mixed ranking,
+  * postings scan partition-pruned. */
+class ShingleIndexSpec extends SparkTestBase {
+
+  private def tmp(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft-shidx-$tag").toString
+
+  private def shingles(s: String, n: Int): Set[String] = {
+    val toks = s.trim.split(" ")
+    if (toks.length < n) Set.empty
+    else (0 to toks.length - n).map(i => toks.slice(i, i + n).mkString(" ")).toSet
+  }
+
+  private def bruteAgainst(batch: Map[Long, String], corpus: Map[Long, String],
+      n: Int, t: Double): Set[(Long, Long, Double)] = {
+    val as = batch.map { case (k, v) => k -> shingles(v, n) }.filter(_._2.nonEmpty)
+    val bs = corpus.map { case (k, v) => k -> shingles(v, n) }.filter(_._2.nonEmpty)
+    (for {
+      (ia, a) <- as; (ib, b) <- bs if ia != ib
+      inter = (a & b).size
+      if inter.toDouble >= t * a.size
+    } yield (ia, ib, inter.toDouble / a.size)).toSet
+  }
+
+  private def randCorpus(seed: Int, nDocs: Int, vocab: Vector[String],
+      maxLen: Int, idOffset: Long = 0L): Map[Long, String] = {
+    val rnd = new scala.util.Random(seed)
+    (0L until nDocs.toLong).map { i =>
+      val len = rnd.nextInt(maxLen)
+      (i + idOffset) ->
+        (0 until len).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }.toMap
+  }
+
+  test("containmentSelf is bit-identical to the in-memory operator") {
+    import spark.implicits._
+    val corpus = randCorpus(48, 120, Vector("a", "b", "c", "d", "e"), 12)
+    val docs = corpus.toSeq.toDF("doc_id", "text")
+    val dir = tmp("self")
+    ShingleIndex.build(docs, "doc_id", "text", dir, n = 2, nBuckets = 16)
+    val served = ShingleIndex.containmentSelf(spark, dir, threshold = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val mem = TextOps.ngramContainmentPairs(docs, "doc_id", "text",
+        n = 2, threshold = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(served.nonEmpty && served == mem)
+    // and a second threshold serves from the SAME build (rn/sz filter,
+    // no recompute): still identical to the in-memory operator
+    val served8 = ShingleIndex.containmentSelf(spark, dir, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val mem8 = TextOps.ngramContainmentPairs(docs, "doc_id", "text",
+        n = 2, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(served8 == mem8)
+  }
+
+  test("containmentAgainst equals brute force batch×corpus, including " +
+      "batch-only shingles (df=0 ranking) and id overlap") {
+    import spark.implicits._
+    val corpus = randCorpus(49, 100, Vector("a", "b", "c", "d", "e"), 12)
+    // the batch's vocabulary extends the corpus's: 'zz' shingles are
+    // unknown to the index (df = 0 rank path); ids 1000+ are disjoint,
+    // plus one doc REUSING a corpus id with the corpus text — the
+    // (id, id) self pair must be excluded
+    val overlapId = corpus.keys.find(k => corpus(k).trim.split(" ").length >= 4).get
+    val batch = randCorpus(50, 30, Vector("a", "b", "c", "zz"), 10,
+      idOffset = 1000L) + (overlapId -> corpus(overlapId))
+    val dir = tmp("against")
+    ShingleIndex.build(corpus.toSeq.toDF("doc_id", "text"),
+      "doc_id", "text", dir, n = 2, nBuckets = 16)
+    val got = ShingleIndex.containmentAgainst(spark, dir,
+        batch.toSeq.toDF("doc_id", "text"), "doc_id", "text",
+        threshold = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exp = bruteAgainst(batch, corpus, 2, 0.6)
+    assert(got == exp)
+    assert(!got.exists(p => p._1 == overlapId && p._2 == overlapId))
+  }
+
+  test("the batch sweep's postings scan is partition-pruned to the " +
+      "probe's shingle buckets") {
+    import spark.implicits._
+    val corpus = randCorpus(51, 200, Vector("a", "b", "c", "d", "e", "f"), 12)
+    val dir = tmp("prune")
+    ShingleIndex.build(corpus.toSeq.toDF("doc_id", "text"),
+      "doc_id", "text", dir, n = 2, nBuckets = 64)
+    // a one-doc batch probes a handful of shingles → few buckets
+    val batch = Seq((5000L, "a b c")).toDF("doc_id", "text")
+    val sigsA = TextOps.shingleSigs(batch, "doc_id", "text", 2).localCheckpoint()
+    val cand = ShingleIndex.againstCandidates(spark, dir, sigsA, 0.6)
+    val plan = cand.queryExecution.executedPlan.toString
+    val postingScans = plan.split("FileScan parquet").toSeq.tail
+      .filter(_.contains("postings"))
+    assert(postingScans.nonEmpty, s"expected a postings scan:\n$plan")
+    assert(postingScans.forall(s =>
+      s.contains("PartitionFilters") && !s.contains("PartitionFilters: []")),
+      s"postings scan must be partition-pruned by shingle bucket:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("a rebuilt index round-trips the gate corpus: served output " +
+      "matches the in-memory operator on real documents") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(col("doc_id") < 200)
+    val dir = tmp("gate")
+    ShingleIndex.build(docs, "doc_id", "text", dir, n = 3, nBuckets = 64)
+    val served = ShingleIndex.containmentSelf(spark, dir, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val mem = TextOps.ngramContainmentPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(served == mem)
+  }
+}
