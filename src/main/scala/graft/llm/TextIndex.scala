@@ -131,6 +131,21 @@ object TextIndex {
     writeMeta(spark, path, nBuckets, nDocs + bDocs, totLen + bLen)
   }
 
+  /** Compact the index's datasets in place: [[appendToIndex]] and the
+    * streaming maintainer add one file per batch per touched tb
+    * partition, which grows without bound (VERDICT r10 #4). Rewrites
+    * postings/ and df/ to one file per tb directory, crash-safe
+    * (ParquetCompaction's rewrite-then-swap); layout, partition dirs,
+    * meta, and rows are unchanged, so pruned serving is identical.
+    * Run between appends, not concurrently with one. */
+  def compactIndex(spark: SparkSession, path: String): Unit = {
+    readMeta(spark, path) // fail fast on a non-index directory
+    graft.sources.ParquetCompaction.compact(spark, s"$path/postings",
+      partitionCols = Seq("tb"))
+    graft.sources.ParquetCompaction.compact(spark, s"$path/df",
+      partitionCols = Seq("tb"))
+  }
+
   private def writeMeta(spark: SparkSession, path: String, nBuckets: Int,
       nDocs: Long, totLen: Long): Unit = {
     val fs = new org.apache.hadoop.fs.Path(path)

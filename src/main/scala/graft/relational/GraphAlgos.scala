@@ -53,10 +53,35 @@ object GraphAlgos {
       .union(e.select(col("d").as("v"))).distinct()
       .localCheckpoint()
     val n = nodes.count()
+    val bcast = n <= broadcastNodesBelow
     // pre-join degree onto the edges ONCE: the iteration loop then joins
     // only on the rank frame, not rank + degree every round
     val deg = e.groupBy(col("s").as("v")).agg(count(lit(1)).as("dg"))
-    val ed = e.join(deg.withColumnRenamed("v", "s"), "s").localCheckpoint()
+    val edRaw = e.join(deg.withColumnRenamed("v", "s"), "s")
+    // Shuffled fallback: fix the edge frame's layout ON the join key
+    // once — repartition(s) + sortWithinPartitions(s) before the
+    // checkpoint (localCheckpoint preserves hash partitioning and
+    // ordering through LogicalRDD), so every round's rank join plans an
+    // Exchange/Sort only on the NODE-sized rank side. Without this the
+    // edge table re-shuffled every iteration — at the 100× rehearsal
+    // that was an edge-sized exchange × 5 rounds (326 s; VERDICT r10
+    // #2). Plan-asserted in GraphAlgosSpec. The broadcast path never
+    // shuffles the edge frame for the join, so it skips the layout pass.
+    //
+    // AQE caveat (measured on 4.1): under AQE the checkpoint origin's
+    // executedPlan is an AdaptiveSparkPlanExec, which reports
+    // UnknownPartitioning to LogicalRDD.fromDataset — the layout would
+    // be silently dropped. Disable AQE for just this one materialization
+    // (the layout pass is a single deterministic exchange; every
+    // downstream round still plans under AQE).
+    val ed = if (bcast) edRaw.localCheckpoint() else {
+      val sess = edges.sparkSession
+      val prevAqe = sess.conf.get("spark.sql.adaptive.enabled", "true")
+      sess.conf.set("spark.sql.adaptive.enabled", "false")
+      try edRaw.repartition(col("s")).sortWithinPartitions("s")
+        .localCheckpoint()
+      finally sess.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
     val base = (scale * (dampDen - dampNum) / dampDen) / n
     // every node with ≥1 in-edge receives a contribution row EVERY round
     // (all sources always carry a rank), so the per-round rank frame is
@@ -66,7 +91,6 @@ object GraphAlgos {
     val noIn = nodes.join(e.select(col("d").as("v")).distinct(),
         Seq("v"), "left_anti")
       .select(col("v"), lit(base).as("r")).localCheckpoint()
-    val bcast = n <= broadcastNodesBelow
     var ranks = nodes.select(col("v"), lit(scale / n).as("r"))
     for (k <- 1 to iterations) {
       val rs = ranks.withColumnRenamed("v", "s")

@@ -732,5 +732,50 @@ object SparqlQueries {
             |  FILTER(?bal > 1000)
             |} ORDER BY ?sname""".stripMargin)
       }),
+
+    // ---- DSL optional paths + LIKE under the driver gate (VERDICT r10
+    // #6; reference dsl/src/translator.rs:113-170 add_optional_parts and
+    // dsl/src/ast.rs:119-144 LIKE conditions — previously DslSpec-only):
+    // two [sensor]-glued paths over the hybrid TS region, the second
+    // marked optional (trailing `?` → LeftJoin) with a LIKE condition
+    // (lowered to the otit_swt#like regex on the value's lexical form).
+    // Every data point survives; value_1 binds only where a same-sensor
+    // same-timestamp point's lexical starts with "7" — the oracle spells
+    // the identical semantics as a LEFT JOIN against a regexp-filtered
+    // self-scan. Lexical safety: events values are 2-decimal doubles in
+    // [0.01, ~500], where Spark's and DuckDB's shortest-round-trip
+    // reprs agree on the leading character (no scientific notation
+    // below 1e-3 / above 1e7 is ever hit).
+    Q("q133_dsl_optional_like", Some(
+      """SELECT 'urn:graft:sensor:' || a.event_type AS sensor,
+        |  a.value AS value_0, b.value AS value_1, epoch_us(a.ts) AS tus
+        |FROM events a LEFT JOIN
+        |  (SELECT event_type, ts, value FROM events
+        |   WHERE regexp_matches(CAST(value AS VARCHAR), '^7')) b
+        |  ON a.event_type = b.event_type AND a.ts = b.ts
+        |WHERE a.ts >= TIMESTAMP '2024-01-05 00:00:00'
+        |  AND a.ts <= TIMESTAMP '2024-01-25 00:00:00'
+        |ORDER BY sensor NULLS FIRST, value_0 NULLS FIRST,
+        |  value_1 NULLS FIRST, tus NULLS FIRST""".stripMargin))(
+      (s, dir) => {
+        val dsl = graft.dsl.Dsl.parse(
+          """[sensor]
+            |[sensor] like "^7" ?
+            |from 2024-01-05T00:00:00+00:00
+            |to 2024-01-25T00:00:00+00:00""".stripMargin)
+        val cfg = graft.dsl.Dsl.TranslatorConfig(
+          connectiveMapping = Map("-" -> TpchGraph.locatedIn),
+          namePredicate = TpchGraph.name,
+          typeNamePredicate = TpchGraph.name)
+        val algebra = new graft.dsl.Dsl.Translator(cfg).translate(dsl)
+        // epoch micros, not a raw timestamp column: the catalog
+        // convention (a tz-aware Spark timestamp hashes differently
+        // from DuckDB's naive one in the driver's canonicalizer)
+        new SparqlExecutor(TpchGraph.graph(s, dir)).execute(algebra)
+          .withColumn("tus",
+            org.apache.spark.sql.functions.unix_micros(
+              org.apache.spark.sql.functions.col("timestamp")))
+          .drop("timestamp")
+      }),
   )
 }

@@ -88,6 +88,22 @@ object StreamingCuration {
     q.awaitTermination()
   }
 
+  /** Compact both sink tables (each micro-batch appends one small file
+    * to each — unbounded file growth otherwise; VERDICT r10 #4).
+    * Crash-safe via [[graft.sources.ParquetCompaction]]; contents are
+    * row-identical so the replay discipline is untouched (spec-pinned).
+    * Run between micro-batches (maintenance slot), not concurrently
+    * with one. */
+  def compactSinks(spark: SparkSession, fpIndexDir: String,
+      shardsDir: String, targetFiles: Int = 1): Unit = {
+    if (exists(spark, fpIndexDir))
+      graft.sources.ParquetCompaction.compact(spark, fpIndexDir,
+        targetFiles = targetFiles)
+    if (exists(spark, shardsDir))
+      graft.sources.ParquetCompaction.compact(spark, shardsDir,
+        targetFiles = targetFiles)
+  }
+
   private def exists(spark: SparkSession, dir: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(dir)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)

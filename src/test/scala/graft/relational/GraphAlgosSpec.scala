@@ -58,6 +58,33 @@ class GraphAlgosSpec extends SparkTestBase {
     assert(shuffled == r)
   }
 
+  test("shuffled-fallback PageRank never re-shuffles the edge table: " +
+      "each round exchanges only the node-sized rank side") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val edges = (0 until 300).map(_ =>
+      (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter { case (a, b) => a != b }.distinct.toDF("s", "d")
+    // disable broadcast joins so the test-sized graph plans the same
+    // sort-merge shape a web-scale edge table would
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // 2 un-checkpointed rounds in one plan (checkpointEvery > iterations)
+      val ranks = GraphAlgos.pageRankFixedPoint(edges, iterations = 2,
+        checkpointEvery = 10, broadcastNodesBelow = 0L)
+      val plan = ranks.queryExecution.executedPlan.toString
+      // the edge frame was repartition(s)-ed ONCE before its checkpoint,
+      // so each round's rank join needs exactly one hashpartitioning(s)
+      // exchange — the rank side; the pre-fix plan carried an edge-sized
+      // second one per round
+      val sExchanges = "Exchange hashpartitioning\\(s#".r.findAllIn(plan).size
+      assert(sExchanges == 2,
+        s"expected one rank-side exchange per round (2), got $sExchanges:\n$plan")
+      assert(!plan.contains("CartesianProduct"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("kCore matches an independent driver-side peel, any partitioning") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
