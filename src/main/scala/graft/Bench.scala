@@ -146,9 +146,26 @@ object Bench {
     val full =
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","value_min":${f"$totalMin%.3f"},"passes":${samples.size},"calibration":${f"$calib%.3f"},"calibration_spread":$calibSpread,"queries":$qs,"spread":$spread,"ok":$status,"failed":$nFail,"sf":"$sfDir"}"""
     Files.writeString(Paths.get("bench.json"), full + "\n")
+    // Append-only history (VERDICT r10 "What's wrong" #2): bench.json is
+    // overwritten every run and the driver's BENCH_rNN artifact keeps only
+    // a bounded stdout tail, so cross-round per-query deltas required log
+    // scraping. Each run appends its full structured record here, stamped
+    // with the wall-clock time — committed to the repo, diffable across
+    // rounds.
+    val stamped = s"""{"ts":"${java.time.Instant.now()}",""" + full.tail
+    Files.write(Paths.get("bench_history.jsonl"),
+      (stamped + "\n").getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
     spark.stop()
+    // The stdout line is totals-ONLY and printed LAST (after
+    // spark.stop()): the driver captures a bounded tail of sbt stdout,
+    // and at 133 catalog entries a line carrying the per-query map
+    // (~4 KB) overflows that window — r4–r10's "parsed": null. Totals
+    // parse reliably; the per-query map lives in bench.json +
+    // bench_history.jsonl.
     val line =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","calibration":${f"$calib%.3f"},"queries":$qs,"failed":$nFail,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","value_min":${f"$totalMin%.3f"},"passes":${samples.size},"calibration":${f"$calib%.3f"},"failed":$nFail,"sf":"$sfDir"}"""
     println(line)
     Console.out.flush()
   }

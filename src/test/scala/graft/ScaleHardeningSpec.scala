@@ -69,6 +69,32 @@ class ScaleHardeningSpec extends SparkTestBase {
     assert(deepest == 1L)
   }
 
+  test("64-round closure keeps the planner stats estimate bounded " +
+      "(the flat-stats exemption is safe at any depth — VERDICT r10 #7)") {
+    // The CC/k-core loops reference their checkpoint k≥3 times per round,
+    // so the propagated size estimate obeys L_r ≈ c·L_{r-1}^k and its BIT
+    // LENGTH grows k^r — planner overflow at ~15 rounds (the 100×-crash).
+    // The closure loop is deliberately exempt from checkpointFlatStats
+    // (commit 0571a20) because its recurrence is product-free in the
+    // accumulator: stepped ~ frontier×edges (one edge factor), except
+    // takes the LEFT size, union SUMS — so bitlen(L_r) grows LINEARLY in
+    // r and can never overflow at realistic depth. This pins that claim
+    // 4× past the CC crash depth: a 64-round anchored fixpoint must
+    // complete and leave a small propagated estimate.
+    val edges: Seq[(Term, String, Term)] = (0 until 64).map { i =>
+      (Iri(s"${ex}n$i"), s"${ex}next", Iri(s"${ex}n${i + 1}"))
+    }
+    val g = TriplesGraph.fromTerms(spark, edges)
+    val res = new SparqlExecutor(g).execute(
+      s"""PREFIX ex:<$ex>
+         |SELECT ?b WHERE { ex:n0 ex:next+ ?b }""".stripMargin)
+    assert(res.count() == 64L)
+    val bits = res.queryExecution.optimizedPlan.stats.sizeInBytes.bitLength
+    assert(bits < 10000,
+      s"closure estimate after 64 rounds is $bits bits — exponential " +
+        "stats compounding has crept into the fixpoint loop")
+  }
+
   test("closure fixpoint does not re-shuffle the accumulated closure per round") {
     // 39 fixpoint rounds currently cost ~362 stages (~9.3/round). The
     // once-removed redundant `acc.union(next).distinct()` paid at least one
