@@ -546,9 +546,10 @@ object AnnOps {
     // recall, capped at 64 — past that, IVF (q57/q76) is the better scale
     // path. At the gate scale factors (n ≤ 2000) auto resolves to exactly
     // (16, 8), the values the static DuckDB oracles replicate.
+    val nVec = math.max(1L, base.count())
     val (bands, bitsB) =
       if (bitsPerBand > 0) (numBands, bitsPerBand)
-      else autoBandParams(math.max(1L, base.count()), numBands, threshold)
+      else autoBandParams(nVec, numBands, threshold)
     // Signature kernel as per-partition imperative code: bands×bitsB
     // dot products per row in a tight loop. A Column spelling of the same
     // math is a ~25k-node expression tree that costs more in optimizer and
@@ -599,7 +600,18 @@ object AnnOps {
     val withNorm = base.withColumn("nrm", norm(col("emb"), dim))
     val ea = withNorm.select(col("id").as("ida"), col("emb").as("ea"), col("nrm").as("na"))
     val eb = withNorm.select(col("id").as("idb"), col("emb").as("eb"), col("nrm").as("nb"))
-    candidates.join(ea, "ida").join(eb, "idb")
+    // Verify-join layout (r11, from the 100× rehearsal): a sort-merge
+    // verify ships every candidate row's vector payload through TWO
+    // candidate-sized exchanges (~300 B/row — 13.5 GB at 45M candidates,
+    // the measured q50 wall at sf10-equivalent). The vector table itself
+    // is tiny by comparison (n·dim·4 B), so broadcast it to both joins
+    // whenever it fits comfortably in an executor (≤128 MB raw): the
+    // candidate stream then never shuffles with payloads — only the
+    // deduped 16 B id pairs move. A web-scale corpus past the bound
+    // keeps today's SMJ shape.
+    val fits = nVec * dim * 4L <= (128L << 20)
+    val (eaJ, ebJ) = if (fits) (broadcast(ea), broadcast(eb)) else (ea, eb)
+    candidates.join(eaJ, "ida").join(ebJ, "idb")
       .filter(dot(col("ea"), col("eb"), dim) / (col("na") * col("nb")) >= threshold)
       .select(col("ida"), col("idb"))
   }

@@ -60,6 +60,20 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("LSH verify joins broadcast the vector table when it fits " +
+      "(candidates never shuffle with vector payloads)") {
+    // r11, from the 100× rehearsal: the SMJ verify shipped every
+    // candidate row's 64-float payload through two candidate-sized
+    // exchanges (~13.5 GB at 45M candidates). With the corpus count in
+    // hand, the embedding side broadcasts under 128 MB raw — at gate SF
+    // both verify joins must plan as broadcast joins on ida / idb.
+    val plan = executedPlan("q50_ann_lsh_threshold")
+    assert(plan.contains("BroadcastHashJoin [ida"),
+      s"ida verify join is not broadcast:\n$plan")
+    assert(plan.contains("BroadcastHashJoin [idb"),
+      s"idb verify join is not broadcast:\n$plan")
+  }
+
   test("property-table fusion: same-subject SPARQL stars read the source once") {
     def scanFiles(name: String): Seq[String] = {
       val plan = executedPlan(name)
