@@ -96,9 +96,9 @@ object Verify {
           val castClose = matchParen(j)
           val inner = if (castClose > j) masked.substring(j + 1, castClose)
                       else ""
-          val tyRe = "(?i)\\bAS\\s+([A-Za-z0-9_]+)\\s*$".r
+          val tyRe = "(?i)\\bAS\\s+([A-Za-z0-9_]+(\\s+PRECISION)?)\\s*$".r
           val ty = tyRe.findFirstMatchIn(inner.stripTrailing())
-            .map(_.group(1).toUpperCase).getOrElse("")
+            .map(_.group(1).toUpperCase.replaceAll("\\s+", " ")).getOrElse("")
           // SUM's own argument: DuckDB's SUM result is DECIMAL/DOUBLE
           // (not HUGEINT) only when the argument's OUTERMOST node is a
           // cast to a non-integer type — an inner cast buried in a CASE
@@ -121,13 +121,20 @@ object Verify {
               // target (the trailing `AS <type>[(p[,s])]`) must be non-int
               cc == sumArg.length - 1 && {
                 val innerCast = sumArg.substring(co + 1, cc)
-                ("(?i)\\bAS\\s+(DOUBLE|DECIMAL|NUMERIC|FLOAT|REAL)\\s*" +
+                ("(?i)\\bAS\\s+(DOUBLE(\\s+PRECISION)?|DECIMAL|NUMERIC|" +
+                  "FLOAT|REAL)\\s*" +
                   "(\\(\\s*\\d+\\s*(,\\s*\\d+\\s*)?\\))?\\s*$").r
                   .findFirstIn(innerCast).isDefined
               }
             }
+          // Deliberately NARROW: other genuinely non-integer shapes
+          // (SUM(x * 1.0), a parenthesized outer cast, a float column with
+          // no cast at all) are rejected too — the lint fails LOUD at
+          // authoring time with a clear message, never green-lights a
+          // HUGEINT promotion; rewriting the oracle into the recognized
+          // shape is the cheap side of that trade.
           val ok = Set("BIGINT", "INT8", "LONG").contains(ty) ||
-            (ty == "DOUBLE" && nonIntArg)
+            ((ty == "DOUBLE" || ty == "DOUBLE PRECISION") && nonIntArg)
           if (ok) None
           else Some(s"catalog entry '$name': windowed SUM at offset " +
             s"${m.start} is CAST to '$ty' — only BIGINT/INT8/LONG hash " +

@@ -623,12 +623,8 @@ final class TriplesGraph(
     // drop most of a node's triples). Underscore prefix = invisible to
     // Spark's parquet listing; written via the Hadoop FS API so the
     // sidecar lands on whatever filesystem holds the store (HDFS/S3A/local).
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(
-      new org.apache.hadoop.fs.Path(path, TriplesGraph.metaFileName), true)
-    try out.write(s"""{"nBuckets": $nBuckets}""".getBytes("UTF-8"))
-    finally out.close()
+    graft.sources.MetaSidecar.write(spark, path, TriplesGraph.metaFileName,
+      Seq("nBuckets" -> nBuckets.toString))
   }
 
   /** Rewrite ONLY the [[touched]] predicates' `p=…` partition directories
@@ -712,18 +708,10 @@ object TriplesGraph {
   }
 
   /** The store sidecar's recorded bucket count, if the sidecar exists. */
-  private[graft] def readMeta(spark: SparkSession, path: String): Option[Int] = {
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val metaPath = new org.apache.hadoop.fs.Path(path, metaFileName)
-    if (!fs.exists(metaPath)) None
-    else {
-      val in = fs.open(metaPath)
-      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-      """"nBuckets"\s*:\s*(\d+)""".r.findFirstMatchIn(txt).map(_.group(1).toInt)
-    }
-  }
+  private[graft] def readMeta(spark: SparkSession, path: String): Option[Int] =
+    graft.sources.MetaSidecar.readText(spark, path, metaFileName)
+      .flatMap(graft.sources.MetaSidecar.longField(_, "nBuckets"))
+      .map(_.toInt)
 
   /** Decode Spark's partition-directory escaping (%xx sequences) — the
     * inverse of the encoding `partitionBy` applies to special characters
@@ -766,9 +754,8 @@ object TriplesGraph {
     spark.read.parquet(path)
       .repartition(col("p"), col("kind"), col("cls"), col("sb"))
       .write.partitionBy("p", "kind", "cls", "sb").parquet(tmp.toString)
-    val out = fs.create(new Path(tmp, metaFileName), true)
-    try out.write(s"""{"nBuckets": $nBuckets}""".getBytes("UTF-8"))
-    finally out.close()
+    graft.sources.MetaSidecar.write(spark, tmp.toString, metaFileName,
+      Seq("nBuckets" -> nBuckets.toString))
     val ready = fs.create(new Path(tmp, compactReadyFileName), true)
     ready.close()
     crashHook("compact-ready")

@@ -265,6 +265,11 @@ object AnnOps {
   def appendToIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
       newVectors: DataFrame, dim: Int = 64, skewFactor: Double = 4.0): Boolean = {
     graft.functions.ArrayDotProduct.register(spark)
+    // recover-before-first-touch (the ParquetCompaction invariant): a
+    // compactIvfIndex killed mid-swap leaves cells/ only in its READY
+    // temp; appending into a blindly recreated root would make the next
+    // recover() discard that temp — and the whole corpus with it
+    graft.sources.ParquetCompaction.recover(spark, s"$path/cells")
     val cents: Array[(Long, Array[Float], Double)] =
       spark.read.parquet(s"$path/centroids")
         .orderBy("cid").collect()
@@ -282,22 +287,14 @@ object AnnOps {
     val mean = occ.sum.toDouble / occ.length
     val ratio = if (mean == 0) 0.0 else occ.max / mean
     val rebuild = ratio > skewFactor
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val metaP = new org.apache.hadoop.fs.Path(path, "_graft_ivf_meta.json")
+    import graft.sources.MetaSidecar
     val prevAppends: Long =
-      if (fs.exists(metaP)) {
-        val in = fs.open(metaP)
-        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-          finally in.close()
-        """"appends"\s*:\s*(\d+)""".r.findFirstMatchIn(txt)
-          .map(_.group(1).toLong).getOrElse(0L)
-      } else 0L
-    val out = fs.create(metaP, true)
-    try out.write(
-      (s"""{"appends": ${prevAppends + 1}, "maxMeanOccupancy": $ratio, """ +
-        s""""rebuildRecommended": $rebuild}""").getBytes("UTF-8"))
-    finally out.close()
+      MetaSidecar.readText(spark, path, "_graft_ivf_meta.json")
+        .flatMap(MetaSidecar.longField(_, "appends")).getOrElse(0L)
+    MetaSidecar.write(spark, path, "_graft_ivf_meta.json",
+      Seq("appends" -> (prevAppends + 1).toString,
+        "maxMeanOccupancy" -> ratio.toString,
+        "rebuildRecommended" -> rebuild.toString))
     rebuild
   }
 
@@ -323,6 +320,8 @@ object AnnOps {
   def ivfTopKFromIndex(spark: org.apache.spark.sql.SparkSession, path: String,
       queries: DataFrame, k: Int, dim: Int = 64, nProbe: Int = 2): DataFrame = {
     graft.functions.ArrayDotProduct.register(spark)
+    // finish any crashed compaction before reading (cheap when whole)
+    graft.sources.ParquetCompaction.recover(spark, s"$path/cells")
     val cents: Array[(Long, Array[Float], Double)] =
       spark.read.parquet(s"$path/centroids")
         .orderBy("cid").collect() // nCentroids rows: metadata-sized
@@ -605,11 +604,13 @@ object AnnOps {
     // candidate-sized exchanges (~300 B/row — 13.5 GB at 45M candidates,
     // the measured q50 wall at sf10-equivalent). The vector table itself
     // is tiny by comparison (n·dim·4 B), so broadcast it to both joins
-    // whenever it fits comfortably in an executor (≤128 MB raw): the
-    // candidate stream then never shuffles with payloads — only the
-    // deduped 16 B id pairs move. A web-scale corpus past the bound
-    // keeps today's SMJ shape.
-    val fits = nVec * dim * 4L <= (128L << 20)
+    // whenever it fits comfortably in an executor: the candidate stream
+    // then never shuffles with payloads — only the deduped 16 B id pairs
+    // move. The two joins key on DIFFERENT columns (ida vs idb), so two
+    // separate hash relations are built and shipped — the 128 MB budget
+    // below covers BOTH (≤64 MB raw per side). A web-scale corpus past
+    // the bound keeps today's SMJ shape.
+    val fits = 2L * nVec * dim * 4L <= (128L << 20)
     val (eaJ, ebJ) = if (fits) (broadcast(ea), broadcast(eb)) else (ea, eb)
     candidates.join(eaJ, "ida").join(ebJ, "idb")
       .filter(dot(col("ea"), col("eb"), dim) / (col("na") * col("nb")) >= threshold)

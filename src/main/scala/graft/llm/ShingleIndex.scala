@@ -147,31 +147,17 @@ object ShingleIndex {
   }
 
   private def writeMeta(spark: SparkSession, path: String, nBuckets: Int,
-      n: Int, nDocs: Long): Unit = {
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(
-      new org.apache.hadoop.fs.Path(path, "_graft_shingle_meta.json"), true)
-    try out.write(
-      (s"""{"nBuckets": $nBuckets, "n": $n, """ +
-        s""""nDocs": $nDocs}""").getBytes("UTF-8"))
-    finally out.close()
-  }
+      n: Int, nDocs: Long): Unit =
+    graft.sources.MetaSidecar.write(spark, path, "_graft_shingle_meta.json",
+      Seq("nBuckets" -> nBuckets.toString, "n" -> n.toString,
+        "nDocs" -> nDocs.toString))
 
   private[graft] def readMeta(spark: SparkSession,
       path: String): (Int, Int, Long) = {
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val in = fs.open(
-      new org.apache.hadoop.fs.Path(path, "_graft_shingle_meta.json"))
-    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
-    def l(k: String): Long =
-      (s""""$k"\\s*:\\s*(\\d+)""").r.findFirstMatchIn(txt) match {
-        case Some(m) => m.group(1).toLong
-        case None => throw new IllegalStateException(
-          s"malformed index meta at $path: missing $k in $txt")
-      }
-    (l("nBuckets").toInt, l("n").toInt, l("nDocs"))
+    import graft.sources.MetaSidecar._
+    val txt = readText(spark, path, "_graft_shingle_meta.json").getOrElse(
+      throw new IllegalStateException(s"no shingle index meta at $path"))
+    (requireLong(txt, path, "nBuckets").toInt,
+      requireLong(txt, path, "n").toInt, requireLong(txt, path, "nDocs"))
   }
 }

@@ -62,6 +62,9 @@ object TextIndex {
   def bm25FromIndex(spark: SparkSession, path: String, terms: Seq[String],
       k1: Double = 1.2, b: Double = 0.75, topK: Int = 10): DataFrame = {
     require(terms.nonEmpty, "need at least one query term")
+    // finish any crashed compaction before reading (cheap when whole)
+    graft.sources.ParquetCompaction.recover(spark, s"$path/postings")
+    graft.sources.ParquetCompaction.recover(spark, s"$path/df")
     val (nBuckets, nDocs, totLen) = readMeta(spark, path)
     import spark.implicits._
     val buckets = terms.toDF("t")
@@ -107,6 +110,12 @@ object TextIndex {
     * under this layout. */
   def appendToIndex(spark: SparkSession, path: String, docs: DataFrame,
       idCol: String, textCol: String): Unit = {
+    // recover-before-first-touch (the ParquetCompaction invariant): a
+    // compactIndex killed mid-swap leaves postings/ or df/ only in its
+    // READY temp; appending into a blindly recreated root would make the
+    // next recover() discard that temp and the whole index with it
+    graft.sources.ParquetCompaction.recover(spark, s"$path/postings")
+    graft.sources.ParquetCompaction.recover(spark, s"$path/df")
     val (nBuckets, nDocs, totLen) = readMeta(spark, path)
     val toks = TextOps.tokens(col(textCol))
     val base = docs.select(col(idCol).cast(LongType).as("doc_id"),
@@ -147,31 +156,17 @@ object TextIndex {
   }
 
   private def writeMeta(spark: SparkSession, path: String, nBuckets: Int,
-      nDocs: Long, totLen: Long): Unit = {
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(
-      new org.apache.hadoop.fs.Path(path, "_graft_text_meta.json"), true)
-    try out.write(
-      (s"""{"nBuckets": $nBuckets, "nDocs": $nDocs, """ +
-        s""""totLen": $totLen}""").getBytes("UTF-8"))
-    finally out.close()
-  }
+      nDocs: Long, totLen: Long): Unit =
+    graft.sources.MetaSidecar.write(spark, path, "_graft_text_meta.json",
+      Seq("nBuckets" -> nBuckets.toString, "nDocs" -> nDocs.toString,
+        "totLen" -> totLen.toString))
 
   private[graft] def readMeta(spark: SparkSession,
       path: String): (Int, Long, Long) = {
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val in = fs.open(
-      new org.apache.hadoop.fs.Path(path, "_graft_text_meta.json"))
-    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
-    def l(k: String): Long =
-      (s""""$k"\\s*:\\s*(\\d+)""").r.findFirstMatchIn(txt) match {
-        case Some(m) => m.group(1).toLong
-        case None => throw new IllegalStateException(
-          s"malformed index meta at $path: missing $k in $txt")
-      }
-    (l("nBuckets").toInt, l("nDocs"), l("totLen"))
+    import graft.sources.MetaSidecar._
+    val txt = readText(spark, path, "_graft_text_meta.json").getOrElse(
+      throw new IllegalStateException(s"no text index meta at $path"))
+    (requireLong(txt, path, "nBuckets").toInt,
+      requireLong(txt, path, "nDocs"), requireLong(txt, path, "totLen"))
   }
 }

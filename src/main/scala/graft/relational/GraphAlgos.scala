@@ -42,6 +42,13 @@ object GraphAlgos {
     * moves), at the cost of a node-sized collect per round. Web-scale
     * graphs (nodes ≫ executor memory) exceed the threshold and fall back
     * to the shuffled equi-join automatically. */
+  /** Test seam (the crashHook convention): when set, receives each
+    * PageRank round's executed-plan string before that round's
+    * checkpoint — GraphAlgosSpec pins the edge-never-re-shuffles
+    * property through it, since the returned frame's own plan is a
+    * checkpoint scan that no longer shows the per-round joins. */
+  private[graft] var roundPlanProbe: Option[(Int, String) => Unit] = None
+
   def pageRankFixedPoint(edges: DataFrame, iterations: Int = 5,
       scale: Long = 1000000000000L, dampNum: Int = 17, dampDen: Int = 20,
       checkpointEvery: Int = 2,
@@ -68,20 +75,27 @@ object GraphAlgos {
     // #2). Plan-asserted in GraphAlgosSpec. The broadcast path never
     // shuffles the edge frame for the join, so it skips the layout pass.
     //
-    // AQE caveat (measured on 4.1): under AQE the checkpoint origin's
+    // AQE caveat (measured on 4.1): under AQE a localCheckpoint origin's
     // executedPlan is an AdaptiveSparkPlanExec, which reports
-    // UnknownPartitioning to LogicalRDD.fromDataset — the layout would
-    // be silently dropped. Disable AQE for just this one materialization
-    // (the layout pass is a single deterministic exchange; every
-    // downstream round still plans under AQE).
-    val ed = if (bcast) edRaw.localCheckpoint() else {
-      val sess = edges.sparkSession
-      val prevAqe = sess.conf.get("spark.sql.adaptive.enabled", "true")
-      sess.conf.set("spark.sql.adaptive.enabled", "false")
-      try edRaw.repartition(col("s")).sortWithinPartitions("s")
-        .localCheckpoint()
-      finally sess.conf.set("spark.sql.adaptive.enabled", prevAqe)
-    }
+    // UnknownPartitioning to LogicalRDD.fromDataset — the layout would be
+    // silently dropped. The first fix (toggling spark.sql.adaptive.enabled
+    // around the checkpoint) mutated SESSION-wide conf, turning AQE off
+    // for any query planned concurrently in the same session during the
+    // edge-sized materialization. cache() avoids both problems: an
+    // InMemoryRelation preserves its child's outputPartitioning and
+    // outputOrdering even under AQE (canChangeCachedPlanOutputPartitioning
+    // defaults to false for exactly this stability — plan-asserted in
+    // GraphAlgosSpec), and is unpersisted after the final round's
+    // checkpoint severs the lineage. The count() is load-bearing: until
+    // the cached ADAPTIVE plan is finalized by a materialization it
+    // reports UnknownPartitioning (isFinalPlan=false, measured on 4.1),
+    // and a round planned against it would re-shuffle the edge side.
+    val ed = if (bcast) edRaw.localCheckpoint()
+      else {
+        val c = edRaw.repartition(col("s")).sortWithinPartitions("s").cache()
+        c.count()
+        c
+      }
     val base = (scale * (dampDen - dampNum) / dampDen) / n
     // every node with ≥1 in-edge receives a contribution row EVERY round
     // (all sources always carry a rank), so the per-round rank frame is
@@ -100,6 +114,8 @@ object GraphAlgos {
         .agg(sum(expr(s"r * $dampNum div $dampDen div dg")).as("m"))
       ranks = contrib.select(col("v"), (lit(base) + col("m")).as("r"))
         .unionByName(noIn)
+      roundPlanProbe.foreach(p =>
+        p(k, ranks.queryExecution.executedPlan.toString))
       // broadcasting evaluates the rank frame every round anyway (the
       // broadcast build IS a materialization) — checkpoint each round so
       // that evaluation happens ONCE, not once for the broadcast and
@@ -109,9 +125,14 @@ object GraphAlgos {
       // estimate keeps arbitrarily high iteration counts planner-safe
       // (see T.checkpointFlatStats); the explicit broadcast() hint above
       // is unaffected by the default size estimate.
-      if (bcast || (k % checkpointEvery == 0 && k < iterations))
+      // the shuffled path also checkpoints the FINAL round: the rank
+      // lineage then no longer references the cached edge layout, so it
+      // can be unpersisted before returning (a pinned edge-sized cache
+      // would otherwise outlive the call)
+      if (bcast || k % checkpointEvery == 0 || k == iterations)
         ranks = graft.T.checkpointFlatStats(ranks)
     }
+    if (!bcast) ed.unpersist(blocking = false)
     ranks.select(col("v"), col("r").as("rank_fixed"))
   }
 

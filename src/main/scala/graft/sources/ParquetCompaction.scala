@@ -29,6 +29,18 @@ import org.apache.spark.sql.functions.col
   * non-transactional parquet layout here (a production deployment puts
   * Delta/Iceberg under these sinks and gets OPTIMIZE instead).
   *
+  * THE ONE INVARIANT (the same contract TriplesGraph enforces through
+  * load()): every reader and writer of a compacted dataset must call
+  * [[recover]] before first touch — two exists() probes when nothing
+  * crashed. The failure mode it prevents: a compact() killed between
+  * root-delete and rename leaves ALL data in the READY temp; a writer
+  * that blindly append-creates the missing root makes the state
+  * ambiguous, and the next [[recover]] — seeing a live root — discards
+  * the temp, silently losing the pre-crash history. All in-repo
+  * consumers (StreamingCuration.processBatch, TextIndex
+  * appendToIndex/bm25FromIndex, AnnOps appendToIvfIndex/
+  * ivfTopKFromIndex) recover first; external callers must too.
+  *
   * Row-for-row identical contents, so replay/idempotence discipline
   * built on these sinks (anti-joins on fp / doc_id, batch-id exclusion)
   * is unchanged — spec-pinned by StreamingCompactionSpec. */

@@ -118,6 +118,15 @@ object StreamingCuration {
       fpIndexDir: String, shardsDir: String, budget: Long,
       rate: Double): Unit = {
     val spark = batch.sparkSession
+    // The compaction protocol's one invariant (TriplesGraph enforces it
+    // through load()): RECOVER BEFORE FIRST TOUCH. A compact() killed
+    // between its root-delete and rename leaves the whole dataset in a
+    // READY __compacting temp; if this batch blindly append-recreated the
+    // missing root, the next recover() would see a live root and discard
+    // the temp — silently dropping all history. recover() first promotes
+    // the temp (two cheap exists() probes when nothing crashed).
+    graft.sources.ParquetCompaction.recover(spark, fpIndexDir)
+    graft.sources.ParquetCompaction.recover(spark, shardsDir)
 
     // 1. gate — q121's quality filter, verbatim
     val toks = TextOps.tokens(col("text"))
@@ -165,18 +174,28 @@ object StreamingCuration {
         else raw.withColumn("batch_id", lit(null).cast(LongType))
       Some(shards)
     } else None
-    val startAt = ownRows.fold(0L) { shards =>
-      // null-safe inequality: pre-upgrade files under a merged schema
-      // read batch_id as null — those are other batches' rows and must
-      // stay in the max (plain =!= would null them out of the filter)
-      shards.filter(!(col("batch_id") <=> lit(batchId)))
-        .agg(coalesce(max("cum_tok"), lit(0L)))
-        .head.getLong(0)
+    // one lifetime-table scan per batch: the other-batches max and the
+    // own-row count come out of a single aggregation (the guard below
+    // only pays its exceptAll when own rows actually exist — the rare
+    // replay case, not every batch). Null-safe inequality: pre-upgrade
+    // files under a merged schema read batch_id as null — those are
+    // other batches' rows and must stay in the max (plain =!= would
+    // null them out of the filter).
+    val (startAt, ownCount) = ownRows.fold((0L, 0L)) { shards =>
+      val r = shards.agg(
+        coalesce(max(when(!(col("batch_id") <=> lit(batchId)),
+          col("cum_tok"))), lit(0L)),
+        count(when(col("batch_id") <=> lit(batchId), lit(1)))).head
+      (r.getLong(0), r.getLong(1))
     }
+    // materialized once: both the stale-row guard and the sink append
+    // consume the two-phase prefix-sum pack — without the checkpoint the
+    // pipeline re-evaluates per consumer
     val packed = SampleOps.packIntoShards(
         sampled.select("doc_id", "n_tok"), "doc_id", col("n_tok"),
         budget, startAt)
       .withColumn("batch_id", lit(batchId))
+      .localCheckpoint()
 
     // fresh-checkpoint guard (ADVICE r10): if the checkpoint dir was
     // reset but the sink was not, engine batch ids restart at 0 and rows
@@ -187,9 +206,9 @@ object StreamingCuration {
     // packing new rows at overlapping cum_tok offsets. (Checkpoint and
     // sink dirs must always be reset TOGETHER.)
     ownRows.foreach { shards =>
-      val own = shards.filter(col("batch_id") <=> lit(batchId))
-        .select("doc_id", "n_tok", "cum_tok", "shard")
-      if (!own.isEmpty) {
+      if (ownCount > 0) {
+        val own = shards.filter(col("batch_id") <=> lit(batchId))
+          .select("doc_id", "n_tok", "cum_tok", "shard")
         val stale = own.exceptAll(
           packed.select("doc_id", "n_tok", "cum_tok", "shard"))
         if (!stale.isEmpty)

@@ -69,20 +69,61 @@ class GraphAlgosSpec extends SparkTestBase {
     // sort-merge shape a web-scale edge table would
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val plans = scala.collection.mutable.ArrayBuffer.empty[String]
+    GraphAlgos.roundPlanProbe = Some((_, p) => plans += p)
     try {
-      // 2 un-checkpointed rounds in one plan (checkpointEvery > iterations)
-      val ranks = GraphAlgos.pageRankFixedPoint(edges, iterations = 2,
-        checkpointEvery = 10, broadcastNodesBelow = 0L)
-      val plan = ranks.queryExecution.executedPlan.toString
-      // the edge frame was repartition(s)-ed ONCE before its checkpoint,
-      // so each round's rank join needs exactly one hashpartitioning(s)
-      // exchange — the rank side; the pre-fix plan carried an edge-sized
-      // second one per round
-      val sExchanges = "Exchange hashpartitioning\\(s#".r.findAllIn(plan).size
-      assert(sExchanges == 2,
-        s"expected one rank-side exchange per round (2), got $sExchanges:\n$plan")
+      // checkpointEvery = 1 severs rounds, so each probed plan holds
+      // exactly ONE round's join over the previous round's checkpoint
+      GraphAlgos.pageRankFixedPoint(edges, iterations = 3,
+        checkpointEvery = 1, broadcastNodesBelow = 0L).collect()
+    } finally {
+      GraphAlgos.roundPlanProbe = None
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+    assert(plans.size == 3)
+    // drop the cached edge relation's INTERNAL plan (everything printed
+    // deeper than an InMemoryRelation line — its one-time layout build,
+    // including AQE's "Final/Initial Plan" sections) so only the round's
+    // own operators are counted
+    def outerPlan(plan: String): String = {
+      def namePos(l: String): Int =
+        l.indexWhere(c => !" :+-".contains(c))
+      var skipDeeper = -1
+      plan.split("\n").filter { l =>
+        val p = namePos(l)
+        if (skipDeeper >= 0 && p > skipDeeper) false
+        else {
+          skipDeeper = if (l.contains("InMemoryRelation")) p else -1
+          true
+        }
+      }.mkString("\n")
+    }
+    for ((full, i) <- plans.zipWithIndex) {
+      val plan = outerPlan(full)
+      // the edge layout was fixed ONCE (inside the cached relation), so
+      // the round's join may induce exactly one planner exchange on s:
+      // the node-sized rank side. A second ENSURE_REQUIREMENTS exchange
+      // on s = the edge table re-shuffling every round, the pre-fix bug.
+      val induced = plan.split("\n").count(l =>
+        l.contains("Exchange hashpartitioning(s#") &&
+          l.contains("ENSURE_REQUIREMENTS"))
+      assert(induced == 1,
+        s"round ${i + 1}: expected only the rank-side exchange, " +
+          s"got $induced:\n$full")
+      // and the edge side scans the cache bare: no exchange directly
+      // above the InMemoryTableScan
+      val lines = plan.split("\n")
+      lines.zipWithIndex.filter(_._1.contains("InMemoryTableScan"))
+        .foreach { case (_, ix) =>
+          val above = lines.slice(math.max(0, ix - 2), ix).mkString("\n")
+          assert(!above.contains("Exchange"),
+            s"round ${i + 1}: edge-side cache scan re-shuffled:\n$full")
+        }
       assert(!plan.contains("CartesianProduct"))
-    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+    // the cached edge layout is released before the call returns
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "pageRank left its edge layout pinned in the cache manager")
   }
 
   test("kCore matches an independent driver-side peel, any partitioning") {

@@ -89,6 +89,58 @@ class StreamingCompactionSpec extends SparkTestBase {
     assert(ParquetCompaction.dataFileCount(spark, dir) == 1)
   }
 
+  test("a writer arriving after a mid-swap crash recovers first and " +
+      "loses no history (recover-before-first-touch invariant)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val (idx, out) = (tmp("idx2"), tmp("out2"))
+    Seq((0L, 0L, 150L), (1L, 150L, 300L)).foreach { case (b, lo, hi) =>
+      StreamingCuration.processBatch(
+        docs.filter(col("doc_id") >= lo && col("doc_id") < hi),
+        b, s"$idx/fp", s"$out/shards", 512L, 0.5)
+    }
+    val before = canonShards(s"$out/shards")
+    // compaction killed between root-delete and rename: ALL history now
+    // lives only in the READY __compacting temp
+    ParquetCompaction.crashHook = p =>
+      if (p == "compact-after-delete") throw new RuntimeException("kill@del")
+    try intercept[RuntimeException] {
+      ParquetCompaction.compact(spark, s"$out/shards")
+    } finally ParquetCompaction.crashHook = _ => ()
+    assert(!new java.io.File(s"$out/shards").exists())
+    // the NEXT micro-batch (no manual recover) must promote the temp —
+    // a blind append would recreate an empty root and the following
+    // recover()/compact() would then discard the temp with all history
+    val b2 = docs.filter(col("doc_id") >= 300 && col("doc_id") < 450)
+    StreamingCuration.processBatch(b2, 2L, s"$idx/fp", s"$out/shards",
+      512L, 0.5)
+    val after = canonShards(s"$out/shards")
+    assert(after.filter(_._5 != 2L) == before, "pre-crash history lost")
+    assert(after.exists(_._5 == 2L), "post-crash batch missing")
+    // and the next maintenance compaction keeps everything
+    StreamingCuration.compactSinks(spark, s"$idx/fp", s"$out/shards")
+    assert(canonShards(s"$out/shards") == after)
+  }
+
+  test("index append after a mid-swap crash recovers the index first") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val head = docs.filter(col("doc_id") < 300)
+    val batch = docs.filter(col("doc_id") >= 300 && col("doc_id") < 400)
+    val (dirA, dirB) = (tmp("bm25a") + "/idx", tmp("bm25b") + "/idx")
+    TextIndex.buildIndex(head, "doc_id", "text", dirA, nBuckets = 16)
+    TextIndex.buildIndex(head, "doc_id", "text", dirB, nBuckets = 16)
+    ParquetCompaction.crashHook = p =>
+      if (p == "compact-after-delete") throw new RuntimeException("kill@del")
+    try intercept[RuntimeException] { TextIndex.compactIndex(spark, dirA) }
+    finally ParquetCompaction.crashHook = _ => ()
+    TextIndex.appendToIndex(spark, dirA, batch, "doc_id", "text")
+    TextIndex.appendToIndex(spark, dirB, batch, "doc_id", "text")
+    def serve(d: String) = TextIndex.bm25FromIndex(spark, d,
+        Seq("sort", "merge", "group"), topK = 5)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+        r.getDouble(5))).sorted.toSeq
+    assert(serve(dirA) == serve(dirB))
+  }
+
   test("BM25 index compaction: partition dirs survive, serving identical") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val dir = tmp("bm25") + "/idx"
