@@ -1138,6 +1138,78 @@ object LlmQueries {
           .orderBy("ida", "idb")
     },
 
+    // ---- batch-vs-index containment serve (ShingleIndex
+    // .containmentAgainst — the sweep a RECURRING curation job runs:
+    // tonight's batch probed against the persisted corpus index instead
+    // of a full self-sweep). Batch = every 7th doc; the batch ranks its
+    // shingles by the INDEX's df order (the mixed-ranking exactness
+    // argument in the ShingleIndex scaladoc) and the postings scan prunes
+    // to the probed buckets (PartitionFilters spec-asserted). Self-pairs
+    // filtered on both sides — the gate models the steady-state sweep
+    // where the batch is new, not already-indexed. 100×: batch serve
+    // measured ~20× cheaper than the full sweep (STATUS r11 table).
+    q("q134_containment_batch",
+      s"""WITH sh AS (
+         |  SELECT doc_id, $sqlShingles AS shingles
+         |  FROM (SELECT doc_id, $sqlToks AS toks FROM documents)
+         |)
+         |SELECT a.doc_id AS ida, b.doc_id AS idb,
+         |  CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+         |    / len(a.shingles) AS containment
+         |FROM sh a, sh b
+         |WHERE a.doc_id % 7 = 0 AND a.doc_id != b.doc_id
+         |  AND len(a.shingles) > 0 AND len(b.shingles) > 0
+         |  AND CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+         |      >= 0.8 * len(a.shingles)
+         |ORDER BY ida NULLS FIRST, idb NULLS FIRST""".stripMargin) {
+      (s, dir) =>
+        val docs = T.documents(s, dir)
+        val batch = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+        ShingleIndex.containmentAgainst(s, shingleIndexFor(dir, docs),
+            batch, "doc_id", "text", threshold = 0.8)
+          .filter(col("ida") =!= col("idb"))
+          .orderBy("ida", "idb")
+    },
+
+    // ---- incrementally-maintained similarity graph (SimGraphStore):
+    // the q115/q125 edge list as a persisted store folded batch by batch
+    // — 80% of the corpus as the base, every 5th doc as tonight's batch,
+    // a semantic compaction between them (ledger fold + hot-postings
+    // drop, crash-safe whole-store swap). The df cap makes the fold
+    // NON-monotonic: shingles the batch pushes over the cap must RETRACT
+    // support from pairs counted earlier (negative edge deltas — the
+    // exactness argument in the SimGraphStore scaladoc, spec-pinned with
+    // planted crossings). The oracle rebuilds from scratch over ALL
+    // docs, so any retraction miscount hash-mismatches.
+    q("q136_simgraph_incremental",
+      s"""WITH sh AS (
+         |  SELECT doc_id, unnest($sqlShingles) AS s
+         |  FROM (SELECT doc_id, $sqlToks AS toks FROM documents)
+         |),
+         |rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 50),
+         |p AS (SELECT doc_id, s FROM sh JOIN rare USING (s))
+         |SELECT a.doc_id AS a, b.doc_id AS b
+         |FROM p a JOIN p b ON a.s = b.s AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2
+         |HAVING count(*) >= 2
+         |ORDER BY a NULLS FIRST, b NULLS FIRST""".stripMargin) { (s, dir) =>
+      import org.apache.hadoop.fs.Path
+      val p = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft-simstore-" + dir.replaceAll("[^A-Za-z0-9]", "_")).getAbsolutePath
+      graft.sources.ParquetCompaction.recover(s, p)
+      val root = new Path(p)
+      val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(root)) fs.delete(root, true)
+      val docs = T.documents(s, dir)
+      SimGraphStore.init(s, p, n = 3, cap = 50L, minCommon = 2L)
+      SimGraphStore.update(s, p,
+        docs.filter(pmod(col("doc_id"), lit(5)) =!= 0), "doc_id", "text")
+      SimGraphStore.compact(s, p)
+      SimGraphStore.update(s, p,
+        docs.filter(pmod(col("doc_id"), lit(5)) === 0), "doc_id", "text")
+      SimGraphStore.edges(s, p).orderBy("a", "b")
+    },
+
     // ---- per-node triangle counts on the doc-similarity graph (edges =
     // pairs sharing ≥2 distinct DISTINCTIVE 3-gram shingles, df ≤ 50):
     // the community-structure signal dedup clustering (q60) doesn't

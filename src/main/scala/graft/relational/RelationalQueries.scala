@@ -1120,6 +1120,47 @@ object RelationalQueries {
         strings = Seq("l_returnflag"))
         .orderBy("col")
     },
+
+    // ---- crash-safe parquet compaction round trip
+    // (sources/ParquetCompaction, the append-grown-sink maintenance job):
+    // orders lands in three micro-batch-style appends (small files), the
+    // directory compacts in place through the rewrite-then-swap
+    // READY-marker protocol, and the aggregate runs over the COMPACTED
+    // copy. The oracle computes the same aggregate straight from orders,
+    // so any row the swap loses or duplicates hash-mismatches — this
+    // entry gates the contents contract end-to-end; file-count shrink and
+    // kill-between-stages recovery are spec-pinned
+    // (StreamingCompactionSpec).
+    // Integer-exact aggregate (count + key sums), bitwise stable.
+    q("q135_compaction_roundtrip",
+      """SELECT o_orderpriority AS pri, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+        |  CAST(min(o_orderkey) AS BIGINT) AS min_ok,
+        |  CAST(max(o_orderkey) AS BIGINT) AS max_ok
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY pri NULLS FIRST""".stripMargin) { (s, dir) =>
+      import org.apache.hadoop.fs.Path
+      val p = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft-cmpgate-" + dir.replaceAll("[^A-Za-z0-9]", "_")).getAbsolutePath
+      // recover-before-first-touch (the ParquetCompaction invariant),
+      // then rebuild the append-grown sink fresh for this invocation
+      graft.sources.ParquetCompaction.recover(s, p)
+      val root = new Path(p)
+      val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(root)) fs.delete(root, true)
+      val src = orders(s, dir)
+      (0 until 3).foreach { r =>
+        src.filter(pmod(col("o_orderkey"), lit(3)) === r)
+          .repartition(4).write.mode("append").parquet(p)
+      }
+      graft.sources.ParquetCompaction.compact(s, p, targetFiles = 2)
+      s.read.parquet(p)
+        .groupBy(col("o_orderpriority").as("pri"))
+        .agg(count(lit(1)).as("n"), sum("o_custkey").as("sum_cust"),
+          min("o_orderkey").as("min_ok"), max("o_orderkey").as("max_ok"))
+        .orderBy("pri")
+    },
   )
 
   /** Oracle for q116: `iters` unrolled fixed-point iterations, every step

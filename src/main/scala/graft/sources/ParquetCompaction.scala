@@ -59,21 +59,42 @@ object ParquetCompaction {
       partitionCols: Seq[String] = Nil, targetFiles: Int = 1): Unit = {
     import org.apache.hadoop.fs.Path
     require(targetFiles > 0, "targetFiles must be positive")
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    rewrite(spark, path) { tmp =>
+      require(fs.exists(root), s"nothing to compact at $path")
+      // mergeSchema: an append-grown sink may hold files written before a
+      // column existed (the shards table's batch_id migration) — the
+      // rewrite must carry the union schema, with old rows null-filled
+      val df = spark.read.option("mergeSchema", "true").parquet(path)
+      if (partitionCols.nonEmpty)
+        df.repartition(partitionCols.map(col): _*)
+          .write.partitionBy(partitionCols: _*).parquet(tmp)
+      else
+        df.repartition(targetFiles).write.parquet(tmp)
+    }
+  }
+
+  /** The bare rewrite-then-swap protocol: `write` populates the sibling
+    * `<path>__compacting` temp (a whole directory tree is fine — the READY
+    * marker sits at the temp ROOT, so a store with several parquet
+    * sub-datasets swaps atomically as one unit), then the READY-marker
+    * commit, root delete, and rename run exactly as [[compact]]'s. A kill
+    * inside `write` leaves the live root untouched; [[recover]] finishes
+    * or discards as usual. Callers whose `write` produces contents
+    * DIFFERENT from the live root (semantic merges — e.g.
+    * [[graft.llm.SimGraphStore.compact]]'s delta fold) get the same
+    * crash-safety contract: the live root is always either the old whole
+    * state or the new whole state. */
+  def rewrite(spark: SparkSession, path: String)(
+      write: String => Unit): Unit = {
+    import org.apache.hadoop.fs.Path
     recover(spark, path)
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(fs.exists(root), s"nothing to compact at $path")
     val tmp = new Path(path + compactingSuffix)
     if (fs.exists(tmp)) fs.delete(tmp, true)
-    // mergeSchema: an append-grown sink may hold files written before a
-    // column existed (the shards table's batch_id migration) — the
-    // rewrite must carry the union schema, with old rows null-filled
-    val df = spark.read.option("mergeSchema", "true").parquet(path)
-    if (partitionCols.nonEmpty)
-      df.repartition(partitionCols.map(col): _*)
-        .write.partitionBy(partitionCols: _*).parquet(tmp.toString)
-    else
-      df.repartition(targetFiles).write.parquet(tmp.toString)
+    write(tmp.toString)
     val ready = fs.create(new Path(tmp, readyFileName), true)
     ready.close()
     crashHook("compact-ready")
