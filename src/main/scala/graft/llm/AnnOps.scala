@@ -151,6 +151,43 @@ object AnnOps {
     ivfScore(index, probes, k, dim)
   }
 
+  /** SemDeDup-style semantic deduplication: assign every vector to its
+    * nearest centroid (cosine argmax over a broadcast, metadata-sized
+    * centroid set — the [[ivfTopKForQueries]] coarse quantizer), then flag
+    * within-cluster near-duplicates: a vector is `removed` when some
+    * LOWER-id vector in the same cluster has cosine ≥ `threshold` to it;
+    * `keep` is the smallest such id. Output (cid, removed, keep, n_better)
+    * — integer-only, so the gate compare never touches floats; the
+    * threshold test itself uses the same sequential-fold dot kernel both
+    * engines share (the q50 discipline).
+    *
+    * Scale: the quadratic work is per-cluster — the SemDeDup design point:
+    * nCentroids grows with the corpus (√N-ish) so cluster occupancy, and
+    * with it the within-cluster pair volume, stays bounded; the cluster
+    * self-join is a plain equi-join on cid (one shuffle, AQE-splittable on
+    * skewed cells). Nothing is ever corpus × corpus. Pass
+    * `centroids = Some(kmeansParCentroids(...))` for trained cells
+    * (identical plan shape); the default deterministic seeds are the
+    * oracle path. */
+  def semDedup(corpus: DataFrame, threshold: Double, dim: Int = 64,
+      nCentroids: Int = 16,
+      centroids: Option[Array[(Long, Array[Float], Double)]] = None)
+    : DataFrame = {
+    graft.functions.ArrayDotProduct.register(corpus.sparkSession)
+    val cents = centroids.getOrElse(seedCentroids(corpus, nCentroids, dim))
+    val asg = ivfAssignments(corpus, cents, dim) // (cid, nid, nemb)
+    val a = asg.select(col("cid"), col("nid").as("a"), col("nemb").as("aemb"))
+      .withColumn("an", norm(col("aemb"), dim))
+    val b = asg.select(col("cid").as("cidb"), col("nid").as("b"),
+        col("nemb").as("bemb"))
+      .withColumn("bn", norm(col("bemb"), dim))
+    a.join(b, col("cid") === col("cidb") && col("a") < col("b"))
+      .filter(dot(col("aemb"), col("bemb"), dim) / (col("an") * col("bn"))
+        >= threshold)
+      .groupBy(col("cid"), col("b").as("removed"))
+      .agg(min(col("a")).as("keep"), count(lit(1)).as("n_better"))
+  }
+
   /** Cell assignment kernel: argmax cosine over the broadcast centroids,
     * first-wins on exact ties (centroids iterate in cid order). The
     * resulting (cid, nid, nemb) frame IS the inverted index. */

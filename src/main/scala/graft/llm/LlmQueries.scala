@@ -1210,6 +1210,94 @@ object LlmQueries {
       SimGraphStore.edges(s, p).orderBy("a", "b")
     },
 
+    // ---- SemDeDup-style semantic dedup (AnnOps.semDedup): embeddings
+    // assigned to their nearest of 16 deterministic seed centroids (the
+    // IVF coarse quantizer), then within-cluster cosine ≥ 0.3 flags
+    // near-duplicates — removed = any vector with a lower-id near-dup in
+    // its cluster, keep = the smallest such id. The quadratic work is
+    // per-CLUSTER (the SemDeDup design: nCentroids grows with the corpus
+    // so cell occupancy stays bounded); never corpus × corpus. Output is
+    // integer-only; both engines share the sequential-fold cosine.
+    q("q137_semdedup",
+      """WITH cent AS (
+        |  SELECT vec_id AS cid, embedding AS ce FROM embeddings
+        |  ORDER BY vec_id LIMIT 16),
+        |asg AS (
+        |  SELECT nid, ne, cid FROM (
+        |    SELECT e.vec_id AS nid, e.embedding AS ne, c.cid,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                                        CAST(c.ce AS DOUBLE[])) DESC,
+        |                 c.cid) AS r
+        |    FROM embeddings e, cent c) WHERE r = 1),
+        |p AS (
+        |  SELECT a.cid, a.nid AS a, b.nid AS b
+        |  FROM asg a JOIN asg b ON a.cid = b.cid AND a.nid < b.nid
+        |  WHERE list_cosine_similarity(CAST(a.ne AS DOUBLE[]),
+        |                               CAST(b.ne AS DOUBLE[])) >= 0.3)
+        |SELECT cid, b AS removed, CAST(min(a) AS BIGINT) AS keep,
+        |  CAST(count(*) AS BIGINT) AS n_better
+        |FROM p GROUP BY cid, b
+        |ORDER BY removed NULLS FIRST""".stripMargin) { (s, dir) =>
+      AnnOps.semDedup(T.embeddings(s, dir), threshold = 0.3, dim = 64,
+          nCentroids = 16)
+        .orderBy("removed")
+    },
+
+    // ---- hybrid retrieval with reciprocal-rank fusion (Retrieval): the
+    // positive/negative-mining shape — a lexical ranking (top-20 by shared
+    // DISTINCT rare tokens, df ≤ 50, the posting-join discipline) and a
+    // dense ranking (exact cosine top-20, the q49 kernel) fused by
+    // rrf = Σ 1/(60 + rank), top-5 per query. The addends are exact IEEE
+    // divisions of small integers summed in a fixed order, so the fused
+    // score matches bit-for-bit; ranks re-derive from it with id
+    // tie-breaks. documents and embeddings share the id space by
+    // construction (TESTDATA.md).
+    q("q138_hybrid_rrf",
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(list_distinct($sqlToks)) AS t FROM documents),
+         |rare AS (SELECT t FROM tok GROUP BY t HAVING count(*) <= 50),
+         |post AS (SELECT doc_id, t FROM tok JOIN rare USING (t)),
+         |lex AS (
+         |  SELECT qid, nid, ra FROM (
+         |    SELECT qid, nid, CAST(row_number() OVER (PARTITION BY qid
+         |        ORDER BY score DESC, nid) AS BIGINT) AS ra
+         |    FROM (SELECT q.doc_id AS qid, p.doc_id AS nid,
+         |            count(*) AS score
+         |          FROM post q JOIN post p USING (t)
+         |          WHERE q.doc_id < 10 AND p.doc_id != q.doc_id
+         |          GROUP BY 1, 2)) WHERE ra <= 20),
+         |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+         |      WHERE vec_id < 10),
+         |dense AS (
+         |  SELECT qid, nid, rb FROM (
+         |    SELECT qid, nid, CAST(row_number() OVER (PARTITION BY qid
+         |        ORDER BY cos DESC, nid) AS BIGINT) AS rb
+         |    FROM (SELECT q.qid, e.vec_id AS nid,
+         |            list_cosine_similarity(CAST(q.qe AS DOUBLE[]),
+         |              CAST(e.embedding AS DOUBLE[])) AS cos
+         |          FROM q, embeddings e WHERE e.vec_id != q.qid))
+         |  WHERE rb <= 20),
+         |fused AS (
+         |  SELECT coalesce(l.qid, d.qid) AS qid, coalesce(l.nid, d.nid) AS nid,
+         |    round(coalesce(CAST(1 AS DOUBLE) / (60 + l.ra), CAST(0 AS DOUBLE))
+         |        + coalesce(CAST(1 AS DOUBLE) / (60 + d.rb), CAST(0 AS DOUBLE)),
+         |      6) AS rrf
+         |  FROM lex l FULL OUTER JOIN dense d
+         |    ON l.qid = d.qid AND l.nid = d.nid)
+         |SELECT qid, rk, nid, rrf FROM (
+         |  SELECT qid, nid, rrf, CAST(row_number() OVER (PARTITION BY qid
+         |      ORDER BY rrf DESC, nid) AS BIGINT) AS rk
+         |  FROM fused) WHERE rk <= 5
+         |ORDER BY qid NULLS FIRST, rk NULLS FIRST""".stripMargin) { (s, dir) =>
+      val docs = T.documents(s, dir)
+      val emb = T.embeddings(s, dir)
+      val lex = Retrieval.sharedRareTokenTopK(docs,
+        docs.filter(col("doc_id") < 10), "doc_id", "text", k = 20, dfCap = 50L)
+      val dense = AnnOps.topKForQueries(emb, emb.filter(col("vec_id") < 10), 20)
+      Retrieval.rrfFuse(lex, dense, k = 5).orderBy("qid", "rk")
+    },
+
     // ---- per-node triangle counts on the doc-similarity graph (edges =
     // pairs sharing ≥2 distinct DISTINCTIVE 3-gram shingles, df ≤ 50):
     // the community-structure signal dedup clustering (q60) doesn't

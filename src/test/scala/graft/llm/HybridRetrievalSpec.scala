@@ -1,0 +1,81 @@
+package graft.llm
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Hybrid retrieval (Retrieval.sharedRareTokenTopK / rrfFuse) and
+  * SemDeDup-style semantic dedup (AnnOps.semDedup): hand-checkable
+  * fixtures plus a randomized brute-force reference model. */
+class HybridRetrievalSpec extends SparkTestBase {
+
+  test("sharedRareTokenTopK ranks by shared rare tokens; hot tokens never join") {
+    import spark.implicits._
+    // "the" appears in every doc → df 5 > cap 3 → contributes nothing.
+    // q0 shares {apple, pear} with d1, {apple} with d2, nothing rare with d3.
+    val docs = Seq(
+      (0L, "the apple pear kiwi"),
+      (1L, "the apple pear"),
+      (2L, "the apple plum"),
+      (3L, "the banana"),
+      (4L, "the banana plum")).toDF("doc_id", "text")
+    val got = Retrieval.sharedRareTokenTopK(docs,
+        docs.filter($"doc_id" === 0), "doc_id", "text", k = 10, dfCap = 3L)
+      .orderBy("rk").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((1L, 1L, 2L), (2L, 2L, 1L)))
+  }
+
+  test("rrfFuse: hand-computed fusion, one-sided entries contribute a single addend") {
+    import spark.implicits._
+    val lex = Seq((1L, 1L, 10L), (1L, 2L, 11L)).toDF("qid", "rk", "nid")
+    val dense = Seq((1L, 1L, 11L), (1L, 2L, 12L)).toDF("qid", "rk", "nid")
+    val got = Retrieval.rrfFuse(lex, dense, k = 3)
+      .orderBy("rk").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    // 11 is rank 2 lexically and rank 1 densely → biggest fused score
+    assert(got.toSeq == Seq(
+      (1L, 11L, r6(1.0 / 62 + 1.0 / 61)),
+      (2L, 10L, r6(1.0 / 61)),
+      (3L, 12L, r6(1.0 / 62))))
+  }
+
+  test("semDedup matches a driver-side brute-force model on a random corpus") {
+    import spark.implicits._
+    val dim = 8; val nCent = 4; val thr = 0.2
+    val rnd = new scala.util.Random(42)
+    val vecs = (0L until 80L).map { id =>
+      (id, Array.fill(dim)(rnd.nextFloat() * 2f - 1f).toSeq)
+    }
+    val df = vecs.toDF("vec_id", "embedding").repartition(5)
+
+    // reference model: same seed-centroid assignment, brute-force pairs
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < dim) {
+        d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val cents = vecs.take(nCent)
+    def cell(v: Seq[Float]): Long =
+      cents.maxBy { case (cid, ce) => (cos(v, ce), -cid) }._1
+    val byCell = vecs.groupBy { case (_, v) => cell(v) }
+    val expected = byCell.values.flatMap { members =>
+      val ms = members.sortBy(_._1)
+      for {
+        (b, bv) <- ms
+        better = ms.filter { case (a, av) => a < b && cos(av, bv) >= thr }
+        if better.nonEmpty
+      } yield (b, better.map(_._1).min, better.size.toLong)
+    }.toSet
+
+    val got = AnnOps.semDedup(df, threshold = thr, dim = dim, nCentroids = nCent)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expected)
+    assert(got.nonEmpty) // the fixture actually exercises the threshold
+  }
+}
