@@ -1257,15 +1257,16 @@ object LlmQueries {
       s"""WITH tok AS (
          |  SELECT doc_id, unnest(list_distinct($sqlToks)) AS t FROM documents),
          |rare AS (SELECT t FROM tok GROUP BY t HAVING count(*) <= 50),
-         |post AS (SELECT doc_id, t FROM tok JOIN rare USING (t)),
+         |qpost AS (SELECT doc_id, t FROM tok JOIN rare USING (t)
+         |          WHERE doc_id < 10),
          |lex AS (
          |  SELECT qid, nid, ra FROM (
          |    SELECT qid, nid, CAST(row_number() OVER (PARTITION BY qid
          |        ORDER BY score DESC, nid) AS BIGINT) AS ra
          |    FROM (SELECT q.doc_id AS qid, p.doc_id AS nid,
          |            count(*) AS score
-         |          FROM post q JOIN post p USING (t)
-         |          WHERE q.doc_id < 10 AND p.doc_id != q.doc_id
+         |          FROM qpost q JOIN tok p USING (t)
+         |          WHERE p.doc_id != q.doc_id
          |          GROUP BY 1, 2)) WHERE ra <= 20),
          |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
          |      WHERE vec_id < 10),

@@ -38,11 +38,13 @@ object Retrieval {
     // rare vocabulary: Zipf-small next to the corpus, one partial-agg pass
     val rare = tok.groupBy("t").agg(count(lit(1)).as("df"))
       .filter(col("df") <= dfCap).select("t")
-    val post = tok.join(rare, "t")
+    // the rare filter lands on the QUERY side only — the equi-join on t
+    // restricts the corpus side transitively, so the corpus token scan
+    // and the df aggregate each run once, not twice
     val qtok = queries.select(col(idCol).cast(LongType).as("qid"),
         explode(array_distinct(TextOps.tokens(col(textCol)))).as("t"))
       .join(rare, "t")
-    val scored = qtok.join(post, "t")
+    val scored = qtok.join(tok, "t")
       .filter(col("qid") =!= col("nid"))
       .groupBy("qid", "nid").agg(count(lit(1)).as("score"))
     val w = Window.partitionBy(col("qid"))

@@ -234,7 +234,12 @@ object SimGraphStore {
     graft.sources.ParquetCompaction.recover(spark, path)
     cleanOrphans(spark, path)
     val (n, cap, minCommon) = readMeta(spark, path)
-    val keepBid = committedIds(spark, path).foldLeft(0L)(math.max)
+    val ids = committedIds(spark, path)
+    // no committed batches → nothing to fold, and writing a marker for id
+    // 0 here would make a later stream's FIRST fold (engine batch id 0)
+    // look like a replay and silently skip — so an empty store is a no-op
+    if (ids.isEmpty) return
+    val keepBid = ids.max
     graft.sources.ParquetCompaction.rewrite(spark, path) { tmp =>
       val mergedEdges = committed(spark, path, "edges", edgeSchema)
         .groupBy("a", "b").agg(sum("c").as("c"))

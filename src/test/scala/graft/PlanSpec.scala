@@ -60,6 +60,20 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("semantic dedup pairs within clusters via an equi-join; hybrid " +
+      "retrieval's lexical side joins postings, never corpus x corpus") {
+    val p137 = executedPlan("q137_semdedup")
+    assert(!p137.contains("CartesianProduct"),
+      "semDedup contains a cartesian product")
+    assert(!p137.contains("BroadcastNestedLoopJoin"),
+      "semDedup contains a nested-loop join — the cluster pair join " +
+        "must be an equi-join on cid")
+    val p138 = executedPlan("q138_hybrid_rrf")
+    assert(!p138.contains("CartesianProduct"),
+      "hybrid RRF contains a cartesian product (the dense side's bounded " +
+        "query-batch broadcast is the only sanctioned nested loop)")
+  }
+
   test("LSH verify joins broadcast the vector table when it fits " +
       "(candidates never shuffle with vector payloads)") {
     // r11, from the 100× rehearsal: the SMJ verify shipped every

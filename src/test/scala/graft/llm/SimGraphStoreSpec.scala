@@ -151,4 +151,17 @@ class SimGraphStoreSpec extends SparkTestBase {
     SimGraphStore.update(spark, dir, toDF(b2), "doc_id", "text")
     assert(gotEdges(dir) == bruteEdges(base ++ b1 ++ b2, 2, 3, 2))
   }
+
+  test("compacting an empty store is a no-op, so a stream's engine batch 0 " +
+      "is never mistaken for a replay") {
+    val dir = tmp("emptycompact")
+    SimGraphStore.init(spark, dir, n = 2, cap = 3L, minCommon = 2L)
+    SimGraphStore.compact(spark, dir) // must NOT commit a marker for id 0
+    val docs = randDocs(31, 10, vocab, 8, 0L)
+    // an explicit engine batch id 0 (a fresh stream's first fold) folds
+    // for real instead of being skipped as "already committed"
+    SimGraphStore.update(spark, dir, toDF(docs), "doc_id", "text",
+      explicitBid = Some(0L))
+    assert(gotEdges(dir) == bruteEdges(docs, 2, 3, 2))
+  }
 }
