@@ -162,19 +162,30 @@ object AnnOps {
     * engines share (the q50 discipline).
     *
     * Scale: the quadratic work is per-cluster — the SemDeDup design point:
-    * nCentroids grows with the corpus (√N-ish) so cluster occupancy, and
-    * with it the within-cluster pair volume, stays bounded; the cluster
+    * the cell count grows with the corpus so cluster occupancy, and with
+    * it the within-cluster pair volume, stays bounded; the cluster
     * self-join is a plain equi-join on cid (one shuffle, AQE-splittable on
-    * skewed cells). Nothing is ever corpus × corpus. Pass
+    * skewed cells). Nothing is ever corpus × corpus.
+    *
+    * `nCentroids = 0` (the default) sizes the cell count from the corpus:
+    * max(16, ⌈N/1024⌉), targeting ~1024 vectors per cell so total pair
+    * volume is ~512·N — LINEAR in the corpus (the q50 occupancy-sizing
+    * discipline: a pinned cell count makes the within-cell join quadratic
+    * at the second decade — 16 cells over 200k vectors is 1.25G pairs).
+    * At every gate SF (N ≤ 2000) the rule resolves to exactly 16, the
+    * value the static oracle replicates. Pass
     * `centroids = Some(kmeansParCentroids(...))` for trained cells
     * (identical plan shape); the default deterministic seeds are the
     * oracle path. */
   def semDedup(corpus: DataFrame, threshold: Double, dim: Int = 64,
-      nCentroids: Int = 16,
+      nCentroids: Int = 0,
       centroids: Option[Array[(Long, Array[Float], Double)]] = None)
     : DataFrame = {
     graft.functions.ArrayDotProduct.register(corpus.sparkSession)
-    val cents = centroids.getOrElse(seedCentroids(corpus, nCentroids, dim))
+    val nc =
+      if (nCentroids > 0) nCentroids
+      else math.max(16L, (corpus.count() + 1023L) / 1024L).toInt
+    val cents = centroids.getOrElse(seedCentroids(corpus, nc, dim))
     val asg = ivfAssignments(corpus, cents, dim) // (cid, nid, nemb)
     val a = asg.select(col("cid"), col("nid").as("a"), col("nemb").as("aemb"))
       .withColumn("an", norm(col("aemb"), dim))

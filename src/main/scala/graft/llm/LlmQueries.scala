@@ -1215,9 +1215,12 @@ object LlmQueries {
     // IVF coarse quantizer), then within-cluster cosine ≥ 0.3 flags
     // near-duplicates — removed = any vector with a lower-id near-dup in
     // its cluster, keep = the smallest such id. The quadratic work is
-    // per-CLUSTER (the SemDeDup design: nCentroids grows with the corpus
-    // so cell occupancy stays bounded); never corpus × corpus. Output is
-    // integer-only; both engines share the sequential-fold cosine.
+    // per-CLUSTER; the auto cell count max(16, ceil(N/1024)) keeps cell
+    // occupancy (and so total pair volume) bounded — LINEAR in the
+    // corpus — and resolves to exactly the oracle's 16 at every gate SF
+    // (N <= 2000; the q50 occupancy-sizing discipline). Never
+    // corpus × corpus. Output is integer-only; both engines share the
+    // sequential-fold cosine.
     q("q137_semdedup",
       """WITH cent AS (
         |  SELECT vec_id AS cid, embedding AS ce FROM embeddings
@@ -1239,8 +1242,7 @@ object LlmQueries {
         |  CAST(count(*) AS BIGINT) AS n_better
         |FROM p GROUP BY cid, b
         |ORDER BY removed NULLS FIRST""".stripMargin) { (s, dir) =>
-      AnnOps.semDedup(T.embeddings(s, dir), threshold = 0.3, dim = 64,
-          nCentroids = 16)
+      AnnOps.semDedup(T.embeddings(s, dir), threshold = 0.3, dim = 64)
         .orderBy("removed")
     },
 
