@@ -1301,6 +1301,33 @@ object LlmQueries {
       Retrieval.rrfFuse(lex, dense, k = 5).orderBy("qid", "rk")
     },
 
+    // ---- Bloom-filter dedup against a history corpus
+    // (TextOps.dedupAgainstHistory): which batch docs (doc_id % 3 = 0)
+    // already exist — by token-set fingerprint — in the history (the
+    // other two thirds). The history folds into ONE native-aggregate
+    // Bloom filter (only filter-sized buffers cross the shuffle), the
+    // batch probes it map-side (pure Column bit tests), and hits
+    // re-verify exactly — no false negatives by construction, so the
+    // output is EXACT and the oracle is the plain semi-join the filter
+    // merely accelerates.
+    q("q139_bloom_history_dedup",
+      s"""WITH fp AS (
+         |  SELECT doc_id,
+         |    md5(array_to_string(list_sort(list_distinct($sqlToks)), ' ')) AS fp
+         |  FROM documents)
+         |SELECT b.doc_id FROM fp b
+         |WHERE b.doc_id % 3 = 0
+         |  AND EXISTS (SELECT 1 FROM fp h
+         |              WHERE h.doc_id % 3 != 0 AND h.fp = b.fp)
+         |ORDER BY doc_id NULLS FIRST""".stripMargin) { (s, dir) =>
+      val docs = T.documents(s, dir)
+      TextOps.dedupAgainstHistory(
+          docs.filter(pmod(col("doc_id"), lit(3)) =!= 0),
+          docs.filter(pmod(col("doc_id"), lit(3)) === 0),
+          "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
     // ---- per-node triangle counts on the doc-similarity graph (edges =
     // pairs sharing ≥2 distinct DISTINCTIVE 3-gram shingles, df ≤ 50):
     // the community-structure signal dedup clustering (q60) doesn't

@@ -33,6 +33,43 @@ object TextOps {
   def tokenSetFingerprint(text: Column): Column =
     md5(concat_ws(" ", sort_array(array_distinct(tokens(text)))))
 
+  /** Which batch documents already exist in a (much larger) history
+    * corpus, by token-set fingerprint — the "is tonight's crawl already in
+    * the lake" membership sweep. Three stages, all exactness-preserving:
+    *
+    *  1. the history folds into ONE Bloom filter via the native
+    *     [[graft.functions.BloomFilterAgg]] — a partial aggregate, so each
+    *     map task reduces its slice locally and only filter-sized buffers
+    *     (mBits/8 bytes) cross the shuffle; the history itself never
+    *     shuffles and is read once;
+    *  2. the batch probes the broadcast one-row filter map-side
+    *     ([[graft.functions.BloomProbe.mightContain]], pure codegen'd
+    *     Column ops — no UDF, no driver round-trip);
+    *  3. Bloom hits — true duplicates plus the tunable false-positive
+    *     residue, NEVER missing a true dup — re-verify exactly against the
+    *     history fingerprints, so the output is exact while the verify
+    *     join's probe side shrank from |batch| to |hits|.
+    *
+    * At lake scale the filter is the only history-sized artifact that
+    * moves (2 MB at mBits = 2²⁴), and it composes with groupBy for
+    * per-source filters. Returns the duplicate batch rows' ids. */
+  def dedupAgainstHistory(history: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String, mBits: Int = 1 << 20, k: Int = 5)
+    : DataFrame = {
+    graft.functions.BloomFilterAgg.register(history.sparkSession)
+    val hfp = history.select(tokenSetFingerprint(col(textCol)).as("hfp"))
+    val bloom = hfp.agg(call_function(graft.functions.BloomFilterAgg.name,
+      xxhash64(col("hfp")), lit(mBits), lit(k)).as("bloom_words"))
+    val b = batch.select(col(idCol).cast(LongType).as("doc_id"),
+      tokenSetFingerprint(col(textCol)).as("fp"))
+    val hits = b.crossJoin(broadcast(bloom))
+      .filter(graft.functions.BloomProbe.mightContain(
+        col("bloom_words"), xxhash64(col("fp")), mBits, k))
+      .select("doc_id", "fp")
+    hits.join(hfp, col("fp") === col("hfp"), "left_semi")
+      .select("doc_id")
+  }
+
   /** Order-SENSITIVE polynomial rolling-hash fingerprint (Rabin–Karp
     * family): h = fold(chars, h*131 + code mod 1e9+7), seeded with the
     * first character. Complements [[tokenSetFingerprint]]: byte-order
