@@ -168,10 +168,17 @@ object AnnOps {
     * skewed cells). Nothing is ever corpus × corpus.
     *
     * `nCentroids = 0` (the default) sizes the cell count from the corpus:
-    * max(16, ⌈N/1024⌉), targeting ~1024 vectors per cell so total pair
-    * volume is ~512·N — LINEAR in the corpus (the q50 occupancy-sizing
-    * discipline: a pinned cell count makes the within-cell join quadratic
-    * at the second decade — 16 cells over 200k vectors is 1.25G pairs).
+    * max(16, min(2¹⁶, ⌈N/1024⌉)), targeting ~1024 vectors per cell so
+    * total pair volume is ~512·N — LINEAR in the corpus (the q50
+    * occupancy-sizing discipline: a pinned cell count makes the
+    * within-cell join quadratic at the second decade — 16 cells over 200k
+    * vectors is 1.25G pairs). The 2¹⁶ cap bounds the OTHER axis —
+    * assignment costs N·cells dot products and the centroid set is
+    * collected+broadcast (~18 MB at the cap), so an uncapped ⌈N/1024⌉
+    * would turn assignment quadratic instead; past the cap (N > 67M)
+    * occupancy grows and the within-cell joins carry the growth —
+    * the published SemDeDup operating point (fixed tens-of-thousands of
+    * clusters at billion scale), with AQE splitting the now-larger cells.
     * At every gate SF (N ≤ 2000) the rule resolves to exactly 16, the
     * value the static oracle replicates. Pass
     * `centroids = Some(kmeansParCentroids(...))` for trained cells
@@ -184,7 +191,8 @@ object AnnOps {
     graft.functions.ArrayDotProduct.register(corpus.sparkSession)
     val nc =
       if (nCentroids > 0) nCentroids
-      else math.max(16L, (corpus.count() + 1023L) / 1024L).toInt
+      else math.max(16L,
+        math.min(1L << 16, (corpus.count() + 1023L) / 1024L)).toInt
     val cents = centroids.getOrElse(seedCentroids(corpus, nc, dim))
     val asg = ivfAssignments(corpus, cents, dim) // (cid, nid, nemb)
     val a = asg.select(col("cid"), col("nid").as("a"), col("nemb").as("aemb"))
