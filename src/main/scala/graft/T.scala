@@ -78,9 +78,13 @@ object T {
 }
 
 /** One catalog entry: a Spark query plus (optionally) its DuckDB oracle SQL.
-  * `bench` marks it as part of the headline benchmark set. */
+  * `bench` marks it as part of the headline benchmark set; `maint` marks a
+  * MAINTENANCE entry (store build/fold/compact cycles, not queries) — the
+  * bench runs those in a separate tail phase so their store churn can't
+  * perturb the query entries' interleaved medians (VERDICT r11 #4). */
 final case class Q(
     name: String,
     sql: Option[String],
-    bench: Boolean = true)(
+    bench: Boolean = true,
+    maint: Boolean = false)(
     val fn: (SparkSession, String) => DataFrame)

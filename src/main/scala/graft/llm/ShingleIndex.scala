@@ -3,115 +3,219 @@ package graft.llm
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Persisted shingle-postings index for n-gram containment dedup — the
   * [[TextIndex]] treatment applied to [[TextOps.ngramContainmentPairs]]
   * (VERDICT r10 #1: the in-memory spelling re-derives signatures, document
   * frequencies, and ranked postings on EVERY sweep, which made q114 the
   * catalog's biggest 100× wall at 422 s ≈ linear; all of that work is
-  * corpus-determined and belongs in a build step).
+  * corpus-determined and belongs in a build step). Since r12 the index is
+  * INCREMENTALLY APPENDABLE (VERDICT r11 #1): nightly batches fold in via
+  * [[appendToIndex]] instead of probing a frozen index and decaying it.
   *
-  * Layout at `path`:
+  * Layout at `path` (v2, epoch-partitioned):
   *  - `postings/` — one row per (doc, distinct shingle):
-  *    (id, sz, s, rn) partitioned by `sb = pmod(xxhash64(s), nBuckets)`.
-  *    `rn` is the shingle's rank within its doc in the GLOBAL
-  *    (df asc, shingle asc) order and `sz` the doc's shingle-set size —
-  *    so any threshold's probe prefix is just the stored-row filter
-  *    `rn ≤ sz − ⌈t·sz⌉ + 1`: one dataset serves both the probe and the
-  *    full-postings target side, and the prefix cut needs no recompute.
-  *  - `df/` — (s, df) document frequencies, same sb partitioning: the
-  *    order key external probe batches must rank by (see below).
+  *    (id, sz, s, rn) partitioned by (`ep`, `sb = pmod(xxhash64(s),
+  *    nBuckets)`). `rn` is the shingle's rank within its doc in the
+  *    (df asc, shingle asc) order OF THE DOC'S INSERTION EPOCH (the df
+  *    state after that epoch's own deltas folded) and `sz` the doc's
+  *    shingle-set size — so any threshold's probe prefix is just the
+  *    stored-row filter `rn ≤ sz − ⌈t·sz⌉ + 1`: one dataset serves both
+  *    the probe and the full-postings target side, and the prefix cut
+  *    needs no recompute.
+  *  - `df/` — (s, df) document-frequency DELTAS, partitioned by (ep, sb);
+  *    the current df is the fold SUM(df) per shingle over committed
+  *    epochs (Zipf-small work; [[compactIndex]] keeps it merged).
   *  - `sigs/` — per-doc (id, sh, hs) verify signatures
-  *    ([[TextOps.shingleSigs]] shape: first-occurrence shingle array +
-  *    sorted FNV-64 fingerprints).
-  *  - `_graft_shingle_meta.json` — nBuckets, n, nDocs; rewriting it is
-  *    the commit.
+  *    ([[TextOps.shingleSigs]] shape), partitioned by ep.
+  *  - `_epochs/<k>` — marker files, one per COMMITTED epoch (build = 0).
+  *    An append's three writes are not atomic together, so every
+  *    sub-dataset is directory-partitioned by epoch and readers prune to
+  *    committed ids — a crash mid-append leaves orphan `ep=` partitions
+  *    that are invisible, and the next [[appendToIndex]] or
+  *    [[compactIndex]] deletes them BEFORE reusing the id (the
+  *    [[SimGraphStore]] marker discipline). The marker is the commit.
+  *  - `_graft_shingle_meta.json` — nBuckets, n, layout version.
+  *
+  * Rank staleness across epochs (the exactness story VERDICT r11 #1 asked
+  * to be explicit): the prefix pigeonhole — "if |A∩B| ≥ ⌈t·|A|⌉ then A's
+  * first |A|−⌈t·|A|⌉+1 shingles contain a common one" — holds for ANY
+  * fixed per-doc order, so stored prefixes stay EXACT forever, whatever
+  * epoch ranked them. Only the PPJoin positional filter compares rna
+  * against rnb and needs both docs to rank common shingles identically;
+  * that is guaranteed exactly when both docs were ranked under the same
+  * df snapshot — i.e. within one epoch. Serving therefore applies the
+  * positional filter ONLY to same-epoch pairs
+  * ([[TextOps.containmentCandidates]]'s `sameOrder` guard); cross-epoch
+  * pairs keep the pigeonhole + length filters, which still bound the
+  * candidates and the exact two-stage verify keeps the OUTPUT identical
+  * to a from-scratch rebuild ([[ShingleIndexSpec]] pins base+appends ==
+  * rebuild bit-identically). The cost of staleness is thus extra
+  * CANDIDATES on cross-epoch pairs, never wrong answers — and
+  * [[compactIndex]] re-ranks everything into one epoch under the current
+  * global df order, restoring full pruning.
   *
   * Serving:
   *  - [[containmentSelf]] — the full self-sweep, bit-identical to the
   *    in-memory operator (spec-pinned): candidates + two-stage verify,
   *    with the signature/df/rank work all read instead of rebuilt.
-  *  - [[containmentAgainst]] — the incremental sweep a recurring curation
-  *    pipeline actually runs (tonight's batch vs the corpus): the batch
-  *    ranks its shingles by the INDEX's df order, keeps its prefixes, and
-  *    the postings scan prunes to the ≤nBuckets partitions those prefix
-  *    shingles hash into (PartitionFilters spec-asserted) — work scales
-  *    with the batch and the probed postings, not the corpus.
+  *  - [[containmentAgainst]] — the sweep a recurring curation pipeline
+  *    runs BEFORE folding tonight's batch in (batch vs corpus): the batch
+  *    ranks its shingles by the index's CURRENT df order, keeps its
+  *    prefixes, and the postings scan prunes to the ≤nBuckets partitions
+  *    those prefix shingles hash into (PartitionFilters spec-asserted) —
+  *    work scales with the batch and the probed postings, not the corpus.
+  *    The current df order is exactly the LATEST epoch's rank order, so
+  *    the positional filter applies against latest-epoch targets and the
+  *    sameOrder guard waives it for older ones.
   *
   * Exactness under mixed ranking (containmentAgainst): the prefix
-  * pigeonhole only needs A's OWN order to be fixed, but the positional
-  * filter compares rna against rnb, which is valid only when common
-  * shingles sort identically on both sides. Ranking the batch by the
-  * index's (df, s) keys guarantees that for every shingle the index
-  * knows; batch-only shingles (absent from the index) rank with df = 0.
-  * They can never be common with an index doc, and the positional
-  * bound's two sides — |A|−rna common-after upper bound, |B|−rnb
-  * likewise — hold with interleaved non-common elements, so the filter
-  * stays exact (they only make rna larger, i.e. the bound tighter,
-  * never dropping a qualifying pair's first common shingle, which both
-  * orders agree ranks before the other ⌈t·|A|⌉−1 common ones).
+  * pigeonhole only needs A's OWN order to be fixed; batch-only shingles
+  * (absent from the index) rank with df = 0. They can never be common
+  * with an index doc, and the positional bound's two sides — |A|−rna
+  * common-after upper bound, |B|−rnb likewise — hold with interleaved
+  * non-common elements, so the same-epoch filter stays exact (they only
+  * make rna larger, i.e. the bound tighter, never dropping a qualifying
+  * pair's first common shingle, which both orders agree ranks before the
+  * other ⌈t·|A|⌉−1 common ones).
+  *
+  * Doc-id contract (same as [[SimGraphStore]]): appended ids must be new
+  * and unique within the batch — the append-only lake assumption.
   *
   * Scale (100 TB): build pays the corpus explode + df agg + one ranking
-  * window once; a nightly batch sweep then does batch-sized signature
-  * work, one Zipf-small df join, a partition-pruned postings equi-join,
-  * and candidate-sized verifies. The self-sweep still pays the
-  * candidate join (inherently corpus×corpus) but skips signature,
-  * df, and ranking rebuilds. */
+  * window once; a nightly cycle is then containmentAgainst (batch-sized
+  * signature work, one Zipf-small df join, a partition-pruned postings
+  * equi-join, candidate-sized verifies) + appendToIndex (batch-sized
+  * ranking + appends; the df fold is vocab-sized). The self-sweep still
+  * pays the candidate join (inherently corpus×corpus) but skips
+  * signature, df, and ranking rebuilds. */
 object ShingleIndex {
 
-  /** Shingle, rank, and persist. One corpus pass plus one ranking
-    * window. */
+  private val metaFile = "_graft_shingle_meta.json"
+
+  private def postingsSchema = StructType(Seq(StructField("id", LongType),
+    StructField("sz", IntegerType), StructField("s", StringType),
+    StructField("rn", IntegerType), StructField("ep", LongType),
+    StructField("sb", LongType)))
+  private def dfSchema = StructType(Seq(StructField("s", StringType),
+    StructField("df", LongType), StructField("ep", LongType),
+    StructField("sb", LongType)))
+  private def sigsSchema = StructType(Seq(StructField("id", LongType),
+    StructField("sh", ArrayType(StringType)),
+    StructField("hs", ArrayType(LongType)), StructField("ep", LongType)))
+
+  /** Shingle, rank, and persist as epoch 0. One corpus pass plus one
+    * ranking window. Replaces anything already at `path`. */
   def build(docs: DataFrame, idCol: String, textCol: String, path: String,
       n: Int = 3, nBuckets: Int = 64): Unit = {
+    import org.apache.hadoop.fs.Path
     val spark = docs.sparkSession
+    graft.sources.ParquetCompaction.recover(spark, path)
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(root)) fs.delete(root, true)
     val base = TextOps.shingleSigs(docs, idCol, textCol, n).localCheckpoint()
-    base.write.mode("overwrite").parquet(s"$path/sigs")
+    base.withColumn("ep", lit(0L))
+      .write.partitionBy("ep").parquet(s"$path/sigs")
     val ex = base.select(col("id"), size(col("sh")).as("sz"),
       explode(col("sh")).as("s"))
     val dfTab = ex.groupBy("s").agg(count(lit(1)).as("df"))
-    dfTab.withColumn("sb", pmod(xxhash64(col("s")), lit(nBuckets)))
-      .write.mode("overwrite").partitionBy("sb").parquet(s"$path/df")
+    dfTab.withColumn("ep", lit(0L))
+      .withColumn("sb", pmod(xxhash64(col("s")), lit(nBuckets)))
+      .write.partitionBy("ep", "sb").parquet(s"$path/df")
     val w = Window.partitionBy("id").orderBy(col("df"), col("s"))
     ex.join(dfTab, "s")
       .withColumn("rn", row_number().over(w))
-      .select(col("id"), col("sz"), col("s"), col("rn"),
-        pmod(xxhash64(col("s")), lit(nBuckets)).as("sb"))
-      .write.mode("overwrite").partitionBy("sb").parquet(s"$path/postings")
-    val nDocs = base.count()
-    writeMeta(spark, path, nBuckets, n, nDocs)
+      .select(col("id"), col("sz"), col("s"), col("rn"))
+      .withColumn("ep", lit(0L))
+      .withColumn("sb", pmod(xxhash64(col("s")), lit(nBuckets)))
+      .write.partitionBy("ep", "sb").parquet(s"$path/postings")
+    writeMeta(spark, path, nBuckets, n)
+    commitEpoch(spark, path, 0L)
+  }
+
+  /** Fold a batch of NEW documents into the index as the next epoch.
+    * Batch postings rank in the POST-MERGE df order (current committed df
+    * + this batch's own deltas — the snapshot the epoch's commit makes
+    * current), df deltas append, signatures append; the `_epochs` marker
+    * is the commit. A crash before the marker leaves invisible orphan
+    * `ep=` partitions that the retry wipes before reusing the id.
+    * Returns the committed epoch id. */
+  def appendToIndex(spark: SparkSession, path: String, batch: DataFrame,
+      idCol: String, textCol: String): Long = {
+    graft.sources.ParquetCompaction.recover(spark, path)
+    val (nBuckets, n) = readMeta(spark, path)
+    cleanOrphanEpochs(spark, path)
+    val eps = committedEpochs(spark, path)
+    require(eps.nonEmpty, s"no built index to append to at $path")
+    val ep = eps.max + 1L
+    val base = TextOps.shingleSigs(batch, idCol, textCol, n).localCheckpoint()
+    val ex = base.select(col("id"), size(col("sh")).as("sz"),
+      explode(col("sh")).as("s"))
+    val delta = ex.groupBy("s").agg(count(lit(1)).as("dd")).localCheckpoint()
+    // post-merge df for exactly the batch's shingles (all the ranking
+    // window needs); the committed fold is Zipf-small
+    val dfCur = committed(spark, path, "df", dfSchema)
+      .groupBy("s").agg(sum("df").as("df0"))
+    val mergedDf = delta.join(dfCur, Seq("s"), "left")
+      .select(col("s"),
+        (coalesce(col("df0"), lit(0L)) + col("dd")).as("df"))
+    val w = Window.partitionBy("id").orderBy(col("df"), col("s"))
+    ex.join(mergedDf, "s")
+      .withColumn("rn", row_number().over(w))
+      .select(col("id"), col("sz"), col("s"), col("rn"))
+      .withColumn("ep", lit(ep))
+      .withColumn("sb", pmod(xxhash64(col("s")), lit(nBuckets)))
+      .write.mode("append").partitionBy("ep", "sb")
+      .parquet(s"$path/postings")
+    delta.select(col("s"), col("dd").as("df"))
+      .withColumn("ep", lit(ep))
+      .withColumn("sb", pmod(xxhash64(col("s")), lit(nBuckets)))
+      .write.mode("append").partitionBy("ep", "sb").parquet(s"$path/df")
+    base.withColumn("ep", lit(ep))
+      .write.mode("append").partitionBy("ep").parquet(s"$path/sigs")
+    commitEpoch(spark, path, ep)
+    ep
   }
 
   /** Full self-sweep served from the index — output identical to
     * `TextOps.ngramContainmentPairs(corpus, …, threshold)` on the indexed
-    * corpus (spec-pinned): (ida, idb, containment) for every ordered pair
-    * with |A∩B|/|A| ≥ threshold. */
+    * corpus INCLUDING all appended epochs (spec-pinned): (ida, idb,
+    * containment) for every ordered pair with |A∩B|/|A| ≥ threshold. */
   def containmentSelf(spark: SparkSession, path: String,
       threshold: Double): DataFrame = {
+    graft.sources.ParquetCompaction.recover(spark, path)
     readMeta(spark, path) // fail fast on a missing/partial index
-    val postings = spark.read.parquet(s"$path/postings")
+    val postings = committed(spark, path, "postings", postingsSchema)
     val probe = postings
       .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
       .select(col("id").as("ida"), col("sz").as("sza"), col("s"),
-        col("rn").as("rna"))
+        col("rn").as("rna"), col("ep").as("epa"))
     val target = postings.select(col("id").as("idb"), col("sz").as("szb"),
-      col("s").as("s2"), col("rn").as("rnb"))
-    val candidates = TextOps.containmentCandidates(probe, target, threshold)
-    val sigs = spark.read.parquet(s"$path/sigs")
+      col("s").as("s2"), col("rn").as("rnb"), col("ep").as("epb"))
+    val candidates = TextOps.containmentCandidates(probe, target, threshold,
+      sameOrder = col("epa") === col("epb"))
+    val sigs = committed(spark, path, "sigs", sigsSchema)
+      .select("id", "sh", "hs")
     TextOps.containmentVerify(candidates, sigs, sigs, threshold)
   }
 
   /** Incremental sweep: ordered pairs (ida ∈ batch, idb ∈ index) with
     * |A∩B|/|A| ≥ threshold — "which corpus documents contain tonight's
     * batch". The batch never joins the corpus-sized postings outside the
-    * pruned buckets its prefix shingles hash into. */
+    * pruned buckets its prefix shingles hash into. Run BEFORE
+    * [[appendToIndex]] folds the same batch in. */
   def containmentAgainst(spark: SparkSession, path: String,
       batch: DataFrame, idCol: String, textCol: String,
       threshold: Double): DataFrame = {
-    val (_, n, _) = readMeta(spark, path)
+    graft.sources.ParquetCompaction.recover(spark, path)
+    val (_, n) = readMeta(spark, path)
     val sigsA = TextOps.shingleSigs(batch, idCol, textCol, n)
       .localCheckpoint()
     val candidates = againstCandidates(spark, path, sigsA, threshold)
-    val sigsB = spark.read.parquet(s"$path/sigs")
+    val sigsB = committed(spark, path, "sigs", sigsSchema)
+      .select("id", "sh", "hs")
     TextOps.containmentVerify(candidates, sigsA, sigsB, threshold)
   }
 
@@ -120,44 +224,148 @@ object ShingleIndex {
     * checkpoint consumes it. */
   private[graft] def againstCandidates(spark: SparkSession, path: String,
       sigsA: DataFrame, threshold: Double): DataFrame = {
-    val (nBuckets, _, _) = readMeta(spark, path)
+    val (nBuckets, _) = readMeta(spark, path)
+    val eps = committedEpochs(spark, path)
+    val curEp = if (eps.isEmpty) 0L else eps.max
     val ex = sigsA.select(col("id"), size(col("sh")).as("sz"),
       explode(col("sh")).as("s"))
-    // rank by the INDEX's df order (batch-only shingles as df = 0) — the
-    // positional filter's shared-order requirement, see the scaladoc
-    val dfTab = spark.read.parquet(s"$path/df").select("s", "df")
+    // rank by the index's CURRENT df order (batch-only shingles as
+    // df = 0) — which is the LATEST epoch's rank order, so the positional
+    // filter applies exactly there and is waived for older epochs
+    val dfTab = committed(spark, path, "df", dfSchema)
+      .groupBy("s").agg(sum("df").as("df"))
     val w = Window.partitionBy("id").orderBy(col("df"), col("s"))
     val probe = ex.join(dfTab, Seq("s"), "left")
       .withColumn("df", coalesce(col("df"), lit(0L)))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
       .select(col("id").as("ida"), col("sz").as("sza"), col("s"),
-        col("rn").as("rna"))
+        col("rn").as("rna"), lit(curEp).as("epa"))
       .localCheckpoint()
     // the probed bucket set (≤ nBuckets values) lands on the postings
     // scan as a literal partition filter — the q120 pruned-serve shape
     val buckets = probe
       .select(pmod(xxhash64(col("s")), lit(nBuckets)).as("sb"))
       .distinct().collect().map(_.getLong(0)).toSeq
-    val target = spark.read.parquet(s"$path/postings")
+    val target = committed(spark, path, "postings", postingsSchema)
       .filter(col("sb").isin(buckets: _*))
       .select(col("id").as("idb"), col("sz").as("szb"),
-        col("s").as("s2"), col("rn").as("rnb"))
-    TextOps.containmentCandidates(probe, target, threshold)
+        col("s").as("s2"), col("rn").as("rnb"), col("ep").as("epb"))
+    TextOps.containmentCandidates(probe, target, threshold,
+      sameOrder = col("epa") === col("epb"))
+  }
+
+  /** Compact + refresh: merge the df delta ledger, RE-RANK every stored
+    * posting under the current global (df asc, shingle asc) order, and
+    * fold all epochs into one (id = the latest committed, the
+    * [[SimGraphStore]] keep-max discipline) — restoring full positional
+    * pruning after a run of appends and resetting the small-files growth.
+    * Whole-store rewrite-then-swap ([[graft.sources.ParquetCompaction
+    * .rewrite]]), so a kill at any stage leaves the old or the new store,
+    * never a mix; output of every serve is unchanged (spec-pinned). */
+  def compactIndex(spark: SparkSession, path: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    graft.sources.ParquetCompaction.recover(spark, path)
+    cleanOrphanEpochs(spark, path)
+    val (nBuckets, n) = readMeta(spark, path)
+    val eps = committedEpochs(spark, path)
+    if (eps.isEmpty) return
+    val keep = eps.max
+    // materialize the folds BEFORE the swap deletes their input files
+    val sigs = committed(spark, path, "sigs", sigsSchema)
+      .select("id", "sh", "hs").localCheckpoint()
+    val dfAll = committed(spark, path, "df", dfSchema)
+      .groupBy("s").agg(sum("df").as("df")).localCheckpoint()
+    val ranked = committed(spark, path, "postings", postingsSchema)
+      .select("id", "sz", "s").join(dfAll, "s")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("id").orderBy(col("df"), col("s"))))
+      .select(col("id"), col("sz"), col("s"), col("rn"))
+      .localCheckpoint()
+    graft.sources.ParquetCompaction.rewrite(spark, path) { tmp =>
+      sigs.withColumn("ep", lit(keep))
+        .write.partitionBy("ep").parquet(s"$tmp/sigs")
+      dfAll.withColumn("ep", lit(keep))
+        .withColumn("sb", pmod(xxhash64(col("s")), lit(nBuckets)))
+        .repartition(col("sb"))
+        .write.partitionBy("ep", "sb").parquet(s"$tmp/df")
+      ranked.withColumn("ep", lit(keep))
+        .withColumn("sb", pmod(xxhash64(col("s")), lit(nBuckets)))
+        .repartition(col("sb"))
+        .write.partitionBy("ep", "sb").parquet(s"$tmp/postings")
+      graft.sources.MetaSidecar.write(spark, tmp, metaFile,
+        Seq("nBuckets" -> nBuckets.toString, "n" -> n.toString,
+          "v" -> "2"))
+      val marker = new Path(s"$tmp/_epochs", keep.toString)
+      val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.create(marker, true).close()
+    }
+  }
+
+  // ---- epoch plumbing (the SimGraphStore marker discipline) ----
+
+  private def committedEpochs(spark: SparkSession, path: String): Seq[Long] = {
+    import org.apache.hadoop.fs.Path
+    val dir = new Path(path, "_epochs")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.map(_.getPath.getName.toLong)
+  }
+
+  private def commitEpoch(spark: SparkSession, path: String, ep: Long): Unit = {
+    import org.apache.hadoop.fs.Path
+    val marker = new Path(s"$path/_epochs", ep.toString)
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(marker, true).close()
+  }
+
+  /** Delete `ep=` partitions no committed marker vouches for — a crashed
+    * append's partial writes. Cheap directory ops. */
+  private def cleanOrphanEpochs(spark: SparkSession, path: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val ids = committedEpochs(spark, path).toSet
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq("postings", "df", "sigs").foreach { sub =>
+      val p = new Path(path, sub)
+      if (fs.exists(p)) fs.listStatus(p).foreach { st =>
+        val name = st.getPath.getName
+        if (name.startsWith("ep=") &&
+            !ids.contains(name.stripPrefix("ep=").toLong))
+          fs.delete(st.getPath, true)
+      }
+    }
+  }
+
+  /** Committed rows of an epoch-partitioned sub-dataset (empty frame with
+    * the right schema when nothing committed). The ep filter is a
+    * PARTITION filter — orphan partitions never even list into the scan. */
+  private def committed(spark: SparkSession, path: String, sub: String,
+      schema: StructType): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(path, sub)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ids = committedEpochs(spark, path)
+    val hasParts = fs.exists(p) &&
+      fs.listStatus(p).exists(_.getPath.getName.startsWith("ep="))
+    if (!hasParts || ids.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.parquet(p.toString).filter(col("ep").isin(ids: _*))
   }
 
   private def writeMeta(spark: SparkSession, path: String, nBuckets: Int,
-      n: Int, nDocs: Long): Unit =
-    graft.sources.MetaSidecar.write(spark, path, "_graft_shingle_meta.json",
-      Seq("nBuckets" -> nBuckets.toString, "n" -> n.toString,
-        "nDocs" -> nDocs.toString))
+      n: Int): Unit =
+    graft.sources.MetaSidecar.write(spark, path, metaFile,
+      Seq("nBuckets" -> nBuckets.toString, "n" -> n.toString, "v" -> "2"))
 
   private[graft] def readMeta(spark: SparkSession,
-      path: String): (Int, Int, Long) = {
+      path: String): (Int, Int) = {
     import graft.sources.MetaSidecar._
-    val txt = readText(spark, path, "_graft_shingle_meta.json").getOrElse(
+    val txt = readText(spark, path, metaFile).getOrElse(
       throw new IllegalStateException(s"no shingle index meta at $path"))
+    require(requireLong(txt, path, "v") == 2L,
+      s"shingle index at $path has a pre-epoch (v1) layout — rebuild it")
     (requireLong(txt, path, "nBuckets").toInt,
-      requireLong(txt, path, "n").toInt, requireLong(txt, path, "nDocs"))
+      requireLong(txt, path, "n").toInt)
   }
 }

@@ -40,8 +40,11 @@ object TextOps {
     *  1. the history folds into ONE Bloom filter via the native
     *     [[graft.functions.BloomFilterAgg]] — a partial aggregate, so each
     *     map task reduces its slice locally and only filter-sized buffers
-    *     (mBits/8 bytes) cross the shuffle; the history itself never
-    *     shuffles and is read once;
+    *     (mBits/8 bytes) cross the shuffle; the history itself is NEVER
+    *     SHUFFLED (it is scanned twice — once into the filter here, once
+    *     as the exact-verify side of stage 3 — both map-side; a nightly
+    *     job avoids even the first scan by keeping the filter in a
+    *     persisted [[BloomHistory]] store and folding only new batches);
     *  2. the batch probes the broadcast one-row filter map-side
     *     ([[graft.functions.BloomProbe.mightContain]], pure codegen'd
     *     Column ops — no UDF, no driver round-trip);
@@ -1322,12 +1325,20 @@ object TextOps {
   }
 
   /** Containment candidate join: probe prefix rows (ida, sza, s, rna)
-    * against full-postings rows (idb, szb, s2, rnb), both ranked in the
-    * SAME global (df asc, shingle asc) order — the positional filter's
-    * exactness depends on the shared order (see the proof below). Emits
-    * deduped (ida, idb). */
+    * against full-postings rows (idb, szb, s2, rnb). The positional
+    * filter's exactness depends on both sides ranking common shingles in
+    * the SAME global (df asc, shingle asc) order (see the proof below);
+    * when the two sides may carry ranks from DIFFERENT order snapshots
+    * (the epoch-append ShingleIndex), `sameOrder` names the predicate
+    * under which the orders provably coincide — the positional filter is
+    * applied ONLY there, and mixed-order rows keep just the prefix
+    * pigeonhole + length filter (still a superset of the qualifying
+    * pairs; the exact verify downstream makes any superset safe). The
+    * default `lit(true)` is the single-snapshot case. Emits deduped
+    * (ida, idb). */
   private[llm] def containmentCandidates(probe: DataFrame,
-      target: DataFrame, threshold: Double): DataFrame = {
+      target: DataFrame, threshold: Double,
+      sameOrder: Column = lit(true)): DataFrame = {
     // positional filter: at a common shingle sitting at rank rna of A and
     // rnb of B, the intersection can reach at most
     // 1 + min(|A|−rna, |B|−rnb); a pair whose EVERY generating occurrence
@@ -1340,7 +1351,7 @@ object TextOps {
     probe.join(target,
         col("s") === col("s2") && col("ida") =!= col("idb") &&
           col("szb").cast(DoubleType) >= lit(threshold) * col("sza").cast(DoubleType) &&
-          positional)
+          (not(sameOrder) || positional))
       .select("ida", "idb").distinct()
   }
 

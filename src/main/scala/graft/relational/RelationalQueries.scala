@@ -20,6 +20,12 @@ object RelationalQueries {
       fn: (SparkSession, String) => DataFrame): Q =
     Q(name, Some(sql), bench)(fn)
 
+  /** A MAINTENANCE entry (store rewrite cycle, not a query) — benched in
+    * the separate tail phase (see [[graft.Q]].maint). */
+  private def qm(name: String, sql: String)(
+      fn: (SparkSession, String) => DataFrame): Q =
+    Q(name, Some(sql), bench = true, maint = true)(fn)
+
   /** Once-per-(JVM, dir) Morton-clustered lineitem copy (q130) — the same
     * build-once contract as the persisted indexes. */
   private val zorders = scala.collection.concurrent.TrieMap.empty[String, String]
@@ -1132,7 +1138,7 @@ object RelationalQueries {
     // kill-between-stages recovery are spec-pinned
     // (StreamingCompactionSpec).
     // Integer-exact aggregate (count + key sums), bitwise stable.
-    q("q135_compaction_roundtrip",
+    qm("q135_compaction_roundtrip",
       """SELECT o_orderpriority AS pri, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
         |  CAST(min(o_orderkey) AS BIGINT) AS min_ok,

@@ -106,6 +106,115 @@ class ShingleIndexSpec extends SparkTestBase {
     assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("appendToIndex: base + appends == from-scratch rebuild " +
+      "bit-identically, at multiple thresholds, batch sweep included") {
+    import spark.implicits._
+    val base = randCorpus(60, 90, Vector("a", "b", "c", "d", "e"), 12)
+    // two appended epochs; the second extends the vocabulary so its df
+    // order genuinely differs from epoch 0's (rank-staleness exercised)
+    val b1 = randCorpus(61, 40, Vector("a", "b", "c", "d"), 12,
+      idOffset = 1000L)
+    val b2 = randCorpus(62, 40, Vector("b", "c", "d", "e", "qq"), 12,
+      idOffset = 2000L)
+    val all = base ++ b1 ++ b2
+    val dir = tmp("append")
+    ShingleIndex.build(base.toSeq.toDF("doc_id", "text"),
+      "doc_id", "text", dir, n = 2, nBuckets = 16)
+    ShingleIndex.appendToIndex(spark, dir, b1.toSeq.toDF("doc_id", "text"),
+      "doc_id", "text")
+    ShingleIndex.appendToIndex(spark, dir, b2.toSeq.toDF("doc_id", "text"),
+      "doc_id", "text")
+    for (t <- Seq(0.6, 0.8)) {
+      val served = ShingleIndex.containmentSelf(spark, dir, t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val mem = TextOps.ngramContainmentPairs(
+          all.toSeq.toDF("doc_id", "text"), "doc_id", "text", n = 2,
+          threshold = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(served.nonEmpty && served == mem, s"threshold $t")
+    }
+    // and the batch-vs-index sweep stays exact against the grown index
+    val probe = randCorpus(63, 25, Vector("a", "c", "e", "qq"), 10,
+      idOffset = 3000L)
+    val got = ShingleIndex.containmentAgainst(spark, dir,
+        probe.toSeq.toDF("doc_id", "text"), "doc_id", "text", 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == bruteAgainst(probe, all, 2, 0.6))
+  }
+
+  test("a crashed append (writes landed, marker missing) is invisible " +
+      "and the retry folds exactly once") {
+    import spark.implicits._
+    val base = randCorpus(64, 60, Vector("a", "b", "c", "d"), 12)
+    val batch = randCorpus(65, 30, Vector("a", "b", "c", "e"), 12,
+      idOffset = 1000L)
+    val dir = tmp("crash")
+    ShingleIndex.build(base.toSeq.toDF("doc_id", "text"),
+      "doc_id", "text", dir, n = 2, nBuckets = 16)
+    val baseOnly = ShingleIndex.containmentSelf(spark, dir, 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val ep = ShingleIndex.appendToIndex(spark, dir,
+      batch.toSeq.toDF("doc_id", "text"), "doc_id", "text")
+    // simulate the crash: every write of epoch `ep` landed but the commit
+    // marker did not
+    assert(new java.io.File(s"$dir/_epochs/$ep").delete())
+    val afterCrash = ShingleIndex.containmentSelf(spark, dir, 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(afterCrash == baseOnly, "orphan epoch rows leaked into serving")
+    // retry: the orphan partitions are wiped before the id is reused, so
+    // the fold lands exactly once
+    ShingleIndex.appendToIndex(spark, dir,
+      batch.toSeq.toDF("doc_id", "text"), "doc_id", "text")
+    val served = ShingleIndex.containmentSelf(spark, dir, 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val mem = TextOps.ngramContainmentPairs(
+        (base ++ batch).toSeq.toDF("doc_id", "text"), "doc_id", "text",
+        n = 2, threshold = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(served == mem)
+  }
+
+  test("compactIndex re-ranks all epochs into one with identical output " +
+      "and survives kills at both swap stages") {
+    import spark.implicits._
+    import graft.sources.ParquetCompaction
+    val base = randCorpus(66, 70, Vector("a", "b", "c", "d"), 12)
+    val batch = randCorpus(67, 35, Vector("b", "c", "d", "e"), 12,
+      idOffset = 1000L)
+    val dir = tmp("compact")
+    ShingleIndex.build(base.toSeq.toDF("doc_id", "text"),
+      "doc_id", "text", dir, n = 2, nBuckets = 16)
+    ShingleIndex.appendToIndex(spark, dir,
+      batch.toSeq.toDF("doc_id", "text"), "doc_id", "text")
+    def serve() = ShingleIndex.containmentSelf(spark, dir, 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val before = serve()
+    // kill before the commit marker's delete step: old store intact
+    ParquetCompaction.crashHook =
+      p => if (p == "compact-ready") throw new RuntimeException("kill@ready")
+    try intercept[RuntimeException] { ShingleIndex.compactIndex(spark, dir) }
+    finally ParquetCompaction.crashHook = _ => ()
+    assert(serve() == before)
+    // kill after the root delete: recovery promotes the READY temp
+    ParquetCompaction.crashHook = p =>
+      if (p == "compact-after-delete") throw new RuntimeException("kill@del")
+    try intercept[RuntimeException] { ShingleIndex.compactIndex(spark, dir) }
+    finally ParquetCompaction.crashHook = _ => ()
+    assert(serve() == before) // containmentSelf recover()s first
+    // the compacted store holds ONE epoch and still appends cleanly
+    // raw listing includes the local FS's .crc shadows — count markers only
+    assert(new java.io.File(s"$dir/_epochs").list()
+      .count(!_.startsWith(".")) == 1)
+    val b2 = randCorpus(68, 20, Vector("a", "d", "e"), 12, idOffset = 2000L)
+    ShingleIndex.appendToIndex(spark, dir,
+      b2.toSeq.toDF("doc_id", "text"), "doc_id", "text")
+    val mem = TextOps.ngramContainmentPairs(
+        (base ++ batch ++ b2).toSeq.toDF("doc_id", "text"), "doc_id",
+        "text", n = 2, threshold = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(serve() == mem)
+  }
+
   test("a rebuilt index round-trips the gate corpus: served output " +
       "matches the in-memory operator on real documents") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
