@@ -14,7 +14,9 @@ import org.apache.spark.sql.types._
   * Fourth member of the custom-AGGREGATE tier (KMV, top-k, and this): the
   * buffer is a fixed-size bit array, so Catalyst runs it as a partial
   * aggregate — each map task folds its slice locally and only
-  * filter-sized buffers (mBits/8 bytes, ≤ 16 MB) cross the shuffle. The
+  * filter-sized buffers (mBits/8 bytes, ≤ 16 MB) cross the shuffle; the
+  * input relation is never shuffled (callers may still scan it again for
+  * an exact verify — see TextOps.dedupAgainstHistory). The
   * alternative spellings either collect every distinct fingerprint to the
   * driver (DataFrameStatFunctions.bloomFilter — two extra jobs, no
   * composition with groupBy) or shuffle the full item stream.

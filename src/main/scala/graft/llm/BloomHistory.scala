@@ -1,0 +1,161 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Persisted, incrementally-folded Bloom history filter — the store behind
+  * [[TextOps.dedupAgainstHistory]]'s "is tonight's batch already in the
+  * lake" sweep (VERDICT r11 #3: the q139 filter was rebuilt from the full
+  * history on every run; Bloom filters OR-merge, so a nightly job keeps ONE
+  * persisted filter and folds only the new batch's fingerprints in).
+  *
+  * Layout at `path`:
+  *  - `words/` — a ONE-ROW parquet holding the filter as `array<long>`
+  *    (mBits/64 words, ≤ 16 MB at the 2^27 cap).
+  *  - `_graft_bloom_meta.json` — mBits, k, nItems (fingerprints folded, for
+  *    the fp-rate policy), lastBid (replay discipline).
+  *
+  * Every append is a WHOLE-STORE rewrite-then-swap
+  * ([[graft.sources.ParquetCompaction.rewrite]]): words and meta move
+  * together, so a kill at any stage leaves the old or the new store —
+  * never a filter whose meta disagrees.
+  *
+  * Replay discipline (the [[SimGraphStore]] / StreamingCuration rule): a
+  * `foreachBatch` maintainer passes the ENGINE batch id; a replayed
+  * in-flight id (== lastBid) is a no-op — OR-folding the same rows twice
+  * is bitwise idempotent anyway, but skipping keeps `nItems` honest — and
+  * an OLDER id means the checkpoint and the store are out of sync and
+  * fails loudly.
+  *
+  * FP-rate policy (STATUS note): the filter cannot resize, so appends
+  * monotonically raise occupancy. [[estimatedFpRate]] computes the EXACT
+  * per-probe false-positive rate from the stored bits, (setBits/mBits)^k —
+  * no estimate needed when the filter itself is on hand. Because callers
+  * re-verify hits exactly (the q139 shape), a drifting fp rate never
+  * corrupts output — it only grows the verify join's probe side — so the
+  * policy is operational: when the rate crosses the configured budget
+  * (default 1%), REBUILD with mBits doubled (one history pass, the same
+  * cost the non-persisted spelling paid every night). At the default
+  * mBits = 2^20, k = 5 the 1% line sits near 10^5.6 ≈ 440k fingerprints.
+  *
+  * Scale (100 TB): append cost is one map-only pass over the BATCH (the
+  * history is never re-read), a filter-sized shuffle buffer, and a
+  * filter-sized store rewrite. Serving broadcasts the one-row filter and
+  * probes map-side; only Bloom hits reach the exact verify join. */
+object BloomHistory {
+
+  private val metaFile = "_graft_bloom_meta.json"
+
+  /** Create an empty filter store. */
+  def init(spark: SparkSession, path: String, mBits: Int = 1 << 20,
+      k: Int = 5): Unit = {
+    require(mBits >= 64 && Integer.bitCount(mBits) == 1,
+      "mBits must be a power of two >= 64")
+    graft.sources.ParquetCompaction.recover(spark, path)
+    graft.sources.ParquetCompaction.rewrite(spark, path) { tmp =>
+      emptyWords(spark, mBits).write.parquet(s"$tmp/words")
+      writeMeta(spark, tmp, mBits, k, nItems = 0L, lastBid = -1L)
+    }
+  }
+
+  /** Fold a batch's token-set fingerprints into the stored filter. Returns
+    * the committed batch id. `explicitBid` is the streaming seam (see the
+    * class doc); `None` auto-increments. */
+  def append(spark: SparkSession, path: String, batch: DataFrame,
+      textCol: String, explicitBid: Option[Long] = None): Long = {
+    graft.sources.ParquetCompaction.recover(spark, path)
+    val (mBits, k, nItems, lastBid) = readMeta(spark, path)
+    val bid = explicitBid match {
+      case None => lastBid + 1L
+      case Some(b) =>
+        if (b == lastBid) return b // replayed in-flight batch: no-op
+        require(b > lastBid,
+          s"batch id $b is older than the store's latest committed " +
+            s"$lastBid at $path — a replay can only repeat the latest " +
+            "batch; reset the checkpoint and the store together")
+        b
+    }
+    graft.functions.BloomFilterAgg.register(spark)
+    val folded = batch
+      .select(TextOps.tokenSetFingerprint(col(textCol)).as("fp"))
+      .agg(call_function(graft.functions.BloomFilterAgg.name,
+          xxhash64(col("fp")), lit(mBits), lit(k)).as("bw"),
+        count(lit(1)).as("bn"))
+    val stored = spark.read.parquet(s"$path/words")
+    // one row × one row: OR the word arrays; Bloom union is exact
+    val merged = stored.crossJoin(broadcast(folded))
+      .select(zip_with(col("words"), col("bw"),
+        (a, b) => a.bitwiseOR(b)).as("words"), col("bn"))
+      .localCheckpoint() // materialize BEFORE the swap deletes its input
+    val added = merged.select("bn").collect()(0).getLong(0)
+    graft.sources.ParquetCompaction.rewrite(spark, path) { tmp =>
+      merged.select("words").write.parquet(s"$tmp/words")
+      writeMeta(spark, tmp, mBits, k, nItems + added, bid)
+    }
+    bid
+  }
+
+  /** Batch rows whose fingerprint MAY be in the folded history — true
+    * duplicates plus the fp-rate residue, never missing a true dup. The
+    * one-row filter broadcasts; the probe is pure codegen'd Column bit
+    * tests ([[graft.functions.BloomProbe.mightContain]]). Output
+    * (doc_id, fp). */
+  def probe(spark: SparkSession, path: String, batch: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    graft.sources.ParquetCompaction.recover(spark, path)
+    val (mBits, k, _, _) = readMeta(spark, path)
+    val stored = spark.read.parquet(s"$path/words")
+    batch.select(col(idCol).cast(LongType).as("doc_id"),
+        TextOps.tokenSetFingerprint(col(textCol)).as("fp"))
+      .crossJoin(broadcast(stored))
+      .filter(graft.functions.BloomProbe.mightContain(
+        col("words"), xxhash64(col("fp")), mBits, k))
+      .select("doc_id", "fp")
+  }
+
+  /** The exact q139 sweep served from the store: Bloom hits re-verify
+    * against the history's fingerprints (map-only scan of `history`, never
+    * shuffled when the pruned hit set broadcasts), so the output is EXACT
+    * — identical to [[TextOps.dedupAgainstHistory]] — while the history
+    * itself was read zero times for the filter (it lives in the store). */
+  def dedupFromStore(spark: SparkSession, path: String, history: DataFrame,
+      batch: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val hits = probe(spark, path, batch, idCol, textCol)
+    val hfp = history.select(TextOps.tokenSetFingerprint(col(textCol)).as("hfp"))
+    hits.join(hfp, col("fp") === col("hfp"), "left_semi")
+      .select("doc_id")
+  }
+
+  /** EXACT per-probe false-positive rate of the stored filter,
+    * (setBits/mBits)^k — the fp-rate-policy dial (class doc). */
+  def estimatedFpRate(spark: SparkSession, path: String): Double = {
+    graft.sources.ParquetCompaction.recover(spark, path)
+    val (mBits, k, _, _) = readMeta(spark, path)
+    val setBits = spark.read.parquet(s"$path/words")
+      .select(aggregate(transform(col("words"), w => bit_count(w)),
+        lit(0L), (acc, x) => acc + x.cast(LongType)).as("n"))
+      .collect()(0).getLong(0)
+    math.pow(setBits.toDouble / mBits, k.toDouble)
+  }
+
+  private def emptyWords(spark: SparkSession, mBits: Int): DataFrame = {
+    import spark.implicits._
+    Seq(Seq.fill(mBits / 64)(0L)).toDF("words")
+  }
+
+  private def writeMeta(spark: SparkSession, path: String, mBits: Int,
+      k: Int, nItems: Long, lastBid: Long): Unit =
+    graft.sources.MetaSidecar.write(spark, path, metaFile,
+      Seq("mBits" -> mBits.toString, "k" -> k.toString,
+        "nItems" -> nItems.toString, "lastBid" -> lastBid.toString))
+
+  private[graft] def readMeta(spark: SparkSession,
+      path: String): (Int, Int, Long, Long) = {
+    import graft.sources.MetaSidecar._
+    val txt = readText(spark, path, metaFile).getOrElse(
+      throw new IllegalStateException(s"no bloom history store at $path"))
+    (requireLong(txt, path, "mBits").toInt, requireLong(txt, path, "k").toInt,
+      requireLong(txt, path, "nItems"), requireLong(txt, path, "lastBid"))
+  }
+}

@@ -41,9 +41,10 @@ object MetaSidecar {
     }
   }
 
-  /** Integer field lookup inside a sidecar's text. */
+  /** Integer field lookup inside a sidecar's text (negatives allowed —
+    * BloomHistory's pre-first-batch lastBid is -1). */
   def longField(txt: String, key: String): Option[Long] =
-    (s""""$key"\\s*:\\s*(\\d+)""").r.findFirstMatchIn(txt)
+    (s""""$key"\\s*:\\s*(-?\\d+)""").r.findFirstMatchIn(txt)
       .map(_.group(1).toLong)
 
   /** Integer field that must be present — loud failure names the file. */

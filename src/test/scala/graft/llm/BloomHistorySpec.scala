@@ -1,0 +1,105 @@
+package graft.llm
+
+import graft.SparkTestBase
+import graft.sources.ParquetCompaction
+import org.apache.spark.sql.functions._
+
+/** Persisted Bloom history store: incremental folds equal the one-shot
+  * filter bit-for-bit, serving is exactly the non-persisted operator,
+  * appends are crash-safe, and the fp-rate dial matches the filter's
+  * actual bits. */
+class BloomHistorySpec extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def tmp(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft-bloomstore-$tag").toString
+
+  private def words(dir: String): Seq[Long] =
+    spark.read.parquet(s"$dir/words").collect()(0).getSeq[Long](0)
+
+  test("two incremental appends equal the one-shot fold bit-for-bit, and " +
+      "dedupFromStore equals the non-persisted operator exactly") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val history = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+    val batch = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+    val dir = tmp("fold")
+    BloomHistory.init(spark, dir, mBits = 1 << 16, k = 5)
+    BloomHistory.append(spark, dir, history.filter(col("doc_id") < 250), "text")
+    BloomHistory.append(spark, dir, history.filter(col("doc_id") >= 250), "text")
+    // one-shot reference filter over the whole history
+    graft.functions.BloomFilterAgg.register(spark)
+    val oneShot = history
+      .select(TextOps.tokenSetFingerprint(col("text")).as("fp"))
+      .agg(call_function(graft.functions.BloomFilterAgg.name,
+        xxhash64(col("fp")), lit(1 << 16), lit(5)))
+      .collect()(0).getSeq[Long](0)
+    assert(words(dir) == oneShot)
+    val got = BloomHistory.dedupFromStore(spark, dir, history, batch,
+      "doc_id", "text").collect().map(_.getLong(0)).toSet
+    val exp = TextOps.dedupAgainstHistory(history, batch, "doc_id", "text",
+      mBits = 1 << 16, k = 5).collect().map(_.getLong(0)).toSet
+    assert(got == exp)
+    // nItems accounting: exactly the history rows folded
+    assert(BloomHistory.readMeta(spark, dir)._3 == history.count())
+  }
+
+  test("a kill at either swap stage of an append leaves the old or the " +
+      "new store, never a torn one") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val dir = tmp("crash")
+    BloomHistory.init(spark, dir, mBits = 1 << 16, k = 5)
+    BloomHistory.append(spark, dir, docs.filter(col("doc_id") < 100), "text")
+    val before = words(dir)
+    val beforeMeta = BloomHistory.readMeta(spark, dir)
+    val b2 = docs.filter(col("doc_id") >= 100 && col("doc_id") < 200)
+    // kill before the READY marker's delete step: old store intact
+    ParquetCompaction.crashHook =
+      p => if (p == "compact-ready") throw new RuntimeException("kill@ready")
+    try intercept[RuntimeException] {
+      BloomHistory.append(spark, dir, b2, "text")
+    } finally ParquetCompaction.crashHook = _ => ()
+    ParquetCompaction.recover(spark, dir)
+    assert(words(dir) == before &&
+      BloomHistory.readMeta(spark, dir) == beforeMeta)
+    // kill after the root delete: next touch promotes the READY temp —
+    // the append is then COMMITTED (words and meta moved together)
+    ParquetCompaction.crashHook = p =>
+      if (p == "compact-after-delete") throw new RuntimeException("kill@del")
+    try intercept[RuntimeException] {
+      BloomHistory.append(spark, dir, b2, "text")
+    } finally ParquetCompaction.crashHook = _ => ()
+    // every store entry point recovers first; the raw read here must too
+    ParquetCompaction.recover(spark, dir)
+    val after = words(dir)
+    assert(after != before && BloomHistory.readMeta(spark, dir)._4 == 1L)
+    // idempotent replay of the same engine batch id: bitwise no-op
+    BloomHistory.append(spark, dir, b2, "text", explicitBid = Some(1L))
+    assert(words(dir) == after)
+  }
+
+  test("replay discipline: in-flight id is a no-op, an older id fails " +
+      "loudly, fp rate matches the stored bits") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val dir = tmp("replay")
+    BloomHistory.init(spark, dir, mBits = 1 << 16, k = 5)
+    BloomHistory.append(spark, dir, docs.filter(col("doc_id") < 150), "text",
+      explicitBid = Some(0L))
+    BloomHistory.append(spark, dir, docs.filter(col("doc_id") >= 150), "text",
+      explicitBid = Some(1L))
+    val w = words(dir)
+    val n = BloomHistory.readMeta(spark, dir)._3
+    BloomHistory.append(spark, dir, docs.filter(col("doc_id") >= 150), "text",
+      explicitBid = Some(1L)) // replay: no-op, nItems unchanged
+    assert(words(dir) == w && BloomHistory.readMeta(spark, dir)._3 == n)
+    val e = intercept[IllegalArgumentException] {
+      BloomHistory.append(spark, dir, docs.limit(1), "text",
+        explicitBid = Some(0L))
+    }
+    assert(e.getMessage.contains("reset the checkpoint and the store"))
+    // exact fp rate: (setBits/m)^k from the words themselves
+    val setBits = w.map(java.lang.Long.bitCount(_).toLong).sum
+    val exp = math.pow(setBits.toDouble / (1 << 16), 5.0)
+    assert(math.abs(BloomHistory.estimatedFpRate(spark, dir) - exp) < 1e-12)
+  }
+}
