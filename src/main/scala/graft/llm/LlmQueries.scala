@@ -1408,6 +1408,85 @@ object LlmQueries {
         .orderBy("doc_id")
     },
 
+    // ---- hybrid retrieval served from the PERSISTED indexes (VERDICT
+    // r11 #2): q138's shape with neither side touching the corpus — the
+    // lexical ranking reads the q120 inverted text index (df and
+    // postings partition-pruned to the query terms' buckets,
+    // PlanSpec-asserted; bit-identical to the in-memory kernel because
+    // the index's df IS the distinct-token df) and the dense ranking
+    // reads the q76 partition-pruned IVF index (seed centroids, so the
+    // oracle rebuilds the identical index — the q57 discipline; nProbe=2
+    // of 16 cells, the honest serving path: candidates come from probed
+    // cells only, which the oracle models exactly). rrfFuse unchanged.
+    q("q142_hybrid_rrf_indexed",
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(list_distinct($sqlToks)) AS t FROM documents),
+         |rare AS (SELECT t FROM tok GROUP BY t HAVING count(*) <= 50),
+         |qpost AS (SELECT doc_id, t FROM tok JOIN rare USING (t)
+         |          WHERE doc_id < 10),
+         |lex AS (
+         |  SELECT qid, nid, ra FROM (
+         |    SELECT qid, nid, CAST(row_number() OVER (PARTITION BY qid
+         |        ORDER BY score DESC, nid) AS BIGINT) AS ra
+         |    FROM (SELECT q.doc_id AS qid, p.doc_id AS nid,
+         |            count(*) AS score
+         |          FROM qpost q JOIN tok p USING (t)
+         |          WHERE p.doc_id != q.doc_id
+         |          GROUP BY 1, 2)) WHERE ra <= 20),
+         |cent AS (
+         |  SELECT vec_id AS cid, embedding AS ce FROM embeddings
+         |  ORDER BY vec_id LIMIT 16),
+         |asg AS (
+         |  SELECT nid, ne, cid FROM (
+         |    SELECT e.vec_id AS nid, e.embedding AS ne, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+         |                                        CAST(c.ce AS DOUBLE[])) DESC,
+         |                 c.cid) AS r
+         |    FROM embeddings e, cent c) WHERE r = 1),
+         |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+         |      WHERE vec_id < 10),
+         |probe AS (
+         |  SELECT qid, cid FROM (
+         |    SELECT q.qid, c.cid,
+         |      row_number() OVER (PARTITION BY q.qid
+         |        ORDER BY list_cosine_similarity(CAST(q.qe AS DOUBLE[]),
+         |                                        CAST(c.ce AS DOUBLE[])) DESC,
+         |                 c.cid) AS r
+         |    FROM q, cent c) WHERE r <= 2),
+         |pd AS (
+         |  SELECT pr.qid, a.nid,
+         |    list_cosine_similarity(CAST(q.qe AS DOUBLE[]),
+         |                           CAST(a.ne AS DOUBLE[])) AS cos
+         |  FROM probe pr JOIN asg a USING (cid) JOIN q USING (qid)
+         |  WHERE a.nid != pr.qid),
+         |dense AS (
+         |  SELECT qid, nid, rb FROM (
+         |    SELECT qid, nid, CAST(row_number() OVER (PARTITION BY qid
+         |        ORDER BY cos DESC, nid) AS BIGINT) AS rb
+         |    FROM pd) WHERE rb <= 20),
+         |fused AS (
+         |  SELECT coalesce(l.qid, d.qid) AS qid, coalesce(l.nid, d.nid) AS nid,
+         |    round(coalesce(CAST(1 AS DOUBLE) / (60 + l.ra), CAST(0 AS DOUBLE))
+         |        + coalesce(CAST(1 AS DOUBLE) / (60 + d.rb), CAST(0 AS DOUBLE)),
+         |      6) AS rrf
+         |  FROM lex l FULL OUTER JOIN dense d
+         |    ON l.qid = d.qid AND l.nid = d.nid)
+         |SELECT qid, rk, nid, rrf FROM (
+         |  SELECT qid, nid, rrf, CAST(row_number() OVER (PARTITION BY qid
+         |      ORDER BY rrf DESC, nid) AS BIGINT) AS rk
+         |  FROM fused) WHERE rk <= 5
+         |ORDER BY qid NULLS FIRST, rk NULLS FIRST""".stripMargin) { (s, dir) =>
+      val docs = T.documents(s, dir)
+      val emb = T.embeddings(s, dir)
+      val lex = Retrieval.sharedRareTokenTopKFromIndex(s,
+        textIndexFor(dir, docs), docs.filter(col("doc_id") < 10),
+        "doc_id", "text", k = 20, dfCap = 50L)
+      val dense = AnnOps.ivfTopKFromIndex(s, ivfIndexFor(dir, emb),
+        emb.filter(col("vec_id") < 10), k = 20, dim = 64, nProbe = 2)
+      Retrieval.rrfFuse(lex, dense, k = 5).orderBy("qid", "rk")
+    },
+
     // ---- per-node triangle counts on the doc-similarity graph (edges =
     // pairs sharing ≥2 distinct DISTINCTIVE 3-gram shingles, df ≤ 50):
     // the community-structure signal dedup clustering (q60) doesn't

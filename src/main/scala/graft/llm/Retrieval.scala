@@ -54,6 +54,68 @@ object Retrieval {
       .select(col("qid"), col("rk"), col("nid"), col("score"))
   }
 
+  /** [[sharedRareTokenTopK]] served from a PERSISTED [[TextIndex]]
+    * (VERDICT r11 #2: the in-memory spelling re-scans and re-aggregates
+    * corpus postings on every query batch — linear corpus work per batch
+    * at 100 TB; all of it is corpus-determined and already lives in the
+    * index). Bit-identical to the in-memory operator over the indexed
+    * corpus: the index's df/ dataset counts one row per (term, doc) —
+    * exactly the distinct-token document frequency the in-memory rare
+    * filter computes — and postings/ holds one row per (term, doc), so
+    * the shared-distinct-rare-token count is the same plain count.
+    *
+    * Scale: the query batch's term set hashes to ≤nBuckets `tb` values
+    * that land on BOTH index scans as literal partition filters (the
+    * q120 pruned-serve shape, PlanSpec-asserted) — data read is bounded
+    * by the probed buckets' postings, not the corpus, and the df rows
+    * surviving the rare cap are Zipf-small. The dense counterpart is
+    * [[AnnOps.ivfTopKFromIndex]] (partition-pruned cells, q76), whose
+    * (qid, rk, nid) output feeds [[rrfFuse]] directly — together they
+    * serve the q138 hybrid WITHOUT touching the corpus. (The IVF-PQ
+    * index serves the same shape compressed ~32× (AnnOps
+    * .ivfPqTopKFromIndex) when index I/O dominates; its ADC ranks are
+    * approximate by design, so the hash-exact gate uses the raw-vector
+    * IVF index.) */
+  def sharedRareTokenTopKFromIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, queries: DataFrame, idCol: String, textCol: String,
+      k: Int, dfCap: Long): DataFrame = {
+    val scored = lexicalScoredFromIndex(spark, path, queries, idCol,
+      textCol, dfCap)
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("nid"))
+    scored.withColumn("rk", row_number().over(w).cast(LongType))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("rk"), col("nid"), col("score"))
+  }
+
+  /** (qid, nid, score) of [[sharedRareTokenTopKFromIndex]] before the
+    * top-k window — split out so the pruned-scan plan is assertable. */
+  private[graft] def lexicalScoredFromIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, idCol: String, textCol: String,
+      dfCap: Long): DataFrame = {
+    graft.sources.ParquetCompaction.recover(spark, s"$path/postings")
+    graft.sources.ParquetCompaction.recover(spark, s"$path/df")
+    val (nBuckets, _, _) = TextIndex.readMeta(spark, path)
+    val qtok = queries.select(col(idCol).cast(LongType).as("qid"),
+        explode(array_distinct(TextOps.tokens(col(textCol)))).as("term"))
+      .localCheckpoint()
+    // the batch's bucket set (≤ nBuckets values) prunes BOTH scans
+    val buckets = qtok
+      .select(pmod(xxhash64(col("term")), lit(nBuckets)).as("tb"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    val rare = spark.read.parquet(s"$path/df")
+      .filter(col("tb").isin(buckets: _*) && col("dfc") <= dfCap)
+      .select("term")
+    val qrare = qtok.join(rare, "term")
+    val postings = spark.read.parquet(s"$path/postings")
+      .filter(col("tb").isin(buckets: _*))
+      .select(col("term"), col("doc_id").as("nid"))
+    qrare.join(postings, "term")
+      .filter(col("qid") =!= col("nid"))
+      .groupBy("qid", "nid").agg(count(lit(1)).as("score"))
+  }
+
   /** Reciprocal-rank fusion of two (qid, rk, nid) rankings:
     * rrf = Σ 1/(c0 + rank), a ranking absent from one side contributing 0.
     * Both addends are exact IEEE divisions of small integers, summed in a

@@ -40,6 +40,40 @@ class HybridRetrievalSpec extends SparkTestBase {
       (3L, 12L, r6(1.0 / 62))))
   }
 
+  test("sharedRareTokenTopKFromIndex == the in-memory operator " +
+      "bit-identically on a random corpus (persisted-index serving)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(77)
+    // vocabulary wide enough that typical dfs sit under the rare cap
+    val vocab = (0 until 120).map(i => s"w$i").toVector
+    val docs = (0L until 150L).map { i =>
+      val len = 3 + rnd.nextInt(10)
+      (i, (0 until len).map(_ => vocab(rnd.nextInt(vocab.size)))
+        .mkString(" "))
+    }.toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-lexidx").toString + "/idx"
+    TextIndex.buildIndex(docs, "doc_id", "text", dir, nBuckets = 16)
+    val queries = docs.filter($"doc_id" < 7)
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val mem = canon(Retrieval.sharedRareTokenTopK(docs, queries,
+      "doc_id", "text", k = 5, dfCap = 30L))
+    val idx = canon(Retrieval.sharedRareTokenTopKFromIndex(spark, dir,
+      queries, "doc_id", "text", k = 5, dfCap = 30L))
+    assert(idx.nonEmpty && idx == mem)
+    // both index scans carry the query-bucket partition filter
+    val plan = Retrieval.lexicalScoredFromIndex(spark, dir, queries,
+      "doc_id", "text", 30L).queryExecution.executedPlan.toString
+    val scans = plan.split("FileScan parquet").toSeq.tail
+      .filter(s => s.contains("postings") || s.contains("/df"))
+    assert(scans.size >= 2, s"expected postings + df scans:\n$plan")
+    assert(scans.forall(s =>
+      s.contains("PartitionFilters") && !s.contains("PartitionFilters: []")),
+      s"index scans must be partition-pruned to the query buckets:\n$plan")
+  }
+
   test("semDedup matches a driver-side brute-force model on a random corpus") {
     import spark.implicits._
     val dim = 8; val nCent = 4; val thr = 0.2
