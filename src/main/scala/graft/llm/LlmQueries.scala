@@ -1487,6 +1487,58 @@ object LlmQueries {
       Retrieval.rrfFuse(lex, dense, k = 5).orderBy("qid", "rk")
     },
 
+    // ---- STREAMING similarity-graph maintenance under the gate (VERDICT
+    // r11 #8: StreamingSimGraph was spec-verified only): a real file
+    // stream folds two document slices into the store (one file per
+    // micro-batch, engine batch ids as commit ids), a SEMANTIC COMPACTION
+    // runs in the maintenance slot, the third slice arrives and the SAME
+    // checkpoint resumes folding — the full nightly lifecycle. The oracle
+    // rebuilds the graph from scratch over ALL docs, so any replay skip,
+    // compaction loss, or post-compaction id clash hash-mismatches (the
+    // store's exactness property makes the final graph independent of the
+    // micro-batch split).
+    qm("q143_streaming_simgraph",
+      s"""WITH sh AS (
+         |  SELECT doc_id, unnest($sqlShingles) AS s
+         |  FROM (SELECT doc_id, $sqlToks AS toks FROM documents)
+         |),
+         |rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 50),
+         |p AS (SELECT doc_id, s FROM sh JOIN rare USING (s))
+         |SELECT a.doc_id AS a, b.doc_id AS b
+         |FROM p a JOIN p b ON a.s = b.s AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2
+         |HAVING count(*) >= 2
+         |ORDER BY a NULLS FIRST, b NULLS FIRST""".stripMargin) { (s, dir) =>
+      import org.apache.hadoop.fs.Path
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val base = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft-simstream-" + tag).getAbsolutePath
+      val (src, store, ck) = (s"$base/src", s"$base/store", s"$base/ck")
+      graft.sources.ParquetCompaction.recover(s, store)
+      val fs = new Path(base).getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(new Path(base))) fs.delete(new Path(base), true)
+      val docs = T.documents(s, dir)
+      // stage each slice as one file: the file source delivers one file
+      // per AvailableNow trigger = one deterministic micro-batch
+      def stage(slice: org.apache.spark.sql.DataFrame, name: String): Unit = {
+        val tmp = s"$base/stage-$name"
+        slice.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = fs.listStatus(new Path(tmp)).map(_.getPath)
+          .find(_.getName.endsWith(".parquet")).get
+        fs.mkdirs(new Path(src))
+        fs.rename(part, new Path(src, s"$name.parquet"))
+        fs.delete(new Path(tmp), true)
+      }
+      stage(docs.filter(pmod(col("doc_id"), lit(3)) === 0), "b0")
+      stage(docs.filter(pmod(col("doc_id"), lit(3)) === 1), "b1")
+      SimGraphStore.init(s, store, n = 3, cap = 50L, minCommon = 2L)
+      graft.streaming.StreamingSimGraph.run(s, src, store, ck)
+      SimGraphStore.compact(s, store) // the between-batches maintenance slot
+      stage(docs.filter(pmod(col("doc_id"), lit(3)) === 2), "b2")
+      graft.streaming.StreamingSimGraph.run(s, src, store, ck)
+      SimGraphStore.edges(s, store).orderBy("a", "b")
+    },
+
     // ---- per-node triangle counts on the doc-similarity graph (edges =
     // pairs sharing ≥2 distinct DISTINCTIVE 3-gram shingles, df ≤ 50):
     // the community-structure signal dedup clustering (q60) doesn't
