@@ -96,7 +96,11 @@ object Bench {
     // subtotals are reported separately so the headline is comparable
     // across rounds on the common query set.
     val allEntries = SparkEntry.catalog.filter(_.bench)
-    val (maintEntries, queryEntries) = allEntries.partition(_.maint)
+    // A/B knob (VERDICT r11 #4b): skip the maintenance group entirely to
+    // attribute any query-median delta to the split itself
+    val skipMaint = sys.env.get("SPARK_GRAFT_BENCH_SKIP_MAINT").contains("1")
+    val queryEntries = allEntries.filterNot(_.maint)
+    val maintEntries = if (skipMaint) Seq.empty else allEntries.filter(_.maint)
     // Warmup: full pass, unmeasured (calibration too — first run JITs).
     calibrate()
     queryEntries.foreach(q => runOnce(q.fn))

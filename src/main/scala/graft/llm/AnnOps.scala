@@ -209,8 +209,10 @@ object AnnOps {
 
   /** Cell assignment kernel: argmax cosine over the broadcast centroids,
     * first-wins on exact ties (centroids iterate in cid order). The
-    * resulting (cid, nid, nemb) frame IS the inverted index. */
-  private def ivfAssignments(corpus: DataFrame,
+    * resulting (cid, nid, nemb) frame IS the inverted index.
+    * private[graft]: the SemDedupProbe tool measures learned-cell
+    * occupancy through the same kernel the operator uses. */
+  private[graft] def ivfAssignments(corpus: DataFrame,
       cents: Array[(Long, Array[Float], Double)], dim: Int): DataFrame = {
     val spark = corpus.sparkSession
     val centsB = spark.sparkContext.broadcast(cents)
