@@ -50,6 +50,35 @@ object ShingleServeProbe {
           "doc_id", "text", 0.8)
       }
     }
+    // the r12 nightly lifecycle: fold the batch in as an epoch, serve a
+    // SECOND disjoint batch against the now-two-epoch index (cross-epoch
+    // candidates pay the waived positional filter — this prices that),
+    // then compact (global re-rank) and serve again
+    val batch2 = docs.filter(pmod(col("doc_id"), lit(100)) === 50)
+    locally {
+      val t0 = System.nanoTime()
+      // shift appended ids out of the corpus id space (append contract:
+      // new ids) — same text, so candidate volume is realistic
+      graft.llm.ShingleIndex.appendToIndex(spark, idx,
+        batch.select((col("doc_id") + (1L << 40)).as("doc_id"), col("text")),
+        "doc_id", "text")
+      println(f"appendToIndex (1%% batch)     ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+    }
+    for (pass <- 1 to 2) {
+      time(s"batch-vs-2epoch (pass $pass)") {
+        graft.llm.ShingleIndex.containmentAgainst(spark, idx, batch2,
+          "doc_id", "text", 0.8)
+      }
+    }
+    locally {
+      val t0 = System.nanoTime()
+      graft.llm.ShingleIndex.compactIndex(spark, idx)
+      println(f"compactIndex                 ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+    }
+    time("batch-vs-compacted") {
+      graft.llm.ShingleIndex.containmentAgainst(spark, idx, batch2,
+        "doc_id", "text", 0.8)
+    }
     time("full self-sweep") {
       graft.llm.ShingleIndex.containmentSelf(spark, idx, 0.8)
     }
