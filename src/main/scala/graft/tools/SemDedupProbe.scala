@@ -27,7 +27,11 @@ object SemDedupProbe {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val emb = spark.read.parquet(s"$dir/embeddings.parquet").localCheckpoint()
+    // NOT localCheckpointed: the between-pass unpersist-everything would
+    // destroy the truncated-lineage blocks pass 2 needs (the
+    // PageRankProbe lesson); re-reading parquet is what the operator
+    // pays in production anyway
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val n = emb.count()
     val nc = math.max(16L, math.min(1L << 16, (n + 1023L) / 1024L)).toInt
     println(s"vectors=$n  auto cells=$nc")

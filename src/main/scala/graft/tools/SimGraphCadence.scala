@@ -33,8 +33,11 @@ object SimGraphCadence {
     spark.sparkContext.setLogLevel("WARN")
     val store = java.nio.file.Files
       .createTempDirectory("graft-simcadence").toString + "/store"
+    // NOT localCheckpointed: the between-fold unpersist-everything would
+    // destroy the truncated-lineage blocks later folds need (the
+    // PageRankProbe lesson)
     val docs = spark.read.parquet(s"$dir/documents.parquet")
-      .select(col("doc_id"), col("text")).localCheckpoint()
+      .select(col("doc_id"), col("text"))
     val m = 2L * nBatches // slices: base = buckets [0, nBatches)
     def slice(lo: Int, hi: Int) = docs.filter(
       pmod(col("doc_id"), lit(m)) >= lo && pmod(col("doc_id"), lit(m)) < hi)
