@@ -214,6 +214,22 @@ object SimGraphStore {
     bid
   }
 
+  /** Operational compaction dial, set from the r12 cadence rehearsal
+    * (STATUS: 10 sequential nightly folds at the 100× corpus): FOLD cost
+    * stays flat as batches accumulate (~9–25 s/fold, no growth trend),
+    * but SERVE cost — [[edges]] folds every committed delta partition —
+    * degraded from ~4 s just-compacted to 38–45 s after 4–5 folds, while
+    * [[compact]] itself cost 44–73 s and reset serve to baseline. The
+    * break-even is ~2 serves, so the default policy is: compact once
+    * more than `maxDeltaBatches` committed batches have accumulated
+    * since the last compaction (compaction folds the log to ONE id, so
+    * the committed-id count IS the delta depth). Returns true when a
+    * compaction is due; callers run [[compact]] in the maintenance slot
+    * between folds. */
+  def compactionDue(spark: SparkSession, path: String,
+      maxDeltaBatches: Int = 4): Boolean =
+    committedIds(spark, path).size > maxDeltaBatches
+
   /** The graph: (a, b) doc pairs currently sharing ≥ minCommon rare
     * shingles. */
   def edges(spark: SparkSession, path: String): DataFrame = {

@@ -164,4 +164,18 @@ class SimGraphStoreSpec extends SparkTestBase {
       explicitBid = Some(0L))
     assert(gotEdges(dir) == bruteEdges(docs, 2, 3, 2))
   }
+
+  test("compactionDue trips after maxDeltaBatches folds and resets on " +
+      "compaction (the r12 cadence policy)") {
+    val dir = tmp("due")
+    SimGraphStore.init(spark, dir, n = 2, cap = 3L, minCommon = 2L)
+    assert(!SimGraphStore.compactionDue(spark, dir, maxDeltaBatches = 3))
+    for (i <- 0 until 4) {
+      SimGraphStore.update(spark, dir,
+        toDF(randDocs(40 + i, 8, vocab, 8, 100L * i)), "doc_id", "text")
+    }
+    assert(SimGraphStore.compactionDue(spark, dir, maxDeltaBatches = 3))
+    SimGraphStore.compact(spark, dir) // folds the log to ONE committed id
+    assert(!SimGraphStore.compactionDue(spark, dir, maxDeltaBatches = 3))
+  }
 }
