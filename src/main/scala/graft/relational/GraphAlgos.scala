@@ -41,7 +41,18 @@ object GraphAlgos {
     * shuffles for the join (only the map-side-combined contribution agg
     * moves), at the cost of a node-sized collect per round. Web-scale
     * graphs (nodes ≫ executor memory) exceed the threshold and fall back
-    * to the shuffled equi-join automatically. */
+    * to the shuffled equi-join automatically.
+    *
+    * The 2M default is DATA-DERIVED (r12 PageRankThresholdProbe, both
+    * paths at 0.6M/1.1M/2.1M/4.2M nodes, two passes in one window —
+    * STATUS table): at ≤2.1M nodes the two paths tie within the host
+    * band (winners swap between passes), while at 4.2M broadcast
+    * collapses to 2.4–2.6× the shuffled wall in BOTH passes (604–673 s
+    * vs 237–274 s — a per-round ~67 MB broadcast build + node-sized
+    * driver collect paid five times). Below the tie point the threshold
+    * choice costs nothing; above it the post-r11 laid-out shuffled path
+    * (edge exchange paid once, cached) is strictly safer — so the
+    * default sits at the bottom of the measured cliff interval. */
   /** Test seam (the crashHook convention): when set, receives each
     * PageRank round's executed-plan string before that round's
     * checkpoint — GraphAlgosSpec pins the edge-never-re-shuffles
@@ -52,7 +63,7 @@ object GraphAlgos {
   def pageRankFixedPoint(edges: DataFrame, iterations: Int = 5,
       scale: Long = 1000000000000L, dampNum: Int = 17, dampDen: Int = 20,
       checkpointEvery: Int = 2,
-      broadcastNodesBelow: Long = 4000000L): DataFrame = {
+      broadcastNodesBelow: Long = 2000000L): DataFrame = {
     require(iterations >= 1 && iterations <= 50, "iterations in [1, 50]")
     val e = edges.select(col("s").cast("long").as("s"),
       col("d").cast("long").as("d")).localCheckpoint()
