@@ -141,15 +141,34 @@ object ShingleIndex {
     * current), df deltas append, signatures append; the `_epochs` marker
     * is the commit. A crash before the marker leaves invisible orphan
     * `ep=` partitions that the retry wipes before reusing the id.
-    * Returns the committed epoch id. */
+    * Returns the committed epoch id.
+    *
+    * `explicitEp` is the streaming seam (the [[SimGraphStore.update]]
+    * discipline): a `foreachBatch` maintainer passes the ENGINE's batch
+    * id (offset by the build epoch — see [[graft.streaming
+    * .StreamingShingleIndex]]) so a crash-replayed micro-batch — same
+    * id, same rows — is recognized as committed and skipped; an OLDER id
+    * means the checkpoint and the index are out of sync and fails
+    * loudly. */
   def appendToIndex(spark: SparkSession, path: String, batch: DataFrame,
-      idCol: String, textCol: String): Long = {
+      idCol: String, textCol: String,
+      explicitEp: Option[Long] = None): Long = {
     graft.sources.ParquetCompaction.recover(spark, path)
     val (nBuckets, n) = readMeta(spark, path)
     cleanOrphanEpochs(spark, path)
     val eps = committedEpochs(spark, path)
     require(eps.nonEmpty, s"no built index to append to at $path")
-    val ep = eps.max + 1L
+    val maxCommitted = eps.max
+    val ep = explicitEp match {
+      case None => maxCommitted + 1L
+      case Some(e) =>
+        if (e == maxCommitted) return e // replayed in-flight batch: no-op
+        require(e > maxCommitted,
+          s"epoch id $e is older than the index's latest committed " +
+            s"$maxCommitted at $path — a replay can only repeat the " +
+            "latest epoch; reset the checkpoint and the index together")
+        e
+    }
     val base = TextOps.shingleSigs(batch, idCol, textCol, n).localCheckpoint()
     val ex = base.select(col("id"), size(col("sh")).as("sz"),
       explode(col("sh")).as("s"))
