@@ -74,6 +74,45 @@ class HybridRetrievalSpec extends SparkTestBase {
       s"index scans must be partition-pruned to the query buckets:\n$plan")
   }
 
+  test("the compressed hybrid — lexical from the text index fused with " +
+      "dense from the persisted IVF-PQ index — equals the in-memory " +
+      "spelling (rrfFuse composes with ivfPqTopKFromIndex)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(91)
+    val dim = 16
+    val vocab = (0 until 100).map(i => s"t$i").toVector
+    val n = 120L
+    val docs = (0L until n).map { i =>
+      (i, (0 until 4 + rnd.nextInt(8))
+        .map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val emb = (0L until n).map { i =>
+      (i, Array.fill(dim)(rnd.nextFloat() * 2f - 1f).toSeq)
+    }.toDF("vec_id", "embedding")
+    val textIdx = java.nio.file.Files
+      .createTempDirectory("graft-hypq-text").toString + "/idx"
+    val pqIdx = java.nio.file.Files
+      .createTempDirectory("graft-hypq-pq").toString + "/idx"
+    TextIndex.buildIndex(docs, "doc_id", "text", textIdx, nBuckets = 16)
+    AnnOps.buildIvfPqIndex(emb, pqIdx, dim = dim, nCentroids = 8, m = 4,
+      kCodes = 8)
+    val q = docs.filter($"doc_id" < 5)
+    val qe = emb.filter($"vec_id" < 5)
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val served = canon(Retrieval.rrfFuse(
+      Retrieval.sharedRareTokenTopKFromIndex(spark, textIdx, q,
+        "doc_id", "text", k = 10, dfCap = 25L),
+      AnnOps.ivfPqTopKFromIndex(spark, pqIdx, qe, 10, nProbe = 3), k = 5))
+    val mem = canon(Retrieval.rrfFuse(
+      Retrieval.sharedRareTokenTopK(docs, q, "doc_id", "text",
+        k = 10, dfCap = 25L),
+      AnnOps.ivfPqTopK(emb, qe, 10, dim = dim, nCentroids = 8, nProbe = 3,
+        m = 4, kCodes = 8), k = 5))
+    assert(served.nonEmpty && served == mem)
+  }
+
   test("semDedup matches a driver-side brute-force model on a random corpus") {
     import spark.implicits._
     val dim = 8; val nCent = 4; val thr = 0.2
