@@ -67,15 +67,41 @@ object Bench {
       out
     }
 
-    // CALIBRATION: a fixed, data-independent CPU loop (xorshift mixing,
-    // constant iteration count) timed once per measured pass. Cross-round
-    // BENCH comparisons divide query medians by this number: on a shared
-    // box a slow host band shows up as calibration↑ by the same factor,
-    // so "every query uniformly 1.5× slower" reads as host throughput,
-    // not a plan regression — the r6→r7 comparison needed a hand-run
-    // control experiment to establish exactly this; now every bench
-    // artifact carries its own control.
+    // CALIBRATION (reworked, VERDICT r12 "What's wrong" #1): the old
+    // fixed CPU loop (xorshift, constant iterations) demonstrably failed
+    // to index the host band — four same-code runs on 2026-08-15 spanned
+    // 93.4–182.9 s on the query subtotal while the loop sat flat at
+    // 0.76–0.79, because the band's noise lives in I/O, shuffle, and
+    // scheduler stalls, not scalar CPU. The calibration is now a
+    // miniature REPRESENTATIVE workload over a fixed sf0.01 slice —
+    // parquet scan + filter, a hash join, a shuffle aggregation, and a
+    // window, the catalog's own resource mix — so a slow window moves it
+    // by (approximately) the factor it moves the query subtotal;
+    // validated on an A/A pair in one window (STATUS r13). The scalar
+    // loop is kept as calibration_cpu so the two noise axes (CPU band
+    // vs I/O+scheduler band) stay separable in the artifact.
+    val calDir =
+      sys.env.getOrElse("SPARK_GRAFT_CALIB_DIR", "/root/testdata/sf0.01")
     def calibrate(): Double = {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      val t0 = System.nanoTime()
+      val li = spark.read.parquet(s"$calDir/lineitem.parquet")
+        .filter(col("l_quantity") > lit(10.0))
+        .select("l_orderkey", "l_quantity", "l_extendedprice")
+      val ord = spark.read.parquet(s"$calDir/orders.parquet")
+        .select("o_orderkey", "o_custkey")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(sum("l_quantity").as("q"), count(lit(1)).as("n"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(pmod(col("o_custkey"), lit(16)))
+            .orderBy(col("q").desc, col("o_custkey"))))
+        .filter(col("rk") <= 100)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def calibrateCpu(): Double = {
       val t0 = System.nanoTime()
       var x = 0x9e3779b97f4a7c15L
       var i = 0L
@@ -101,8 +127,10 @@ object Bench {
     val skipMaint = sys.env.get("SPARK_GRAFT_BENCH_SKIP_MAINT").contains("1")
     val queryEntries = allEntries.filterNot(_.maint)
     val maintEntries = if (skipMaint) Seq.empty else allEntries.filter(_.maint)
-    // Warmup: full pass, unmeasured (calibration too — first run JITs).
+    // Warmup: full pass, unmeasured (calibrations too — first run JITs +
+    // warms the calibration slice's file listing and page cache).
     calibrate()
+    calibrateCpu()
     queryEntries.foreach(q => runOnce(q.fn))
     maintEntries.foreach(q => runOnce(q.fn))
     // Measured passes are INTERLEAVED (pass 1 runs every query, then pass 2,
@@ -119,9 +147,11 @@ object Bench {
     val samples = scala.collection.mutable.ArrayBuffer
       .empty[Seq[(Double, Boolean)]]
     val calibSamples = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val calibCpuSamples = scala.collection.mutable.ArrayBuffer.empty[Double]
     var pass = 0
     while (pass < passes && (pass == 0 || withinBudget)) {
       calibSamples += calibrate()
+      calibCpuSamples += calibrateCpu()
       samples += queryEntries.map(q => runOnce(q.fn))
       pass += 1
     }
@@ -180,8 +210,14 @@ object Bench {
     val calib = calibSorted((calibSorted.size - 1) / 2)
     val calibSpread =
       "[" + f"${calibSorted.head}%.3f" + "," + f"${calibSorted.last}%.3f" + "]"
+    val calibCpuSorted = calibCpuSamples.sorted
+    val calibCpu = calibCpuSorted((calibCpuSorted.size - 1) / 2)
+    // calibration-normalized headline: query subtotal in units of the
+    // representative mini-suite — the number to compare across rounds
+    // (raw value_queries stays alongside it)
+    val totalQueriesNorm = if (calib > 0) totalQueries / calib else 0.0
     val full =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","value_queries":${f"$totalQueries%.3f"},"value_maint":${f"$totalMaint%.3f"},"value_min":${f"$totalMin%.3f"},"passes":${samples.size},"maint_passes":${maintSamples.size},"calibration":${f"$calib%.3f"},"calibration_spread":$calibSpread,"queries":$qs,"spread":$spread,"ok":$status,"failed":$nFail,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","value_queries":${f"$totalQueries%.3f"},"value_queries_norm":${f"$totalQueriesNorm%.1f"},"value_maint":${f"$totalMaint%.3f"},"value_min":${f"$totalMin%.3f"},"passes":${samples.size},"maint_passes":${maintSamples.size},"calibration":${f"$calib%.3f"},"calibration_cpu":${f"$calibCpu%.3f"},"calibration_spread":$calibSpread,"queries":$qs,"spread":$spread,"ok":$status,"failed":$nFail,"sf":"$sfDir"}"""
     Files.writeString(Paths.get("bench.json"), full + "\n")
     // Append-only history (VERDICT r10 "What's wrong" #2): bench.json is
     // overwritten every run and the driver's BENCH_rNN artifact keeps only
@@ -210,8 +246,10 @@ object Bench {
       "\"" + k.drop(1).takeWhile(_.isDigit) + "\":" + f"$med%.2f"
     }.mkString("{", ",", "}")
     println(s"""{"metric":"per_query","q":$perQ}""")
+    // maint_passes rides on the parsed totals line too (ADVICE r12): a
+    // single-sample maintenance median is visible in the artifact itself
     val line =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","value_queries":${f"$totalQueries%.3f"},"value_maint":${f"$totalMaint%.3f"},"value_min":${f"$totalMin%.3f"},"passes":${samples.size},"calibration":${f"$calib%.3f"},"failed":$nFail,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","value_queries":${f"$totalQueries%.3f"},"value_queries_norm":${f"$totalQueriesNorm%.1f"},"value_maint":${f"$totalMaint%.3f"},"value_min":${f"$totalMin%.3f"},"passes":${samples.size},"maint_passes":${maintSamples.size},"calibration":${f"$calib%.3f"},"calibration_cpu":${f"$calibCpu%.3f"},"failed":$nFail,"sf":"$sfDir"}"""
     println(line)
     Console.out.flush()
   }

@@ -26,18 +26,26 @@ import org.apache.spark.sql.types.LongType
   * in-flight id (== lastBid) is a no-op — OR-folding the same rows twice
   * is bitwise idempotent anyway, but skipping keeps `nItems` honest — and
   * an OLDER id means the checkpoint and the store are out of sync and
-  * fails loudly.
+  * fails loudly. The skip path VERIFIES the replay (ADVICE r12): meta
+  * carries `lastSig`, an order-free signature of the committed batch's
+  * fingerprint multiset, and a "replay" whose rows don't match it fails
+  * loudly instead of silently no-opping — so a reset checkpoint exactly
+  * one batch behind (indistinguishable from a replay by id alone) can
+  * only be skipped when it genuinely carries the already-folded rows.
   *
-  * FP-rate policy (STATUS note): the filter cannot resize, so appends
-  * monotonically raise occupancy. [[estimatedFpRate]] computes the EXACT
-  * per-probe false-positive rate from the stored bits, (setBits/mBits)^k —
-  * no estimate needed when the filter itself is on hand. Because callers
-  * re-verify hits exactly (the q139 shape), a drifting fp rate never
-  * corrupts output — it only grows the verify join's probe side — so the
-  * policy is operational: when the rate crosses the configured budget
-  * (default 1%), REBUILD with mBits doubled (one history pass, the same
-  * cost the non-persisted spelling paid every night). At the default
-  * mBits = 2^20, k = 5 the 1% line sits near 10^5.6 ≈ 440k fingerprints.
+  * FP-rate policy (STATUS note): the filter cannot resize in place, so
+  * appends monotonically raise occupancy. [[estimatedFpRate]] estimates
+  * the per-probe false-positive rate from the actual bit occupancy,
+  * (setBits/mBits)^k — the standard approximation (double-hashed probes
+  * into one word array are not independent uniform, so it is an
+  * estimate, not an exact rate; it only drives the rebuild policy).
+  * Because callers re-verify hits exactly (the q139 shape), a drifting
+  * fp rate never corrupts output — it only grows the verify join's probe
+  * side — so the policy is operational: when the rate crosses the
+  * configured budget (default 1%), [[rebuild]] with mBits doubled (one
+  * history pass, the same cost the non-persisted spelling paid every
+  * night). At the default mBits = 2^20, k = 5 the 1% line sits near
+  * 10^5.6 ≈ 440k fingerprints.
   *
   * Scale (100 TB): append cost is one map-only pass over the BATCH (the
   * history is never re-read), a filter-sized shuffle buffer, and a
@@ -55,7 +63,8 @@ object BloomHistory {
     graft.sources.ParquetCompaction.recover(spark, path)
     graft.sources.ParquetCompaction.rewrite(spark, path) { tmp =>
       emptyWords(spark, mBits).write.parquet(s"$tmp/words")
-      writeMeta(spark, tmp, mBits, k, nItems = 0L, lastBid = -1L)
+      writeMeta(spark, tmp, mBits, k, nItems = 0L, lastBid = -1L,
+        lastSig = None)
     }
   }
 
@@ -69,7 +78,18 @@ object BloomHistory {
     val bid = explicitBid match {
       case None => lastBid + 1L
       case Some(b) =>
-        if (b == lastBid) return b // replayed in-flight batch: no-op
+        if (b == lastBid) {
+          // replayed in-flight batch: no-op — but VERIFY it (class doc):
+          // a reset checkpoint one batch behind carries the same id with
+          // DIFFERENT rows, and skipping those would drop a real batch
+          val sig = batchSig(batch, textCol)
+          require(readSig(spark, path).forall(_ == sig),
+            s"batch id $b matches the store's latest committed id at " +
+              s"$path but its rows differ from the committed batch — " +
+              "this is a reset checkpoint one batch behind, not a " +
+              "replay; reset the checkpoint and the store together")
+          return b
+        }
         require(b > lastBid,
           s"batch id $b is older than the store's latest committed " +
             s"$lastBid at $path — a replay can only repeat the latest " +
@@ -81,19 +101,58 @@ object BloomHistory {
       .select(TextOps.tokenSetFingerprint(col(textCol)).as("fp"))
       .agg(call_function(graft.functions.BloomFilterAgg.name,
           xxhash64(col("fp")), lit(mBits), lit(k)).as("bw"),
-        count(lit(1)).as("bn"))
+        count(lit(1)).as("bn"),
+        coalesce(expr("bit_xor(xxhash64(fp))"), lit(0L)).as("bx"))
     val stored = spark.read.parquet(s"$path/words")
     // one row × one row: OR the word arrays; Bloom union is exact
     val merged = stored.crossJoin(broadcast(folded))
       .select(zip_with(col("words"), col("bw"),
-        (a, b) => a.bitwiseOR(b)).as("words"), col("bn"))
+        (a, b) => a.bitwiseOR(b)).as("words"), col("bn"), col("bx"))
       .localCheckpoint() // materialize BEFORE the swap deletes its input
-    val added = merged.select("bn").collect()(0).getLong(0)
+    val head = merged.select("bn", "bx").collect()(0)
+    val added = head.getLong(0)
+    val sig = combineSig(head.getLong(1), added)
     graft.sources.ParquetCompaction.rewrite(spark, path) { tmp =>
       merged.select("words").write.parquet(s"$tmp/words")
-      writeMeta(spark, tmp, mBits, k, nItems + added, bid)
+      writeMeta(spark, tmp, mBits, k, nItems + added, bid, Some(sig))
     }
     bid
+  }
+
+  /** REBUILD the filter from the full history at a new size — the
+    * fp-rate policy's operation (class doc): one pass over `history`
+    * into a fresh `newMBits`-bit filter, whole-store rewrite-then-swap
+    * (a kill at any stage leaves the old or the new store), `lastBid`
+    * and the replay signature PRESERVED so a streaming maintainer's
+    * next fold lands on the rebuilt store exactly as it would have on
+    * the old one, `nItems` reset honestly to the rows actually folded.
+    * Cost: exactly the one history pass the non-persisted spelling paid
+    * every night. */
+  def rebuild(spark: SparkSession, path: String, history: DataFrame,
+      textCol: String, newMBits: Int, newK: Int = 5): Unit = {
+    require(newMBits >= 64 && Integer.bitCount(newMBits) == 1,
+      "mBits must be a power of two >= 64")
+    graft.sources.ParquetCompaction.recover(spark, path)
+    val (_, _, _, lastBid) = readMeta(spark, path)
+    val lastSig = readSig(spark, path)
+    graft.functions.BloomFilterAgg.register(spark)
+    val folded = history
+      .select(TextOps.tokenSetFingerprint(col(textCol)).as("fp"))
+      .agg(call_function(graft.functions.BloomFilterAgg.name,
+          xxhash64(col("fp")), lit(newMBits), lit(newK)).as("bw"),
+        count(lit(1)).as("bn"))
+    // OR onto an empty filter so a 0-row history still yields a valid
+    // all-zero word array (the agg's empty-buffer eval already does, but
+    // the shape keeps rebuild structurally identical to append's fold)
+    val merged = emptyWords(spark, newMBits).crossJoin(broadcast(folded))
+      .select(zip_with(col("words"), col("bw"),
+        (a, b) => a.bitwiseOR(b)).as("words"), col("bn"))
+      .localCheckpoint() // materialize BEFORE the swap deletes its input
+    val n = merged.select("bn").collect()(0).getLong(0)
+    graft.sources.ParquetCompaction.rewrite(spark, path) { tmp =>
+      merged.select("words").write.parquet(s"$tmp/words")
+      writeMeta(spark, tmp, newMBits, newK, n, lastBid, lastSig)
+    }
   }
 
   /** Batch rows whose fingerprint MAY be in the folded history — true
@@ -127,8 +186,10 @@ object BloomHistory {
       .select("doc_id")
   }
 
-  /** EXACT per-probe false-positive rate of the stored filter,
-    * (setBits/mBits)^k — the fp-rate-policy dial (class doc). */
+  /** Per-probe false-positive rate of the stored filter, estimated from
+    * the actual bit occupancy as (setBits/mBits)^k — the standard
+    * approximation (probe positions are double-hashed, not independent
+    * uniform); it drives the [[rebuild]] policy dial (class doc). */
   def estimatedFpRate(spark: SparkSession, path: String): Double = {
     graft.sources.ParquetCompaction.recover(spark, path)
     val (mBits, k, _, _) = readMeta(spark, path)
@@ -144,11 +205,37 @@ object BloomHistory {
     Seq(Seq.fill(mBits / 64)(0L)).toDF("words")
   }
 
+  /** Order-free signature of a batch's fingerprint multiset (count mixed
+    * with the bit_xor of per-row hashes) — what [[append]]'s replay skip
+    * verifies. One map-only pass over the batch, paid ONLY on the replay
+    * path. */
+  private def batchSig(batch: DataFrame, textCol: String): Long = {
+    val row = batch
+      .select(TextOps.tokenSetFingerprint(col(textCol)).as("fp"))
+      .agg(coalesce(expr("bit_xor(xxhash64(fp))"), lit(0L)).as("bx"),
+        count(lit(1)).as("bn"))
+      .collect()(0)
+    combineSig(row.getLong(0), row.getLong(1))
+  }
+
+  private def combineSig(xorHash: Long, n: Long): Long =
+    xorHash ^ java.lang.Long.rotateLeft(n, 32) ^ 0x5851f42d4c957f2dL
+
   private def writeMeta(spark: SparkSession, path: String, mBits: Int,
-      k: Int, nItems: Long, lastBid: Long): Unit =
+      k: Int, nItems: Long, lastBid: Long,
+      lastSig: Option[Long]): Unit =
     graft.sources.MetaSidecar.write(spark, path, metaFile,
       Seq("mBits" -> mBits.toString, "k" -> k.toString,
-        "nItems" -> nItems.toString, "lastBid" -> lastBid.toString))
+        "nItems" -> nItems.toString, "lastBid" -> lastBid.toString) ++
+        lastSig.map(s => "lastSig" -> s.toString))
+
+  /** The committed batch's replay signature; None for a pre-lastSig
+    * store (then the replay check degenerates to the documented id-only
+    * skip — the one-behind case stays undetectable there). */
+  private def readSig(spark: SparkSession, path: String): Option[Long] = {
+    import graft.sources.MetaSidecar._
+    readText(spark, path, metaFile).flatMap(longField(_, "lastSig"))
+  }
 
   private[graft] def readMeta(spark: SparkSession,
       path: String): (Int, Int, Long, Long) = {

@@ -131,8 +131,13 @@ object ShingleIndex {
       .withColumn("ep", lit(0L))
       .withColumn("sb", pmod(xxhash64(col("s")), lit(nBuckets)))
       .write.partitionBy("ep", "sb").parquet(s"$path/postings")
-    writeMeta(spark, path, nBuckets, n)
+    // marker BEFORE meta (ADVICE r12): meta is every entry point's
+    // fail-fast probe, so it must be the LAST artifact a build writes —
+    // a crash between the two leaves a store readMeta rejects loudly,
+    // never one whose fail-fast passes while committedEpochs is empty
+    // and serving silently returns nothing
     commitEpoch(spark, path, 0L)
+    writeMeta(spark, path, nBuckets, n)
   }
 
   /** Fold a batch of NEW documents into the index as the next epoch.
@@ -162,7 +167,22 @@ object ShingleIndex {
     val ep = explicitEp match {
       case None => maxCommitted + 1L
       case Some(e) =>
-        if (e == maxCommitted) return e // replayed in-flight batch: no-op
+        if (e == maxCommitted) {
+          // replayed in-flight batch: no-op — but VERIFY it when the
+          // marker carries the committed batch's signature (ADVICE r12:
+          // a reset checkpoint one batch behind presents the same id
+          // with DIFFERENT rows; skipping those would drop a real
+          // batch). Build- and compaction-written markers are empty —
+          // there the skip stays id-only, the documented residual gap.
+          epochSig(spark, path, e).foreach { committedSig =>
+            require(batchSig(batch, idCol, textCol) == committedSig,
+              s"epoch id $e matches the index's latest committed id at " +
+                s"$path but its rows differ from the committed batch — " +
+                "this is a reset checkpoint one batch behind, not a " +
+                "replay; reset the checkpoint and the index together")
+          }
+          return e
+        }
         require(e > maxCommitted,
           s"epoch id $e is older than the index's latest committed " +
             s"$maxCommitted at $path — a replay can only repeat the " +
@@ -194,7 +214,7 @@ object ShingleIndex {
       .write.mode("append").partitionBy("ep", "sb").parquet(s"$path/df")
     base.withColumn("ep", lit(ep))
       .write.mode("append").partitionBy("ep").parquet(s"$path/sigs")
-    commitEpoch(spark, path, ep)
+    commitEpoch(spark, path, ep, Some(batchSig(batch, idCol, textCol)))
     ep
   }
 
@@ -331,11 +351,47 @@ object ShingleIndex {
     else fs.listStatus(dir).toSeq.map(_.getPath.getName.toLong)
   }
 
-  private def commitEpoch(spark: SparkSession, path: String, ep: Long): Unit = {
+  /** Write the commit marker; an append stamps the committed batch's
+    * replay signature into it (build/compaction markers stay empty —
+    * nothing replays against those ids with verifiable content). */
+  private def commitEpoch(spark: SparkSession, path: String, ep: Long,
+      sig: Option[Long] = None): Unit = {
     import org.apache.hadoop.fs.Path
     val marker = new Path(s"$path/_epochs", ep.toString)
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.create(marker, true).close()
+    val out = fs.create(marker, true)
+    try sig.foreach(s => out.write(s.toString.getBytes("UTF-8")))
+    finally out.close()
+  }
+
+  /** The replay signature stamped into an epoch's commit marker, if the
+    * marker carries one. */
+  private def epochSig(spark: SparkSession, path: String,
+      ep: Long): Option[Long] = {
+    import org.apache.hadoop.fs.Path
+    val marker = new Path(s"$path/_epochs", ep.toString)
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) None
+    else {
+      val in = fs.open(marker)
+      val txt =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      if (txt.isEmpty) None else txt.toLongOption
+    }
+  }
+
+  /** Order-free signature of a batch's (id, text) multiset — what the
+    * replay skip verifies. One map-only pass, paid only on replay. */
+  private def batchSig(batch: DataFrame, idCol: String,
+      textCol: String): Long = {
+    val row = batch
+      .select(xxhash64(col(idCol).cast(LongType), col(textCol)).as("h"))
+      .agg(coalesce(expr("bit_xor(h)"), lit(0L)).as("bx"),
+        count(lit(1)).as("bn"))
+      .collect()(0)
+    row.getLong(0) ^ java.lang.Long.rotateLeft(row.getLong(1), 32) ^
+      0x5851f42d4c957f2dL
   }
 
   /** Delete `ep=` partitions no committed marker vouches for — a crashed

@@ -97,9 +97,84 @@ class BloomHistorySpec extends SparkTestBase {
         explicitBid = Some(0L))
     }
     assert(e.getMessage.contains("reset the checkpoint and the store"))
-    // exact fp rate: (setBits/m)^k from the words themselves
+    // fp rate estimated from the stored bits: (setBits/m)^k
     val setBits = w.map(java.lang.Long.bitCount(_).toLong).sum
     val exp = math.pow(setBits.toDouble / (1 << 16), 5.0)
     assert(math.abs(BloomHistory.estimatedFpRate(spark, dir) - exp) < 1e-12)
+  }
+
+  test("a reset checkpoint one batch behind fails loudly (replay " +
+      "signature); a genuine replay stays a verified no-op") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val dir = tmp("sig")
+    BloomHistory.init(spark, dir, mBits = 1 << 16, k = 5)
+    val b0 = docs.filter(col("doc_id") < 150)
+    val b1 = docs.filter(col("doc_id") >= 150 && col("doc_id") < 300)
+    val b2 = docs.filter(col("doc_id") >= 300 && col("doc_id") < 450)
+    BloomHistory.append(spark, dir, b0, "text", explicitBid = Some(0L))
+    BloomHistory.append(spark, dir, b1, "text", explicitBid = Some(1L))
+    val w = words(dir)
+    // genuine replay: same id, same rows — verified no-op
+    BloomHistory.append(spark, dir, b1, "text", explicitBid = Some(1L))
+    assert(words(dir) == w)
+    // reset checkpoint one behind: same id, DIFFERENT rows — loud, not a
+    // silent skip of a real batch (ADVICE r12)
+    val e = intercept[IllegalArgumentException] {
+      BloomHistory.append(spark, dir, b2, "text", explicitBid = Some(1L))
+    }
+    assert(e.getMessage.contains("rows differ from the committed batch"))
+    assert(words(dir) == w) // nothing folded
+  }
+
+  test("rebuild at doubled mBits equals a fresh init+append(history) " +
+      "word-for-word, preserves the replay cursor, resets nItems, and " +
+      "survives kills at both swap stages") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val history = docs.filter(col("doc_id") < 300)
+    val dir = tmp("rebuild")
+    BloomHistory.init(spark, dir, mBits = 1 << 16, k = 5)
+    BloomHistory.append(spark, dir, history.filter(col("doc_id") < 150),
+      "text", explicitBid = Some(0L))
+    val b1 = history.filter(col("doc_id") >= 150)
+    BloomHistory.append(spark, dir, b1, "text", explicitBid = Some(1L))
+    BloomHistory.rebuild(spark, dir, history, "text", newMBits = 1 << 17)
+    // reference: one fresh fold of the same history at the new size
+    val ref = tmp("rebuild-ref")
+    BloomHistory.init(spark, ref, mBits = 1 << 17, k = 5)
+    BloomHistory.append(spark, ref, history, "text")
+    assert(words(dir) == words(ref))
+    val (m, k, n, bid) = BloomHistory.readMeta(spark, dir)
+    assert(m == (1 << 17) && k == 5 && n == history.count() && bid == 1L)
+    // the replay cursor survived: a replay of the last committed batch is
+    // still a verified no-op, and the NEXT fold lands normally
+    val w = words(dir)
+    BloomHistory.append(spark, dir, b1, "text", explicitBid = Some(1L))
+    assert(words(dir) == w)
+    val b2 = docs.filter(col("doc_id") >= 300 && col("doc_id") < 450)
+    BloomHistory.append(spark, dir, b2, "text", explicitBid = Some(2L))
+    assert(BloomHistory.readMeta(spark, dir)._4 == 2L)
+    // kills at both swap stages: old store intact before the READY
+    // marker, committed after the root delete
+    val dir2 = tmp("rebuild-crash")
+    BloomHistory.init(spark, dir2, mBits = 1 << 16, k = 5)
+    BloomHistory.append(spark, dir2, history, "text")
+    val before = words(dir2)
+    val beforeMeta = BloomHistory.readMeta(spark, dir2)
+    ParquetCompaction.crashHook =
+      p => if (p == "compact-ready") throw new RuntimeException("kill@ready")
+    try intercept[RuntimeException] {
+      BloomHistory.rebuild(spark, dir2, history, "text", newMBits = 1 << 17)
+    } finally ParquetCompaction.crashHook = _ => ()
+    ParquetCompaction.recover(spark, dir2)
+    assert(words(dir2) == before &&
+      BloomHistory.readMeta(spark, dir2) == beforeMeta)
+    ParquetCompaction.crashHook = p =>
+      if (p == "compact-after-delete") throw new RuntimeException("kill@del")
+    try intercept[RuntimeException] {
+      BloomHistory.rebuild(spark, dir2, history, "text", newMBits = 1 << 17)
+    } finally ParquetCompaction.crashHook = _ => ()
+    ParquetCompaction.recover(spark, dir2)
+    assert(words(dir2) == words(ref) &&
+      BloomHistory.readMeta(spark, dir2)._1 == (1 << 17))
   }
 }

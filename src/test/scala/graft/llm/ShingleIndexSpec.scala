@@ -215,6 +215,54 @@ class ShingleIndexSpec extends SparkTestBase {
     assert(serve() == mem)
   }
 
+  test("a reset checkpoint one epoch behind fails loudly (marker replay " +
+      "signature); a genuine replay stays a no-op; a torn build — meta " +
+      "never written — fails fast at every entry point") {
+    import spark.implicits._
+    val base = randCorpus(70, 50, Vector("a", "b", "c", "d"), 12)
+    val b1 = randCorpus(71, 25, Vector("a", "b", "c", "e"), 12,
+      idOffset = 1000L)
+    val b2 = randCorpus(72, 25, Vector("b", "c", "d", "e"), 12,
+      idOffset = 2000L)
+    val dir = tmp("sig")
+    ShingleIndex.build(base.toSeq.toDF("doc_id", "text"),
+      "doc_id", "text", dir, n = 2, nBuckets = 16)
+    ShingleIndex.appendToIndex(spark, dir,
+      b1.toSeq.toDF("doc_id", "text"), "doc_id", "text",
+      explicitEp = Some(1L))
+    def serve() = ShingleIndex.containmentSelf(spark, dir, 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val before = serve()
+    // genuine replay: same id, same rows — no-op
+    assert(ShingleIndex.appendToIndex(spark, dir,
+      b1.toSeq.toDF("doc_id", "text"), "doc_id", "text",
+      explicitEp = Some(1L)) == 1L)
+    assert(serve() == before)
+    // reset checkpoint one behind: same id, DIFFERENT rows — loud
+    val e = intercept[IllegalArgumentException] {
+      ShingleIndex.appendToIndex(spark, dir,
+        b2.toSeq.toDF("doc_id", "text"), "doc_id", "text",
+        explicitEp = Some(1L))
+    }
+    assert(e.getMessage.contains("rows differ from the committed batch"))
+    assert(serve() == before) // nothing folded
+    // torn build: the epoch-0 marker committed but meta never landed
+    // (build writes meta LAST) — serving fails loudly, never silently
+    // empty
+    assert(new java.io.File(s"$dir/_graft_shingle_meta.json").delete())
+    intercept[IllegalStateException] {
+      ShingleIndex.containmentSelf(spark, dir, 0.6)
+    }
+    intercept[IllegalStateException] {
+      ShingleIndex.containmentAgainst(spark, dir,
+        b2.toSeq.toDF("doc_id", "text"), "doc_id", "text", 0.6)
+    }
+    intercept[IllegalStateException] {
+      ShingleIndex.appendToIndex(spark, dir,
+        b2.toSeq.toDF("doc_id", "text"), "doc_id", "text")
+    }
+  }
+
   test("a rebuilt index round-trips the gate corpus: served output " +
       "matches the in-memory operator on real documents") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

@@ -64,4 +64,32 @@ class StreamingBloomHistorySpec extends SparkTestBase {
       StreamingBloomHistory.processBatch(b0, 0L, dir))
     assert(e.getMessage.contains("reset the checkpoint and the store"))
   }
+
+  test("a streaming fold lands correctly after a mid-stream rebuild at " +
+      "doubled mBits: replay cursor preserved, next batch folds") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val dir = tmp("rebuild")
+    BloomHistory.init(spark, dir, mBits = 1 << 16, k = 5)
+    val b0 = docs.filter(col("doc_id") < 200)
+    val b1 = docs.filter(col("doc_id") >= 200 && col("doc_id") < 400)
+    val b2 = docs.filter(col("doc_id") >= 400 && col("doc_id") < 600)
+    StreamingBloomHistory.processBatch(b0, 0L, dir)
+    StreamingBloomHistory.processBatch(b1, 1L, dir)
+    // maintenance slot: the fp-rate policy fires and rebuilds bigger
+    BloomHistory.rebuild(spark, dir, b0.unionByName(b1), "text",
+      newMBits = 1 << 17)
+    // a crash-replay of the last pre-rebuild batch is still a verified
+    // no-op against the rebuilt store...
+    val w = words(dir)
+    StreamingBloomHistory.processBatch(b1, 1L, dir)
+    assert(words(dir) == w)
+    // ...and the next engine batch folds into the new filter
+    StreamingBloomHistory.processBatch(b2, 2L, dir)
+    val ref = tmp("rebuild-ref")
+    BloomHistory.init(spark, ref, mBits = 1 << 17, k = 5)
+    BloomHistory.append(spark, ref,
+      b0.unionByName(b1).unionByName(b2), "text")
+    assert(words(dir) == words(ref))
+    assert(BloomHistory.readMeta(spark, dir)._4 == 2L)
+  }
 }
