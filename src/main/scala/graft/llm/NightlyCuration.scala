@@ -1,0 +1,109 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The store-backed nightly curation cycle — the composition all five
+  * persisted stores exist for (VERDICT r12 #1). A recurring training-data
+  * pipeline holds a curated lake plus one store per serving concern:
+  *
+  *  - [[BloomHistory]] — "is tonight's document already in the lake"
+  *    (exact-verified membership),
+  *  - [[ShingleIndex]] — "is it near-contained in a lake document"
+  *    (n-gram containment, partition-pruned batch sweep),
+  *  - [[TextIndex]] — lexical retrieval over the lake (BM25 / rare-token),
+  *  - the IVF index ([[AnnOps.buildIvfIndex]]) — dense retrieval,
+  *  - [[SimGraphStore]] — the incremental near-dup similarity graph.
+  *
+  * Each night: [[admit]] gates the incoming batch (cheap quality
+  * predicates first, then the Bloom probe, then the containment sweep —
+  * cheapest-first so each stage shrinks the next one's input), and
+  * [[appendAll]] folds the admitted documents into every store via its
+  * own incremental append path. No stage rescans the lake: the Bloom
+  * probe broadcasts a one-row filter, the containment sweep reads only
+  * the batch's pruned postings buckets, and every append is batch-sized
+  * (the lake corpus frame is needed ONLY for the exact-verify side of
+  * the Bloom hits, a map-only scan that a production deployment serves
+  * from the lake's fingerprint column instead).
+  *
+  * Exactness under composition: each store's append == rebuild property
+  * is individually spec/gate-pinned (q140/q141/q76/q120/q136), so the
+  * composed cycle equals the from-scratch pipeline over
+  * history ∪ admitted — which is exactly what the q144 gate oracles.
+  *
+  * Scale (100 TB lens): one night's cost is
+  * O(batch + pruned-postings + Bloom-hit verifies); the lake-sized
+  * costs (index builds) were paid once at bootstrap. Measured at 100×
+  * in tools/NightlyCurationProbe (STATUS r13 table). */
+object NightlyCuration {
+
+  /** Paths of the five persisted stores under one root. */
+  final case class Stores(root: String) {
+    val bloom: String = s"$root/bloom"
+    val shingle: String = s"$root/shingle"
+    val text: String = s"$root/text"
+    val ivf: String = s"$root/ivf"
+    val graph: String = s"$root/graph"
+  }
+
+  /** Bootstrap every store from the existing lake (one-time cost; the
+    * nightly path never does this again). `historyEmb` rows are
+    * (vec_id, embedding) aligned with `history`'s ids — documents
+    * without an embedding simply never enter the IVF index. */
+  def initStores(spark: SparkSession, stores: Stores, history: DataFrame,
+      historyEmb: DataFrame, idCol: String, textCol: String, n: Int = 3,
+      nBuckets: Int = 64, dim: Int = 64, nCentroids: Int = 16,
+      simGraphCap: Long = 50L, simGraphMinCommon: Long = 2L): Unit = {
+    BloomHistory.init(spark, stores.bloom)
+    BloomHistory.append(spark, stores.bloom, history, textCol)
+    ShingleIndex.build(history, idCol, textCol, stores.shingle, n, nBuckets)
+    TextIndex.buildIndex(history, idCol, textCol, stores.text, nBuckets)
+    AnnOps.buildIvfIndex(historyEmb, stores.ivf, dim, nCentroids,
+      centroids = Some(AnnOps.seedCentroids(historyEmb, nCentroids, dim)))
+    SimGraphStore.init(spark, stores.graph, n, simGraphCap,
+      simGraphMinCommon)
+    SimGraphStore.update(spark, stores.graph, history, idCol, textCol)
+  }
+
+  /** Tonight's admission gate, cheapest-first:
+    *  1. quality predicates (map-only): ≥ `minTokens` tokens and a
+    *     distinct-token ratio ≥ `minUniqueRatio` (the q121 gates);
+    *  2. exact-dup drop via the Bloom store: probe the broadcast filter,
+    *     re-verify hits exactly against the lake's fingerprints
+    *     (`history` supplies them) — output is exact, never dropping a
+    *     novel document to a filter false positive;
+    *  3. near-dup drop via the shingle index: documents whose shingle
+    *     set is ≥ `containmentThreshold` contained in ANY lake document
+    *     (partition-pruned batch sweep, never a corpus scan).
+    * Returns the admitted rows of `batch` (all columns preserved). */
+  def admit(spark: SparkSession, stores: Stores, history: DataFrame,
+      batch: DataFrame, idCol: String, textCol: String,
+      minTokens: Int = 8, minUniqueRatio: Double = 0.3,
+      containmentThreshold: Double = 0.8): DataFrame = {
+    val toks = TextOps.tokens(col(textCol))
+    val quality = batch.filter(size(toks) >= minTokens &&
+      size(array_distinct(toks)) >= lit(minUniqueRatio) * size(toks))
+    val exactDups = BloomHistory.dedupFromStore(spark, stores.bloom,
+      history, quality, idCol, textCol)
+      .withColumnRenamed("doc_id", idCol)
+    val fresh = quality.join(exactDups, Seq(idCol), "left_anti")
+    val contained = ShingleIndex.containmentAgainst(spark, stores.shingle,
+        fresh, idCol, textCol, containmentThreshold)
+      .select(col("ida").as(idCol)).distinct()
+    fresh.join(contained, Seq(idCol), "left_anti")
+  }
+
+  /** Fold the admitted documents into every store via its incremental
+    * append path — each one batch-sized work (class doc). `admittedEmb`
+    * carries the admitted ids' embeddings (possibly empty). */
+  def appendAll(spark: SparkSession, stores: Stores, admitted: DataFrame,
+      admittedEmb: DataFrame, idCol: String, textCol: String,
+      dim: Int = 64): Unit = {
+    BloomHistory.append(spark, stores.bloom, admitted, textCol)
+    ShingleIndex.appendToIndex(spark, stores.shingle, admitted, idCol,
+      textCol)
+    TextIndex.appendToIndex(spark, stores.text, admitted, idCol, textCol)
+    AnnOps.appendToIvfIndex(spark, stores.ivf, admittedEmb, dim)
+    SimGraphStore.update(spark, stores.graph, admitted, idCol, textCol)
+  }
+}

@@ -1,0 +1,105 @@
+package graft.llm
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** The composed store-backed nightly cycle (NightlyCuration): the
+  * admission gate equals a driver-side brute-force model (quality ∧
+  * ¬exact-dup ∧ ¬contained), and the post-append stores serve exactly
+  * the from-scratch state over history ∪ admitted. */
+class NightlyCurationSpec extends SparkTestBase {
+
+  private def tmp(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft-nightly-$tag").toString
+
+  test("admit() == brute-force gate; post-append stores == from-scratch " +
+      "over history ∪ admitted") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(321)
+    val vocab = (0 until 50).map(i => s"w$i").toVector
+    def mkDoc(len: Int): String =
+      (0 until len).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val hist = (0L until 80L).map(i => (i, mkDoc(10 + rnd.nextInt(10))))
+    // batch: fresh docs, token-PERMUTED copies of history docs (exact
+    // dups — the fingerprint is over the distinct-token SET), contiguous
+    // slices of history docs (high containment), and low-quality docs
+    val batch =
+      (0 until 20).map(i => (1000L + i, mkDoc(10 + rnd.nextInt(8)))) ++
+      (0 until 6).map { i =>
+        val src = hist(rnd.nextInt(hist.size))._2.split(" ")
+        (1100L + i, rnd.shuffle(src.toSeq).mkString(" "))
+      } ++
+      (0 until 6).map { i =>
+        val src = hist(rnd.nextInt(hist.size))._2.split(" ")
+        (1200L + i, src.slice(1, src.length - 1).mkString(" "))
+      } ++
+      (0 until 4).map(i => (1300L + i, "w0 w0 w0 w0 w0 w0 w0 w0 w0 w0")) ++
+      (0 until 3).map(i => (1400L + i, "w1 w2 w3")) // too short
+    // ---- brute-force model of the gate
+    def toks(s: String) = s.trim.split(" ").toSeq
+    def shingles(s: String): Set[String] = {
+      val t = toks(s)
+      if (t.length < 3) Set.empty
+      else (0 to t.length - 3).map(i => t.slice(i, i + 3).mkString(" ")).toSet
+    }
+    val histFps = hist.map { case (_, t) => toks(t).distinct.sorted }.toSet
+    val histSh = hist.map { case (_, t) => shingles(t) }.filter(_.nonEmpty)
+    val expected = batch.filter { case (_, t) =>
+      val tk = toks(t)
+      val quality = tk.length >= 8 && tk.distinct.length >= 0.3 * tk.length
+      lazy val dup = histFps.contains(tk.distinct.sorted)
+      lazy val sh = shingles(t)
+      lazy val contained = sh.nonEmpty &&
+        histSh.exists(hs => (sh & hs).size >= 0.8 * sh.size)
+      quality && !dup && !contained
+    }.map(_._1).toSet
+    assert(expected.nonEmpty && expected.size < batch.size - 10,
+      "fixture must exercise every gate branch")
+    // ---- the composed cycle
+    val histDf = hist.toDF("doc_id", "text")
+    val batchDf = batch.toDF("doc_id", "text")
+    val dim = 8
+    val histEmb = hist.map { case (i, _) =>
+      (i, Seq.fill(dim)(rnd.nextFloat() * 2f - 1f))
+    }.toDF("vec_id", "embedding")
+    val stores = NightlyCuration.Stores(tmp("stores"))
+    NightlyCuration.initStores(spark, stores, histDf, histEmb,
+      "doc_id", "text", dim = dim, nCentroids = 4)
+    val admitted = NightlyCuration.admit(spark, stores, histDf, batchDf,
+      "doc_id", "text").localCheckpoint()
+    assert(admitted.select("doc_id").collect().map(_.getLong(0)).toSet
+      == expected)
+    val admittedEmb = admitted.select(col("doc_id").as("vec_id")).rdd
+      .map(_.getLong(0)).collect().toSeq
+      .map(i => (i, Seq.fill(dim)(0.1f))).toDF("vec_id", "embedding")
+    NightlyCuration.appendAll(spark, stores, admitted, admittedEmb,
+      "doc_id", "text", dim = dim)
+    // post-append stores serve the from-scratch union state
+    val union = histDf.unionByName(admitted.select("doc_id", "text"))
+    val servedPairs = ShingleIndex.containmentSelf(spark, stores.shingle, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val memPairs = TextOps.ngramContainmentPairs(union, "doc_id", "text",
+        n = 3, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(servedPairs == memPairs)
+    val servedEdges = SimGraphStore.edges(spark, stores.graph)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val freshGraph = tmp("fresh-graph")
+    SimGraphStore.init(spark, freshGraph, n = 3, cap = 50L, minCommon = 2L)
+    SimGraphStore.update(spark, freshGraph, union, "doc_id", "text")
+    val memEdges = SimGraphStore.edges(spark, freshGraph)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(servedEdges == memEdges)
+    // the Bloom store now knows every admitted doc: a re-probe of the
+    // batch returns exactly (exact dups ∪ admitted)
+    val reprobed = BloomHistory.dedupFromStore(spark, stores.bloom,
+        union, batchDf, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    val unionFps = (hist ++ batch.filter(b => expected(b._1)))
+      .map { case (_, t) => toks(t).distinct.sorted }.toSet
+    val expectedReprobe = batch.filter { case (_, t) =>
+      unionFps.contains(toks(t).distinct.sorted)
+    }.map(_._1).toSet
+    assert(reprobed == expectedReprobe && expected.subsetOf(reprobed))
+  }
+}
