@@ -893,10 +893,12 @@ object AnnOps {
     ivfPqAdcTopK(encoded, model, qRows, k, nProbe)
   }
 
-  /** Trained IVF-PQ model: coarse unit centroids (cell routing), cell
-    * MEANS (residual base — see trainIvfPq), residual PQ codebooks. */
+  /** Trained IVF-PQ model: coarse unit centroids (cell routing; doubles —
+    * a float round-trip would perturb the deterministic build's
+    * oracle-exact cosines), cell MEANS (residual base — see trainIvfPq),
+    * residual PQ codebooks. */
   private[llm] final case class IvfPqModel(dim: Int,
-      cents: Array[Array[Float]], means: Array[Array[Double]], pq: PqModel)
+      cents: Array[Array[Double]], means: Array[Array[Double]], pq: PqModel)
 
   /** Train the IVF-PQ model and encode the corpus: coarse k-means||
     * cells, cell-mean residuals (the mean minimizes residual variance —
@@ -910,7 +912,8 @@ object AnnOps {
     val spark = corpus.sparkSession
     val cents: Array[(Long, Array[Float], Double)] =
       kmeansParCentroids(corpus, nCentroids, dim)
-    val centArr: Array[Array[Float]] = cents.map(_._2)
+    // float→double per component is EXACT, so this changes no value
+    val centArr: Array[Array[Double]] = cents.map(_._2.map(_.toDouble))
     val cb = spark.sparkContext.broadcast(centArr)
 
     // pass 1a: cell assignment (vec_id, cid, unit vector)
@@ -958,7 +961,7 @@ object AnnOps {
       (a1, c1)
     }
     val means: Array[Array[Double]] = Array.tabulate(nCentroids) { j =>
-      if (mCnts(j) == 0) centArr(j).map(_.toDouble)
+      if (mCnts(j) == 0) centArr(j)
       else mSums(j).map(_ / mCnts(j))
     }
     val mb = spark.sparkContext.broadcast(means)
@@ -1097,14 +1100,21 @@ object AnnOps {
     encoded.select(col("vec_id"), col("cid"),
         packCodes(col("codes"), m, kCodes).as("packed"))
       .write.mode("overwrite").partitionBy("cid").parquet(s"$path/cells")
+    writeIvfPqModel(spark, path, model, nCentroids, m, kCodes)
+  }
+
+  private def writeIvfPqModel(spark: org.apache.spark.sql.SparkSession,
+      path: String, model: IvfPqModel, nCentroids: Int, m: Int,
+      kCodes: Int): Unit = {
     val rows =
       model.cents.zipWithIndex.map { case (c, i) =>
-        Row("cent", i, 0, c.map(_.toDouble).toSeq) } ++
+        Row("cent", i, 0, c.toSeq) } ++
       model.means.zipWithIndex.map { case (c, i) =>
         Row("mean", i, 0, c.toSeq) } ++
       (for (j <- 0 until m; c <- 0 until kCodes)
         yield Row("book", j, c, model.pq.codebooks(j)(c).toSeq)) ++
-      Seq(Row("meta", dim, nCentroids, Seq(m.toDouble, kCodes.toDouble)))
+      Seq(Row("meta", model.dim, nCentroids,
+        Seq(m.toDouble, kCodes.toDouble)))
     val schema = StructType(Seq(StructField("kind", StringType),
       StructField("a", IntegerType), StructField("b", IntegerType),
       StructField("vals", ArrayType(DoubleType))))
@@ -1112,8 +1122,91 @@ object AnnOps {
       .write.mode("overwrite").parquet(s"$path/model")
   }
 
+  /** DETERMINISTIC IVF-PQ build — the oracle-able gate spelling (the q107
+    * discipline applied to the composed index): coarse cells from the
+    * SEED centroids ([[seedCentroids]] — lowest vec_ids, unit-normalized
+    * in doubles, so the routing cosine is the plain dot product an
+    * independent engine reproduces), NO residual step (means = 0: the PQ
+    * codes quantize the unit vector itself), and codebooks from the md5
+    * hash stream ([[hashPqCodebooks]]). Every arithmetic step — the
+    * 1/√Σv² normalization, the per-subspace squared distances, the ADC
+    * sums — is a fixed-order double computation both engines perform
+    * identically, so a DuckDB oracle can rebuild the index and its
+    * rankings from the raw parquet (the q145 gate). Trained recall is
+    * [[buildIvfPqIndex]]'s job; this layout serves through the SAME
+    * [[ivfPqTopKFromIndex]] path (8 B/vector cells, partition-pruned). */
+  def buildIvfPqIndexDeterministic(corpus: DataFrame, path: String,
+      dim: Int = 64, nCentroids: Int = 16, m: Int = 8,
+      kCodes: Int = 16): Unit = {
+    val spark = corpus.sparkSession
+    val seeds = seedCentroids(corpus, nCentroids, dim)
+    // unit(seed) in doubles, exactly the unit() arithmetic (multiply by
+    // the reciprocal of the norm, never divide per component)
+    val cents: Array[Array[Double]] = seeds.map { case (_, ce, norm) =>
+      val inv = if (norm == 0) 0.0 else 1.0 / norm
+      ce.map(_.toDouble * inv)
+    }
+    val pq = hashPqCodebooks(dim, m, kCodes)
+    val sd = pq.subDim
+    val cb = spark.sparkContext.broadcast(cents)
+    val pqB = spark.sparkContext.broadcast(pq.codebooks)
+    val encSchema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("cid", IntegerType),
+      StructField("codes", ArrayType(IntegerType))))
+    val encoded = spark.createDataFrame(
+      corpus.select(col("vec_id"), col("embedding")).rdd.mapPartitions { rows =>
+        val cs = cb.value; val books = pqB.value
+        rows.map { r =>
+          val u = unit(r.getSeq[Float](1), dim)
+          var bestC = 0; var best = Double.NegativeInfinity
+          var j = 0
+          while (j < cs.length) {
+            val ce = cs(j)
+            var d = 0.0; var i = 0
+            while (i < dim) { d += u(i) * ce(i); i += 1 }
+            if (d > best) { best = d; bestC = j }
+            j += 1
+          }
+          val codes = new Array[Int](m)
+          var jj = 0
+          while (jj < m) {
+            codes(jj) = nearestSubD(books(jj), u, jj * sd, sd); jj += 1
+          }
+          Row(r.getLong(0), bestC, codes.toSeq)
+        }
+      }, encSchema)
+    encoded.select(col("vec_id"), col("cid"),
+        packCodes(col("codes"), m, kCodes).as("packed"))
+      .write.mode("overwrite").partitionBy("cid").parquet(s"$path/cells")
+    val zeros = Array.fill(nCentroids)(new Array[Double](dim))
+    writeIvfPqModel(spark, path, IvfPqModel(dim, cents, zeros, pq),
+      nCentroids, m, kCodes)
+  }
+
+  /** [[nearestSub]] over a double vector (the deterministic build's unit
+    * vectors) — same strict-min, ties-to-smaller-index rule. */
+  private def nearestSubD(book: Array[Array[Double]], u: Array[Double],
+      off: Int, sd: Int): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < book.length) {
+      val cv = book(c)
+      var d = 0.0
+      var t = 0
+      while (t < sd) {
+        val diff = u(off + t) - cv(t)
+        d += diff * diff
+        t += 1
+      }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
   /** Read the model sidecar back (metadata-sized). */
-  private[llm] def readIvfPqModel(spark: org.apache.spark.sql.SparkSession,
+  private[graft] def readIvfPqModel(spark: org.apache.spark.sql.SparkSession,
       path: String): IvfPqModel = {
     val rows = spark.read.parquet(s"$path/model").collect()
     val meta = rows.find(_.getString(0) == "meta").getOrElse(
@@ -1127,7 +1220,7 @@ object AnnOps {
         .toMap
     val cents = grab("cent"); val means = grab("mean"); val books = grab("book")
     IvfPqModel(dim,
-      Array.tabulate(nCentroids)(i => cents((i, 0)).map(_.toFloat)),
+      Array.tabulate(nCentroids)(i => cents((i, 0))),
       Array.tabulate(nCentroids)(i => means((i, 0))),
       PqModel(dim, m, kCodes,
         Array.tabulate(m, kCodes)((j, c) => books((j, c)))))
@@ -1143,6 +1236,19 @@ object AnnOps {
     val model = readIvfPqModel(spark, path)
     val qRows = queries.select(col("vec_id"), col("embedding")).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val cells = ivfPqProbedCells(spark, path, model, qRows, nProbe)
+    ivfPqAdcTopK(cells, model, qRows, k, nProbe)
+  }
+
+  /** The probed-cells scan of [[ivfPqTopKFromIndex]] — the query batch's
+    * probed cid set lands as a literal PARTITION filter, so only
+    * ~nProbe/nCentroids of the packed index is read. Split out so the
+    * pruned plan is assertable before the ADC kernel's RDD boundary
+    * hides the scan. */
+  private[graft] def ivfPqProbedCells(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      model: IvfPqModel, qRows: Array[(Long, Seq[Float])],
+      nProbe: Int): DataFrame = {
     val probed: Seq[Int] = qRows.flatMap { case (_, emb) =>
       val u = unit(emb, model.dim)
       model.cents.indices
@@ -1150,11 +1256,10 @@ object AnnOps {
           .foldLeft(0.0)((a, i) => a + u(i) * model.cents(j)(i)))
         .sortBy { case (j, cos) => (-cos, j) }.take(nProbe).map(_._1)
     }.distinct.toSeq
-    val cells = spark.read.parquet(s"$path/cells")
+    spark.read.parquet(s"$path/cells")
       .filter(col("cid").isin(probed: _*))
       .select(col("vec_id"), col("cid"),
         unpackCodes(col("packed"), model.pq.m).as("codes"))
-    ivfPqAdcTopK(cells, model, qRows, k, nProbe)
   }
 
   /** IVF-PQ shortlist + exact cosine re-rank — the full production serving

@@ -45,6 +45,20 @@ object LlmQueries {
       path
     })
 
+  /** Once-per-dataset-per-JVM persisted DETERMINISTIC IVF-PQ index
+    * (AnnOps.buildIvfPqIndexDeterministic — seed cells, zero means, hash
+    * codebooks, so the DuckDB oracle rebuilds it identically). Same
+    * contract as [[ivfIndexFor]]: first use in a JVM rebuilds. */
+  private val ivfPqIndexes = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def ivfPqIndexFor(dir: String, emb: DataFrame): String =
+    ivfPqIndexes.getOrElseUpdate(dir, {
+      val path = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft-ivfpq-" + dir.replaceAll("[^A-Za-z0-9]", "_")).getAbsolutePath
+      AnnOps.buildIvfPqIndexDeterministic(emb, path, dim = 64,
+        nCentroids = 16, m = 8, kCodes = 16)
+      path
+    })
+
   /** Once-per-dataset-per-JVM persisted shingle-postings index
     * (ShingleIndex) for the containment family. Same contract as
     * [[ivfIndexFor]]: first use in a JVM rebuilds. */
@@ -1484,6 +1498,120 @@ object LlmQueries {
         "doc_id", "text", k = 20, dfCap = 50L)
       val dense = AnnOps.ivfTopKFromIndex(s, ivfIndexFor(dir, emb),
         emb.filter(col("vec_id") < 10), k = 20, dim = 64, nProbe = 2)
+      Retrieval.rrfFuse(lex, dense, k = 5).orderBy("qid", "rk")
+    },
+
+    // ---- the COMPRESSED hybrid (VERDICT r12 #4): q142's shape with the
+    // dense side served from the persisted IVF-PQ index at 8 B/vector —
+    // the spelling for when index I/O dominates. The index is the
+    // DETERMINISTIC build (seed cells unit-normalized in doubles, zero
+    // residual means, md5 hash codebooks — the q107 discipline), so the
+    // oracle rebuilds codebooks, unit vectors, cell routing, encoding,
+    // per-query ADC tables, and the fused ranking from the same parquet;
+    // any packing, pruning, or ADC error hash-mismatches. The probed-cid
+    // partition pruning on the cells scan is PlanSpec-asserted
+    // (AnnOps.ivfPqProbedCells).
+    q("q145_hybrid_rrf_pq_indexed",
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(list_distinct($sqlToks)) AS t FROM documents),
+         |rare AS (SELECT t FROM tok GROUP BY t HAVING count(*) <= 50),
+         |qpost AS (SELECT doc_id, t FROM tok JOIN rare USING (t)
+         |          WHERE doc_id < 10),
+         |lex AS (
+         |  SELECT qid, nid, ra FROM (
+         |    SELECT qid, nid, CAST(row_number() OVER (PARTITION BY qid
+         |        ORDER BY score DESC, nid) AS BIGINT) AS ra
+         |    FROM (SELECT q.doc_id AS qid, p.doc_id AS nid,
+         |            count(*) AS score
+         |          FROM qpost q JOIN tok p USING (t)
+         |          WHERE p.doc_id != q.doc_id
+         |          GROUP BY 1, 2)) WHERE ra <= 20),
+         |cb AS (
+         |  SELECT j, c,
+         |    [(list_sum([(strpos('0123456789abcdef',
+         |        substr(md5('pq:' || CAST((j*16 + c)*8 + t + 1 AS VARCHAR)),
+         |          d, 1)) - 1) * power(16.0, 8 - d) for d in range(1, 9)])
+         |      / 2147483648.0 - 1) for t in range(0, 8)] AS cv
+         |  FROM range(0, 8) tj(j), range(0, 16) tc(c)),
+         |ue AS (
+         |  SELECT vec_id,
+         |    [x * (1.0 / sqrt(list_sum([y * y for y in e]))) for x in e] AS u
+         |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+         |        FROM embeddings)),
+         |cent AS (
+         |  SELECT vec_id AS cid, embedding AS ce FROM embeddings
+         |  ORDER BY vec_id LIMIT 16),
+         |asgc AS (
+         |  SELECT nid, cid FROM (
+         |    SELECT e.vec_id AS nid, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+         |                                        CAST(c.ce AS DOUBLE[])) DESC,
+         |                 c.cid) AS r
+         |    FROM embeddings e, cent c) WHERE r = 1),
+         |enc AS (
+         |  SELECT vec_id, j, c AS code FROM (
+         |    SELECT vec_id, j, c,
+         |      row_number() OVER (PARTITION BY vec_id, j
+         |        ORDER BY d2v, c) AS rn
+         |    FROM (SELECT s.vec_id, s.j, cb.c,
+         |            list_sum([(s.u[s.j*8 + t + 1] - cb.cv[t + 1])
+         |              * (s.u[s.j*8 + t + 1] - cb.cv[t + 1])
+         |              for t in range(0, 8)]) AS d2v
+         |          FROM (SELECT vec_id, u, j
+         |                FROM ue CROSS JOIN range(0, 8) tj(j)) s
+         |          JOIN cb USING (j)))
+         |  WHERE rn = 1),
+         |qv AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+         |       WHERE vec_id < 10),
+         |qprobe AS (
+         |  SELECT qid, cid FROM (
+         |    SELECT q.qid, c.cid,
+         |      row_number() OVER (PARTITION BY q.qid
+         |        ORDER BY list_cosine_similarity(CAST(q.qe AS DOUBLE[]),
+         |                                        CAST(c.ce AS DOUBLE[])) DESC,
+         |                 c.cid) AS r
+         |    FROM qv q, cent c) WHERE r <= 2),
+         |qtab AS (
+         |  SELECT s.qid, s.j, cb.c,
+         |    list_sum([(s.u[s.j*8 + t + 1] - cb.cv[t + 1])
+         |      * (s.u[s.j*8 + t + 1] - cb.cv[t + 1])
+         |      for t in range(0, 8)]) AS d2
+         |  FROM (SELECT ue.vec_id AS qid, ue.u, j
+         |        FROM ue JOIN qv ON qv.qid = ue.vec_id
+         |        CROSS JOIN range(0, 8) tj(j)) s
+         |  JOIN cb USING (j)),
+         |scored AS (
+         |  SELECT p.qid, a.nid, list_sum(list(t.d2 ORDER BY t.j)) AS dist
+         |  FROM qprobe p JOIN asgc a USING (cid)
+         |       JOIN enc e ON e.vec_id = a.nid
+         |       JOIN qtab t ON t.qid = p.qid AND t.j = e.j AND t.c = e.code
+         |  WHERE a.nid != p.qid
+         |  GROUP BY p.qid, a.nid),
+         |dense AS (
+         |  SELECT qid, nid, rb FROM (
+         |    SELECT qid, nid, CAST(row_number() OVER (PARTITION BY qid
+         |        ORDER BY dist, nid) AS BIGINT) AS rb
+         |    FROM scored) WHERE rb <= 20),
+         |fused AS (
+         |  SELECT coalesce(l.qid, d.qid) AS qid, coalesce(l.nid, d.nid) AS nid,
+         |    round(coalesce(CAST(1 AS DOUBLE) / (60 + l.ra), CAST(0 AS DOUBLE))
+         |        + coalesce(CAST(1 AS DOUBLE) / (60 + d.rb), CAST(0 AS DOUBLE)),
+         |      6) AS rrf
+         |  FROM lex l FULL OUTER JOIN dense d
+         |    ON l.qid = d.qid AND l.nid = d.nid)
+         |SELECT qid, rk, nid, rrf FROM (
+         |  SELECT qid, nid, rrf, CAST(row_number() OVER (PARTITION BY qid
+         |      ORDER BY rrf DESC, nid) AS BIGINT) AS rk
+         |  FROM fused) WHERE rk <= 5
+         |ORDER BY qid NULLS FIRST, rk NULLS FIRST""".stripMargin) { (s, dir) =>
+      val docs = T.documents(s, dir)
+      val emb = T.embeddings(s, dir)
+      val lex = Retrieval.sharedRareTokenTopKFromIndex(s,
+        textIndexFor(dir, docs), docs.filter(col("doc_id") < 10),
+        "doc_id", "text", k = 20, dfCap = 50L)
+      val dense = AnnOps.ivfPqTopKFromIndex(s, ivfPqIndexFor(dir, emb),
+        emb.filter(col("vec_id") < 10), k = 20, nProbe = 2)
       Retrieval.rrfFuse(lex, dense, k = 5).orderBy("qid", "rk")
     },
 

@@ -127,6 +127,34 @@ class PlanSpec extends SparkTestBase {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("persisted IVF-PQ index: the packed cells scan is partition-pruned " +
+      "to probed cids (q145's dense side)") {
+    // the deterministic IVF-PQ index behind q145, probed the way
+    // ivfPqTopKFromIndex probes it — the scan must carry a non-empty
+    // PartitionFilters on cid; unpruned, a 2-cell probe reads the whole
+    // packed corpus
+    import org.apache.spark.sql.functions.col
+    val dir = "/root/testdata/sf0.001"
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-planspec-ivfpq").toString + "/idx"
+    graft.llm.AnnOps.buildIvfPqIndexDeterministic(emb, path, dim = 64,
+      nCentroids = 16, m = 8, kCodes = 16)
+    val model = graft.llm.AnnOps.readIvfPqModel(spark, path)
+    val qRows = emb.filter(col("vec_id") < 10)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val cells = graft.llm.AnnOps.ivfPqProbedCells(spark, path, model,
+      qRows, nProbe = 2)
+    val plan = cells.queryExecution.executedPlan.toString
+    val cellScans = plan.split("FileScan parquet").toSeq.tail
+      .filter(_.contains("cells"))
+    assert(cellScans.nonEmpty, s"expected a packed-cells scan:\n$plan")
+    assert(cellScans.forall(s =>
+      s.contains("PartitionFilters") && !s.contains("PartitionFilters: []")),
+      s"packed cells scan must be partition-pruned by probed cid:\n$plan")
+  }
+
   test("persisted text index: the postings scan is partition-pruned to probed buckets") {
     // q120 serves BM25 from the tb-partitioned postings dataset; the scan
     // must carry a non-empty PartitionFilters on tb — unpruned, a 5-term
