@@ -194,7 +194,15 @@ object AnnOps {
       else math.max(16L,
         math.min(1L << 16, (corpus.count() + 1023L) / 1024L)).toInt
     val cents = centroids.getOrElse(seedCentroids(corpus, nc, dim))
-    val asg = ivfAssignments(corpus, cents, dim) // (cid, nid, nemb)
+    semDedupPairs(ivfAssignments(corpus, cents, dim), dim, threshold)
+  }
+
+  /** The within-cell pair stage shared by [[semDedup]] and
+    * [[semDedupTrainedFP]]: an equi-join on cid (never corpus × corpus),
+    * exact cosine filter, per-removed-doc aggregation. Input is the
+    * (cid, nid, nemb) assignment frame. */
+  private def semDedupPairs(asg: DataFrame, dim: Int,
+      threshold: Double): DataFrame = {
     val a = asg.select(col("cid"), col("nid").as("a"), col("nemb").as("aemb"))
       .withColumn("an", norm(col("aemb"), dim))
     val b = asg.select(col("cid").as("cidb"), col("nid").as("b"),
@@ -205,6 +213,134 @@ object AnnOps {
         >= threshold)
       .groupBy(col("cid"), col("b").as("removed"))
       .agg(min(col("a")).as("keep"), count(lit(1)).as("n_better"))
+  }
+
+  /** FIXED-POINT Lloyd quantizer (VERDICT r12 #7 — the deterministic
+    * TRAINED quantizer): unit vectors quantize to round(u·2¹⁶) longs (the
+    * q126 EmbedStats discipline, ties away from zero to match both
+    * engines' round()), seeds are the k lowest vec_ids' quantized
+    * vectors, and each Lloyd round assigns every vector to the
+    * argmax-cosine center and replaces each center with its cell's
+    * INTEGER coordinate sum. Counts cancel out of cosine ranking
+    * (cos(q, s/cnt) = cos(q, s)), so the center state is the exact
+    * integer sum vector — no division, no rounding, EVER. All
+    * accumulation is int64 addition (order-free, exact), so the result
+    * is bit-identical under ANY partitioning AND reproducible by an
+    * independent engine from the same parquet — unlike [[
+    * kmeansParCentroids]], whose float cost/accumulator sums depend on
+    * partition order. The ranking itself divides the exact integer dot
+    * by the center norm in one double op both engines perform
+    * identically.
+    *
+    * Overflow bounds (documented, not checked per row): |q_i| ≤ 2¹⁶, so
+    * a cell of n vectors has |s_i| ≤ n·2¹⁶ and the ranking dot
+    * |Σ q_i·s_i| ≤ dim·2³²·n — int64-safe to n ≈ 2²⁵ (33M) vectors per
+    * cell at dim 64; norms go through doubles. Returns the k integer
+    * sum centers, index = cid. */
+  private[graft] def fixedPointCentroids(corpus: DataFrame, k: Int,
+      dim: Int, rounds: Int): Array[Array[Long]] = {
+    val spark = corpus.sparkSession
+    val seeds = corpus.select(col("vec_id"), col("embedding"))
+      .orderBy("vec_id").limit(k).collect()
+    require(seeds.length == k, s"corpus smaller than k=$k")
+    var centers: Array[Array[Long]] =
+      seeds.map(r => quantizeUnit(r.getSeq[Float](1), dim))
+    for (_ <- 1 to rounds) {
+      val cb = spark.sparkContext.broadcast(centers)
+      val (sums, cnts) = corpus.select(col("vec_id"), col("embedding"))
+        .rdd.mapPartitions { rows =>
+          val cs = cb.value
+          val norms = cs.map(centerNorm)
+          val acc = Array.fill(cs.length)(new Array[Long](dim))
+          val cnt = new Array[Long](cs.length)
+          rows.foreach { r =>
+            val qv = quantizeUnit(r.getSeq[Float](1), dim)
+            val j = assignFixedPoint(qv, cs, norms)
+            cnt(j) += 1
+            var i = 0; while (i < dim) { acc(j)(i) += qv(i); i += 1 }
+          }
+          Iterator.single((acc, cnt))
+        }.reduce { case ((a1, c1), (a2, c2)) =>
+          // int64 adds: associative and commutative, so ANY merge order
+          // yields the same centers — the determinism the float path lacks
+          var j = 0
+          while (j < a1.length) {
+            var i = 0; while (i < dim) { a1(j)(i) += a2(j)(i); i += 1 }
+            c1(j) += c2(j); j += 1
+          }
+          (a1, c1)
+        }
+      cb.destroy()
+      centers = centers.indices.map(j =>
+        if (cnts(j) == 0) centers(j) else sums(j)).toArray
+    }
+    centers
+  }
+
+  /** round(unit(emb)·2¹⁶) with ties away from zero — both engines'
+    * round() semantics (Scala's Math.round rounds -2.5 UP, DuckDB away
+    * from zero; exact-half inputs are measure-zero but cheap to match). */
+  private def quantizeUnit(emb: Seq[Float], dim: Int): Array[Long] = {
+    val u = unit(emb, dim)
+    val q = new Array[Long](dim)
+    var i = 0
+    while (i < dim) {
+      val v = u(i) * 65536.0
+      q(i) = (if (v >= 0) math.floor(v + 0.5) else math.ceil(v - 0.5)).toLong
+      i += 1
+    }
+    q
+  }
+
+  private def centerNorm(s: Array[Long]): Double = {
+    var n = 0.0; var i = 0
+    while (i < s.length) { val v = s(i).toDouble; n += v * v; i += 1 }
+    math.sqrt(n)
+  }
+
+  /** argmax over centers of dot(q, s_j)/‖s_j‖ (the count-cancelled
+    * cosine), integer dot exact, ties to the lowest index. */
+  private def assignFixedPoint(qv: Array[Long], centers: Array[Array[Long]],
+      norms: Array[Double]): Int = {
+    var best = 0; var bestCos = Double.NegativeInfinity
+    var j = 0
+    while (j < centers.length) {
+      val c = centers(j)
+      var d = 0L; var i = 0
+      while (i < qv.length) { d += qv(i) * c(i); i += 1 }
+      val cos = if (norms(j) == 0) Double.NegativeInfinity
+        else d.toDouble / norms(j)
+      if (cos > bestCos) { bestCos = cos; best = j }
+      j += 1
+    }
+    best
+  }
+
+  /** SemDeDup over FIXED-POINT-TRAINED cells — the deterministic trained
+    * quantizer, gated (q146): [[fixedPointCentroids]] trains the cells,
+    * every vector assigns by the same integer-exact rule, and the
+    * within-cell exact-cosine pair stage is [[semDedup]]'s own. Output
+    * (cid, removed, keep, n_better), cid = the trained cell ordinal. */
+  def semDedupTrainedFP(corpus: DataFrame, threshold: Double,
+      dim: Int = 64, k: Int = 16, rounds: Int = 2): DataFrame = {
+    val spark = corpus.sparkSession
+    graft.functions.ArrayDotProduct.register(spark)
+    val centers = fixedPointCentroids(corpus, k, dim, rounds)
+    val cb = spark.sparkContext.broadcast(centers)
+    val asgSchema = StructType(Seq(StructField("cid", LongType),
+      StructField("nid", LongType),
+      StructField("nemb", ArrayType(FloatType))))
+    val asg = spark.createDataFrame(
+      corpus.select(col("vec_id"), col("embedding")).rdd.mapPartitions { rows =>
+        val cs = cb.value
+        val norms = cs.map(centerNorm)
+        rows.map { r =>
+          val emb = r.getSeq[Float](1)
+          val j = assignFixedPoint(quantizeUnit(emb, dim), cs, norms)
+          Row(j.toLong, r.getLong(0), emb)
+        }
+      }, asgSchema)
+    semDedupPairs(asg, dim, threshold)
   }
 
   /** Cell assignment kernel: argmax cosine over the broadcast centroids,

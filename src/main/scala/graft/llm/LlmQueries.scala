@@ -173,6 +173,32 @@ object LlmQueries {
        |ORDER BY doc_id NULLS FIRST""".stripMargin
   }
 
+  // Oracle pieces of q146's fixed-point Lloyd quantizer: one assignment
+  // CTE (argmax of exact-integer dot over the center norm, ties to the
+  // lowest center) and one update CTE (per-cell integer coordinate sums;
+  // empty cells keep the previous center) — chained once per round.
+  private def fpAssignSql(centsCte: String, out: String): String =
+    s"""$out AS (SELECT vec_id, j FROM (
+       |    SELECT u.vec_id, c.j,
+       |      row_number() OVER (PARTITION BY u.vec_id ORDER BY
+       |        CAST(list_sum([u.qv[i + 1] * c.s[i + 1]
+       |            for i in range(0, 64)]) AS DOUBLE)
+       |          / sqrt(list_sum([CAST(c.s[i + 1] AS DOUBLE)
+       |            * CAST(c.s[i + 1] AS DOUBLE)
+       |            for i in range(0, 64)])) DESC,
+       |        c.j) AS r
+       |    FROM uq u, $centsCte c) WHERE r = 1)""".stripMargin
+  private def fpUpdateSql(asgCte: String, prevC: String,
+      out: String): String =
+    s"""$out AS (
+       |  SELECT $prevC.j, coalesce(n.s, $prevC.s) AS s
+       |  FROM $prevC LEFT JOIN (
+       |    SELECT j, list(sv ORDER BY i) AS s FROM (
+       |      SELECT $asgCte.j, t.i, CAST(sum(u.qv[t.i + 1]) AS BIGINT) AS sv
+       |      FROM $asgCte JOIN uq u USING (vec_id)
+       |      CROSS JOIN range(0, 64) t(i)
+       |      GROUP BY $asgCte.j, t.i) GROUP BY j) n USING (j))""".stripMargin
+
   // Oracle spelling of q107: hash PQ codebooks (AnnOps.md5Comp's integer
   // arithmetic, "pq:" namespace), nearest-code encoding with the (d², c)
   // tie-break as a window, ADC distance tables for the query batch, and
@@ -1264,6 +1290,56 @@ object LlmQueries {
         |ORDER BY removed NULLS FIRST""".stripMargin) { (s, dir) =>
       AnnOps.semDedup(T.embeddings(s, dir), threshold = 0.3, dim = 64)
         .orderBy("removed")
+    },
+
+    // ---- SemDeDup over a TRAINED quantizer, deterministically (VERDICT
+    // r12 #7): k-means|| is order-dependent float summation and can
+    // never be oracled cross-engine, so the trained gate uses the
+    // FIXED-POINT Lloyd quantizer (AnnOps.fixedPointCentroids): unit
+    // vectors quantize to round(u·2^16) longs (the q126 discipline),
+    // seeds init the cells, and every Lloyd update keeps centers as
+    // EXACT integer coordinate sums (counts cancel out of cosine, so no
+    // division ever happens) — all state is int64-exact and the oracle
+    // replays both rounds, the final assignment, and the within-cell
+    // exact-cosine pair stage from the raw parquet. Partitioning
+    // invariance (int adds commute) is spec-pinned.
+    q("q146_semdedup_trained_fp", {
+      val asg1 = fpAssignSql("c0", "a1")
+      val upd1 = fpUpdateSql("a1", "c0", "c1")
+      val asg2 = fpAssignSql("c1", "a2")
+      val upd2 = fpUpdateSql("a2", "c1", "c2")
+      val asgF = fpAssignSql("c2", "af")
+      s"""WITH e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |uq AS (
+         |  SELECT vec_id,
+         |    [CAST(round(x * (1.0 / sqrt(list_sum([y * y for y in e])))
+         |       * 65536) AS BIGINT) for x in e] AS qv
+         |  FROM e),
+         |c0 AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, qv AS s
+         |  FROM (SELECT vec_id, qv FROM uq ORDER BY vec_id LIMIT 16)),
+         |$asg1,
+         |$upd1,
+         |$asg2,
+         |$upd2,
+         |$asgF,
+         |p AS (
+         |  SELECT a.j, a.vec_id AS a, b.vec_id AS b
+         |  FROM af a JOIN af b ON a.j = b.j AND a.vec_id < b.vec_id
+         |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+         |  JOIN embeddings eb ON eb.vec_id = b.vec_id
+         |  WHERE list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+         |                               CAST(eb.embedding AS DOUBLE[]))
+         |        >= 0.3)
+         |SELECT CAST(j AS BIGINT) AS cid, b AS removed,
+         |  CAST(min(a) AS BIGINT) AS keep,
+         |  CAST(count(*) AS BIGINT) AS n_better
+         |FROM p GROUP BY j, b
+         |ORDER BY removed NULLS FIRST""".stripMargin
+    }) { (s, dir) =>
+      AnnOps.semDedupTrainedFP(T.embeddings(s, dir), threshold = 0.3,
+        dim = 64, k = 16, rounds = 2).orderBy("removed")
     },
 
     // ---- hybrid retrieval with reciprocal-rank fusion (Retrieval): the

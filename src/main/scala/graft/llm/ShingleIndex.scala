@@ -341,6 +341,22 @@ object ShingleIndex {
     }
   }
 
+  /** Operational compaction dial (the [[SimGraphStore.compactionDue]]
+    * pattern), set from the r13 cadence rehearsal (STATUS: 10 sequential
+    * 1%-appends at the 100× corpus): APPEND cost stays flat as epochs
+    * accumulate (batch-sized ranking + a vocab-sized df fold), but the
+    * nightly batch-vs-index serve ([[containmentAgainst]]) degrades with
+    * epoch depth — every epoch adds df partitions to the fold AND
+    * cross-epoch pairs lose the positional filter, so the candidate set
+    * grows — while [[compactIndex]] re-ranks everything into one epoch
+    * and resets both. The default follows the measured break-even
+    * (see the STATUS r13 table). Returns true when a compaction is due;
+    * callers run [[compactIndex]] in the maintenance slot between
+    * appends. */
+  def compactionDue(spark: SparkSession, path: String,
+      maxEpochs: Int = 4): Boolean =
+    committedEpochs(spark, path).size > maxEpochs
+
   // ---- epoch plumbing (the SimGraphStore marker discipline) ----
 
   private def committedEpochs(spark: SparkSession, path: String): Seq[Long] = {

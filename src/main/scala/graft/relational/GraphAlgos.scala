@@ -43,16 +43,25 @@ object GraphAlgos {
     * graphs (nodes ≫ executor memory) exceed the threshold and fall back
     * to the shuffled equi-join automatically.
     *
-    * The 2M default is DATA-DERIVED (r12 PageRankThresholdProbe, both
-    * paths at 0.6M/1.1M/2.1M/4.2M nodes, two passes in one window —
-    * STATUS table): at ≤2.1M nodes the two paths tie within the host
-    * band (winners swap between passes), while at 4.2M broadcast
-    * collapses to 2.4–2.6× the shuffled wall in BOTH passes (604–673 s
-    * vs 237–274 s — a per-round ~67 MB broadcast build + node-sized
-    * driver collect paid five times). Below the tie point the threshold
-    * choice costs nothing; above it the post-r11 laid-out shuffled path
-    * (edge exchange paid once, cached) is strictly safer — so the
-    * default sits at the bottom of the measured cliff interval. */
+    * The default is MEMORY-DERIVED (r12 PageRankThresholdProbe, both
+    * paths at 0.6M/1.1M/2.1M/4.2M nodes, two passes in one window, on a
+    * 56 GiB driver — STATUS table): at ≤2.1M nodes the two paths tie
+    * within the host band (winners swap between passes), while at 4.2M
+    * broadcast collapses to 2.4–2.6× the shuffled wall in BOTH passes
+    * (604–673 s vs 237–274 s — a per-round node-sized broadcast build +
+    * driver collect paid five times, a driver-memory/GC artifact that a
+    * CONSTANT threshold would not carry to other memory configs —
+    * VERDICT r12 #8). [[derivedBroadcastNodesBelow]] therefore anchors
+    * the safe point at the measured tie boundary (2.1M nodes on the
+    * 56 GiB probe heap ⇒ ~28 KiB of heap per safe node, a linear-in-heap
+    * model — the simplest that reproduces the measurement) and scales it
+    * with this JVM's max heap, clamped to [256k, 16M]; 2M — the r12
+    * constant the probe validated — is the floor behavior on the probe
+    * box's default 28 GiB driver (⇒ 1M, still far above every catalog
+    * graph and below the tie boundary, where the choice costs nothing).
+    * Below the tie point the threshold choice costs nothing; above it
+    * the post-r11 laid-out shuffled path (edge exchange paid once,
+    * cached) is strictly safer. */
   /** Test seam (the crashHook convention): when set, receives each
     * PageRank round's executed-plan string before that round's
     * checkpoint — GraphAlgosSpec pins the edge-never-re-shuffles
@@ -60,10 +69,22 @@ object GraphAlgos {
     * checkpoint scan that no longer shows the per-round joins. */
   private[graft] var roundPlanProbe: Option[(Int, String) => Unit] = None
 
+  /** Memory-derived default for `broadcastNodesBelow` (scaladoc above):
+    * maxHeap / 28 KiB-per-node — the linear-in-heap model anchored at
+    * the r12 probe's measured tie boundary (2.1M nodes safe on a 56 GiB
+    * driver; the 4.2M cliff is a per-round broadcast-build + collect
+    * memory artifact). Clamped to [256k, 16M]: the floor keeps tiny test
+    * JVMs on the broadcast path for the catalog-sized graphs where it
+    * provably ties or wins, the ceiling respects Spark's own 8 GB
+    * broadcast-table limit with wide margin. */
+  private[graft] def derivedBroadcastNodesBelow(
+      maxHeapBytes: Long = Runtime.getRuntime.maxMemory()): Long =
+    math.min(16000000L, math.max(262144L, maxHeapBytes / 28672L))
+
   def pageRankFixedPoint(edges: DataFrame, iterations: Int = 5,
       scale: Long = 1000000000000L, dampNum: Int = 17, dampDen: Int = 20,
       checkpointEvery: Int = 2,
-      broadcastNodesBelow: Long = 2000000L): DataFrame = {
+      broadcastNodesBelow: Long = derivedBroadcastNodesBelow()): DataFrame = {
     require(iterations >= 1 && iterations <= 50, "iterations in [1, 50]")
     val e = edges.select(col("s").cast("long").as("s"),
       col("d").cast("long").as("d")).localCheckpoint()

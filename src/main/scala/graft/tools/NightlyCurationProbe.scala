@@ -1,0 +1,108 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** One NIGHT of the store-backed curation cycle at scale (VERDICT r12 #1's
+  * 100× table): bootstrap the five stores from a 99% history lake (the
+  * one-time cost, reported per store), then run the nightly path on a 1%
+  * batch — quality gate, Bloom probe + exact verify, shingle containment
+  * sweep, and the five appends — timing every stage. The claim under test:
+  * the NIGHTLY stages are batch-sized (plus pruned index reads), never
+  * corpus-sized; only the bootstrap pays the lake.
+  *
+  * Run: runMain graft.tools.NightlyCurationProbe <docsDir>
+  * e.g. `SPARK_DRIVER_MEM=56g sbt "runMain
+  *   graft.tools.NightlyCurationProbe /tmp/scaled100x"` */
+object NightlyCurationProbe {
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/tmp/scaled100x")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "256")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.llm._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-nightlyprobe").toString + "/stores"
+    val stores = NightlyCuration.Stores(root)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val history = docs.filter(pmod(col("doc_id"), lit(100)) =!= 0)
+    val batch = docs.filter(pmod(col("doc_id"), lit(100)) === 0)
+    val historyEmb = emb.filter(pmod(col("vec_id"), lit(100)) =!= 0)
+    println(s"history=${history.count()} batch=${batch.count()} " +
+      s"historyEmb=${historyEmb.count()}")
+    def t[A](tag: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val a = f
+      println(f"$tag%-34s ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+      a
+    }
+    // ---- bootstrap (one-time, corpus-sized by design) — per store
+    t("bootstrap bloom (init+fold 99%)") {
+      BloomHistory.init(spark, stores.bloom, mBits = 1 << 24)
+      BloomHistory.append(spark, stores.bloom, history, "text")
+    }
+    t("bootstrap shingle build")(ShingleIndex.build(history, "doc_id",
+      "text", stores.shingle, n = 3, nBuckets = 64))
+    t("bootstrap text build")(TextIndex.buildIndex(history, "doc_id",
+      "text", stores.text, nBuckets = 64))
+    t("bootstrap ivf build") {
+      AnnOps.buildIvfIndex(historyEmb, stores.ivf, dim = 64,
+        nCentroids = 16,
+        centroids = Some(AnnOps.seedCentroids(historyEmb, 16, 64)))
+    }
+    t("bootstrap simgraph (init+fold)") {
+      SimGraphStore.init(spark, stores.graph, n = 3, cap = 50L,
+        minCommon = 2L)
+      SimGraphStore.update(spark, stores.graph, history, "doc_id", "text")
+    }
+    // ---- the night: admission stages, then the five appends
+    val toks = TextOps.tokens(col("text"))
+    val quality = t("night: quality gate (count)") {
+      val q = batch.filter(size(toks) >= 8 &&
+        size(array_distinct(toks)) >= lit(0.3) * size(toks))
+      println(s"  quality rows: ${q.count()}")
+      q
+    }
+    val exactDups = t("night: bloom probe + exact verify") {
+      val d = BloomHistory.dedupFromStore(spark, stores.bloom, history,
+        quality, "doc_id", "text").localCheckpoint()
+      println(s"  exact dups: ${d.count()}")
+      d.withColumnRenamed("doc_id", "doc_id")
+    }
+    val fresh = quality.join(exactDups, Seq("doc_id"), "left_anti")
+    val contained = t("night: containment sweep (pruned)") {
+      val c = ShingleIndex.containmentAgainst(spark, stores.shingle,
+          fresh, "doc_id", "text", 0.8)
+        .select(col("ida").as("doc_id")).distinct().localCheckpoint()
+      println(s"  contained: ${c.count()}")
+      c
+    }
+    val admitted = t("night: admitted materialize") {
+      val a = fresh.join(contained, Seq("doc_id"), "left_anti")
+        .localCheckpoint()
+      println(s"  admitted: ${a.count()}")
+      a
+    }
+    val admittedEmb = emb.join(
+      admitted.select(col("doc_id").as("vec_id")), "vec_id")
+    t("night: append bloom")(
+      BloomHistory.append(spark, stores.bloom, admitted, "text"))
+    t("night: append shingle")(ShingleIndex.appendToIndex(spark,
+      stores.shingle, admitted, "doc_id", "text"))
+    t("night: append text")(TextIndex.appendToIndex(spark, stores.text,
+      admitted, "doc_id", "text"))
+    t("night: append ivf")(
+      AnnOps.appendToIvfIndex(spark, stores.ivf, admittedEmb, dim = 64))
+    t("night: append simgraph")(SimGraphStore.update(spark, stores.graph,
+      admitted, "doc_id", "text"))
+    spark.stop()
+  }
+}

@@ -58,7 +58,17 @@ object PageRankThresholdProbe {
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
     }
-    for (pass <- 1 to 2; (name, e) <- variants) {
+    // optional second arg: comma list of variant names — a targeted
+    // confirmation run (r13: re-checking the tie at the memory-derived
+    // threshold's boundary) without paying all four scales
+    val only: Set[String] = args.lift(1) match {
+      case None | Some("all") => variants.map(_._1).toSet
+      case Some(s) => s.split(",").map(_.trim).toSet
+    }
+    println("derived broadcastNodesBelow on this JVM: " +
+      graft.relational.GraphAlgos.derivedBroadcastNodesBelow() +
+      s" (maxHeap=${Runtime.getRuntime.maxMemory()})")
+    for (pass <- 1 to 2; (name, e) <- variants if only(name)) {
       println(s"--- pass $pass  $name")
       time(s"$name broadcast", e, Long.MaxValue)
       time(s"$name shuffled", e, 0L)

@@ -113,6 +113,30 @@ class HybridRetrievalSpec extends SparkTestBase {
     assert(served.nonEmpty && served == mem)
   }
 
+  test("fixedPointCentroids is bit-identical under ANY partitioning " +
+      "(int64 sums commute), and semDedupTrainedFP follows") {
+    import spark.implicits._
+    val dim = 16
+    val rnd = new scala.util.Random(57)
+    val vecs = (0L until 200L).map { id =>
+      (id, Array.fill(dim)(rnd.nextFloat() * 2f - 1f).toSeq)
+    }
+    val df3 = vecs.toDF("vec_id", "embedding").repartition(3)
+    val df11 = vecs.toDF("vec_id", "embedding").repartition(11)
+    val c3 = AnnOps.fixedPointCentroids(df3, k = 6, dim = dim, rounds = 3)
+    val c11 = AnnOps.fixedPointCentroids(df11, k = 6, dim = dim, rounds = 3)
+    assert(c3.map(_.toSeq).toSeq == c11.map(_.toSeq).toSeq,
+      "fixed-point centers must not depend on partitioning")
+    // and the trained semDedup output is partitioning-invariant too
+    def out(df: org.apache.spark.sql.DataFrame) =
+      AnnOps.semDedupTrainedFP(df, threshold = 0.2, dim = dim, k = 6,
+        rounds = 3).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+    val o3 = out(df3)
+    assert(o3.nonEmpty && o3 == out(df11))
+  }
+
   test("semDedup matches a driver-side brute-force model on a random corpus") {
     import spark.implicits._
     val dim = 8; val nCent = 4; val thr = 0.2

@@ -263,6 +263,26 @@ class ShingleIndexSpec extends SparkTestBase {
     }
   }
 
+  test("compactionDue trips after maxEpochs appends and resets on " +
+      "compaction (the r13 cadence policy)") {
+    import spark.implicits._
+    val dir = tmp("due")
+    ShingleIndex.build(
+      randCorpus(80, 30, Vector("a", "b", "c"), 10).toSeq
+        .toDF("doc_id", "text"),
+      "doc_id", "text", dir, n = 2, nBuckets = 8)
+    // the build's epoch 0 counts toward depth; 3 appends reach 4 epochs
+    assert(!ShingleIndex.compactionDue(spark, dir, maxEpochs = 3))
+    for (i <- 1 to 3)
+      ShingleIndex.appendToIndex(spark, dir,
+        randCorpus(80 + i, 10, Vector("a", "b", "d"), 10,
+          idOffset = 1000L * i).toSeq.toDF("doc_id", "text"),
+        "doc_id", "text")
+    assert(ShingleIndex.compactionDue(spark, dir, maxEpochs = 3))
+    ShingleIndex.compactIndex(spark, dir) // folds to ONE committed epoch
+    assert(!ShingleIndex.compactionDue(spark, dir, maxEpochs = 3))
+  }
+
   test("a rebuilt index round-trips the gate corpus: served output " +
       "matches the in-memory operator on real documents") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

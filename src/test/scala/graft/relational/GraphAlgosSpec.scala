@@ -25,6 +25,21 @@ class GraphAlgosSpec extends SparkTestBase {
     assert(tri.nonEmpty, "fixture must actually contain triangles")
   }
 
+  test("derivedBroadcastNodesBelow: linear in heap, anchored at the " +
+      "probe's 56 GiB / 2.1M tie boundary, clamped both ways") {
+    val g = 1L << 30
+    // the r12 probe anchor: 56 GiB heap -> ~2.1M nodes (tie boundary)
+    assert(GraphAlgos.derivedBroadcastNodesBelow(56 * g) == 56 * g / 28672)
+    assert(GraphAlgos.derivedBroadcastNodesBelow(56 * g) >= 2000000L &&
+      GraphAlgos.derivedBroadcastNodesBelow(56 * g) < 4200000L,
+      "derived value at the probe heap must land inside the measured " +
+        "tie..cliff interval")
+    // floor: tiny test JVMs stay on the broadcast path for catalog graphs
+    assert(GraphAlgos.derivedBroadcastNodesBelow(1 * g) == 262144L)
+    // ceiling: far below Spark's 8 GB broadcast-table limit
+    assert(GraphAlgos.derivedBroadcastNodesBelow(1L << 50) == 16000000L)
+  }
+
   test("pageRankFixedPoint matches a driver-side integer reference") {
     import spark.implicits._
     // directed edges, both directions of a small undirected graph
