@@ -342,17 +342,22 @@ object ShingleIndex {
   }
 
   /** Operational compaction dial (the [[SimGraphStore.compactionDue]]
-    * pattern), set from the r13 cadence rehearsal (STATUS: 10 sequential
-    * 1%-appends at the 100× corpus): APPEND cost stays flat as epochs
-    * accumulate (batch-sized ranking + a vocab-sized df fold), but the
+    * pattern), set from the r13 cadence rehearsal (tools/ShingleCadence,
+    * 10 sequential 1%-appends at the 100× corpus — STATUS r13 table):
+    * APPEND cost stays FLAT as epochs accumulate (17–23 s per 1% batch,
+    * no trend — batch-sized ranking + a vocab-sized df fold), but the
     * nightly batch-vs-index serve ([[containmentAgainst]]) degrades with
-    * epoch depth — every epoch adds df partitions to the fold AND
-    * cross-epoch pairs lose the positional filter, so the candidate set
-    * grows — while [[compactIndex]] re-ranks everything into one epoch
-    * and resets both. The default follows the measured break-even
-    * (see the STATUS r13 table). Returns true when a compaction is due;
-    * callers run [[compactIndex]] in the maintenance slot between
-    * appends. */
+    * epoch depth — 10.7 s at one epoch → 27–30 s at depth 5–6 (every
+    * epoch adds df partitions to the fold AND cross-epoch pairs lose the
+    * positional filter, growing the candidate set) — and the full
+    * self-sweep degrades FAR worse (459.8 s at depth 6 vs 209.8 s on the
+    * same corpus one-epoch — 2.2× pure waiver cost), while
+    * [[compactIndex]] (28.6–59.8 s) re-ranks everything into one epoch
+    * and resets both (against back to 12.8 s). Break-even ≈ 2–3 nightly
+    * serves of saved degradation per compaction → compact once more than
+    * `maxEpochs` epochs have accumulated, and ALWAYS compact before a
+    * planned self-sweep. Returns true when a compaction is due; callers
+    * run [[compactIndex]] in the maintenance slot between appends. */
   def compactionDue(spark: SparkSession, path: String,
       maxEpochs: Int = 4): Boolean =
     committedEpochs(spark, path).size > maxEpochs

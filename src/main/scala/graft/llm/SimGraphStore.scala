@@ -155,7 +155,20 @@ object SimGraphStore {
     val bid = explicitBid match {
       case None => maxCommitted + 1L
       case Some(b) =>
-        if (b == maxCommitted) return b // replayed in-flight batch: no-op
+        if (b == maxCommitted) {
+          // replayed in-flight batch: no-op — but VERIFY it when the
+          // marker carries the committed batch's signature (ADVICE r12:
+          // a reset checkpoint one batch behind presents the same id
+          // with DIFFERENT rows; skipping those would drop a real batch)
+          batchMarkerSig(spark, path, b).foreach { committedSig =>
+            require(batchSig(batch, idCol, textCol) == committedSig,
+              s"batch id $b matches the store's latest committed id at " +
+                s"$path but its rows differ from the committed batch — " +
+                "this is a reset checkpoint one batch behind, not a " +
+                "replay; reset the checkpoint and the store together")
+          }
+          return b
+        }
         require(b > maxCommitted,
           s"batch id $b is older than the store's latest committed " +
             s"$maxCommitted at $path — a replay can only repeat the " +
@@ -208,10 +221,46 @@ object SimGraphStore {
       .write.mode("append").partitionBy("bid").parquet(s"$path/df")
     bpr.withColumn("bid", lit(bid))
       .write.mode("append").partitionBy("bid").parquet(s"$path/post")
+    // the marker carries the batch's replay signature (the ShingleIndex
+    // discipline, ADVICE r12): the replay skip verifies it
     val marker = new Path(s"$path/_batches", bid.toString)
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.create(marker, true).close()
+    val out = fs.create(marker, true)
+    try out.write(batchSig(batch, idCol, textCol).toString.getBytes("UTF-8"))
+    finally out.close()
     bid
+  }
+
+  /** Order-free signature of a batch's (id, text) multiset — what the
+    * replay skip verifies. One map-only pass, paid only on replay and
+    * commit. */
+  private def batchSig(batch: DataFrame, idCol: String,
+      textCol: String): Long = {
+    val row = batch
+      .select(xxhash64(col(idCol).cast(LongType), col(textCol)).as("h"))
+      .agg(coalesce(expr("bit_xor(h)"), lit(0L)).as("bx"),
+        count(lit(1)).as("bn"))
+      .collect()(0)
+    row.getLong(0) ^ java.lang.Long.rotateLeft(row.getLong(1), 32) ^
+      0x5851f42d4c957f2dL
+  }
+
+  /** The replay signature stamped into a batch's commit marker, if the
+    * marker carries one (compaction markers are empty — there the skip
+    * stays id-only, the documented residual gap). */
+  private def batchMarkerSig(spark: SparkSession, path: String,
+      bid: Long): Option[Long] = {
+    import org.apache.hadoop.fs.Path
+    val marker = new Path(s"$path/_batches", bid.toString)
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) None
+    else {
+      val in = fs.open(marker)
+      val txt =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      if (txt.isEmpty) None else txt.toLongOption
+    }
   }
 
   /** Operational compaction dial, set from the r12 cadence rehearsal

@@ -165,6 +165,33 @@ class SimGraphStoreSpec extends SparkTestBase {
     assert(gotEdges(dir) == bruteEdges(docs, 2, 3, 2))
   }
 
+  test("a reset checkpoint one batch behind fails loudly (marker replay " +
+      "signature); a genuine replay stays a no-op") {
+    val dir = tmp("sig")
+    SimGraphStore.init(spark, dir, n = 2, cap = 3L, minCommon = 2L)
+    val b0 = toDF(randDocs(91, 10, vocab, 8, 0L))
+    val b1 = toDF(randDocs(92, 10, vocab, 8, 100L))
+    val b2 = toDF(randDocs(93, 10, vocab, 8, 200L))
+    SimGraphStore.update(spark, dir, b0, "doc_id", "text",
+      explicitBid = Some(0L))
+    SimGraphStore.update(spark, dir, b1, "doc_id", "text",
+      explicitBid = Some(1L))
+    def edges() = SimGraphStore.edges(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val before = edges()
+    // genuine replay: same id, same rows — no-op
+    assert(SimGraphStore.update(spark, dir, b1, "doc_id", "text",
+      explicitBid = Some(1L)) == 1L)
+    assert(edges() == before)
+    // reset checkpoint one behind: same id, DIFFERENT rows — loud
+    val e = intercept[IllegalArgumentException] {
+      SimGraphStore.update(spark, dir, b2, "doc_id", "text",
+        explicitBid = Some(1L))
+    }
+    assert(e.getMessage.contains("rows differ from the committed batch"))
+    assert(edges() == before)
+  }
+
   test("compactionDue trips after maxDeltaBatches folds and resets on " +
       "compaction (the r12 cadence policy)") {
     val dir = tmp("due")
