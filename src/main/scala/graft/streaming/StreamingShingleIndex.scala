@@ -26,9 +26,18 @@ import org.apache.spark.sql.streaming.Trigger
 object StreamingShingleIndex {
 
   /** Drain currently-available input into the index at `indexDir` (which
-    * must already be [[ShingleIndex.build]]t). */
+    * must already be [[ShingleIndex.build]]t).
+    *
+    * `epOffset` is the BOOTSTRAP seam (the [[StreamingSimGraph.run]]
+    * bidOffset rationale): the default 1 matches an index whose only
+    * batch-side commit is the build's epoch 0. An index that took k
+    * further BATCH appends before streaming holds epochs 0..k — pass
+    * epOffset = 1 + k, FIXED for the checkpoint's lifetime (the offset
+    * participates in replay identity; the index rejects drift loudly
+    * via the marker replay signature). */
   def run(spark: SparkSession, srcDir: String, indexDir: String,
-      checkpointDir: String, maxFilesPerTrigger: Int = 1): Unit = {
+      checkpointDir: String, maxFilesPerTrigger: Int = 1,
+      epOffset: Long = 1L): Unit = {
     val docs = spark.readStream.schema(StreamingSimGraph.docSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(srcDir)
@@ -36,18 +45,19 @@ object StreamingShingleIndex {
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        processBatch(batch, batchId, indexDir)
+        processBatch(batch, epOffset + batchId, indexDir)
       }
       .start()
     q.awaitTermination()
   }
 
   /** One micro-batch fold — the `foreachBatch` body, callable directly in
-    * tests (crash replay = calling it twice with the same id). */
-  private[streaming] def processBatch(batch: DataFrame, batchId: Long,
+    * tests (crash replay = calling it twice with the same id). The caller
+    * passes the already-offset epoch id. */
+  private[streaming] def processBatch(batch: DataFrame, epochId: Long,
       indexDir: String): Unit = {
     ShingleIndex.appendToIndex(batch.sparkSession, indexDir, batch,
-      "doc_id", "text", explicitEp = Some(1L + batchId))
+      "doc_id", "text", explicitEp = Some(epochId))
     ()
   }
 }

@@ -31,9 +31,22 @@ object StreamingSimGraph {
     StructField("lang", StringType)))
 
   /** Drain currently-available input into the graph store at
-    * `storeDir` (which must already be [[SimGraphStore.init]]ed). */
+    * `storeDir` (which must already be [[SimGraphStore.init]]ed).
+    *
+    * `bidOffset` is the BOOTSTRAP seam (r13, found by the streamed
+    * 100× rehearsal): a store bootstrapped with k BATCH folds holds
+    * committed ids 0..k−1, and a fresh stream's first engine batch id
+    * is 0 — without an offset that id collides with a committed one
+    * and the replay-signature check fails loudly (pre-r13 it would
+    * have SILENTLY skipped the first streamed batch). Pass the number
+    * of bootstrap folds, and keep it FIXED for the checkpoint's
+    * lifetime — the offset participates in replay identity, so
+    * recomputing it after more batch folds would mis-map replays
+    * (engine batch b always commits as id bidOffset + b). The store
+    * itself rejects any drift loudly. */
   def run(spark: SparkSession, srcDir: String, storeDir: String,
-      checkpointDir: String, maxFilesPerTrigger: Int = 1): Unit = {
+      checkpointDir: String, maxFilesPerTrigger: Int = 1,
+      bidOffset: Long = 0L): Unit = {
     val docs = spark.readStream.schema(docSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(srcDir)
@@ -41,14 +54,15 @@ object StreamingSimGraph {
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        processBatch(batch, batchId, storeDir)
+        processBatch(batch, bidOffset + batchId, storeDir)
       }
       .start()
     q.awaitTermination()
   }
 
   /** One micro-batch fold — the `foreachBatch` body, callable directly
-    * in tests (crash replay = calling it twice with the same id). */
+    * in tests (crash replay = calling it twice with the same id). The
+    * caller passes the already-offset store batch id. */
   private[streaming] def processBatch(batch: DataFrame, batchId: Long,
       storeDir: String): Unit = {
     SimGraphStore.update(batch.sparkSession, storeDir, batch,

@@ -60,13 +60,19 @@ object StreamingLifecycleProbe {
         graft.llm.SimGraphStore.update(spark, store, slice(0, 50),
           "doc_id", "text"))
       stage(src, 50, 52, "b0"); stage(src, 52, 54, "b1")
+      // the base fold committed bid 0 → the stream's engine ids start
+      // at 0 and must map above it (bidOffset = #bootstrap folds; the
+      // r13 replay-signature check fails loudly without it — which is
+      // how this very probe surfaced the seam)
       t("simgraph: stream 2 slices (2% each)")(
-        graft.streaming.StreamingSimGraph.run(spark, src, store, ck))
+        graft.streaming.StreamingSimGraph.run(spark, src, store, ck,
+          bidOffset = 1L))
       t("simgraph: mid-stream compact")(
         graft.llm.SimGraphStore.compact(spark, store))
       stage(src, 54, 56, "b2")
       t("simgraph: resume checkpoint +1 slice")(
-        graft.streaming.StreamingSimGraph.run(spark, src, store, ck))
+        graft.streaming.StreamingSimGraph.run(spark, src, store, ck,
+          bidOffset = 1L))
       t("simgraph: serve edges (count)") {
         val n = graft.llm.SimGraphStore.edges(spark, store).count()
         println(s"  edges: $n")

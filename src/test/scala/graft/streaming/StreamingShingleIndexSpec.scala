@@ -61,13 +61,15 @@ class StreamingShingleIndexSpec extends SparkTestBase {
       "doc_id", "text", idx, n = 3, nBuckets = 32)
     val b0 = docs.filter(col("doc_id") >= 150 && col("doc_id") < 300)
     val b1 = docs.filter(col("doc_id") >= 300 && col("doc_id") < 450)
-    StreamingShingleIndex.processBatch(b0, 0L, idx)
-    StreamingShingleIndex.processBatch(b1, 1L, idx)
+    // processBatch takes the already-offset epoch id (engine batch b +
+    // epOffset 1 over a built index — run()'s mapping)
+    StreamingShingleIndex.processBatch(b0, 1L, idx)
+    StreamingShingleIndex.processBatch(b1, 2L, idx)
     val once = serve(idx)
-    StreamingShingleIndex.processBatch(b1, 1L, idx) // replay: no-op
+    StreamingShingleIndex.processBatch(b1, 2L, idx) // replay: no-op
     assert(serve(idx) == once)
     val e = intercept[IllegalArgumentException](
-      StreamingShingleIndex.processBatch(b0, 0L, idx))
+      StreamingShingleIndex.processBatch(b0, 1L, idx))
     assert(e.getMessage.contains("reset the checkpoint and the index"))
   }
 }

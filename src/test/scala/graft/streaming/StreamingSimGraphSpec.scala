@@ -53,6 +53,32 @@ class StreamingSimGraphSpec extends SparkTestBase {
     assert(got.nonEmpty && got == edgeSet(batched))
   }
 
+  test("a batch-bootstrapped store streams correctly with bidOffset = " +
+      "#bootstrap folds; without the offset the id collision fails " +
+      "loudly instead of silently skipping the first streamed batch") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val dir = tmp("bootstrap")
+    SimGraphStore.init(spark, dir, n = 3, cap = 50L, minCommon = 2L)
+    // bootstrap: ONE batch fold → committed bid 0
+    SimGraphStore.update(spark, dir, docs.filter(col("doc_id") < 250),
+      "doc_id", "text")
+    val b0 = docs.filter(col("doc_id") >= 250 && col("doc_id") < 400)
+    // a fresh stream's first engine batch id is 0 — colliding with the
+    // bootstrap fold's id; the replay signature makes that LOUD (the
+    // pre-r13 behavior silently dropped the batch)
+    val e = intercept[IllegalArgumentException](
+      StreamingSimGraph.processBatch(b0, 0L, dir))
+    assert(e.getMessage.contains("rows differ from the committed batch"))
+    // with the offset (run()'s bidOffset mapping) the fold lands, and
+    // the final graph equals the from-scratch reference
+    StreamingSimGraph.processBatch(b0, 1L, dir)
+    val ref = tmp("bootstrap-ref")
+    SimGraphStore.init(spark, ref, n = 3, cap = 50L, minCommon = 2L)
+    SimGraphStore.update(spark, ref, docs.filter(col("doc_id") < 400),
+      "doc_id", "text")
+    assert(edgeSet(dir) == edgeSet(ref))
+  }
+
   test("a crash-replayed micro-batch folds exactly once; an out-of-sync " +
       "fresh checkpoint fails loudly") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
