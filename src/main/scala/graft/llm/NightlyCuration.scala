@@ -106,4 +106,56 @@ object NightlyCuration {
     AnnOps.appendToIvfIndex(spark, stores.ivf, admittedEmb, dim)
     SimGraphStore.update(spark, stores.graph, admitted, idCol, textCol)
   }
+
+  /** The MAINTENANCE SLOT between nights: pull every store's operational
+    * dial in one place —
+    *  - [[ShingleIndex.compactionDue]] (epoch depth, the r13 cadence
+    *    policy) → [[ShingleIndex.compactIndex]];
+    *  - [[SimGraphStore.compactionDue]] (delta depth, the r12 cadence
+    *    policy) → [[SimGraphStore.compact]];
+    *  - text-index / IVF small-files growth past `maxDataFiles` (one
+    *    file lands per append — the classic small-files death) →
+    *    [[TextIndex.compactIndex]] / [[AnnOps.compactIvfIndex]];
+    *  - [[BloomHistory.estimatedFpRate]] past `fpBudget` →
+    *    [[BloomHistory.rebuild]] at DOUBLED mBits (the one dial that
+    *    needs the history corpus — exactly the pass the non-persisted
+    *    spelling paid nightly).
+    * Every action is individually crash-safe (rewrite-then-swap or
+    * marker-committed), so a kill mid-slot leaves each store old or
+    * new, never torn, and the next slot simply resumes. Serves are
+    * unchanged by construction (each compaction's output-identity is
+    * spec/gate-pinned). Returns the actions taken, for the operator's
+    * log. */
+  def maintenance(spark: SparkSession, stores: Stores, history: DataFrame,
+      textCol: String, fpBudget: Double = 0.01,
+      maxShingleEpochs: Int = 4, maxGraphDeltas: Int = 4,
+      maxDataFiles: Int = 64): Seq[String] = {
+    val actions = scala.collection.mutable.ArrayBuffer.empty[String]
+    if (ShingleIndex.compactionDue(spark, stores.shingle,
+        maxShingleEpochs)) {
+      ShingleIndex.compactIndex(spark, stores.shingle)
+      actions += "shingle: compacted (epoch depth)"
+    }
+    if (SimGraphStore.compactionDue(spark, stores.graph, maxGraphDeltas)) {
+      SimGraphStore.compact(spark, stores.graph)
+      actions += "graph: compacted (delta depth)"
+    }
+    if (graft.sources.ParquetCompaction.dataFileCount(spark,
+        s"${stores.text}/postings") > maxDataFiles) {
+      TextIndex.compactIndex(spark, stores.text)
+      actions += "text: compacted (small files)"
+    }
+    if (graft.sources.ParquetCompaction.dataFileCount(spark,
+        s"${stores.ivf}/cells") > maxDataFiles) {
+      AnnOps.compactIvfIndex(spark, stores.ivf)
+      actions += "ivf: compacted (small files)"
+    }
+    if (BloomHistory.estimatedFpRate(spark, stores.bloom) > fpBudget) {
+      val (mBits, k, _, _) = BloomHistory.readMeta(spark, stores.bloom)
+      BloomHistory.rebuild(spark, stores.bloom, history, textCol,
+        newMBits = mBits << 1, newK = k)
+      actions += s"bloom: rebuilt at mBits=${mBits << 1} (fp rate)"
+    }
+    actions.toSeq
+  }
 }

@@ -102,4 +102,73 @@ class NightlyCurationSpec extends SparkTestBase {
     }.map(_._1).toSet
     assert(reprobed == expectedReprobe && expected.subsetOf(reprobed))
   }
+
+  test("maintenance() pulls every dial: epoch/delta compactions, " +
+      "small-files compactions, the Bloom fp-rate rebuild — and serves " +
+      "are unchanged") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(99)
+    val vocab = (0 until 40).map(i => s"m$i").toVector
+    def mkDoc(len: Int): String =
+      (0 until len).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val hist = (0L until 60L).map(i => (i, mkDoc(8 + rnd.nextInt(8))))
+    val histDf = hist.toDF("doc_id", "text")
+    val dim = 8
+    val histEmb = hist.map { case (i, _) =>
+      (i, Seq.fill(dim)(rnd.nextFloat() * 2f - 1f))
+    }.toDF("vec_id", "embedding")
+    val stores = NightlyCuration.Stores(tmp("maint"))
+    NightlyCuration.initStores(spark, stores, histDf, histEmb,
+      "doc_id", "text", dim = dim, nCentroids = 4)
+    // a TINY Bloom filter so the fp rate provably crosses the budget
+    BloomHistory.init(spark, stores.bloom, mBits = 64, k = 5)
+    BloomHistory.append(spark, stores.bloom, histDf, "text")
+    // five nightly appends: trips the shingle epoch dial (maxEpochs=4),
+    // the graph delta dial, and the small-files counters at threshold 4
+    var union = histDf
+    for (n <- 0 until 5) {
+      val batch = (0 until 6).map(i =>
+        (10000L + 100L * n + i, mkDoc(8 + rnd.nextInt(8))))
+        .toDF("doc_id", "text")
+      val bEmb = batch.select(col("doc_id").as("vec_id")).rdd
+        .map(_.getLong(0)).collect().toSeq
+        .map(i => (i, Seq.fill(dim)(0.2f))).toDF("vec_id", "embedding")
+      NightlyCuration.appendAll(spark, stores, batch, bEmb,
+        "doc_id", "text", dim = dim)
+      union = union.unionByName(batch)
+    }
+    union = union.localCheckpoint()
+    val beforePairs = ShingleIndex.containmentSelf(spark, stores.shingle,
+        0.8).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val beforeEdges = SimGraphStore.edges(spark, stores.graph)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // maxDataFiles = 100: above the text index's 64 one-file-per-tb-dir
+    // floor (so a compacted index does NOT re-trip) but below the
+    // ~40-files-per-append growth five appends leave behind
+    val actions = NightlyCuration.maintenance(spark, stores, union,
+      "text", fpBudget = 0.01, maxDataFiles = 100)
+    assert(actions.exists(_.startsWith("shingle: compacted")), actions)
+    assert(actions.exists(_.startsWith("graph: compacted")), actions)
+    assert(actions.exists(_.startsWith("text: compacted")), actions)
+    assert(actions.exists(_.startsWith("bloom: rebuilt")), actions)
+    // dials reset: an immediate second slot is (almost) a no-op — the
+    // tiny rebuilt filter may still be over budget, everything else idle
+    val again = NightlyCuration.maintenance(spark, stores, union,
+      "text", fpBudget = 0.01, maxDataFiles = 100)
+    assert(again.forall(_.startsWith("bloom:")), again)
+    // serves unchanged by maintenance
+    val afterPairs = ShingleIndex.containmentSelf(spark, stores.shingle,
+        0.8).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(afterPairs == beforePairs)
+    val afterEdges = SimGraphStore.edges(spark, stores.graph)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(afterEdges == beforeEdges)
+    // the rebuilt (doubled) filter still serves the exact dedup: every
+    // union doc re-probes as a dup of itself
+    val reprobe = BloomHistory.dedupFromStore(spark, stores.bloom, union,
+        union, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    assert(reprobe == union.select("doc_id").collect()
+      .map(_.getLong(0)).toSet)
+  }
 }
