@@ -316,6 +316,210 @@ object LlmQueries {
        |SELECT qid, rk, nid FROM r WHERE rk <= $k
        |ORDER BY qid NULLS FIRST, rk NULLS FIRST""".stripMargin
 
+
+  /** Shared oracle of q144/q147 — the from-scratch nightly pipeline over
+    * history ∪ admitted (see the q144 comment). */
+  private val nightlyCurationOracle: String =
+    s"""WITH tok AS (
+         |  SELECT doc_id, $sqlToks AS toks FROM documents),
+         |sh AS (
+         |  SELECT doc_id, $sqlShingles AS shingles
+         |  FROM (SELECT doc_id, $sqlToks AS toks FROM documents)),
+         |fp AS (
+         |  SELECT doc_id,
+         |    md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fp
+         |  FROM tok),
+         |hist AS (SELECT doc_id FROM documents WHERE doc_id % 3 != 0),
+         |bat AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 0),
+         |q AS (
+         |  SELECT t.doc_id, len(t.toks) AS n_tok
+         |  FROM tok t JOIN bat USING (doc_id)
+         |  WHERE len(t.toks) >= 8
+         |    AND len(list_distinct(t.toks)) >= 0.3 * len(t.toks)),
+         |dup AS (
+         |  SELECT fb.doc_id FROM fp fb JOIN q USING (doc_id)
+         |  WHERE EXISTS (SELECT 1 FROM fp fh JOIN hist USING (doc_id)
+         |                WHERE fh.fp = fb.fp)),
+         |fresh AS (SELECT doc_id, n_tok FROM q
+         |          WHERE doc_id NOT IN (SELECT doc_id FROM dup)),
+         |cont AS (
+         |  SELECT DISTINCT qa.doc_id
+         |  FROM (SELECT s.doc_id, s.shingles FROM sh s
+         |        JOIN fresh USING (doc_id)) qa,
+         |       (SELECT s.doc_id, s.shingles FROM sh s
+         |        JOIN hist USING (doc_id)) hb
+         |  WHERE len(qa.shingles) > 0 AND len(hb.shingles) > 0
+         |    AND qa.doc_id != hb.doc_id
+         |    AND CAST(len(list_intersect(qa.shingles, hb.shingles)) AS DOUBLE)
+         |        >= 0.8 * len(qa.shingles)),
+         |adm AS (SELECT doc_id, n_tok FROM fresh
+         |        WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+         |uni AS (SELECT doc_id FROM hist
+         |        UNION ALL SELECT doc_id FROM adm),
+         |p_admit AS (
+         |  SELECT 'admit' AS part, doc_id AS a, CAST(0 AS BIGINT) AS b,
+         |    CAST(n_tok AS DOUBLE) AS v FROM adm),
+         |p_bloom AS (
+         |  SELECT 'bloom' AS part, fb.doc_id AS a, CAST(0 AS BIGINT) AS b,
+         |    CAST(0 AS DOUBLE) AS v
+         |  FROM fp fb JOIN bat USING (doc_id)
+         |  WHERE EXISTS (SELECT 1 FROM fp fu JOIN uni USING (doc_id)
+         |                WHERE fu.fp = fb.fp)),
+         |p_shingle AS (
+         |  SELECT 'shingle' AS part, pa.doc_id AS a, hb.doc_id AS b,
+         |    CAST(len(list_intersect(pa.shingles, hb.shingles)) AS DOUBLE)
+         |      / len(pa.shingles) AS v
+         |  FROM (SELECT s.doc_id, s.shingles FROM sh s
+         |        WHERE s.doc_id % 15 = 1) pa,
+         |       (SELECT s.doc_id, s.shingles FROM sh s
+         |        JOIN uni USING (doc_id)) hb
+         |  WHERE pa.doc_id != hb.doc_id
+         |    AND len(pa.shingles) > 0 AND len(hb.shingles) > 0
+         |    AND CAST(len(list_intersect(pa.shingles, hb.shingles)) AS DOUBLE)
+         |        >= 0.8 * len(pa.shingles)),
+         |td AS (SELECT t.doc_id, t.toks, len(t.toks) AS dl
+         |       FROM tok t JOIN uni USING (doc_id)),
+         |tc AS (SELECT count(*) AS n_docs,
+         |         CAST(sum(len(toks)) AS DOUBLE) / count(*) AS avgdl FROM td),
+         |tt AS (SELECT unnest(['sort', 'stream', 'hash']) AS term),
+         |tm AS (SELECT doc_id, dl, term,
+         |         len(list_filter(toks, x -> x = term)) AS tf
+         |       FROM td CROSS JOIN tt),
+         |tmm AS (SELECT * FROM tm WHERE tf > 0),
+         |tdf AS (SELECT term, count(*) AS dfc FROM tmm GROUP BY term),
+         |tsc AS (SELECT term, doc_id,
+         |          round(ln((n_docs - dfc + 0.5) / (dfc + 0.5) + 1.0)
+         |            * (tf * (1.2 + 1.0))
+         |            / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)), 6)
+         |            AS score
+         |        FROM tmm JOIN tdf USING (term), tc),
+         |trk AS (SELECT term, doc_id, score,
+         |          ROW_NUMBER() OVER (PARTITION BY term
+         |            ORDER BY score DESC, doc_id) AS rank FROM tsc),
+         |p_text AS (
+         |  SELECT 'text:' || term AS part, CAST(rank AS BIGINT) AS a,
+         |    doc_id AS b, score AS v FROM trk WHERE rank <= 10),
+         |cent AS (
+         |  SELECT vec_id AS cid, embedding AS ce FROM embeddings
+         |  WHERE vec_id % 3 != 0 ORDER BY vec_id LIMIT 16),
+         |uemb AS (
+         |  SELECT e.vec_id, e.embedding FROM embeddings e
+         |  WHERE e.vec_id % 3 != 0
+         |     OR e.vec_id IN (SELECT doc_id FROM adm)),
+         |asg AS (
+         |  SELECT nid, ne, cid FROM (
+         |    SELECT e.vec_id AS nid, e.embedding AS ne, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+         |                                        CAST(c.ce AS DOUBLE[])) DESC,
+         |                 c.cid) AS r
+         |    FROM uemb e, cent c) WHERE r = 1),
+         |qv AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+         |       WHERE vec_id < 10),
+         |probe AS (
+         |  SELECT qid, cid FROM (
+         |    SELECT qv.qid, c.cid,
+         |      row_number() OVER (PARTITION BY qv.qid
+         |        ORDER BY list_cosine_similarity(CAST(qv.qe AS DOUBLE[]),
+         |                                        CAST(c.ce AS DOUBLE[])) DESC,
+         |                 c.cid) AS r
+         |    FROM qv, cent c) WHERE r <= 2),
+         |pd AS (
+         |  SELECT pr.qid, a.nid,
+         |    list_cosine_similarity(CAST(qv.qe AS DOUBLE[]),
+         |                           CAST(a.ne AS DOUBLE[])) AS cos
+         |  FROM probe pr JOIN asg a USING (cid) JOIN qv USING (qid)
+         |  WHERE a.nid != pr.qid),
+         |p_ivf AS (
+         |  SELECT 'ivf' AS part, qid AS a, nid AS b, CAST(rk AS DOUBLE) AS v
+         |  FROM (SELECT qid, nid, row_number() OVER (PARTITION BY qid
+         |          ORDER BY cos DESC, nid) AS rk FROM pd)
+         |  WHERE rk <= 10),
+         |gsh AS (SELECT s.doc_id, unnest(s.shingles) AS g
+         |        FROM sh s JOIN uni USING (doc_id)),
+         |grare AS (SELECT g FROM gsh GROUP BY g HAVING count(*) <= 50),
+         |gp AS (SELECT doc_id, g FROM gsh JOIN grare USING (g)),
+         |p_graph AS (
+         |  SELECT 'graph' AS part, x.doc_id AS a, y.doc_id AS b,
+         |    CAST(0 AS DOUBLE) AS v
+         |  FROM gp x JOIN gp y ON x.g = y.g AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2, 3, 4 HAVING count(*) >= 2)
+         |SELECT part, a, b, v FROM (
+         |  SELECT * FROM p_admit UNION ALL SELECT * FROM p_bloom
+         |  UNION ALL SELECT * FROM p_shingle UNION ALL SELECT * FROM p_text
+         |  UNION ALL SELECT * FROM p_ivf UNION ALL SELECT * FROM p_graph)
+         |ORDER BY part NULLS FIRST, a NULLS FIRST, b NULLS FIRST,
+         |  v NULLS FIRST""".stripMargin
+
+  /** Shared body of q144/q147: bootstrap the five stores, run the
+    * admission night, append, optionally run a FORCED maintenance slot
+    * (q147 — every dial tripped; serves must be unchanged), then serve
+    * from every store into one tagged frame. */
+  private def nightlyCurationGate(s: SparkSession, dir: String,
+      tag: String, maintain: Boolean): DataFrame = {
+      val root = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft-" + tag + "-" + dir.replaceAll("[^A-Za-z0-9]", "_"))
+        .getAbsolutePath
+      val stores = NightlyCuration.Stores(root)
+      Seq(stores.bloom, stores.shingle, stores.text, stores.ivf,
+        stores.graph).foreach(graft.sources.ParquetCompaction.recover(s, _))
+      val rootPath = new org.apache.hadoop.fs.Path(root)
+      val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(rootPath)) fs.delete(rootPath, true)
+      val docs = T.documents(s, dir)
+      val emb = T.embeddings(s, dir)
+      val history = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+      val batch = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+      NightlyCuration.initStores(s, stores, history,
+        emb.filter(pmod(col("vec_id"), lit(3)) =!= 0), "doc_id", "text")
+      val admitted = NightlyCuration.admit(s, stores, history, batch,
+        "doc_id", "text").localCheckpoint()
+      NightlyCuration.appendAll(s, stores, admitted,
+        emb.join(admitted.select(col("doc_id").as("vec_id")), "vec_id"),
+        "doc_id", "text")
+      // q147: the FORCED maintenance slot between the appends and the
+      // serves — compactions + the Bloom rebuild all trip (tightened
+      // dials), and because every action is output-preserving the SAME
+      // oracle must still match; any maintenance corruption of any
+      // store hash-mismatches
+      if (maintain) {
+        val actions = NightlyCuration.maintenance(s, stores,
+          history.unionByName(admitted), "text", fpBudget = 0.0,
+          maxShingleEpochs = 1, maxGraphDeltas = 1, maxDataFiles = 1)
+        require(actions.size >= 5,
+          s"q147 expects every dial to trip, got: $actions")
+      }
+      // serve from every post-append store, tagged into one frame
+      val pAdmit = admitted.select(lit("admit").as("part"),
+        col("doc_id").as("a"), lit(0L).as("b"),
+        size(TextOps.tokens(col("text"))).cast(DoubleType).as("v"))
+      val pBloom = BloomHistory.dedupFromStore(s, stores.bloom,
+          history.unionByName(admitted), batch, "doc_id", "text")
+        .select(lit("bloom").as("part"), col("doc_id").as("a"),
+          lit(0L).as("b"), lit(0.0).as("v"))
+      val pShingle = ShingleIndex.containmentAgainst(s, stores.shingle,
+          docs.filter(pmod(col("doc_id"), lit(15)) === 1), "doc_id",
+          "text", 0.8)
+        .select(lit("shingle").as("part"), col("ida").as("a"),
+          col("idb").as("b"), col("containment").as("v"))
+      val pText = TextIndex.bm25FromIndex(s, stores.text,
+          terms = Seq("sort", "stream", "hash"), k1 = 1.2, b = 0.75,
+          topK = 10)
+        .select(concat(lit("text:"), col("term")).as("part"),
+          col("rank").cast(LongType).as("a"), col("doc_id").as("b"),
+          col("score").as("v"))
+      val pIvf = AnnOps.ivfTopKFromIndex(s, stores.ivf,
+          emb.filter(col("vec_id") < 10), k = 10, dim = 64, nProbe = 2)
+        .select(lit("ivf").as("part"), col("qid").as("a"),
+          col("nid").as("b"), col("rk").cast(DoubleType).as("v"))
+      val pGraph = SimGraphStore.edges(s, stores.graph)
+        .select(lit("graph").as("part"), col("a"), col("b"),
+          lit(0.0).as("v"))
+      pAdmit.unionByName(pBloom).unionByName(pShingle).unionByName(pText)
+        .unionByName(pIvf).unionByName(pGraph)
+        .orderBy("part", "a", "b", "v")
+  }
+
   val all: Seq[Q] = Seq(
 
     // ---- exact dedup: hash-groupBy on the order-insensitive token-set
@@ -1757,187 +1961,22 @@ object LlmQueries {
     // history ∪ admitted (each store's append == rebuild exactness makes
     // the composed split invisible); any admission error, lost append,
     // or stale serve hash-mismatches.
-    qm("q144_nightly_curation_stores",
-      s"""WITH tok AS (
-         |  SELECT doc_id, $sqlToks AS toks FROM documents),
-         |sh AS (
-         |  SELECT doc_id, $sqlShingles AS shingles
-         |  FROM (SELECT doc_id, $sqlToks AS toks FROM documents)),
-         |fp AS (
-         |  SELECT doc_id,
-         |    md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fp
-         |  FROM tok),
-         |hist AS (SELECT doc_id FROM documents WHERE doc_id % 3 != 0),
-         |bat AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 0),
-         |q AS (
-         |  SELECT t.doc_id, len(t.toks) AS n_tok
-         |  FROM tok t JOIN bat USING (doc_id)
-         |  WHERE len(t.toks) >= 8
-         |    AND len(list_distinct(t.toks)) >= 0.3 * len(t.toks)),
-         |dup AS (
-         |  SELECT fb.doc_id FROM fp fb JOIN q USING (doc_id)
-         |  WHERE EXISTS (SELECT 1 FROM fp fh JOIN hist USING (doc_id)
-         |                WHERE fh.fp = fb.fp)),
-         |fresh AS (SELECT doc_id, n_tok FROM q
-         |          WHERE doc_id NOT IN (SELECT doc_id FROM dup)),
-         |cont AS (
-         |  SELECT DISTINCT qa.doc_id
-         |  FROM (SELECT s.doc_id, s.shingles FROM sh s
-         |        JOIN fresh USING (doc_id)) qa,
-         |       (SELECT s.doc_id, s.shingles FROM sh s
-         |        JOIN hist USING (doc_id)) hb
-         |  WHERE len(qa.shingles) > 0 AND len(hb.shingles) > 0
-         |    AND qa.doc_id != hb.doc_id
-         |    AND CAST(len(list_intersect(qa.shingles, hb.shingles)) AS DOUBLE)
-         |        >= 0.8 * len(qa.shingles)),
-         |adm AS (SELECT doc_id, n_tok FROM fresh
-         |        WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
-         |uni AS (SELECT doc_id FROM hist
-         |        UNION ALL SELECT doc_id FROM adm),
-         |p_admit AS (
-         |  SELECT 'admit' AS part, doc_id AS a, CAST(0 AS BIGINT) AS b,
-         |    CAST(n_tok AS DOUBLE) AS v FROM adm),
-         |p_bloom AS (
-         |  SELECT 'bloom' AS part, fb.doc_id AS a, CAST(0 AS BIGINT) AS b,
-         |    CAST(0 AS DOUBLE) AS v
-         |  FROM fp fb JOIN bat USING (doc_id)
-         |  WHERE EXISTS (SELECT 1 FROM fp fu JOIN uni USING (doc_id)
-         |                WHERE fu.fp = fb.fp)),
-         |p_shingle AS (
-         |  SELECT 'shingle' AS part, pa.doc_id AS a, hb.doc_id AS b,
-         |    CAST(len(list_intersect(pa.shingles, hb.shingles)) AS DOUBLE)
-         |      / len(pa.shingles) AS v
-         |  FROM (SELECT s.doc_id, s.shingles FROM sh s
-         |        WHERE s.doc_id % 15 = 1) pa,
-         |       (SELECT s.doc_id, s.shingles FROM sh s
-         |        JOIN uni USING (doc_id)) hb
-         |  WHERE pa.doc_id != hb.doc_id
-         |    AND len(pa.shingles) > 0 AND len(hb.shingles) > 0
-         |    AND CAST(len(list_intersect(pa.shingles, hb.shingles)) AS DOUBLE)
-         |        >= 0.8 * len(pa.shingles)),
-         |td AS (SELECT t.doc_id, t.toks, len(t.toks) AS dl
-         |       FROM tok t JOIN uni USING (doc_id)),
-         |tc AS (SELECT count(*) AS n_docs,
-         |         CAST(sum(len(toks)) AS DOUBLE) / count(*) AS avgdl FROM td),
-         |tt AS (SELECT unnest(['sort', 'stream', 'hash']) AS term),
-         |tm AS (SELECT doc_id, dl, term,
-         |         len(list_filter(toks, x -> x = term)) AS tf
-         |       FROM td CROSS JOIN tt),
-         |tmm AS (SELECT * FROM tm WHERE tf > 0),
-         |tdf AS (SELECT term, count(*) AS dfc FROM tmm GROUP BY term),
-         |tsc AS (SELECT term, doc_id,
-         |          round(ln((n_docs - dfc + 0.5) / (dfc + 0.5) + 1.0)
-         |            * (tf * (1.2 + 1.0))
-         |            / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)), 6)
-         |            AS score
-         |        FROM tmm JOIN tdf USING (term), tc),
-         |trk AS (SELECT term, doc_id, score,
-         |          ROW_NUMBER() OVER (PARTITION BY term
-         |            ORDER BY score DESC, doc_id) AS rank FROM tsc),
-         |p_text AS (
-         |  SELECT 'text:' || term AS part, CAST(rank AS BIGINT) AS a,
-         |    doc_id AS b, score AS v FROM trk WHERE rank <= 10),
-         |cent AS (
-         |  SELECT vec_id AS cid, embedding AS ce FROM embeddings
-         |  WHERE vec_id % 3 != 0 ORDER BY vec_id LIMIT 16),
-         |uemb AS (
-         |  SELECT e.vec_id, e.embedding FROM embeddings e
-         |  WHERE e.vec_id % 3 != 0
-         |     OR e.vec_id IN (SELECT doc_id FROM adm)),
-         |asg AS (
-         |  SELECT nid, ne, cid FROM (
-         |    SELECT e.vec_id AS nid, e.embedding AS ne, c.cid,
-         |      row_number() OVER (PARTITION BY e.vec_id
-         |        ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-         |                                        CAST(c.ce AS DOUBLE[])) DESC,
-         |                 c.cid) AS r
-         |    FROM uemb e, cent c) WHERE r = 1),
-         |qv AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
-         |       WHERE vec_id < 10),
-         |probe AS (
-         |  SELECT qid, cid FROM (
-         |    SELECT qv.qid, c.cid,
-         |      row_number() OVER (PARTITION BY qv.qid
-         |        ORDER BY list_cosine_similarity(CAST(qv.qe AS DOUBLE[]),
-         |                                        CAST(c.ce AS DOUBLE[])) DESC,
-         |                 c.cid) AS r
-         |    FROM qv, cent c) WHERE r <= 2),
-         |pd AS (
-         |  SELECT pr.qid, a.nid,
-         |    list_cosine_similarity(CAST(qv.qe AS DOUBLE[]),
-         |                           CAST(a.ne AS DOUBLE[])) AS cos
-         |  FROM probe pr JOIN asg a USING (cid) JOIN qv USING (qid)
-         |  WHERE a.nid != pr.qid),
-         |p_ivf AS (
-         |  SELECT 'ivf' AS part, qid AS a, nid AS b, CAST(rk AS DOUBLE) AS v
-         |  FROM (SELECT qid, nid, row_number() OVER (PARTITION BY qid
-         |          ORDER BY cos DESC, nid) AS rk FROM pd)
-         |  WHERE rk <= 10),
-         |gsh AS (SELECT s.doc_id, unnest(s.shingles) AS g
-         |        FROM sh s JOIN uni USING (doc_id)),
-         |grare AS (SELECT g FROM gsh GROUP BY g HAVING count(*) <= 50),
-         |gp AS (SELECT doc_id, g FROM gsh JOIN grare USING (g)),
-         |p_graph AS (
-         |  SELECT 'graph' AS part, x.doc_id AS a, y.doc_id AS b,
-         |    CAST(0 AS DOUBLE) AS v
-         |  FROM gp x JOIN gp y ON x.g = y.g AND x.doc_id < y.doc_id
-         |  GROUP BY 1, 2, 3, 4 HAVING count(*) >= 2)
-         |SELECT part, a, b, v FROM (
-         |  SELECT * FROM p_admit UNION ALL SELECT * FROM p_bloom
-         |  UNION ALL SELECT * FROM p_shingle UNION ALL SELECT * FROM p_text
-         |  UNION ALL SELECT * FROM p_ivf UNION ALL SELECT * FROM p_graph)
-         |ORDER BY part NULLS FIRST, a NULLS FIRST, b NULLS FIRST,
-         |  v NULLS FIRST""".stripMargin) { (s, dir) =>
-      val root = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft-capstone-" + dir.replaceAll("[^A-Za-z0-9]", "_"))
-        .getAbsolutePath
-      val stores = NightlyCuration.Stores(root)
-      Seq(stores.bloom, stores.shingle, stores.text, stores.ivf,
-        stores.graph).foreach(graft.sources.ParquetCompaction.recover(s, _))
-      val rootPath = new org.apache.hadoop.fs.Path(root)
-      val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
-      if (fs.exists(rootPath)) fs.delete(rootPath, true)
-      val docs = T.documents(s, dir)
-      val emb = T.embeddings(s, dir)
-      val history = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
-      val batch = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
-      NightlyCuration.initStores(s, stores, history,
-        emb.filter(pmod(col("vec_id"), lit(3)) =!= 0), "doc_id", "text")
-      val admitted = NightlyCuration.admit(s, stores, history, batch,
-        "doc_id", "text").localCheckpoint()
-      NightlyCuration.appendAll(s, stores, admitted,
-        emb.join(admitted.select(col("doc_id").as("vec_id")), "vec_id"),
-        "doc_id", "text")
-      // serve from every post-append store, tagged into one frame
-      val pAdmit = admitted.select(lit("admit").as("part"),
-        col("doc_id").as("a"), lit(0L).as("b"),
-        size(TextOps.tokens(col("text"))).cast(DoubleType).as("v"))
-      val pBloom = BloomHistory.dedupFromStore(s, stores.bloom,
-          history.unionByName(admitted), batch, "doc_id", "text")
-        .select(lit("bloom").as("part"), col("doc_id").as("a"),
-          lit(0L).as("b"), lit(0.0).as("v"))
-      val pShingle = ShingleIndex.containmentAgainst(s, stores.shingle,
-          docs.filter(pmod(col("doc_id"), lit(15)) === 1), "doc_id",
-          "text", 0.8)
-        .select(lit("shingle").as("part"), col("ida").as("a"),
-          col("idb").as("b"), col("containment").as("v"))
-      val pText = TextIndex.bm25FromIndex(s, stores.text,
-          terms = Seq("sort", "stream", "hash"), k1 = 1.2, b = 0.75,
-          topK = 10)
-        .select(concat(lit("text:"), col("term")).as("part"),
-          col("rank").cast(LongType).as("a"), col("doc_id").as("b"),
-          col("score").as("v"))
-      val pIvf = AnnOps.ivfTopKFromIndex(s, stores.ivf,
-          emb.filter(col("vec_id") < 10), k = 10, dim = 64, nProbe = 2)
-        .select(lit("ivf").as("part"), col("qid").as("a"),
-          col("nid").as("b"), col("rk").cast(DoubleType).as("v"))
-      val pGraph = SimGraphStore.edges(s, stores.graph)
-        .select(lit("graph").as("part"), col("a"), col("b"),
-          lit(0.0).as("v"))
-      pAdmit.unionByName(pBloom).unionByName(pShingle).unionByName(pText)
-        .unionByName(pIvf).unionByName(pGraph)
-        .orderBy("part", "a", "b", "v")
-    },
+    qm("q144_nightly_curation_stores", nightlyCurationOracle)(
+      (s, dir) => nightlyCurationGate(s, dir, "capstone",
+        maintain = false)),
+
+    // ---- the maintenance slot, DRIVER-GATED (q147): the identical
+    // nightly cycle, but between the appends and the serves every
+    // operational dial is forced to trip (NightlyCuration.maintenance
+    // with zero thresholds): shingle + graph compactions, text + IVF
+    // small-files compactions, and the Bloom rebuild at doubled mBits.
+    // Every action claims to preserve serving exactly, so the oracle is
+    // the SAME from-scratch pipeline as q144 — a maintenance bug in any
+    // store is a hash mismatch here while q144 stays green, isolating
+    // the fault to the slot.
+    qm("q147_maintenance_slot", nightlyCurationOracle)(
+      (s, dir) => nightlyCurationGate(s, dir, "maintslot",
+        maintain = true)),
 
     // ---- per-node triangle counts on the doc-similarity graph (edges =
     // pairs sharing ≥2 distinct DISTINCTIVE 3-gram shingles, df ≤ 50):
