@@ -82,7 +82,7 @@ object Bench {
     // vs I/O+scheduler band) stay separable in the artifact.
     val calDir =
       sys.env.getOrElse("SPARK_GRAFT_CALIB_DIR", "/root/testdata/sf0.01")
-    def calibrate(): Double = {
+    def calibrateOnce(): Double = {
       import org.apache.spark.sql.functions._
       import org.apache.spark.sql.expressions.Window
       val t0 = System.nanoTime()
@@ -101,6 +101,15 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
+    // MIN of three back-to-back mini-suite runs per sample (r13 D-window
+    // finding): a single ~0.7 s run is hostage to whatever scheduler
+    // stall it lands on — one turbulent window measured an in-run spread
+    // of [0.63, 0.968] against a real per-entry drift of only 1.13×.
+    // Stall noise is strictly additive (the suite is never accidentally
+    // faster than the machine), so the min is the bench's own one-sided
+    // estimator, at ~1.4 s/pass extra cost.
+    def calibrate(): Double =
+      Seq(calibrateOnce(), calibrateOnce(), calibrateOnce()).min
     def calibrateCpu(): Double = {
       val t0 = System.nanoTime()
       var x = 0x9e3779b97f4a7c15L
