@@ -2298,5 +2298,129 @@ object LlmQueries {
             .as("est"))
         .orderBy("source")
     },
+
+    // ---- exact-substring span dedup (beyond-parity; Lee et al. 2022):
+    // the SLIDING-window counterpart of q92's fixed chunks — a 5-token
+    // window at EVERY start position occurring in ≥2 distinct docs marks
+    // its tokens; marked positions merge into maximal spans; uncovered
+    // tokens survive in order. Catches shared passages at any alignment
+    // (the reason the paper uses a suffix array; here the same spans fall
+    // out of linear relational passes — TextOps.substringSpanDedup
+    // scaladoc). Shuffled semi-join for the dup set (corpus-sized worst
+    // case, never broadcast); span merge is per-row array math on the
+    // doc-bounded covered set — island starts are covered positions whose
+    // predecessor is uncovered, so no per-doc window pass.
+    q("q148_substring_span_dedup",
+      """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
+        |           FROM documents),
+        |g AS (SELECT doc_id, toks, unnest(range(1, len(toks) - 3)) AS pos
+        |      FROM t WHERE len(toks) >= 5),
+        |ng AS (SELECT doc_id, pos, array_to_string(toks[pos:pos+4], ' ')
+        |         AS gram FROM g),
+        |dup AS (SELECT gram FROM ng GROUP BY gram
+        |        HAVING count(DISTINCT doc_id) >= 2),
+        |cv AS (SELECT doc_id, list_sort(list(p)) AS cov FROM (
+        |         SELECT DISTINCT doc_id, pos + j AS p
+        |         FROM ng, (SELECT unnest(range(5)) AS j) js
+        |         WHERE gram IN (SELECT gram FROM dup))
+        |       GROUP BY doc_id),
+        |f AS (SELECT t.doc_id, t.toks, coalesce(cv.cov, []) AS cov
+        |      FROM t LEFT JOIN cv USING (doc_id))
+        |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tok,
+        |  CAST(len(cov) AS BIGINT) AS n_removed,
+        |  CAST(len([p for p in cov if NOT list_contains(cov, p - 1)])
+        |    AS BIGINT) AS n_spans,
+        |  coalesce(array_to_string([toks[i] for i in range(1, len(toks) + 1)
+        |                   if NOT list_contains(cov, i)], ' '), '') AS clean_text
+        |FROM f ORDER BY doc_id NULLS FIRST""".stripMargin) { (s, dir) =>
+      TextOps.substringSpanDedup(T.documents(s, dir), "doc_id", "text",
+          k = 5, minDocs = 2)
+        .orderBy("doc_id")
+    },
+
+    // ---- DSIR-flavored importance selection (beyond-parity; Xie et al.
+    // 2023): rank every non-target doc by how much its hashed
+    // unigram+bigram profile looks like the target domain (src0/src1
+    // stand in for "high-quality"), keep the top 50. The log-ratio sum of
+    // the paper is order-dependent double math that can never hash-match
+    // cross-engine; SampleOps.hashedImportanceSelect keeps the same
+    // expected-count signal as EXACT int64 sums (add-one smoothed) with
+    // ONE final division. Bucket tables broadcast (numBuckets rows);
+    // top-n plans as TakeOrderedAndProject — no global sort or window.
+    q("q149_importance_select",
+      """WITH t AS (SELECT doc_id, source IN ('src0','src1') AS is_tgt,
+        |             string_split(trim(text), ' ') AS toks FROM documents),
+        |f AS (SELECT doc_id, is_tgt, unnest(toks) AS ft FROM t
+        |      UNION ALL
+        |      SELECT doc_id, is_tgt,
+        |        unnest([array_to_string(toks[i:i+1], ' ')
+        |                for i in range(1, len(toks))]) AS ft
+        |      FROM t WHERE len(toks) >= 2),
+        |b AS (SELECT doc_id, is_tgt,
+        |    CAST((  (strpos('0123456789abcdef', substr(md5(ft), 1, 1)) - 1) * 4096
+        |          + (strpos('0123456789abcdef', substr(md5(ft), 2, 1)) - 1) * 256
+        |          + (strpos('0123456789abcdef', substr(md5(ft), 3, 1)) - 1) * 16
+        |          + (strpos('0123456789abcdef', substr(md5(ft), 4, 1)) - 1)) % 64
+        |      AS INT) AS bucket FROM f),
+        |s AS (SELECT bucket,
+        |        CAST(sum(CASE WHEN is_tgt THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+        |        CAST(sum(CASE WHEN is_tgt THEN 0 ELSE 1 END) AS BIGINT) AS cr
+        |      FROM b GROUP BY bucket),
+        |cand AS (SELECT b.doc_id,
+        |        CAST(sum(s.ct + 1) AS BIGINT) AS num,
+        |        CAST(sum(s.cr + 1) AS BIGINT) AS den
+        |      FROM b JOIN s USING (bucket) WHERE NOT b.is_tgt
+        |      GROUP BY b.doc_id),
+        |r AS (SELECT doc_id, num, den, CAST(num AS DOUBLE) / den AS ratio,
+        |        ROW_NUMBER() OVER (ORDER BY CAST(num AS DOUBLE) / den DESC,
+        |                           doc_id) AS rk
+        |      FROM cand)
+        |SELECT doc_id, num, den, ratio, rk FROM r WHERE rk <= 50
+        |ORDER BY rk NULLS FIRST""".stripMargin) { (s, dir) =>
+      SampleOps.hashedImportanceSelect(T.documents(s, dir), "doc_id", "text",
+          isTarget = col("source").isin("src0", "src1"),
+          numBuckets = 64, n = 50)
+        .orderBy("rk")
+    },
+
+    // ---- fuzzy cross-corpus decontamination (beyond-parity): q90's
+    // shared-count cut graded into exact Jaccard — near-duplicate
+    // train/eval pairs score ~1, boilerplate overlap scores ~0 whatever
+    // its raw count. Exact WITHOUT PPJoin: the eval side's posting lists
+    // bound the candidate join (the premise of the check), set sizes ride
+    // along from pre-explode arithmetic, and Jaccard is one division of
+    // exact ints (TextOps.crossJaccardDecontamination scaladoc). The low
+    // threshold (0.03) deliberately keeps borderline pairs in the gate so
+    // the division itself is pinned, not just the planted near-dups.
+    q("q150_fuzzy_decontamination",
+      """WITH lab AS (SELECT doc_id, text,
+        |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,4) < 'e666'
+        |         THEN 'train' ELSE 'test' END AS split FROM documents),
+        |sh AS (SELECT doc_id, split,
+        |    list_distinct([array_to_string(toks[i:i+2], ' ')
+        |                   for i in range(1, len(toks) - 1)]) AS shingles
+        |  FROM (SELECT doc_id, split, string_split(trim(text), ' ') AS toks
+        |        FROM lab)),
+        |p AS (SELECT t.doc_id AS train_id, e.doc_id AS eval_id,
+        |        CAST(len(list_intersect(t.shingles, e.shingles)) AS BIGINT)
+        |          AS n_shared,
+        |        len(t.shingles) AS na, len(e.shingles) AS nb
+        |      FROM sh t, sh e
+        |      WHERE t.split = 'train' AND e.split = 'test'
+        |        AND len(list_intersect(t.shingles, e.shingles)) >= 1)
+        |SELECT train_id, eval_id, n_shared,
+        |       CAST(n_shared AS DOUBLE) / (na + nb - n_shared) AS jaccard
+        |FROM p
+        |WHERE CAST(n_shared AS DOUBLE) / (na + nb - n_shared) >= 0.03
+        |ORDER BY train_id NULLS FIRST, eval_id NULLS FIRST""".stripMargin) {
+      (s, dir) =>
+        val lab = SampleOps.hashSplit(T.documents(s, dir), "doc_id",
+          Seq("train" -> 0.9, "test" -> 0.1))
+        TextOps.crossJaccardDecontamination(
+            lab.filter(col("split") === "train"),
+            lab.filter(col("split") === "test"),
+            "doc_id", "text", n = 3, threshold = 0.03)
+          .orderBy("train_id", "eval_id")
+    },
   )
 }

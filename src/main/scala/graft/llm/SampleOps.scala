@@ -226,4 +226,56 @@ object SampleOps {
       .orderBy(col("wkey").desc, col(idCol))
       .limit(n)
   }
+
+  /** DSIR-flavored data selection (after Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every
+    * NON-target document by how much its hashed n-gram profile looks like
+    * the target domain, and keep the top `n`. Features are word unigrams
+    * AND bigrams hashed into `numBuckets` buckets ([[TextOps.featureHash]]'s
+    * md5 scheme); the target/raw bucket-count tables play the role of
+    * DSIR's two hashed n-gram language models. DSIR's score is a sum of
+    * per-feature log count ratios — a double sum whose value depends on
+    * partial-aggregation order, so it can never hash-match across engines.
+    * This keeps the same "expected count under target vs raw" signal in
+    * EXACT integer arithmetic instead: per candidate document,
+    * num = Σ_features (ct(bucket)+1) and den = Σ_features (cr(bucket)+1)
+    * (add-one smoothing), score = num/den in ONE final division —
+    * bitwise-stable, like [[TextOps.docFrequencyStats]]'s mean. Returns
+    * (doc_id, num, den, ratio, rk) for the top `n` by (ratio desc, id).
+    *
+    * Scale: the bucket-count tables are numBuckets rows — broadcast to the
+    * exploded candidate features (one corpus-feature shuffle to build
+    * them, one per-doc integer re-aggregation). Top-n is orderBy+limit =
+    * TakeOrderedAndProject (per-partition top-n, no global sort); the rank
+    * column is a window over the ALREADY-SELECTED n rows only. int64
+    * bound: num ≤ doc features × (target features + 1) — safe past 10⁹
+    * docs × 10⁴ tokens; overflow would need a single doc × corpus product
+    * above 2⁶³. */
+  def hashedImportanceSelect(df: DataFrame, idCol: String, textCol: String,
+      isTarget: Column, numBuckets: Int = 64, n: Int = 50): DataFrame = {
+    require(numBuckets > 0 && numBuckets <= 1024,
+      "bucket = first 4 md5 hex digits mod numBuckets (featureHash cap)")
+    val toks = TextOps.tokens(col(textCol))
+    val bigrams = when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", slice(toks, i, lit(2)))))
+      .otherwise(array().cast("array<string>"))
+    val feats = df.select(col(idCol).as("doc_id"), isTarget.as("is_tgt"),
+        explode(concat(toks, bigrams)).as("ft"))
+      .withColumn("bucket",
+        pmod(conv(substring(md5(col("ft")), 1, 4), 16, 10).cast("int"),
+          lit(numBuckets)))
+    val stats = feats.groupBy("bucket").agg(
+      sum(when(col("is_tgt"), 1L).otherwise(0L)).as("ct"),
+      sum(when(col("is_tgt"), 0L).otherwise(1L)).as("cr"))
+    val cand = feats.filter(!col("is_tgt"))
+      .join(broadcast(stats), "bucket")
+      .groupBy("doc_id")
+      .agg(sum(col("ct") + 1L).as("num"), sum(col("cr") + 1L).as("den"))
+      .withColumn("ratio", col("num").cast("double") / col("den"))
+    val top = cand.orderBy(col("ratio").desc, col("doc_id")).limit(n)
+    top.withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("ratio").desc, col("doc_id"))).cast("long"))
+  }
 }

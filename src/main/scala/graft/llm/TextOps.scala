@@ -161,6 +161,44 @@ object TextOps {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Fuzzy cross-corpus decontamination: every (train, eval) pair whose
+    * distinct word `n`-gram shingle sets have Jaccard ≥ `threshold` — the
+    * graded companion of [[ngramContamination]]'s shared-count cut, the
+    * "eval item paraphrased into training" check (near-duplicates score
+    * ~1, boilerplate overlap scores near 0 regardless of raw shared
+    * count). Returns (train_id, eval_id, n_shared, jaccard).
+    *
+    * Exactness WITHOUT the PPJoin prefix filter [[ngramJaccardPairs]]
+    * needs for its self-join: candidate pairs here are bounded by the
+    * EVAL side's posting lists (the eval set is tiny — the premise of the
+    * check), so every sharing pair is enumerated outright and the exact
+    * count is the join's group size (shingles are distinct per doc). Set
+    * sizes ride along from pre-explode arithmetic; Jaccard is ONE
+    * division of exact ints — bitwise stable on any engine. Scale: the
+    * train side shuffles once on the shingle key (or not at all when the
+    * eval postings broadcast — AQE decides); df-hot shingles are
+    * boilerplate, not leakage, and should be capped upstream exactly as
+    * in [[ngramContamination]]. */
+  def crossJaccardDecontamination(train: DataFrame, eval: DataFrame,
+      idCol: String, textCol: String, n: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    val t = train.select(col(idCol).as("train_id"),
+      size(wordShingles(col(textCol), n)).as("na"),
+      explode(wordShingles(col(textCol), n)).as("sh"))
+    val e = eval.select(col(idCol).as("eval_id"),
+      size(wordShingles(col(textCol), n)).as("nb"),
+      explode(wordShingles(col(textCol), n)).as("sh"))
+    t.join(e, "sh")
+      // na/nb are functionally dependent on the ids — grouping on them
+      // keeps the agg deterministic without a first() escape hatch
+      .groupBy("train_id", "eval_id", "na", "nb")
+      .agg(count(lit(1)).as("n_shared"))
+      .withColumn("jaccard", col("n_shared").cast(DoubleType) /
+        (col("na") + col("nb") - col("n_shared")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("train_id"), col("eval_id"), col("n_shared"), col("jaccard"))
+  }
+
   /** Corpus document-frequency quality stats per document: token count,
     * the sum over token occurrences of each token's corpus document
     * frequency, the hapax count (tokens appearing in exactly one document),
@@ -231,6 +269,66 @@ object TextOps {
         count(lit(1)).as("n_chunks"),
         count(col("__dup")).as("n_dropped"))
       .select(col("doc_id"), col("clean_text"), col("n_chunks"), col("n_dropped"))
+  }
+
+  /** Exact-substring span dedup (the sliding-window counterpart of
+    * [[duplicateSpanScrub]], after Lee et al. 2022, "Deduplicating Training
+    * Data Makes Language Models Better"): every `k`-token window at EVERY
+    * start position (stride 1, not fixed chunks) that occurs in at least
+    * `minDocs` distinct documents marks its k tokens as duplicated; the
+    * marked positions merge into maximal spans; the output keeps the
+    * uncovered tokens in order. Unlike the chunk spelling, a shared
+    * passage is caught at any alignment — the reason the paper dedups on a
+    * suffix array rather than fixed chunks. Returns (doc_id, n_tok,
+    * n_removed, n_spans, clean_text) for every document (short docs pass
+    * through untouched).
+    *
+    * Scale: a distributed suffix array is the wrong tool on Spark — the
+    * same spans fall out of linear relational passes. Sliding windows are
+    * k rows per token (k× the [[duplicateSpanScrub]] posting volume, still
+    * linear, never pairwise); the duplicated-window set is corpus-sized in
+    * the worst case so it meets the windows in a SHUFFLED left-semi join
+    * (not broadcast); covered positions aggregate per document (≤ doc
+    * length each) and span merging is pure per-row array math on that
+    * bounded array — island starts are covered positions whose
+    * predecessor is uncovered, so no per-doc window pass and no second
+    * shuffle. The per-row `array_contains` filters are O(len²) in doc
+    * length — bounded by the longest document, not the corpus; a
+    * million-token outlier should be chunked upstream ([[chunkForEmbedding]]).
+    * Window keys could be xxhash64-narrowed at lake scale; kept as text so
+    * the oracle compares the same rows. */
+  def substringSpanDedup(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 5, minDocs: Int = 2): DataFrame = {
+    require(k >= 2, "a 1-token window dedups the vocabulary, not substrings")
+    val base = df.select(col(idCol).as("doc_id"),
+      tokens(col(textCol)).as("toks"))
+    // sequence(1, n-k+1) flips direction when n < k — guard like wordShingles
+    val slideArr = when(size(col("toks")) >= k,
+      transform(sequence(lit(1), size(col("toks")) - (k - 1)),
+        i => concat_ws(" ", slice(col("toks"), i, lit(k)))))
+      .otherwise(array().cast(ArrayType(StringType)))
+    val grams = base
+      .select(col("doc_id"), posexplode(slideArr).as(Seq("p0", "gram")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("gram"))
+    val dup = grams.groupBy("gram")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select("gram")
+    val cov = grams.join(dup, Seq("gram"), "left_semi")
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (k - 1))).as("p"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_set(col("p"))).as("cov"))
+    base.join(cov, Seq("doc_id"), "left_outer")
+      .withColumn("covA", coalesce(col("cov"), array().cast(ArrayType(IntegerType))))
+      .select(col("doc_id"),
+        size(col("toks")).cast(LongType).as("n_tok"),
+        size(col("covA")).cast(LongType).as("n_removed"),
+        // an island starts at a covered position whose predecessor isn't
+        size(filter(col("covA"),
+          p => !array_contains(col("covA"), p - 1))).cast(LongType).as("n_spans"),
+        concat_ws(" ", filter(col("toks"),
+          (_, i) => !array_contains(col("covA"), i + 1))).as("clean_text"))
   }
 
   /** Feature hashing (the "hashing trick"): each document becomes a dense

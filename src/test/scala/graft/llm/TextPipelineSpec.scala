@@ -193,6 +193,41 @@ class TextPipelineSpec extends SparkTestBase {
     assert(expected.nonEmpty, "seed must produce at least one contaminated pair")
   }
 
+  test("cross-corpus Jaccard decontamination matches brute force; grades overlap") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    def text(): String =
+      Seq.fill(3 + rnd.nextInt(8))("t" + rnd.nextInt(5)).mkString(" ")
+    // plant: eval 200 is a near-verbatim copy of train 31 (one token off);
+    // eval 201 shares one boilerplate shingle with everything via low vocab
+    val copied = "c1 c2 c3 c4 c5 c6 c7 c8"
+    val train = (1L to 30L).map(i => (i, text())) :+ (31L -> copied)
+    val eval = (100L to 110L).map(i => (i, text())) :+
+      (200L -> (copied + " tail"))
+    def shingles(t: String): Set[String] = {
+      val toks = t.trim.split(" ")
+      if (toks.length < 3) Set.empty
+      else toks.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val thr = 0.2
+    val expected = (for {
+      (tid, tt) <- train; (eid, et) <- eval
+      sa = shingles(tt); sb = shingles(et)
+      shared = (sa & sb).size if shared >= 1
+      j = shared.toDouble / (sa.size + sb.size - shared) if j >= thr
+    } yield (tid, eid, shared.toLong, j)).toSet
+    val got = TextOps.crossJaccardDecontamination(train.toDF("doc_id", "text"),
+        eval.toDF("doc_id", "text"), "doc_id", "text", n = 3, threshold = thr)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(got == expected)
+    // the planted near-copy must surface with a high grade
+    val planted = got.find(p => p._1 == 31L && p._2 == 200L)
+    assert(planted.exists(_._4 > 0.8),
+      s"planted near-copy should grade ~1, got $planted")
+  }
+
   // ------------------------------------------------------ feature hashing
 
   // bucket = first 4 md5 hex digits (16 bits) mod numBuckets — near-uniform
