@@ -135,8 +135,11 @@ object ShingleIndex {
     // fail-fast probe, so it must be the LAST artifact a build writes —
     // a crash between the two leaves a store readMeta rejects loudly,
     // never one whose fail-fast passes while committedEpochs is empty
-    // and serving silently returns nothing
-    commitEpoch(spark, path, 0L)
+    // and serving silently returns nothing. The marker carries the build
+    // corpus's signature, so a stream batch landing on the build id (the
+    // r13 bootstrap-seam collision) content-verifies instead of
+    // id-only-skipping.
+    commitEpoch(spark, path, 0L, Some(batchSig(docs, idCol, textCol)))
     writeMeta(spark, path, nBuckets, n)
   }
 
@@ -172,8 +175,10 @@ object ShingleIndex {
           // marker carries the committed batch's signature (ADVICE r12:
           // a reset checkpoint one batch behind presents the same id
           // with DIFFERENT rows; skipping those would drop a real
-          // batch). Build- and compaction-written markers are empty —
-          // there the skip stays id-only, the documented residual gap.
+          // batch). Build markers carry the corpus signature and
+          // compaction preserves the folded epoch's, so every
+          // replayable id content-verifies (pre-existing v2 stores
+          // with empty markers fall back to the id-only skip).
           epochSig(spark, path, e).foreach { committedSig =>
             require(batchSig(batch, idCol, textCol) == committedSig,
               s"epoch id $e matches the index's latest committed id at " +
@@ -310,6 +315,11 @@ object ShingleIndex {
     val eps = committedEpochs(spark, path)
     if (eps.isEmpty) return
     val keep = eps.max
+    // the kept epoch stays replayable after the fold: carry its replay
+    // signature into the rewritten marker (read BEFORE the swap deletes
+    // the old one), so a post-compaction replay of the last batch still
+    // content-verifies instead of id-only-skipping
+    val keepSig = epochSig(spark, path, keep)
     // materialize the folds BEFORE the swap deletes their input files
     val sigs = committed(spark, path, "sigs", sigsSchema)
       .select("id", "sh", "hs").localCheckpoint()
@@ -337,7 +347,9 @@ object ShingleIndex {
           "v" -> "2"))
       val marker = new Path(s"$tmp/_epochs", keep.toString)
       val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      fs.create(marker, true).close()
+      val out = fs.create(marker, true)
+      try keepSig.foreach(s => out.write(s.toString.getBytes("UTF-8")))
+      finally out.close()
     }
   }
 
@@ -372,9 +384,9 @@ object ShingleIndex {
     else fs.listStatus(dir).toSeq.map(_.getPath.getName.toLong)
   }
 
-  /** Write the commit marker; an append stamps the committed batch's
-    * replay signature into it (build/compaction markers stay empty —
-    * nothing replays against those ids with verifiable content). */
+  /** Write the commit marker with the committed batch's replay signature:
+    * appends stamp the batch's, build stamps the corpus's, and compaction
+    * preserves the folded epoch's — every replayable id content-verifies. */
   private def commitEpoch(spark: SparkSession, path: String, ep: Long,
       sig: Option[Long] = None): Unit = {
     import org.apache.hadoop.fs.Path

@@ -246,8 +246,9 @@ object SimGraphStore {
   }
 
   /** The replay signature stamped into a batch's commit marker, if the
-    * marker carries one (compaction markers are empty — there the skip
-    * stays id-only, the documented residual gap). */
+    * marker carries one (updates stamp the batch's; compaction preserves
+    * the folded id's, so post-compaction replays content-verify too;
+    * only pre-existing stores with empty markers fall back to id-only). */
   private def batchMarkerSig(spark: SparkSession, path: String,
       bid: Long): Option[Long] = {
     import org.apache.hadoop.fs.Path
@@ -305,6 +306,10 @@ object SimGraphStore {
     // look like a replay and silently skip — so an empty store is a no-op
     if (ids.isEmpty) return
     val keepBid = ids.max
+    // carry the kept id's replay signature into the rewritten marker
+    // (read BEFORE the swap), so a post-compaction replay of the last
+    // batch still content-verifies instead of id-only-skipping
+    val keepSig = batchMarkerSig(spark, path, keepBid)
     graft.sources.ParquetCompaction.rewrite(spark, path) { tmp =>
       val mergedEdges = committed(spark, path, "edges", edgeSchema)
         .groupBy("a", "b").agg(sum("c").as("c"))
@@ -323,7 +328,9 @@ object SimGraphStore {
           "minCommon" -> minCommon.toString))
       val marker = new Path(s"$tmp/_batches", keepBid.toString)
       val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      fs.create(marker, true).close()
+      val out = fs.create(marker, true)
+      try keepSig.foreach(s => out.write(s.toString.getBytes("UTF-8")))
+      finally out.close()
     }
   }
 }

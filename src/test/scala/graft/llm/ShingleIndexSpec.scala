@@ -263,6 +263,52 @@ class ShingleIndexSpec extends SparkTestBase {
     }
   }
 
+  test("build and compaction markers carry replay signatures: a stream " +
+      "batch colliding with the BUILD id and a post-COMPACTION reset " +
+      "checkpoint both fail loudly; genuine replays stay no-ops") {
+    import spark.implicits._
+    val base = randCorpus(75, 40, Vector("a", "b", "c", "d"), 12)
+    val b1 = randCorpus(76, 20, Vector("a", "b", "c", "e"), 12,
+      idOffset = 1000L)
+    val b2 = randCorpus(77, 20, Vector("b", "c", "d", "e"), 12,
+      idOffset = 2000L)
+    val dir = tmp("marksig")
+    ShingleIndex.build(base.toSeq.toDF("doc_id", "text"),
+      "doc_id", "text", dir, n = 2, nBuckets = 16)
+    // the r13 bootstrap-seam collision, now content-verified at the
+    // BUILD epoch too: same id + the build corpus = replay no-op...
+    assert(ShingleIndex.appendToIndex(spark, dir,
+      base.toSeq.toDF("doc_id", "text"), "doc_id", "text",
+      explicitEp = Some(0L)) == 0L)
+    // ...same id + different rows = loud, not a silent drop
+    val e0 = intercept[IllegalArgumentException] {
+      ShingleIndex.appendToIndex(spark, dir,
+        b1.toSeq.toDF("doc_id", "text"), "doc_id", "text",
+        explicitEp = Some(0L))
+    }
+    assert(e0.getMessage.contains("rows differ from the committed batch"))
+    // append then compact: the folded marker must PRESERVE epoch 1's
+    // signature, so the same two cases hold after the fold
+    ShingleIndex.appendToIndex(spark, dir,
+      b1.toSeq.toDF("doc_id", "text"), "doc_id", "text",
+      explicitEp = Some(1L))
+    ShingleIndex.compactIndex(spark, dir)
+    def serve() = ShingleIndex.containmentSelf(spark, dir, 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val before = serve()
+    assert(ShingleIndex.appendToIndex(spark, dir,
+      b1.toSeq.toDF("doc_id", "text"), "doc_id", "text",
+      explicitEp = Some(1L)) == 1L)
+    assert(serve() == before)
+    val e1 = intercept[IllegalArgumentException] {
+      ShingleIndex.appendToIndex(spark, dir,
+        b2.toSeq.toDF("doc_id", "text"), "doc_id", "text",
+        explicitEp = Some(1L))
+    }
+    assert(e1.getMessage.contains("rows differ from the committed batch"))
+    assert(serve() == before)
+  }
+
   test("compactionDue trips after maxEpochs appends and resets on " +
       "compaction (the r13 cadence policy)") {
     import spark.implicits._

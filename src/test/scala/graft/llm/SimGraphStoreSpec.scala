@@ -192,6 +192,34 @@ class SimGraphStoreSpec extends SparkTestBase {
     assert(edges() == before)
   }
 
+  test("compaction preserves the kept id's replay signature: a genuine " +
+      "post-compaction replay no-ops, a reset checkpoint fails loudly") {
+    val dir = tmp("compsig")
+    SimGraphStore.init(spark, dir, n = 2, cap = 3L, minCommon = 2L)
+    val b0 = toDF(randDocs(94, 10, vocab, 8, 0L))
+    val b1 = toDF(randDocs(95, 10, vocab, 8, 100L))
+    val b2 = toDF(randDocs(96, 10, vocab, 8, 200L))
+    SimGraphStore.update(spark, dir, b0, "doc_id", "text",
+      explicitBid = Some(0L))
+    SimGraphStore.update(spark, dir, b1, "doc_id", "text",
+      explicitBid = Some(1L))
+    SimGraphStore.compact(spark, dir) // folds to the single kept id 1
+    def edges() = SimGraphStore.edges(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val before = edges()
+    // genuine replay of the batch that created the kept id — no-op
+    assert(SimGraphStore.update(spark, dir, b1, "doc_id", "text",
+      explicitBid = Some(1L)) == 1L)
+    assert(edges() == before)
+    // reset checkpoint presenting different rows under the kept id — loud
+    val e = intercept[IllegalArgumentException] {
+      SimGraphStore.update(spark, dir, b2, "doc_id", "text",
+        explicitBid = Some(1L))
+    }
+    assert(e.getMessage.contains("rows differ from the committed batch"))
+    assert(edges() == before)
+  }
+
   test("compactionDue trips after maxDeltaBatches folds and resets on " +
       "compaction (the r12 cadence policy)") {
     val dir = tmp("due")
