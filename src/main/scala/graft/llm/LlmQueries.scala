@@ -2422,5 +2422,42 @@ object LlmQueries {
             "doc_id", "text", n = 3, threshold = 0.03)
           .orderBy("train_id", "eval_id")
     },
+
+    // ---- cluster-balanced sampling (beyond-parity): cap every semantic
+    // cluster's contribution to 8 vectors — the diversity-selection step
+    // after dedup. Cells are the q57 seed-centroid IVF assignment (so the
+    // oracle rebuilds them); within a cell the kept vectors are the
+    // smallest md5-60-bit keys via the native bounded top-k aggregate —
+    // per-cell network cost quota·|partitions|, NOT cell size, so the
+    // mega-cell this op exists to cap can't also kill its shuffle
+    // (SampleOps.clusterBalancedSample scaladoc).
+    q("q151_cluster_balanced_sample", {
+      val digitFold = (0 until 15).map { i =>
+        val w = BigInt(16).pow(14 - i)
+        s"CAST(strpos('0123456789abcdef', substr(md5(CAST(nid AS VARCHAR)), ${i + 1}, 1)) - 1 AS BIGINT) * $w"
+      }.mkString(" + ")
+      s"""WITH cent AS (
+         |  SELECT vec_id AS cid, embedding AS ce FROM embeddings
+         |  ORDER BY vec_id LIMIT 16),
+         |asg AS (
+         |  SELECT nid, cid FROM (
+         |    SELECT e.vec_id AS nid, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+         |                                        CAST(c.ce AS DOUBLE[])) DESC,
+         |                 c.cid) AS r
+         |    FROM embeddings e, cent c) WHERE r = 1),
+         |h AS (SELECT nid, cid, $digitFold AS h FROM asg),
+         |r AS (SELECT nid, cid,
+         |        row_number() OVER (PARTITION BY cid ORDER BY h, nid) AS rk
+         |      FROM h)
+         |SELECT nid AS vec_id, cid AS cell, CAST(rk AS BIGINT) AS rk
+         |FROM r WHERE rk <= 8
+         |ORDER BY vec_id NULLS FIRST""".stripMargin
+    }) { (s, dir) =>
+      SampleOps.clusterBalancedSample(T.embeddings(s, dir), dim = 64,
+          nCells = 16, quota = 8)
+        .orderBy("vec_id")
+    },
   )
 }

@@ -227,6 +227,46 @@ object SampleOps {
       .limit(n)
   }
 
+  /** Cluster-balanced sampling over an embedding table: cap every semantic
+    * cluster's contribution to `quota` vectors — the diversity-selection
+    * step a training mix runs after dedup (a mega-cluster of templated
+    * near-identical content contributes `quota` examples, not its full
+    * mass). Cells are the IVF assignment ([[AnnOps.ivfAssignments]], the
+    * q57/q76 kernel — seed centroids so the selection is reproducible on
+    * any engine); within a cell the `quota` kept vectors are those with
+    * the smallest md5-derived 60-bit key (the [[hashQuotaSample]]
+    * discipline — deterministic, corpus-growth-stable until the cell
+    * fills). Returns (vec_id, cell, rk), rk = 1-based rank within cell.
+    *
+    * Scale: assignment is one broadcast-centroid map pass; the per-cell
+    * quota runs through the native bounded top-k aggregate
+    * ([[graft.functions.TopKAgg]]) — each map task reduces its slice to
+    * ≤ quota pairs, so per-cell network cost is quota·|partitions|,
+    * independent of cell size. A window spelling would shuffle the whole
+    * corpus to |cells| reducers and die on the exact mega-cell this
+    * operator exists to cap. */
+  def clusterBalancedSample(emb: DataFrame, dim: Int, nCells: Int,
+      quota: Int): DataFrame = {
+    require(quota >= 1 && nCells >= 1)
+    val spark = emb.sparkSession
+    graft.functions.TopKAgg.register(spark)
+    val cents = AnnOps.seedCentroids(emb, nCells, dim)
+    val asg = AnnOps.ivfAssignments(emb, cents, dim)
+    // 60-bit md5 prefix as the selection key; TopKAgg keeps the LARGEST
+    // scores, so negate to keep the smallest hashes (ties break by id
+    // inside the aggregate, matching the oracle's (h, nid) order)
+    val h = conv(substring(md5(col("nid").cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    asg.select(col("cid"), (-h).as("negh"), col("nid"))
+      .groupBy("cid")
+      .agg(call_function(graft.functions.TopKAgg.name,
+        col("negh"), col("nid"), lit(quota)).as("ids"))
+      .select(col("cid").as("cell"),
+        posexplode(col("ids")).as(Seq("p", "vec_id")))
+      .select(col("vec_id"), col("cell"),
+        (col("p") + 1).cast("long").as("rk"))
+  }
+
   /** DSIR-flavored data selection (after Xie et al. 2023, "Data Selection
     * for Language Models via Importance Resampling"): score every
     * NON-target document by how much its hashed n-gram profile looks like

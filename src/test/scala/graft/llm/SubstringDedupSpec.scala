@@ -195,4 +195,61 @@ class SubstringDedupSpec extends SparkTestBase {
     assert(plan.contains("TakeOrdered"),
       s"expected TakeOrderedAndProject in:\n$plan")
   }
+
+  // ------------------------------------------- cluster-balanced sampling
+
+  test("cluster-balanced sample matches brute force and caps the mega-cell") {
+    import spark.implicits._
+    val dim = 8; val nCells = 4; val quota = 3
+    val rnd = new scala.util.Random(29)
+    // vec_ids 0..3 become the seed centroids; ids 100+ cluster tightly
+    // around seed 0 (the mega-cell), the rest spread over the seeds
+    def around(seed: Array[Float], eps: Float): Array[Float] =
+      seed.map(v => v + (rnd.nextFloat() - 0.5f) * eps)
+    val seeds = (0 until nCells).map { i =>
+      Array.tabulate(dim)(j => if (j == i * 2) 1.0f else 0.1f * rnd.nextFloat())
+    }
+    val rows: Seq[(Long, Array[Float])] =
+      seeds.zipWithIndex.map { case (s, i) => (i.toLong, s) } ++
+        (100L until 140L).map(i => (i, around(seeds(0), 0.05f))) ++ // mega
+        (200L until 212L).map(i => (i, around(seeds((i % 3 + 1).toInt), 0.2f)))
+    val df = rows.toDF("vec_id", "embedding")
+
+    // brute-force model mirroring the kernel: cosine in doubles, strict
+    // first-wins argmax over cid order; quota by md5 60-bit prefix, tie id
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- 0 until dim) {
+        d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def h60(id: Long): Long =
+      java.lang.Long.parseLong(md5hex(id.toString).substring(0, 15), 16)
+    val cents = rows.sortBy(_._1).take(nCells)
+    val exp = rows.map { case (id, e) =>
+      var best = Double.NegativeInfinity; var bc = cents.head._1
+      cents.foreach { case (cid, ce) =>
+        val c = cos(e, ce); if (c > best) { best = c; bc = cid }
+      }
+      (id, bc)
+    }.groupBy(_._2).toSeq.flatMap { case (cell, xs) =>
+      xs.map(_._1).sortBy(id => (h60(id), id)).take(quota).zipWithIndex
+        .map { case (id, i) => (id, cell, i + 1L) }
+    }.toSet
+
+    val got = SampleOps.clusterBalancedSample(df, dim, nCells, quota)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == exp)
+    // the mega-cell (seed 0's cluster, 41 members) contributes exactly
+    // quota rows like every other non-empty cell
+    assert(got.count(_._2 == 0L) == quota)
+    // no Window node: the per-cell quota must run through the bounded
+    // top-k aggregate, never a full-corpus window shuffle
+    val plan = SampleOps.clusterBalancedSample(df, dim, nCells, quota)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"expected no Window node in:\n$plan")
+  }
 }
