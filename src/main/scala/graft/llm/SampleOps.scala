@@ -296,10 +296,11 @@ object SampleOps {
     require(numBuckets > 0 && numBuckets <= 1024,
       "bucket = first 4 md5 hex digits mod numBuckets (featureHash cap)")
     val toks = TextOps.tokens(col(textCol))
-    val bigrams = when(size(toks) >= 2,
-      transform(sequence(lit(1), size(toks) - 1),
-        i => concat_ws(" ", slice(toks, i, lit(2)))))
-      .otherwise(array().cast("array<string>"))
+    // slidingGrams, not transform+slice: the lambda-captured split would
+    // re-evaluate per element (TextOps.slidingGrams scaladoc); bigrams
+    // keep DUPLICATE occurrences (counts are the signal), only the
+    // trailing null (no successor token) is dropped
+    val bigrams = filter(TextOps.slidingGrams(toks, 2), x => x.isNotNull)
     val feats = df.select(col(idCol).as("doc_id"), isTarget.as("is_tgt"),
         explode(concat(toks, bigrams)).as("ft"))
       .withColumn("bucket",

@@ -18,13 +18,27 @@ object TextOps {
   /** Whitespace tokens of a trimmed document. */
   def tokens(text: Column): Column = split(trim(text), " ")
 
+  /** All word n-gram strings at every start position (1-based position i
+    * holds the gram starting at token i; positions past len−n+1 hold
+    * null), built as a [[slidingGrams]] zip_with chain. The naive
+    * spelling — `transform(sequence(...), i => concat_ws(slice(toks, i,
+    * n)))` — re-evaluates the lambda-captured `toks` expression (a regex
+    * split!) on EVERY element, O(len²) splits per row in interpreted HOF
+    * eval (profiled: executors pinned in StringSplit.nullSafeEval at the
+    * 100× corpus). zip_with's arguments evaluate ONCE per row, so the
+    * chain costs n splits per row total. */
+  private[llm] def slidingGrams(toks: Column, n: Int): Column =
+    (2 to n).foldLeft(toks)((acc, k) =>
+      zip_with(acc, slice(toks, lit(k), greatest(size(toks) - (k - 1), lit(0))),
+        (a, b) => concat(a, lit(" "), b)))
+
   /** Distinct word n-gram shingles. Documents shorter than n tokens get an
-    * empty set (guard needed: sequence() would run backwards). */
+    * empty set. concat() yields null past position len−n+1 (zip_with pads
+    * the shorter slice with nulls), so the filter drops exactly them. */
   def wordShingles(text: Column, n: Int): Column = {
     val toks = tokens(text)
     when(size(toks) >= n,
-      array_distinct(transform(sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+      array_distinct(filter(slidingGrams(toks, n), x => x.isNotNull)))
       .otherwise(array().cast(ArrayType(StringType)))
   }
 
@@ -302,13 +316,13 @@ object TextOps {
     require(k >= 2, "a 1-token window dedups the vocabulary, not substrings")
     val base = df.select(col(idCol).as("doc_id"),
       tokens(col(textCol)).as("toks"))
-    // sequence(1, n-k+1) flips direction when n < k — guard like wordShingles
-    val slideArr = when(size(col("toks")) >= k,
-      transform(sequence(lit(1), size(col("toks")) - (k - 1)),
-        i => concat_ws(" ", slice(col("toks"), i, lit(k)))))
-      .otherwise(array().cast(ArrayType(StringType)))
+    // slidingGrams: position i holds the k-gram starting at token i+1,
+    // null past len−k+1 (and for docs shorter than k) — the null filter
+    // after posexplode keeps exactly the real windows with their positions
     val grams = base
-      .select(col("doc_id"), posexplode(slideArr).as(Seq("p0", "gram")))
+      .select(col("doc_id"),
+        posexplode(slidingGrams(col("toks"), k)).as(Seq("p0", "gram")))
+      .filter(col("gram").isNotNull)
       .select(col("doc_id"), (col("p0") + 1).as("pos"), col("gram"))
     val dup = grams.groupBy("gram")
       .agg(countDistinct(col("doc_id")).as("nd"))
