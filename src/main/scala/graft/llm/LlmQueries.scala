@@ -456,7 +456,7 @@ object LlmQueries {
     * (q147 — every dial tripped; serves must be unchanged), then serve
     * from every store into one tagged frame. */
   private def nightlyCurationGate(s: SparkSession, dir: String,
-      tag: String, maintain: Boolean): DataFrame = {
+      tag: String, maintain: Boolean, streamed: Boolean = false): DataFrame = {
       val root = new java.io.File(sys.props("java.io.tmpdir"),
         "graft-" + tag + "-" + dir.replaceAll("[^A-Za-z0-9]", "_"))
         .getAbsolutePath
@@ -472,11 +472,45 @@ object LlmQueries {
       val batch = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
       NightlyCuration.initStores(s, stores, history,
         emb.filter(pmod(col("vec_id"), lit(3)) =!= 0), "doc_id", "text")
-      val admitted = NightlyCuration.admit(s, stores, history, batch,
-        "doc_id", "text").localCheckpoint()
-      NightlyCuration.appendAll(s, stores, admitted,
-        emb.join(admitted.select(col("doc_id").as("vec_id")), "vec_id"),
-        "doc_id", "text")
+      val admitted = (if (streamed) {
+        // q152: tonight's feed arrives as a STREAM of micro-batches
+        // (one file each). Staged admission reads only pre-night store
+        // state, so the staged union == the batch cycle's admitted set
+        // for any split (StreamingNightlyCuration scaladoc) — which is
+        // why this path shares q144's oracle verbatim.
+        import org.apache.hadoop.fs.Path
+        val src = s"$root/feed"
+        def stage(slice: org.apache.spark.sql.DataFrame, name: String): Unit = {
+          val tmp = s"$root/feed-stage-$name"
+          slice.select(col("doc_id").cast("long").as("doc_id"), col("text"))
+            .coalesce(1).write.mode("overwrite").parquet(tmp)
+          val part = fs.listStatus(new Path(tmp)).map(_.getPath)
+            .find(_.getName.endsWith(".parquet")).get
+          fs.mkdirs(new Path(src))
+          fs.rename(part, new Path(src, s"$name.parquet"))
+          fs.delete(new Path(tmp), true)
+        }
+        stage(batch.filter(pmod(col("doc_id"), lit(9)) === 0), "b0")
+        stage(batch.filter(pmod(col("doc_id"), lit(9)) === 3), "b1")
+        stage(batch.filter(pmod(col("doc_id"), lit(9)) === 6), "b2")
+        graft.streaming.StreamingNightlyCuration.run(s, src, stores,
+          history, s"$root/ck")
+        val staged = graft.streaming.StreamingNightlyCuration
+          .stagedAdmitted(s, stores).select("doc_id").localCheckpoint()
+        graft.streaming.StreamingNightlyCuration.endOfNight(s, stores,
+          emb, nightId = 1L)
+        docs.join(staged, Seq("doc_id"), "left_semi")
+      } else {
+        // checkpoint BEFORE appendAll: the admission plan probes the
+        // stores, and the appends mutate them — a lazy re-evaluation
+        // after the first append would admit against post-append state
+        val adm = NightlyCuration.admit(s, stores, history, batch,
+          "doc_id", "text").localCheckpoint()
+        NightlyCuration.appendAll(s, stores, adm,
+          emb.join(adm.select(col("doc_id").as("vec_id")), "vec_id"),
+          "doc_id", "text")
+        adm
+      }).localCheckpoint()
       // q147: the FORCED maintenance slot between the appends and the
       // serves — compactions + the Bloom rebuild all trip (tightened
       // dials), and because every action is output-preserving the SAME
@@ -1978,6 +2012,21 @@ object LlmQueries {
       (s, dir) => nightlyCurationGate(s, dir, "maintslot",
         maintain = true)),
 
+    // ---- the STREAMED nightly cycle (q152): tonight's feed arrives as
+    // a real file stream (three micro-batches), each staged through the
+    // admission gate into a marker-committed manifest, and ONE
+    // end-of-night fold appends the union into all five stores
+    // (StreamingNightlyCuration). Admission reads only pre-night store
+    // state (NightlyCuration.admit never checks batch-vs-batch), so the
+    // staged union equals the batch cycle's admitted set for ANY
+    // micro-batch split — the oracle is q144's from-scratch pipeline
+    // VERBATIM, and any split-dependence, staging loss, replay
+    // double-fold, or manifest-retirement bug hash-mismatches here
+    // while q144 stays green.
+    qm("q152_streaming_nightly_curation", nightlyCurationOracle)(
+      (s, dir) => nightlyCurationGate(s, dir, "nightstream",
+        maintain = false, streamed = true)),
+
     // ---- per-node triangle counts on the doc-similarity graph (edges =
     // pairs sharing ≥2 distinct DISTINCTIVE 3-gram shingles, df ≤ 50):
     // the community-structure signal dedup clustering (q60) doesn't
@@ -2458,6 +2507,48 @@ object LlmQueries {
       SampleOps.clusterBalancedSample(T.embeddings(s, dir), dim = 64,
           nCells = 16, quota = 8)
         .orderBy("vec_id")
+    },
+
+    // ---- leakage-free split (beyond-parity): train/test assignment at
+    // the NEAR-DUP-CLUSTER level — q60's MinHash-LSH components pick the
+    // clusters, the cluster id (smallest member) routes its WHOLE
+    // cluster through the q84 md5-range split, and singletons (most of a
+    // deduped corpus — they never enter the pair join) are their own
+    // cluster. Two near-duplicates can therefore never straddle the
+    // boundary, the contamination a per-doc hash split cannot prevent.
+    // The oracle rebuilds components by exact-Jaccard recursive closure
+    // and replays the md5 threshold, so a wrong cluster, a dropped
+    // singleton, or a split that ignores the cluster all hash-mismatch.
+    q("q153_leakage_free_split",
+      s"""WITH RECURSIVE sh AS (
+         |  SELECT doc_id, $sqlShingles AS shingles
+         |  FROM (SELECT doc_id, $sqlToks AS toks FROM documents)
+         |),
+         |pr AS (
+         |  SELECT a.doc_id AS ida, b.doc_id AS idb FROM sh a, sh b
+         |  WHERE a.doc_id < b.doc_id
+         |    AND len(list_intersect(a.shingles, b.shingles)) * 2
+         |        >= len(list_distinct(list_concat(a.shingles, b.shingles)))
+         |),
+         |edges AS (SELECT ida AS a, idb AS b FROM pr
+         |          UNION SELECT idb AS a, ida AS b FROM pr),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+         |),
+         |cc AS (SELECT a AS doc_id, least(a, MIN(b)) AS cluster
+         |       FROM reach GROUP BY a),
+         |lab AS (SELECT d.doc_id, coalesce(cc.cluster, d.doc_id) AS cluster
+         |        FROM documents d LEFT JOIN cc USING (doc_id))
+         |SELECT doc_id, cluster,
+         |  CASE WHEN substr(md5(CAST(cluster AS VARCHAR)), 1, 4) < 'cccd'
+         |       THEN 'train' ELSE 'test' END AS split
+         |FROM lab ORDER BY doc_id NULLS FIRST""".stripMargin) { (s, dir) =>
+      SampleOps.leakageFreeSplit(T.documents(s, dir), "doc_id", "text",
+          Seq("train" -> 0.8, "test" -> 0.2))
+        .select("doc_id", "cluster", "split")
+        .orderBy("doc_id")
     },
   )
 }

@@ -319,4 +319,38 @@ object SampleOps {
         org.apache.spark.sql.expressions.Window
           .orderBy(col("ratio").desc, col("doc_id"))).cast("long"))
   }
+
+  /** Leakage-free train/validation/test split: assign splits at the
+    * NEAR-DUP-CLUSTER level, not the document level, so two
+    * near-duplicate documents can never land on opposite sides of a
+    * train/test boundary — the contamination [[hashSplit]] alone cannot
+    * prevent (a doc and its near-copy hash independently). Clusters are
+    * the MinHash-LSH near-dup components ([[TextOps.minhashLshPairs]] →
+    * [[TextOps.connectedComponents]]); a document outside every pair is
+    * its own singleton cluster (cluster = own id); the cluster id (its
+    * smallest member id — stable under corpus growth the way hashSplit
+    * is: adding documents can merge clusters but never reassigns an
+    * untouched one) then routes the WHOLE cluster through [[hashSplit]].
+    * Returns df's rows plus (cluster, split).
+    *
+    * Scale: the LSH pair generation is the occupancy-sized band join
+    * (q45's path), components are the pointer-jumping fixpoint over
+    * id-pair-sized frames (q60's path), and the final label is one
+    * broadcast-sized join of (id → cluster) for paired docs — unpaired
+    * docs (the overwhelming majority of a deduped corpus) never
+    * shuffle. */
+  def leakageFreeSplit(df: DataFrame, idCol: String, textCol: String,
+      splits: Seq[(String, Double)], shingleN: Int = 3,
+      numHashes: Int = 128, rowsPerBand: Int = 2, threshold: Double = 0.5,
+      splitCol: String = "split"): DataFrame = {
+    val pairs = TextOps.minhashLshPairs(df, idCol, textCol, shingleN,
+      numHashes, rowsPerBand, threshold)
+    val cc = TextOps.connectedComponents(pairs.select(col("ida"), col("idb")))
+      .select(col("id").as(idCol), col("cluster").as("__lfs_c"))
+    val clustered = df.join(cc, Seq(idCol), "left")
+      .withColumn("cluster",
+        coalesce(col("__lfs_c"), col(idCol).cast("long")))
+      .drop("__lfs_c")
+    hashSplit(clustered, "cluster", splits, splitCol)
+  }
 }

@@ -1,0 +1,299 @@
+package graft.streaming
+
+import graft.llm.{AnnOps, BloomHistory, NightlyCuration, ShingleIndex,
+  SimGraphStore, TextIndex}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** The STREAMED spelling of the store-backed nightly curation cycle
+  * ([[NightlyCuration]], q144): tonight's feed arrives as a stream of
+  * micro-batches instead of one batch frame. Two composition shapes
+  * exist and this object implements the one whose semantics equal the
+  * batch cycle EXACTLY:
+  *
+  *  - *Continuous fold* (each micro-batch admitted AND appended
+  *    immediately) makes later micro-batches dedup against earlier ones —
+  *    the per-store streaming maintainers ([[StreamingSimGraph]],
+  *    [[StreamingShingleIndex]], …) already cover that shape, and its
+  *    result depends on the micro-batch split, so no fixed oracle can
+  *    gate it.
+  *  - *Staged admission, end-of-night fold* (THIS object): during the
+  *    night each micro-batch runs the admission gate against the
+  *    PRE-NIGHT store state and stages its admitted rows into a
+  *    marker-committed manifest; one [[endOfNight]] call folds the union
+  *    into every store. [[NightlyCuration.admit]] is a per-document
+  *    predicate over pre-night state (it never checks batch-vs-batch), so
+  *    the staged union equals the batch cycle's admitted set for ANY
+  *    micro-batch split — which is why the q152 gate can reuse q144's
+  *    from-scratch oracle verbatim.
+  *
+  * Scale (100 TB lens): admission — the expensive stage (Bloom probe +
+  * partition-pruned containment sweep) — is spread across the day as
+  * slices arrive, while the five store appends run once, batch-sized, in
+  * the night's maintenance window; the manifest holds only admitted rows
+  * (≤ the feed) and each bid partition is written once, immutably.
+  *
+  * Crash safety:
+  *  - staging is the marker-commit discipline: admitted rows land in
+  *    `manifest/bid=<b>/`, then the `_bids/<b>` marker (stamped with the
+  *    INPUT batch's order-free signature) commits them; a crash before
+  *    the marker leaves invisible orphans, wiped before the id is
+  *    reused; a replayed in-flight micro-batch (same id, same rows) is
+  *    verified against the signature and skipped, and a reset checkpoint
+  *    presenting a committed id with different rows fails loudly;
+  *  - [[endOfNight]] is idempotent: Bloom/shingle/graph appends carry the
+  *    night's explicit commit id (their stores' replay-skip verifies the
+  *    recomputed staged union), text/IVF appends are guarded by the
+  *    already-indexed anti-join (the [[StreamingTextIndex]] /
+  *    [[StreamingIvf]] discipline), and the manifest retires via a single
+  *    atomic rename AFTER every append committed — a kill anywhere
+  *    re-runs to the identical final state.
+  *
+  * Contract: [[endOfNight]] must not run concurrently with staging (the
+  * admission gate reads pre-night store state by design — the nightly
+  * cycle's own sequencing, same as [[NightlyCuration.maintenance]]). */
+object StreamingNightlyCuration {
+
+  /** Drain currently-available feed slices from `srcDir` through the
+    * admission gate into the staging manifest (one micro-batch per file
+    * by default). Stores must be [[NightlyCuration.initStores]]-ed;
+    * `history` is the lake frame the Bloom exact-verify reads. Call
+    * [[endOfNight]] afterwards to fold what was staged. */
+  def run(spark: SparkSession, srcDir: String,
+      stores: NightlyCuration.Stores, history: DataFrame,
+      checkpointDir: String, maxFilesPerTrigger: Int = 1,
+      minTokens: Int = 8, minUniqueRatio: Double = 0.3,
+      containmentThreshold: Double = 0.8): Unit = {
+    val docs = spark.readStream.schema(StreamingSimGraph.docSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(srcDir)
+    val q = docs.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        stageBatch(batch, batchId, stores, history, minTokens,
+          minUniqueRatio, containmentThreshold)
+      }
+      .start()
+    q.awaitTermination()
+  }
+
+  /** One micro-batch of the night: admit against the pre-night stores,
+    * stage the admitted rows under this engine batch id. The
+    * `foreachBatch` body, callable directly in tests (crash replay =
+    * calling it twice with the same id). */
+  private[streaming] def stageBatch(batch: DataFrame, bid: Long,
+      stores: NightlyCuration.Stores, history: DataFrame,
+      minTokens: Int = 8, minUniqueRatio: Double = 0.3,
+      containmentThreshold: Double = 0.8): Unit = {
+    val spark = batch.sparkSession
+    cleanOrphanBids(spark, stores)
+    // a bid at or below the night floor was folded by a completed
+    // endOfNight — the engine replaying it means the checkpoint missed
+    // that night's final commit (a crash between staging and checkpoint
+    // commit, then a premature endOfNight). Recomputing admission here
+    // would read POST-fold stores and stage wrong rows — fail loudly.
+    require(bid > nightFloor(spark, stores),
+      s"micro-batch id $bid was already folded by a completed endOfNight " +
+        s"(night floor ${nightFloor(spark, stores)}) at ${stores.root} — " +
+        "the stream's checkpoint is behind the folded night; reset the " +
+        "checkpoint past the folded bids or rebuild the stores")
+    val committed = committedBids(spark, stores)
+    val maxCommitted = committed.foldLeft(Long.MinValue)(math.max)
+    if (committed.nonEmpty && bid == maxCommitted) {
+      // replayed in-flight micro-batch (foreachBatch replays at most the
+      // LATEST one — the store discipline): verify the rows really are
+      // the committed batch's (a reset checkpoint one batch behind
+      // presents a committed id with DIFFERENT rows — that must fail,
+      // not no-op)
+      bidSig(spark, stores, bid).foreach { committedSig =>
+        require(batchSig(batch) == committedSig,
+          s"micro-batch id $bid is already staged in ${manifestDir(stores)} " +
+            "but its rows differ from the staged batch — this is a reset " +
+            "checkpoint one batch behind, not a replay; reset the " +
+            "checkpoint and the night's manifest together")
+      }
+      return
+    }
+    require(committed.forall(_ < bid),
+      s"micro-batch id $bid is older than the manifest's latest staged id " +
+        s"$maxCommitted at ${manifestDir(stores)} — a replay can only " +
+        "repeat the latest batch; reset the checkpoint and the night's " +
+        "manifest together")
+    val admitted = NightlyCuration.admit(spark, stores, history, batch,
+      "doc_id", "text", minTokens, minUniqueRatio, containmentThreshold)
+    admitted.select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      .write.mode("overwrite").parquet(s"${manifestDir(stores)}/bid=$bid")
+    commitBid(spark, stores, bid, batchSig(batch))
+  }
+
+  /** The union of every committed staged micro-batch — tonight's admitted
+    * set so far. Empty (with the right schema) when nothing is staged. */
+  def stagedAdmitted(spark: SparkSession,
+      stores: NightlyCuration.Stores): DataFrame = {
+    val bids = committedBids(spark, stores)
+    if (bids.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StreamingSimGraph.docSchema)
+    else
+      spark.read.parquet(bids.sorted.map(b =>
+        s"${manifestDir(stores)}/bid=$b"): _*)
+  }
+
+  /** Fold everything staged tonight into all five stores, then retire the
+    * manifest. `nightId` is the night's commit id in the id-disciplined
+    * stores — strictly increasing across nights, starting at 1 after a
+    * fresh [[NightlyCuration.initStores]] (the bootstrap committed
+    * Bloom bid 0 / shingle epoch 0 / graph bid 0). `emb` is the static
+    * embeddings lookup; admitted ids without an embedding simply never
+    * enter the IVF index (the [[NightlyCuration.initStores]] contract).
+    * Idempotent: re-run after a kill anywhere and it converges to the
+    * same final state (class doc). No-ops when nothing is staged. */
+  def endOfNight(spark: SparkSession, stores: NightlyCuration.Stores,
+      emb: DataFrame, nightId: Long, dim: Int = 64): Unit = {
+    gcRetiredManifests(spark, stores)
+    cleanOrphanBids(spark, stores)
+    val bids = committedBids(spark, stores)
+    if (bids.isEmpty) return
+    val admitted = stagedAdmitted(spark, stores).localCheckpoint()
+    // id-disciplined stores: the night's explicit commit id makes a
+    // re-run a verified replay skip
+    BloomHistory.append(spark, stores.bloom, admitted, "text",
+      explicitBid = Some(nightId))
+    ShingleIndex.appendToIndex(spark, stores.shingle, admitted, "doc_id",
+      "text", explicitEp = Some(nightId))
+    SimGraphStore.update(spark, stores.graph, admitted, "doc_id", "text",
+      explicitBid = Some(nightId))
+    // anti-join-disciplined stores: drop what a crashed earlier run of
+    // THIS night already appended (doc identity is the replay key)
+    val textFresh = admitted.join(
+      spark.read.parquet(s"${stores.text}/postings")
+        .select("doc_id").distinct(),
+      Seq("doc_id"), "left_anti").localCheckpoint()
+    if (!textFresh.isEmpty)
+      TextIndex.appendToIndex(spark, stores.text, textFresh, "doc_id",
+        "text")
+    val admittedEmb = emb
+      .join(admitted.select(col("doc_id").as("vec_id")), "vec_id")
+    val ivfFresh = admittedEmb.join(
+      spark.read.parquet(s"${stores.ivf}/cells")
+        .select(col("nid").as("vec_id")).distinct(),
+      Seq("vec_id"), "left_anti").localCheckpoint()
+    if (!ivfFresh.isEmpty)
+      AnnOps.appendToIvfIndex(spark, stores.ivf, ivfFresh, dim)
+    // advance the night floor (the highest folded staging bid) BEFORE
+    // retiring the manifest: a stream checkpoint that later replays a
+    // folded bid fails loudly in stageBatch instead of re-admitting
+    // against post-fold stores. Idempotent (same content on a re-run).
+    writeNightFloor(spark, stores, bids.max)
+    // retire the manifest: ONE rename after every append committed, so a
+    // kill on either side of it re-runs to the same state (before: all
+    // appends replay-skip; after: the night no-ops)
+    val dir = new Path(manifestDir(stores))
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(dir))
+      fs.rename(dir, new Path(s"${manifestDir(stores)}__folded_$nightId"))
+    gcRetiredManifests(spark, stores)
+  }
+
+  // ---- manifest plumbing (the ShingleIndex marker discipline) ----
+
+  private def manifestDir(stores: NightlyCuration.Stores): String =
+    s"${stores.root}/manifest"
+
+  /** The highest staging bid a completed [[endOfNight]] has folded
+    * (-1 before the first night). */
+  private def nightFloor(spark: SparkSession,
+      stores: NightlyCuration.Stores): Long = {
+    val f = new Path(stores.root, "_night_floor")
+    val fs = f.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(f)) -1L
+    else {
+      val in = fs.open(f)
+      val txt =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      txt.toLongOption.getOrElse(-1L)
+    }
+  }
+
+  private def writeNightFloor(spark: SparkSession,
+      stores: NightlyCuration.Stores, bid: Long): Unit = {
+    val f = new Path(stores.root, "_night_floor")
+    val fs = f.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(f, true)
+    try out.write(bid.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def committedBids(spark: SparkSession,
+      stores: NightlyCuration.Stores): Seq[Long] = {
+    val dir = new Path(manifestDir(stores), "_bids")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.map(_.getPath.getName.toLong)
+  }
+
+  private def commitBid(spark: SparkSession,
+      stores: NightlyCuration.Stores, bid: Long, sig: Long): Unit = {
+    val marker = new Path(s"${manifestDir(stores)}/_bids", bid.toString)
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(marker, true)
+    try out.write(sig.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def bidSig(spark: SparkSession, stores: NightlyCuration.Stores,
+      bid: Long): Option[Long] = {
+    val marker = new Path(s"${manifestDir(stores)}/_bids", bid.toString)
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) None
+    else {
+      val in = fs.open(marker)
+      val txt =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      if (txt.isEmpty) None else txt.toLongOption
+    }
+  }
+
+  /** Order-free signature of the INPUT micro-batch's (id, text) multiset —
+    * what the replay skip verifies (staging is deterministic given the
+    * pre-night stores, so same input ⇒ same staged rows). */
+  private def batchSig(batch: DataFrame): Long = {
+    val row = batch
+      .select(xxhash64(col("doc_id").cast("long"), col("text")).as("h"))
+      .agg(coalesce(expr("bit_xor(h)"), lit(0L)).as("bx"),
+        count(lit(1)).as("bn"))
+      .collect()(0)
+    row.getLong(0) ^ java.lang.Long.rotateLeft(row.getLong(1), 32) ^
+      0x5851f42d4c957f2dL
+  }
+
+  /** Delete `bid=` partitions no committed marker vouches for — a crashed
+    * staging attempt's partial writes. Cheap directory ops. */
+  private def cleanOrphanBids(spark: SparkSession,
+      stores: NightlyCuration.Stores): Unit = {
+    val ids = committedBids(spark, stores).toSet
+    val dir = new Path(manifestDir(stores))
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(dir)) fs.listStatus(dir).foreach { st =>
+      val name = st.getPath.getName
+      if (name.startsWith("bid=") &&
+          !ids.contains(name.stripPrefix("bid=").toLong))
+        fs.delete(st.getPath, true)
+    }
+  }
+
+  /** Delete manifests retired by a completed [[endOfNight]] (the rename
+    * made them invisible; deleting them is pure garbage collection). */
+  private def gcRetiredManifests(spark: SparkSession,
+      stores: NightlyCuration.Stores): Unit = {
+    val root = new Path(stores.root)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(root)) fs.listStatus(root).foreach { st =>
+      if (st.getPath.getName.startsWith("manifest__folded_"))
+        fs.delete(st.getPath, true)
+    }
+  }
+}

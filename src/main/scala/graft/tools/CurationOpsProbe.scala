@@ -1,0 +1,70 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** 100× scale rehearsal for the round-13 curation operators (q148–q153):
+  * sliding-window substring dedup, hashed importance selection, fuzzy
+  * cross-corpus decontamination, cluster-balanced sampling, and the
+  * leakage-free cluster-disjoint split — each timed once on the scaled
+  * corpus ([[MakeScaledData]] output), with the shape notes STATUS.md
+  * records. The decontamination eval side is a ~0.5% hash slice — the
+  * realistic shape (benchmark suites are tiny next to the training
+  * corpus) and the documented scale argument: its cost is bounded by the
+  * EVAL side's posting lists, not the corpus pair space.
+  *
+  * Run: runMain graft.tools.CurationOpsProbe <scaledDir> [ops]
+  * e.g. `runMain graft.tools.CurationOpsProbe /tmp/scaled100x all` */
+object CurationOpsProbe {
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/tmp/scaled100x")
+    val ops = args.lift(1).getOrElse("all")
+    def on(name: String): Boolean = ops == "all" || ops.contains(name)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "256")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.llm.{SampleOps, TextOps}
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"), col("source"))
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    println(s"corpus: ${docs.count()} docs, ${emb.count()} vectors")
+    def t(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%8.1f s   rows=$n")
+    }
+    if (on("substring")) t("substringSpanDedup") {
+      // count() forces the full clean_text construction, not just the spans
+      TextOps.substringSpanDedup(docs, "doc_id", "text", k = 5, minDocs = 2)
+        .filter(col("n_removed") > 0).count()
+    }
+    if (on("importance")) t("hashedImportanceSelect") {
+      SampleOps.hashedImportanceSelect(docs, "doc_id", "text",
+        isTarget = col("source").isin("src0", "src1"),
+        numBuckets = 64, n = 50).count()
+    }
+    if (on("decontam")) t("crossJaccardDecontamination") {
+      // eval = ~0.5% hash slice (the benchmark suite), train = the rest
+      val isEval = pmod(xxhash64(col("doc_id")), lit(200)) === 0
+      TextOps.crossJaccardDecontamination(
+        docs.filter(!isEval), docs.filter(isEval),
+        "doc_id", "text", n = 3, threshold = 0.03).count()
+    }
+    if (on("balanced")) t("clusterBalancedSample") {
+      SampleOps.clusterBalancedSample(emb, dim = 64, nCells = 256,
+        quota = 8).count()
+    }
+    if (on("split")) t("leakageFreeSplit") {
+      SampleOps.leakageFreeSplit(docs, "doc_id", "text",
+        Seq("train" -> 0.8, "test" -> 0.2))
+        .groupBy("split").count().collect().map(_.getLong(1)).sum
+    }
+    spark.stop()
+  }
+}

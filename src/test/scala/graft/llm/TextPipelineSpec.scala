@@ -411,4 +411,48 @@ class TextPipelineSpec extends SparkTestBase {
     assert(plan.contains("TakeOrderedAndProject"),
       s"global top-n must plan as TakeOrdered, not a sort:\n$plan")
   }
+
+  test("leakageFreeSplit: near-dup pairs never straddle splits, " +
+      "singletons are their own cluster, labels = hashSplit of cluster") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(77)
+    val vocab = (0 until 60).map(i => s"w$i").toVector
+    def mkDoc(): String =
+      (0 until 15).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    // 40 independent docs plus 10 near-dup families of 3 (one token edit)
+    val solo = (0L until 40L).map(i => (i, mkDoc()))
+    val fams = (0 until 10).flatMap { f =>
+      val base = mkDoc().split(" ")
+      (0 until 3).map { m =>
+        val v = base.clone(); v(5 + m) = s"x$f$m"
+        (100L + f * 10 + m, v.mkString(" "))
+      }
+    }
+    val df = (solo ++ fams).toDF("doc_id", "text")
+    val splits = Seq("train" -> 0.8, "test" -> 0.2)
+    val got = SampleOps.leakageFreeSplit(df, "doc_id", "text", splits)
+      .select("doc_id", "cluster", "split").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val byId = got.map(t => t._1 -> t).toMap
+    assert(got.length == solo.size + fams.size)
+    // every LSH near-dup pair shares cluster AND split
+    val pairs = TextOps.minhashLshPairs(df, "doc_id", "text", 3, 128, 2, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "fixture must produce near-dup pairs")
+    pairs.foreach { case (a, b) =>
+      assert(byId(a)._2 == byId(b)._2 && byId(a)._3 == byId(b)._3,
+        s"pair ($a,$b) straddles clusters/splits")
+    }
+    // docs in no pair are their own cluster
+    val paired = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    got.filterNot(t => paired.contains(t._1)).foreach { case (id, c, _) =>
+      assert(c == id, s"singleton $id got cluster $c")
+    }
+    // the label is exactly hashSplit of the cluster id
+    val expected = SampleOps.hashSplit(
+        got.map(t => (t._1, t._2)).toSeq.toDF("doc_id", "cluster"),
+        "cluster", splits)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    got.foreach { case (id, _, s) => assert(expected(id) == s) }
+  }
 }
