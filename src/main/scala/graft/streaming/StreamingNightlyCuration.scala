@@ -82,9 +82,11 @@ object StreamingNightlyCuration {
 
   /** One micro-batch of the night: admit against the pre-night stores,
     * stage the admitted rows under this engine batch id. The
-    * `foreachBatch` body, callable directly in tests (crash replay =
-    * calling it twice with the same id). */
-  private[streaming] def stageBatch(batch: DataFrame, bid: Long,
+    * `foreachBatch` body — public because a batch-mode caller can drive
+    * the same staged-night lifecycle directly (slice ids in hand), and
+    * tests/probes exercise crash replay by calling it twice with the
+    * same id. */
+  def stageBatch(batch: DataFrame, bid: Long,
       stores: NightlyCuration.Stores, history: DataFrame,
       minTokens: Int = 8, minUniqueRatio: Double = 0.3,
       containmentThreshold: Double = 0.8): Unit = {

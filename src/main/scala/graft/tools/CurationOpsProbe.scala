@@ -65,6 +65,44 @@ object CurationOpsProbe {
         Seq("train" -> 0.8, "test" -> 0.2))
         .groupBy("split").count().collect().map(_.getLong(1)).sum
     }
+    if (on("night")) {
+      // the STREAMED night at 100×: bootstrap the five stores on a 99%
+      // lake (the NightlyCurationProbe shape), then stage tonight's 1%
+      // batch through the admission gate in three micro-batch slices and
+      // fold once — the q152 lifecycle at scale. Staging should price as
+      // the batch admission split three ways; the fold as the appends.
+      import graft.llm.NightlyCuration
+      import graft.streaming.StreamingNightlyCuration
+      val stores = NightlyCuration.Stores(java.nio.file.Files
+        .createTempDirectory("graft-nightprobe").toString)
+      val isBatch = pmod(xxhash64(col("doc_id")), lit(100)) === 0
+      val history = docs.filter(!isBatch).localCheckpoint()
+      val emb100 = emb.select(col("vec_id"), col("embedding"))
+      val histEmb = emb100.join(
+        history.select(col("doc_id").as("vec_id")), "vec_id")
+      t("night: bootstrap (99%)") {
+        NightlyCuration.initStores(spark, stores, history, histEmb,
+          "doc_id", "text")
+        history.count()
+      }
+      val slices = (0 until 3).map(i =>
+        docs.filter(isBatch && pmod(col("doc_id"), lit(3)) === i)
+          .select(col("doc_id"), col("text")).localCheckpoint())
+      slices.zipWithIndex.foreach { case (sl, b) =>
+        t(s"night: stage slice $b") {
+          StreamingNightlyCuration.stageBatch(sl, b.toLong, stores, history)
+          sl.count()
+        }
+      }
+      t("night: staged admitted") {
+        StreamingNightlyCuration.stagedAdmitted(spark, stores).count()
+      }
+      t("night: endOfNight fold") {
+        StreamingNightlyCuration.endOfNight(spark, stores, emb100,
+          nightId = 1L)
+        1L
+      }
+    }
     spark.stop()
   }
 }

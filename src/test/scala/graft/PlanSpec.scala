@@ -193,6 +193,20 @@ class PlanSpec extends SparkTestBase {
       s"fact/sensor slices must be pruned from a Nation-typed NPS scan, got $files")
   }
 
+  test("q149 importance select: bucket stats broadcast; top-n plans as " +
+      "TakeOrdered, not a global sort") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = graft.llm.SampleOps.hashedImportanceSelect(docs, "doc_id",
+        "text", isTarget = col("source").isin("src0", "src1"),
+        numBuckets = 64, n = 50)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"numBuckets-row stats table must broadcast to the features:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-n must plan as TakeOrdered, not a global sort:\n$plan")
+  }
+
   test("q01: aggregation is partial (map-side combine) before the exchange") {
     val plan = executedPlan("q01_agg_pricing")
     val firstAgg = plan.indexOf("HashAggregate")
