@@ -175,4 +175,43 @@ class StreamingNightlyCurationSpec extends SparkTestBase {
     assert(StreamingNightlyCuration.stagedAdmitted(spark, kStores)
       .count() >= 0L)
   }
+
+  test("two sequential staged nights == two sequential batch nights " +
+      "(night 2 admits against post-night-1 stores)") {
+    import spark.implicits._
+    val (hist, batch) = fixture
+    val histDf = hist.toDF("doc_id", "text").localCheckpoint()
+    val histEmb = hist.map { case (i, _) => (i, Seq.fill(8)(0.3f)) }
+      .toDF("vec_id", "embedding")
+    val emb = (hist ++ batch).map { case (i, _) =>
+      (i, Seq.fill(8)(0.1f + (i % 7) * 0.1f))
+    }.toDF("vec_id", "embedding").localCheckpoint()
+    val (n1, n2) = batch.splitAt(batch.size / 2)
+    // batch spelling: night 2's lake (the Bloom exact-verify side) is
+    // history ∪ night-1 admitted — the operator's nightly contract
+    val bStores = mkStores(histDf, histEmb, "seq-batch")
+    val adm1 = NightlyCuration.admit(spark, bStores, histDf,
+      n1.toDF("doc_id", "text"), "doc_id", "text").localCheckpoint()
+    NightlyCuration.appendAll(spark, bStores, adm1,
+      emb.join(adm1.select(col("doc_id").as("vec_id")), "vec_id"),
+      "doc_id", "text", dim = 8)
+    val lake2 = histDf.unionByName(adm1.select("doc_id", "text"))
+      .localCheckpoint()
+    val adm2 = NightlyCuration.admit(spark, bStores, lake2,
+      n2.toDF("doc_id", "text"), "doc_id", "text").localCheckpoint()
+    NightlyCuration.appendAll(spark, bStores, adm2,
+      emb.join(adm2.select(col("doc_id").as("vec_id")), "vec_id"),
+      "doc_id", "text", dim = 8)
+    // streamed spelling: two staged nights, same slices, same lakes
+    val sStores = mkStores(histDf, histEmb, "seq-stream")
+    StreamingNightlyCuration.stageBatch(n1.toDF("doc_id", "text"), 0L,
+      sStores, histDf)
+    StreamingNightlyCuration.endOfNight(spark, sStores, emb, nightId = 1L,
+      dim = 8)
+    StreamingNightlyCuration.stageBatch(n2.toDF("doc_id", "text"), 1L,
+      sStores, lake2)
+    StreamingNightlyCuration.endOfNight(spark, sStores, emb, nightId = 2L,
+      dim = 8)
+    assert(storeState(sStores) == storeState(bStores))
+  }
 }
