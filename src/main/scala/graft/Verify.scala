@@ -168,8 +168,13 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // each requested token matches an exact name or a name prefix, so a
+    // targeted re-check can say `q144,q147` without the full suffixes (a
+    // bare prefix used to match nothing — a silently empty run)
+    def selected(name: String): Boolean =
+      only.forall(_.exists(tok => name == tok || name.startsWith(tok)))
     SparkEntry.queries
-      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .filter { case (name, _) => selected(name) }
       .foreach { case (name, fn) =>
       // repartition(1): single output file for the driver, but behind a
       // shuffle so the query itself keeps its parallelism (coalesce(1)
@@ -205,7 +210,7 @@ object Verify {
       lintOracleSql(k, v).foreach(msg => System.err.println(s"[verify] $msg"))
     }
     val json = SparkEntry.oracleSql
-      .filter { case (k, _) => only.forall(_.contains(k)) }
+      .filter { case (k, _) => selected(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

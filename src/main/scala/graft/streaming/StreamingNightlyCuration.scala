@@ -3,7 +3,7 @@ package graft.streaming
 import graft.llm.{AnnOps, BloomHistory, NightlyCuration, ShingleIndex,
   SimGraphStore, TextIndex}
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
@@ -97,11 +97,12 @@ object StreamingNightlyCuration {
     // that night's final commit (a crash between staging and checkpoint
     // commit, then a premature endOfNight). Recomputing admission here
     // would read POST-fold stores and stage wrong rows — fail loudly.
-    require(bid > nightFloor(spark, stores),
+    val floor = nightFloor(spark, stores)
+    require(bid > floor,
       s"micro-batch id $bid was already folded by a completed endOfNight " +
-        s"(night floor ${nightFloor(spark, stores)}) at ${stores.root} — " +
-        "the stream's checkpoint is behind the folded night; reset the " +
-        "checkpoint past the folded bids or rebuild the stores")
+        s"(night floor $floor) at ${stores.root} — the stream's " +
+        "checkpoint is behind the folded night; reset the checkpoint " +
+        "past the folded bids or rebuild the stores")
     val committed = committedBids(spark, stores)
     val maxCommitted = committed.foldLeft(Long.MinValue)(math.max)
     if (committed.nonEmpty && bid == maxCommitted) {
