@@ -2436,9 +2436,12 @@ object LlmQueries {
     // shared-count cut graded into exact Jaccard — near-duplicate
     // train/eval pairs score ~1, boilerplate overlap scores ~0 whatever
     // its raw count. Exact WITHOUT PPJoin: the eval side's posting lists
-    // bound the candidate join (the premise of the check), set sizes ride
-    // along from pre-explode arithmetic, and Jaccard is one division of
-    // exact ints (TextOps.crossJaccardDecontamination scaladoc). The low
+    // bound the candidate join (the premise of the check), set sizes are
+    // doc-count-sized frames joined onto the pair aggregate (NOT carried
+    // through the explode — CollapseProject would re-inline the shingle
+    // construction per exploded row, measured 15× of the entry's wall),
+    // and Jaccard is one division of exact ints
+    // (TextOps.crossJaccardDecontamination scaladoc). The low
     // threshold (0.03) deliberately keeps borderline pairs in the gate so
     // the division itself is pinned, not just the planted near-dups.
     q("q150_fuzzy_decontamination",

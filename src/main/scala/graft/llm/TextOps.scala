@@ -196,17 +196,25 @@ object TextOps {
   def crossJaccardDecontamination(train: DataFrame, eval: DataFrame,
       idCol: String, textCol: String, n: Int = 3,
       threshold: Double = 0.5): DataFrame = {
+    // the exploded frames carry ONLY (id, shingle): putting size(...) in
+    // the same select plants it in the Project ABOVE the Generate, where
+    // CollapseProject re-inlines the whole shingle construction (regex
+    // split + zip_with chain, interpreted HOF eval) PER EXPLODED ROW —
+    // profiled at 10× of the entry's wall. The set sizes are doc-count-
+    // sized frames joined onto the PAIR aggregate instead, where each is
+    // computed once per document.
     val t = train.select(col(idCol).as("train_id"),
-      size(wordShingles(col(textCol), n)).as("na"),
       explode(wordShingles(col(textCol), n)).as("sh"))
     val e = eval.select(col(idCol).as("eval_id"),
-      size(wordShingles(col(textCol), n)).as("nb"),
       explode(wordShingles(col(textCol), n)).as("sh"))
+    val tsz = train.select(col(idCol).as("train_id"),
+      size(wordShingles(col(textCol), n)).as("na"))
+    val esz = eval.select(col(idCol).as("eval_id"),
+      size(wordShingles(col(textCol), n)).as("nb"))
     t.join(e, "sh")
-      // na/nb are functionally dependent on the ids — grouping on them
-      // keeps the agg deterministic without a first() escape hatch
-      .groupBy("train_id", "eval_id", "na", "nb")
+      .groupBy("train_id", "eval_id")
       .agg(count(lit(1)).as("n_shared"))
+      .join(tsz, "train_id").join(esz, "eval_id")
       .withColumn("jaccard", col("n_shared").cast(DoubleType) /
         (col("na") + col("nb") - col("n_shared")))
       .filter(col("jaccard") >= threshold)
