@@ -492,6 +492,11 @@ object LlmQueries {
         }
         stage(batch.filter(pmod(col("doc_id"), lit(9)) === 0), "b0")
         stage(batch.filter(pmod(col("doc_id"), lit(9)) === 3), "b1")
+        graft.streaming.StreamingNightlyCuration.run(s, src, stores,
+          history, s"$root/ck")
+        // a later feed slice arrives mid-night and the SAME checkpoint
+        // resumes staging (the q143 lifecycle discipline) — the fold
+        // below must see all three slices or the oracle mismatches
         stage(batch.filter(pmod(col("doc_id"), lit(9)) === 6), "b2")
         graft.streaming.StreamingNightlyCuration.run(s, src, stores,
           history, s"$root/ck")
