@@ -207,6 +207,45 @@ class PlanSpec extends SparkTestBase {
       s"top-n must plan as TakeOrdered, not a global sort:\n$plan")
   }
 
+  test("q150 decontamination: no Project above a Generate re-inlines the " +
+      "shingle construction (the CollapseProject per-exploded-row trap)") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.execution.{GenerateExec, ProjectExec}
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val lab = graft.llm.SampleOps.hashSplit(docs, "doc_id",
+      Seq("train" -> 0.9, "test" -> 0.1))
+    val df = graft.llm.TextOps.crossJaccardDecontamination(
+      lab.filter(col("split") === "train"),
+      lab.filter(col("split") === "test"),
+      "doc_id", "text", n = 3, threshold = 0.03)
+    df.collect() // finalize any adaptive plan
+    val plan = df.queryExecution.executedPlan
+    def walk(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] =
+      p +: (p.children ++ p.subqueries ++ (p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          Seq(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          Seq(q.plan)
+        case _ => Seq.empty
+      })).flatMap(walk)
+    val nodes = walk(plan)
+    // the traversal must actually reach the exploded sides — a blind
+    // walk would make this guard vacuous
+    assert(nodes.count(_.isInstanceOf[GenerateExec]) >= 2,
+      s"expected both exploded sides in the traversal:\n$plan")
+    // a zip_with (the shingle chain) in a Project whose child is the
+    // Generate means the whole interpreted construction re-runs per
+    // exploded row — measured 15x the entry's wall before the fix
+    val offenders = nodes.collect {
+      case pr: ProjectExec if pr.child.isInstanceOf[GenerateExec] &&
+          pr.projectList.exists(_.toString.contains("zip_with")) =>
+        pr.projectList.mkString(", ").take(200)
+    }
+    assert(offenders.isEmpty,
+      s"shingle construction re-inlined above a Generate:\n$offenders")
+  }
+
   test("q01: aggregation is partial (map-side combine) before the exchange") {
     val plan = executedPlan("q01_agg_pricing")
     val firstAgg = plan.indexOf("HashAggregate")
