@@ -93,16 +93,24 @@ object StreamingNightlyCuration {
     val spark = batch.sparkSession
     cleanOrphanBids(spark, stores)
     // a bid at or below the night floor was folded by a completed
-    // endOfNight — the engine replaying it means the checkpoint missed
-    // that night's final commit (a crash between staging and checkpoint
-    // commit, then a premature endOfNight). Recomputing admission here
-    // would read POST-fold stores and stage wrong rows — fail loudly.
+    // endOfNight. The engine replaying it is legitimate exactly when the
+    // rows match what was staged (a crash between staging and checkpoint
+    // commit, then the fold — the continuous mode's normal window): the
+    // batch's content is already in the stores, so the replay no-ops.
+    // Different rows mean a reset checkpoint — recomputing admission
+    // against POST-fold stores would stage wrong rows, so fail loudly.
+    // endOfNight preserves each folded bid's signature for this check.
     val floor = nightFloor(spark, stores)
-    require(bid > floor,
-      s"micro-batch id $bid was already folded by a completed endOfNight " +
-        s"(night floor $floor) at ${stores.root} — the stream's " +
-        "checkpoint is behind the folded night; reset the checkpoint " +
-        "past the folded bids or rebuild the stores")
+    if (bid <= floor) {
+      val sig = foldedBidSig(spark, stores, bid)
+      require(sig.contains(batchSig(batch)),
+        s"micro-batch id $bid was already folded by a completed " +
+          s"endOfNight (night floor $floor) at ${stores.root} and its " +
+          "rows do not match the folded batch — this is a reset " +
+          "checkpoint, not a replay; reset the checkpoint past the " +
+          "folded bids or rebuild the stores")
+      return
+    }
     val committed = committedBids(spark, stores)
     val maxCommitted = committed.foldLeft(Long.MinValue)(math.max)
     if (committed.nonEmpty && bid == maxCommitted) {
@@ -186,10 +194,22 @@ object StreamingNightlyCuration {
       Seq("vec_id"), "left_anti").localCheckpoint()
     if (!ivfFresh.isEmpty)
       AnnOps.appendToIvfIndex(spark, stores.ivf, ivfFresh, dim)
-    // advance the night floor (the highest folded staging bid) BEFORE
-    // retiring the manifest: a stream checkpoint that later replays a
-    // folded bid fails loudly in stageBatch instead of re-admitting
-    // against post-fold stores. Idempotent (same content on a re-run).
+    // the lake delta record: the night's admitted rows under a night-id
+    // partition (overwrite = idempotent on a re-run) — what a production
+    // deployment merges into the lake table, and what [[admittedLog]] /
+    // [[runContinuous]] read back as lake growth
+    admitted.select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      .write.mode("overwrite")
+      .parquet(s"${stores.root}/admitted_log/night=$nightId")
+    // preserve each folded bid's staging signature, then advance the
+    // night floor, BEFORE retiring the manifest: a stream checkpoint
+    // that later replays a folded bid verifies against the preserved
+    // signature (same rows → no-op; different rows → loud) instead of
+    // re-admitting against post-fold stores. Idempotent on a re-run.
+    bids.foreach { b =>
+      bidSig(spark, stores, b).foreach(s =>
+        writeMarker(spark, s"${stores.root}/_folded_bids", b, s))
+    }
     writeNightFloor(spark, stores, bids.max)
     // retire the manifest: ONE rename after every append committed, so a
     // kill on either side of it re-runs to the same state (before: all
@@ -199,6 +219,66 @@ object StreamingNightlyCuration {
     if (fs.exists(dir))
       fs.rename(dir, new Path(s"${manifestDir(stores)}__folded_$nightId"))
     gcRetiredManifests(spark, stores)
+  }
+
+  /** Every folded night's admitted rows (doc_id, text, night) — the lake
+    * delta record [[endOfNight]] writes; empty (right schema) before the
+    * first fold. Production merges these partitions into the lake table;
+    * [[runContinuous]] reads them back as lake growth. */
+  def admittedLog(spark: SparkSession,
+      stores: NightlyCuration.Stores): DataFrame = {
+    val dir = new Path(s"${stores.root}/admitted_log")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir))
+      spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StreamingSimGraph.docSchema)
+        .withColumn("night", lit(-1L))
+    else spark.read.parquet(dir.toString)
+      .select(col("doc_id"), col("text"), col("night").cast("long"))
+  }
+
+  /** The CONTINUOUS-fold spelling: every micro-batch is its own night —
+    * admitted against the stores AS OF its arrival (which includes every
+    * earlier micro-batch's fold, unlike [[run]]'s staged night) and
+    * folded immediately. Later slices therefore dedup against earlier
+    * ones; the result depends on the micro-batch split by design, so
+    * this mode is spec-pinned against sequential batch nights
+    * (StreamingNightlyCurationSpec) rather than driver-gated — [[run]] +
+    * [[endOfNight]] is the oracle-able shape.
+    *
+    * The admission gate's lake side (the Bloom exact-verify) is
+    * `history` ∪ [[admittedLog]] re-read each batch, so a document
+    * admitted by night b is an exact-dup hit for night b+1. Crash
+    * replay: the stage-then-fold pair shares the engine's exactly-once
+    * window — a replayed folded bid verifies against its preserved
+    * signature and no-ops (stageBatch), and a replay between stage and
+    * fold replays the fold's appends as verified skips (endOfNight).
+    * `nightOffset` maps engine bid b to night/store-commit id
+    * nightOffset + b (the [[StreamingShingleIndex]] epOffset seam). */
+  def runContinuous(spark: SparkSession, srcDir: String,
+      stores: NightlyCuration.Stores, history: DataFrame, emb: DataFrame,
+      checkpointDir: String, nightOffset: Long = 1L,
+      maxFilesPerTrigger: Int = 1, dim: Int = 64, minTokens: Int = 8,
+      minUniqueRatio: Double = 0.3,
+      containmentThreshold: Double = 0.8): Unit = {
+    val docs = spark.readStream.schema(StreamingSimGraph.docSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(srcDir)
+    val baseLake = history.select(col("doc_id").cast("long").as("doc_id"),
+      col("text")).localCheckpoint()
+    val q = docs.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val lake = baseLake.unionByName(
+          admittedLog(spark, stores).select("doc_id", "text"))
+        stageBatch(batch, batchId, stores, lake, minTokens,
+          minUniqueRatio, containmentThreshold)
+        endOfNight(spark, stores, emb, nightOffset + batchId, dim)
+      }
+      .start()
+    q.awaitTermination()
   }
 
   // ---- manifest plumbing (the ShingleIndex marker discipline) ----
@@ -238,17 +318,17 @@ object StreamingNightlyCuration {
     else fs.listStatus(dir).toSeq.map(_.getPath.getName.toLong)
   }
 
-  private def commitBid(spark: SparkSession,
-      stores: NightlyCuration.Stores, bid: Long, sig: Long): Unit = {
-    val marker = new Path(s"${manifestDir(stores)}/_bids", bid.toString)
+  private def writeMarker(spark: SparkSession, dir: String, id: Long,
+      sig: Long): Unit = {
+    val marker = new Path(dir, id.toString)
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(marker, true)
     try out.write(sig.toString.getBytes("UTF-8")) finally out.close()
   }
 
-  private def bidSig(spark: SparkSession, stores: NightlyCuration.Stores,
-      bid: Long): Option[Long] = {
-    val marker = new Path(s"${manifestDir(stores)}/_bids", bid.toString)
+  private def readMarkerSig(spark: SparkSession, dir: String,
+      id: Long): Option[Long] = {
+    val marker = new Path(dir, id.toString)
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(marker)) None
     else {
@@ -259,6 +339,20 @@ object StreamingNightlyCuration {
       if (txt.isEmpty) None else txt.toLongOption
     }
   }
+
+  private def commitBid(spark: SparkSession,
+      stores: NightlyCuration.Stores, bid: Long, sig: Long): Unit =
+    writeMarker(spark, s"${manifestDir(stores)}/_bids", bid, sig)
+
+  private def bidSig(spark: SparkSession, stores: NightlyCuration.Stores,
+      bid: Long): Option[Long] =
+    readMarkerSig(spark, s"${manifestDir(stores)}/_bids", bid)
+
+  /** The preserved staging signature of a bid an [[endOfNight]] already
+    * folded — what a post-fold replay verifies against. */
+  private def foldedBidSig(spark: SparkSession,
+      stores: NightlyCuration.Stores, bid: Long): Option[Long] =
+    readMarkerSig(spark, s"${stores.root}/_folded_bids", bid)
 
   /** Order-free signature of the INPUT micro-batch's (id, text) multiset —
     * what the replay skip verifies (staging is deterministic given the

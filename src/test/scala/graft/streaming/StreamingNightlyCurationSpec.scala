@@ -163,8 +163,15 @@ class StreamingNightlyCurationSpec extends SparkTestBase {
     StreamingNightlyCuration.endOfNight(spark, kStores, emb, nightId = 2L,
       dim = 8)
     assert(storeState(kStores) == before)
-    // a checkpoint replaying a FOLDED bid fails loudly (the night floor):
-    // recomputing its admission would read post-fold stores
+    // a checkpoint replaying a FOLDED bid with the SAME rows no-ops (the
+    // batch's content is already in the stores — the continuous mode's
+    // normal crash window)...
+    StreamingNightlyCuration.stageBatch(batch.toDF("doc_id", "text"), 0L,
+      kStores, histDf)
+    assert(storeState(kStores) == before &&
+      StreamingNightlyCuration.stagedAdmitted(spark, kStores).count() == 0L)
+    // ...but DIFFERENT rows under a folded bid is a reset checkpoint —
+    // recomputing admission would read post-fold stores, so it fails
     val e = intercept[IllegalArgumentException](
       StreamingNightlyCuration.stageBatch(batch.take(5)
         .toDF("doc_id", "text"), 0L, kStores, histDf))
@@ -174,6 +181,60 @@ class StreamingNightlyCurationSpec extends SparkTestBase {
       .toDF("doc_id", "text"), 1L, kStores, histDf)
     assert(StreamingNightlyCuration.stagedAdmitted(spark, kStores)
       .count() >= 0L)
+  }
+
+  test("continuous mode: each micro-batch is its own night, admitted " +
+      "against post-fold stores — equals sequential batch nights; the " +
+      "admitted log records lake growth") {
+    import spark.implicits._
+    val (hist, batch) = fixture
+    val histDf = hist.toDF("doc_id", "text").localCheckpoint()
+    val histEmb = hist.map { case (i, _) => (i, Seq.fill(8)(0.3f)) }
+      .toDF("vec_id", "embedding")
+    val emb = (hist ++ batch).map { case (i, _) =>
+      (i, Seq.fill(8)(0.1f + (i % 7) * 0.1f))
+    }.toDF("vec_id", "embedding").localCheckpoint()
+    val (n1, n2) = batch.splitAt(batch.size / 2)
+    // reference: two sequential batch nights with a growing lake
+    val bStores = mkStores(histDf, histEmb, "cont-batch")
+    val adm1 = NightlyCuration.admit(spark, bStores, histDf,
+      n1.toDF("doc_id", "text"), "doc_id", "text").localCheckpoint()
+    NightlyCuration.appendAll(spark, bStores, adm1,
+      emb.join(adm1.select(col("doc_id").as("vec_id")), "vec_id"),
+      "doc_id", "text", dim = 8)
+    val lake2 = histDf.unionByName(adm1.select("doc_id", "text"))
+      .localCheckpoint()
+    val adm2 = NightlyCuration.admit(spark, bStores, lake2,
+      n2.toDF("doc_id", "text"), "doc_id", "text").localCheckpoint()
+    NightlyCuration.appendAll(spark, bStores, adm2,
+      emb.join(adm2.select(col("doc_id").as("vec_id")), "vec_id"),
+      "doc_id", "text", dim = 8)
+    // continuous streamed: two files → two micro-batches, each its own
+    // night (stage + fold inside one foreachBatch)
+    val sStores = mkStores(histDf, histEmb, "cont-stream")
+    val src = tmp("cont-src")
+    val fs = new org.apache.hadoop.fs.Path(src)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def post(rows: Seq[(Long, String)], name: String): Unit = {
+      val stageDir = tmp(s"cont-stage-$name")
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(stageDir)
+      val part = fs.listStatus(new org.apache.hadoop.fs.Path(stageDir))
+        .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+      fs.rename(part, new org.apache.hadoop.fs.Path(src, s"$name.parquet"))
+    }
+    post(n1, "b0")
+    post(n2, "b1")
+    StreamingNightlyCuration.runContinuous(spark, src, sStores, histDf,
+      emb, tmp("cont-ck"), dim = 8)
+    assert(storeState(sStores) == storeState(bStores))
+    // the admitted log holds exactly the two nights' admitted sets
+    val log = StreamingNightlyCuration.admittedLog(spark, sStores)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val want =
+      adm1.select("doc_id").collect().map(r => (r.getLong(0), 1L)).toSet ++
+      adm2.select("doc_id").collect().map(r => (r.getLong(0), 2L)).toSet
+    assert(log == want)
   }
 
   test("two sequential staged nights == two sequential batch nights " +
