@@ -675,6 +675,42 @@ object LlmQueries {
       TextOps.simhash(T.documents(s, dir), "doc_id", "text").orderBy("doc_id")
     },
 
+    // ---- SimHash hamming near-dup JOIN (beyond-parity; the Manku et al.
+    // web-dedup shape q48's fingerprint exists for): all pairs within
+    // hamming distance 3, EXACT via the block pigeonhole — 4 contiguous
+    // 16-bit blocks; a pair within distance 3 must agree exactly on one,
+    // so the only join is the (block, bits) bucket equi-join and the
+    // verify is codegen'd conv+xor+bit_count integer math per candidate
+    // (TextOps.simhashNearDupPairs scaladoc). The oracle brute-forces
+    // all pairs with per-character hamming, so a missed candidate
+    // (pigeonhole bug), a wrong block split, or a verify off-by-one all
+    // hash-mismatch.
+    q("q154_simhash_neardup", {
+      val sums = (0 until 64).map { b =>
+        val k = b / 4 + 1
+        val div = 1 << (3 - (b % 4))
+        s"SUM(2 * ((CAST(strpos('0123456789abcdef', substr(md5(t), $k, 1)) - 1 AS INT) // $div) % 2) - 1) AS s$b"
+      }
+      val bits = (0 until 64).map(b => s"(CASE WHEN s$b >= 0 THEN '1' ELSE '0' END)")
+      s"""WITH sh AS (
+         |  SELECT doc_id, ${bits.mkString(" || ")} AS s FROM (
+         |    SELECT doc_id, ${sums.mkString(", ")}
+         |    FROM (SELECT doc_id, unnest(list_distinct($sqlToks)) AS t
+         |          FROM documents)
+         |    GROUP BY doc_id)),
+         |p AS (SELECT a.doc_id AS ida, b.doc_id AS idb,
+         |        CAST(len([i for i in range(1, 65)
+         |                  if substr(a.s, i, 1) != substr(b.s, i, 1)])
+         |          AS BIGINT) AS hd
+         |      FROM sh a, sh b WHERE a.doc_id < b.doc_id)
+         |SELECT ida, idb, hd FROM p WHERE hd <= 3
+         |ORDER BY ida NULLS FIRST, idb NULLS FIRST""".stripMargin
+    }) { (s, dir) =>
+      TextOps.simhashNearDupPairs(T.documents(s, dir), "doc_id", "text",
+          maxHamming = 3)
+        .orderBy("ida", "idb")
+    },
+
     // ---- exact cosine top-k for a bounded query batch: broadcast batch ×
     // corpus + per-query top-k window (the ANN baseline; ids only in the
     // output so float formatting never enters the compare).

@@ -780,6 +780,59 @@ object TextOps {
     df.sparkSession.createDataFrame(rdd, schema)
   }
 
+  /** SimHash near-dup pairs by EXACT hamming distance (Manku/Jain/Das
+    * Sarma 2007's web-dedup shape): every pair of documents whose 64-bit
+    * [[simhash]] fingerprints differ in at most `maxHamming` bits.
+    * Candidates come from the block pigeonhole — the fingerprint splits
+    * into maxHamming+1 contiguous blocks, and a pair within distance k
+    * must agree EXACTLY on at least one block (k differing bits can
+    * touch at most k blocks) — so the only join is a bucketed equi-join
+    * on (block index, block bits), never an all-pairs product, and the
+    * result is exact, not approximate: candidates then verify by true
+    * hamming distance (the bit string parsed as two 32-bit halves →
+    * codegen'd conv + xor + bit_count, no per-character work).
+    *
+    * Scale: each document contributes maxHamming+1 bucket rows; bucket
+    * width is 64/(k+1) bits, so random-ish fingerprints spread across
+    * ~2^16 buckets at the default k=3. A corpus of exact-duplicate
+    * boilerplate concentrates buckets exactly where it concentrates true
+    * near-dups — the candidate volume is then proportional to the real
+    * answer, and the verify is one integer op per candidate. Returns
+    * (ida, idb, hd), ida < idb. */
+  def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 1 && maxHamming <= 15,
+      "blocks need >= 4 bits each for useful bucketing")
+    val nb = maxHamming + 1
+    val w = 64 / nb
+    // reused by both candidate sides and both verify sides — checkpoint
+    // so the per-partition simhash kernel runs once
+    val sh = simhash(df, idCol, textCol)
+      .select(col(idCol).cast(LongType).as("id"), col("simhash"))
+      .localCheckpoint()
+    val blockArr = array((0 until nb).map { i =>
+      substring(col("simhash"), i * w + 1, if (i == nb - 1) 64 - i * w else w)
+    }: _*)
+    val blocks = sh.select(col("id"), posexplode(blockArr).as(Seq("blk", "key")))
+    val cands = blocks.select(col("id").as("ida"), col("blk"), col("key"))
+      .join(blocks.select(col("id").as("idb"), col("blk").as("b2"),
+          col("key").as("k2")),
+        col("blk") === col("b2") && col("key") === col("k2") &&
+          col("ida") < col("idb"))
+      .select("ida", "idb").distinct()
+    def half(c: Column, off: Int): Column =
+      conv(substring(c, off, 32), 2, 10).cast(LongType)
+    cands
+      .join(sh.select(col("id").as("ida"), col("simhash").as("sa")), "ida")
+      .join(sh.select(col("id").as("idb"), col("simhash").as("sb")), "idb")
+      .withColumn("hd",
+        (bit_count(half(col("sa"), 1).bitwiseXOR(half(col("sb"), 1))) +
+          bit_count(half(col("sa"), 33).bitwiseXOR(half(col("sb"), 33))))
+          .cast(LongType))
+      .filter(col("hd") <= maxHamming)
+      .select(col("ida"), col("idb"), col("hd"))
+  }
+
   /** MinHash signatures + banded LSH candidate pairs + exact-Jaccard
     * verification. Returns (id_a, id_b, jaccard) for pairs with
     * J(shingles) >= threshold. numHashes hash functions in bands of

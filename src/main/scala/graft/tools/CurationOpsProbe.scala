@@ -56,6 +56,10 @@ object CurationOpsProbe {
         docs.filter(!isEval), docs.filter(isEval),
         "doc_id", "text", n = 3, threshold = 0.03).count()
     }
+    if (on("simhash")) t("simhashNearDupPairs") {
+      TextOps.simhashNearDupPairs(docs, "doc_id", "text", maxHamming = 3)
+        .count()
+    }
     if (on("balanced")) t("clusterBalancedSample") {
       SampleOps.clusterBalancedSample(emb, dim = 64, nCells = 256,
         quota = 8).count()

@@ -139,6 +139,47 @@ class LlmOpsSpec extends SparkTestBase {
     assert(out(1L).length == 64 && out(1L).forall(c => c == '0' || c == '1'))
   }
 
+  test("simhash hamming pairs: block pigeonhole loses nothing vs brute " +
+      "force, at several thresholds, on a near-dup-heavy corpus") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(55)
+    val vocab = (0 until 40).map(i => s"w$i").toVector
+    def mkDoc(len: Int): Seq[String] =
+      (0 until len).map(_ => vocab(rnd.nextInt(vocab.size)))
+    // token-permuted copies → IDENTICAL fingerprints (hd = 0, present at
+    // every threshold); 1-edit copies of LONG docs → small nonzero
+    // distances (the flipped bits are the near-zero-margin votes); plus
+    // independent docs
+    val perms = (0 until 6).flatMap { f =>
+      val base = mkDoc(60)
+      Seq((100L + f * 10, base.mkString(" ")),
+        (101L + f * 10, rnd.shuffle(base).mkString(" ")))
+    }
+    val fams = (0 until 12).flatMap { f =>
+      val base = mkDoc(100)
+      (0 until 3).map { m =>
+        val v = base.toArray; v(m) = s"x$f$m"
+        (200L + f * 10 + m, v.mkString(" "))
+      }
+    }
+    val docs = ((0L until 30L).map(i => (i, mkDoc(20).mkString(" ")))
+        ++ perms ++ fams)
+      .toDF("doc_id", "text").localCheckpoint()
+    val fp = TextOps.simhash(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    for (k <- Seq(1, 3, 7)) {
+      val got = TextOps.simhashNearDupPairs(docs, "doc_id", "text", k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val want = (for {
+        a <- fp.keys; b <- fp.keys if a < b
+        hd = fp(a).zip(fp(b)).count { case (x, y) => x != y }
+        if hd <= k
+      } yield (a, b, hd.toLong)).toSet
+      assert(got == want, s"maxHamming=$k")
+      assert(want.nonEmpty, s"fixture must produce pairs at k=$k")
+    }
+  }
+
   test("ann top-k agrees with brute-force ranking") {
     val emb = graft.T.embeddings(spark, sf)
     val got = AnnOps.topKForQueries(emb, emb.filter(col("vec_id") < 5), 3)
