@@ -69,6 +69,47 @@ object CurationOpsProbe {
         Seq("train" -> 0.8, "test" -> 0.2))
         .groupBy("split").count().collect().map(_.getLong(1)).sum
     }
+    if (on("contnight")) {
+      // the CONTINUOUS mode at 100×: three 0.33% slices drained as three
+      // stage+fold nights through one checkpoint. Per-night cost should
+      // be the staged mode's stage + fold (admission ~13 s + appends
+      // ~18 s at this scale); the lake side re-reads admitted_log.
+      import graft.llm.NightlyCuration
+      import graft.streaming.StreamingNightlyCuration
+      import org.apache.hadoop.fs.Path
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-contprobe").toString
+      val stores = NightlyCuration.Stores(s"$root/stores")
+      val isBatch = pmod(xxhash64(col("doc_id")), lit(100)) === 0
+      val history = docs.filter(!isBatch).localCheckpoint()
+      val emb100 = emb.select(col("vec_id"), col("embedding"))
+      val histEmb = emb100.join(
+        history.select(col("doc_id").as("vec_id")), "vec_id")
+      t("contnight: bootstrap (99%)") {
+        NightlyCuration.initStores(spark, stores, history, histEmb,
+          "doc_id", "text")
+        history.count()
+      }
+      val src = s"$root/feed"
+      val fs = new Path(src)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      (0 until 3).foreach { i =>
+        val tmp = s"$root/stage-$i"
+        docs.filter(isBatch && pmod(col("doc_id"), lit(3)) === i)
+          .select(col("doc_id"), col("text"))
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = fs.listStatus(new Path(tmp)).map(_.getPath)
+          .find(_.getName.endsWith(".parquet")).get
+        fs.mkdirs(new Path(src))
+        fs.rename(part, new Path(src, s"b$i.parquet"))
+        fs.delete(new Path(tmp), true)
+      }
+      t("contnight: 3 stage+fold nights") {
+        StreamingNightlyCuration.runContinuous(spark, src, stores,
+          history, emb100, s"$root/ck")
+        StreamingNightlyCuration.admittedLog(spark, stores).count()
+      }
+    }
     if (on("night")) {
       // the STREAMED night at 100×: bootstrap the five stores on a 99%
       // lake (the NightlyCurationProbe shape), then stage tonight's 1%
