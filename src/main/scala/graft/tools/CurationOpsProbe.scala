@@ -20,7 +20,8 @@ object CurationOpsProbe {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/tmp/scaled100x")
     val ops = args.lift(1).getOrElse("all")
-    def on(name: String): Boolean = ops == "all" || ops.contains(name)
+    def on(name: String): Boolean =
+      ops == "all" || ops.split(",").map(_.trim).contains(name)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
