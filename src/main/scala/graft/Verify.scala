@@ -150,7 +150,10 @@ object Verify {
     // re-check without paying the full catalog (the driver passes two)
     val (sfDir, outDir, only) = args match {
       case Array(a, b)    => (a, b, None)
-      case Array(a, b, c) => (a, b, Some(c.split(",").map(_.trim).toSet))
+      // drop empty tokens: `q144,,q147` must stay targeted, not silently
+      // widen to the whole catalog via a startsWith("") match-all
+      case Array(a, b, c) =>
+        (a, b, Some(c.split(",").map(_.trim).filter(_.nonEmpty).toSet))
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()

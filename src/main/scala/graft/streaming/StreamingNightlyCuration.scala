@@ -141,10 +141,13 @@ object StreamingNightlyCuration {
   }
 
   /** The union of every committed staged micro-batch — tonight's admitted
-    * set so far. Empty (with the right schema) when nothing is staged. */
+    * set so far. Empty (with the right schema) when nothing is staged.
+    * `aboveBid` excludes bids at or below it (the night floor: bids a
+    * completed fold already owns). */
   def stagedAdmitted(spark: SparkSession,
-      stores: NightlyCuration.Stores): DataFrame = {
-    val bids = committedBids(spark, stores)
+      stores: NightlyCuration.Stores,
+      aboveBid: Long = Long.MinValue): DataFrame = {
+    val bids = committedBids(spark, stores).filter(_ > aboveBid)
     if (bids.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         StreamingSimGraph.docSchema)
@@ -166,9 +169,29 @@ object StreamingNightlyCuration {
       emb: DataFrame, nightId: Long, dim: Int = 64): Unit = {
     gcRetiredManifests(spark, stores)
     cleanOrphanBids(spark, stores)
-    val bids = committedBids(spark, stores)
-    if (bids.isEmpty) return
-    val admitted = stagedAdmitted(spark, stores).localCheckpoint()
+    // defense-in-depth: never fold a bid at or below the night floor. A
+    // crash after writeNightFloor but before the manifest rename leaves
+    // already-folded bids in the manifest; the contract says re-run with
+    // the SAME nightId (appends replay-skip), but a caller that bumps
+    // nightId instead must not re-append their content under the new id.
+    val floor = nightFloor(spark, stores)
+    val allBids = committedBids(spark, stores)
+    val bids = allBids.filter(_ > floor)
+    if (bids.isEmpty) {
+      // nothing fresh — but a manifest holding only folded bids is the
+      // tail of a crash between writeNightFloor and the rename: finish
+      // that night's retirement so the state converges
+      if (allBids.nonEmpty) {
+        val dir0 = new Path(manifestDir(stores))
+        val fs0 = dir0.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs0.exists(dir0))
+          fs0.rename(dir0, new Path(s"${manifestDir(stores)}__folded_$floor"))
+        gcRetiredManifests(spark, stores)
+      }
+      return
+    }
+    val admitted =
+      stagedAdmitted(spark, stores, aboveBid = floor).localCheckpoint()
     // id-disciplined stores: the night's explicit commit id makes a
     // re-run a verified replay skip
     BloomHistory.append(spark, stores.bloom, admitted, "text",
@@ -358,12 +381,23 @@ object StreamingNightlyCuration {
     * what the replay skip verifies (staging is deterministic given the
     * pre-night stores, so same input ⇒ same staged rows). */
   private def batchSig(batch: DataFrame): Long = {
+    // SUM + bit_xor of per-row hashes: both commutative (order-free under
+    // any partitioning), and the sum term is cancellation-free — bit_xor
+    // alone let any row repeated an even number of times vanish, so two
+    // different multisets with equal counts could collide. The hash is
+    // summed as two 32-bit halves (each sum ≤ 2³²·rows, overflow-safe
+    // under ANSI mode for any batch under 2³¹ rows) and recombined.
     val row = batch
       .select(xxhash64(col("doc_id").cast("long"), col("text")).as("h"))
       .agg(coalesce(expr("bit_xor(h)"), lit(0L)).as("bx"),
+        coalesce(expr("sum(h & 4294967295)"), lit(0L)).as("slo"),
+        coalesce(expr("sum(shiftright(h, 32) & 4294967295)"), lit(0L))
+          .as("shi"),
         count(lit(1)).as("bn"))
       .collect()(0)
-    row.getLong(0) ^ java.lang.Long.rotateLeft(row.getLong(1), 32) ^
+    row.getLong(0) ^ java.lang.Long.rotateLeft(row.getLong(1), 13) ^
+      java.lang.Long.rotateLeft(row.getLong(2), 27) ^
+      java.lang.Long.rotateLeft(row.getLong(3), 45) ^
       0x5851f42d4c957f2dL
   }
 

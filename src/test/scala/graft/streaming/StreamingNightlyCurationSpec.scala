@@ -183,6 +183,86 @@ class StreamingNightlyCurationSpec extends SparkTestBase {
       .count() >= 0L)
   }
 
+  test("crash between writeNightFloor and manifest rename, then a re-run " +
+      "with a BUMPED nightId: folded bids never re-append; a fresh bid " +
+      "staged into the stale manifest still folds") {
+    import spark.implicits._
+    val (hist, batch) = fixture
+    val histDf = hist.toDF("doc_id", "text").localCheckpoint()
+    val histEmb = hist.map { case (i, _) => (i, Seq.fill(8)(0.3f)) }
+      .toDF("vec_id", "embedding")
+    val emb = (hist ++ batch).map { case (i, _) =>
+      (i, Seq.fill(8)(0.1f + (i % 7) * 0.1f))
+    }.toDF("vec_id", "embedding").localCheckpoint()
+    val (n1, n2) = batch.splitAt(batch.size / 2)
+    val stores = mkStores(histDf, histEmb, "floorcrash")
+    val fs = new org.apache.hadoop.fs.Path(stores.root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val live = new org.apache.hadoop.fs.Path(s"${stores.root}/manifest")
+    // crash-window reconstruction: snapshot the live manifest before the
+    // fold, put it back after (the fold advanced the floor and retired
+    // the manifest; restoring it = "rename never happened")
+    def snapshotManifest(tag: String): org.apache.hadoop.fs.Path = {
+      val p = new org.apache.hadoop.fs.Path(tmp(s"floormani-$tag"), "m")
+      org.apache.hadoop.fs.FileUtil.copy(fs, live, fs, p, false, conf)
+      p
+    }
+    def restoreManifest(p: org.apache.hadoop.fs.Path): Unit = {
+      if (fs.exists(live)) fs.delete(live, true)
+      org.apache.hadoop.fs.FileUtil.copy(fs, p, fs, live, false, conf)
+    }
+    StreamingNightlyCuration.stageBatch(n1.toDF("doc_id", "text"), 0L,
+      stores, histDf)
+    val snap1 = snapshotManifest("n1")
+    StreamingNightlyCuration.endOfNight(spark, stores, emb, nightId = 1L,
+      dim = 8)
+    val afterNight1 = storeState(stores)
+    restoreManifest(snap1)
+    // the operator contract says re-run with the SAME nightId; a caller
+    // that bumps it instead must not duplicate night 1's content
+    StreamingNightlyCuration.endOfNight(spark, stores, emb, nightId = 2L,
+      dim = 8)
+    assert(storeState(stores) == afterNight1)
+    // and the stale manifest is retired, so the state converged —
+    // retirement also means it was re-tagged folded and then GC'd
+    assert(!fs.exists(live))
+    // the worse shape: the stale manifest holds night 1's folded bid AND
+    // night 2's first fresh bid when the bumped fold runs — only the
+    // fresh bid may fold. endOfNight(2) above left no retired manifest
+    // (GC), so rebuild the crash window from night 2's own fold below.
+    val lake2 = histDf.unionByName(
+      StreamingNightlyCuration.admittedLog(spark, stores)
+        .select("doc_id", "text")).localCheckpoint()
+    StreamingNightlyCuration.stageBatch(n2.take(3).toDF("doc_id", "text"),
+      1L, stores, lake2)
+    val snap2 = snapshotManifest("n2a")
+    StreamingNightlyCuration.endOfNight(spark, stores, emb, nightId = 3L,
+      dim = 8)
+    restoreManifest(snap2) // crash window again: floor=1, manifest has bid 1
+    StreamingNightlyCuration.stageBatch(n2.drop(3).toDF("doc_id", "text"),
+      2L, stores, lake2) // fresh bid lands in the STALE manifest
+    StreamingNightlyCuration.endOfNight(spark, stores, emb, nightId = 4L,
+      dim = 8) // folds ONLY bid 2
+    // reference: the same three admission rounds run cleanly. Night 2's
+    // two slices admit against the same lake in both runs, so per-slice
+    // staging composes (split invariance) — compare final store state.
+    val cStores = mkStores(histDf, histEmb, "floorclean")
+    StreamingNightlyCuration.stageBatch(n1.toDF("doc_id", "text"), 0L,
+      cStores, histDf)
+    StreamingNightlyCuration.endOfNight(spark, cStores, emb, nightId = 1L,
+      dim = 8)
+    StreamingNightlyCuration.stageBatch(n2.take(3).toDF("doc_id", "text"),
+      1L, cStores, lake2)
+    StreamingNightlyCuration.endOfNight(spark, cStores, emb, nightId = 3L,
+      dim = 8)
+    StreamingNightlyCuration.stageBatch(n2.drop(3).toDF("doc_id", "text"),
+      2L, cStores, lake2)
+    StreamingNightlyCuration.endOfNight(spark, cStores, emb, nightId = 4L,
+      dim = 8)
+    assert(storeState(stores) == storeState(cStores))
+  }
+
   test("continuous mode: each micro-batch is its own night, admitted " +
       "against post-fold stores — equals sequential batch nights; the " +
       "admitted log records lake growth") {
