@@ -15,11 +15,25 @@ import org.apache.spark.sql.types.LongType
   *    (mBits/64 words, ≤ 16 MB at the 2^27 cap).
   *  - `_graft_bloom_meta.json` — mBits, k, nItems (fingerprints folded, for
   *    the fp-rate policy), lastBid (replay discipline).
+  * and the FINGERPRINT SIDECAR at the sibling `path`__fp (outside the
+  * swap root, so the filter's whole-store rewrite never has to copy it):
+  *  - `bid=<b>/bkt=<x>/` — each committed batch's token-set fingerprints
+  *    (the md5 strings the filter folded), hash-bucketed by
+  *    pmod(xxhash64(fp), 64) for partition-pruned verify reads.
+  * The sidecar is the lake's fingerprint column as a store-owned dataset
+  * (VERDICT r13 #1): [[probe]] hits verify against IT, so the nightly
+  * admission gate never reads lake text — the verify scan is fp-bytes
+  * (~32 B/doc vs KB-sized documents), pruned to the buckets the hits
+  * land in, with the hit set broadcast (map-only, never shuffled).
   *
   * Every append is a WHOLE-STORE rewrite-then-swap
   * ([[graft.sources.ParquetCompaction.rewrite]]): words and meta move
   * together, so a kill at any stage leaves the old or the new store —
-  * never a filter whose meta disagrees.
+  * never a filter whose meta disagrees. The sidecar commits THROUGH that
+  * swap: a batch's fingerprints land under `bid=<b>` BEFORE the filter
+  * swap, and a sidecar partition is committed iff its bid ≤ meta
+  * lastBid — a crash between the sidecar write and the swap leaves an
+  * orphan partition readers ignore and the next append deletes.
   *
   * Replay discipline (the [[SimGraphStore]] / StreamingCuration rule): a
   * `foreachBatch` maintainer passes the ENGINE batch id; a replayed
@@ -55,6 +69,13 @@ object BloomHistory {
 
   private val metaFile = "_graft_bloom_meta.json"
 
+  /** Fingerprint-sidecar bucket fan-out (class doc): fixed so writer and
+    * reader always agree; 64 keeps the per-append file count moderate
+    * while letting a small hit set prune most of the verify scan. */
+  private val fpBuckets = 64
+
+  private[graft] def fpPath(path: String): String = s"${path}__fp"
+
   /** Create an empty filter store. */
   def init(spark: SparkSession, path: String, mBits: Int = 1 << 20,
       k: Int = 5): Unit = {
@@ -66,6 +87,13 @@ object BloomHistory {
       writeMeta(spark, tmp, mBits, k, nItems = 0L, lastBid = -1L,
         lastSig = None)
     }
+    // a stale sidecar from an earlier store at this path is all orphans
+    // now (every bid > the fresh lastBid = -1), so readers already ignore
+    // it; deleting is cleanup, and deleting AFTER the swap means a crash
+    // here leaves no window where an old filter lacks its sidecar
+    val fp = new org.apache.hadoop.fs.Path(fpPath(path))
+    val fs = fp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(fp)) fs.delete(fp, true)
   }
 
   /** Fold a batch's token-set fingerprints into the stored filter. Returns
@@ -97,8 +125,21 @@ object BloomHistory {
         b
     }
     graft.functions.BloomFilterAgg.register(spark)
-    val folded = batch
+    // the sidecar write precedes the swap (class doc): orphans from a
+    // crashed earlier attempt are exactly the partitions above lastBid
+    cleanOrphanFps(spark, path, lastBid)
+    batch
       .select(TextOps.tokenSetFingerprint(col(textCol)).as("fp"))
+      .withColumn("bkt", pmod(xxhash64(col("fp")), lit(fpBuckets)))
+      .write.partitionBy("bkt").mode("overwrite")
+      .parquet(s"${fpPath(path)}/bid=$bid")
+    // fold the filter FROM the just-written sidecar partition: one read
+    // of fp-bytes instead of re-tokenizing the batch text, and the
+    // filter can never disagree with what the sidecar recorded
+    // explicit schema: a 0-row batch writes no data files, and the fold
+    // must still see an empty (fp, bkt) frame, not an inference failure
+    val folded = spark.read.schema("fp STRING, bkt BIGINT")
+      .parquet(s"${fpPath(path)}/bid=$bid")
       .agg(call_function(graft.functions.BloomFilterAgg.name,
           xxhash64(col("fp")), lit(mBits), lit(k)).as("bw"),
         count(lit(1)).as("bn"),
@@ -119,25 +160,25 @@ object BloomHistory {
     bid
   }
 
-  /** REBUILD the filter from the full history at a new size — the
-    * fp-rate policy's operation (class doc): one pass over `history`
+  /** REBUILD the filter at a new size — the fp-rate policy's operation
+    * (class doc): one pass over the FINGERPRINT SIDECAR (every
+    * fingerprint the store ever folded — fp-bytes, never lake text)
     * into a fresh `newMBits`-bit filter, whole-store rewrite-then-swap
     * (a kill at any stage leaves the old or the new store), `lastBid`
     * and the replay signature PRESERVED so a streaming maintainer's
     * next fold lands on the rebuilt store exactly as it would have on
     * the old one, `nItems` reset honestly to the rows actually folded.
-    * Cost: exactly the one history pass the non-persisted spelling paid
-    * every night. */
-  def rebuild(spark: SparkSession, path: String, history: DataFrame,
-      textCol: String, newMBits: Int, newK: Int = 5): Unit = {
+    * The sidecar itself is untouched (its contents are the rebuild's
+    * input, not its output). */
+  def rebuild(spark: SparkSession, path: String, newMBits: Int,
+      newK: Int = 5): Unit = {
     require(newMBits >= 64 && Integer.bitCount(newMBits) == 1,
       "mBits must be a power of two >= 64")
     graft.sources.ParquetCompaction.recover(spark, path)
     val (_, _, _, lastBid) = readMeta(spark, path)
     val lastSig = readSig(spark, path)
     graft.functions.BloomFilterAgg.register(spark)
-    val folded = history
-      .select(TextOps.tokenSetFingerprint(col(textCol)).as("fp"))
+    val folded = storedFingerprints(spark, path, lastBid)
       .agg(call_function(graft.functions.BloomFilterAgg.name,
           xxhash64(col("fp")), lit(newMBits), lit(newK)).as("bw"),
         count(lit(1)).as("bn"))
@@ -173,17 +214,94 @@ object BloomHistory {
       .select("doc_id", "fp")
   }
 
-  /** The exact q139 sweep served from the store: Bloom hits re-verify
-    * against the history's fingerprints (map-only scan of `history`, never
-    * shuffled when the pruned hit set broadcasts), so the output is EXACT
-    * — identical to [[TextOps.dedupAgainstHistory]] — while the history
-    * itself was read zero times for the filter (it lives in the store). */
-  def dedupFromStore(spark: SparkSession, path: String, history: DataFrame,
-      batch: DataFrame, idCol: String, textCol: String): DataFrame = {
+  /** The exact q139 sweep served ENTIRELY from the store: Bloom hits
+    * re-verify against the fingerprint sidecar — the lake corpus is
+    * read ZERO times, in text or otherwise (VERDICT r13 #1). The output
+    * is EXACT — identical to [[TextOps.dedupAgainstHistory]] over the
+    * corpus the store folded — because the sidecar holds precisely that
+    * corpus's fingerprint multiset (appended batch-by-batch alongside
+    * the filter, committed through the same swap).
+    *
+    * Scale shape: the hit set (true dups + the ≤fpBudget residue)
+    * BROADCASTS; the sidecar scan prunes to the hash buckets the hits
+    * land in and probes map-side — fp-bytes, no shuffle, cost tracking
+    * hits (small nights touch few buckets) with a lake-fp-bytes ceiling
+    * ~32 B/doc, two to three orders below the text scan it replaces. */
+  def dedupFromStore(spark: SparkSession, path: String, batch: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    graft.sources.ParquetCompaction.recover(spark, path)
+    val (_, _, _, lastBid) = readMeta(spark, path)
+    // materialize the hits: they are read twice (bucket list + verify
+    // join) and both reads must see the same filter state
     val hits = probe(spark, path, batch, idCol, textCol)
-    val hfp = history.select(TextOps.tokenSetFingerprint(col(textCol)).as("hfp"))
-    hits.join(hfp, col("fp") === col("hfp"), "left_semi")
-      .select("doc_id")
+      .withColumn("bkt", pmod(xxhash64(col("fp")), lit(fpBuckets)))
+      .localCheckpoint()
+    // ≤ fpBuckets distinct values — a driver-bounded collect
+    val bkts = hits.select("bkt").distinct().collect().map(_.getLong(0))
+    if (bkts.isEmpty) return hits.select("doc_id").limit(0)
+    storedFingerprints(spark, path, lastBid)
+      .filter(col("bkt").isin(bkts: _*))
+      .join(broadcast(hits), Seq("fp", "bkt"))
+      .select("doc_id").distinct()
+  }
+
+  /** Every committed fingerprint in the sidecar (bids ≤ `lastBid`; an
+    * orphan partition above it is a crashed append's leftover). Columns
+    * (fp, bkt); empty frame when nothing has been appended. */
+  private def storedFingerprints(spark: SparkSession, path: String,
+      lastBid: Long): DataFrame = {
+    val dirs = committedFpDirs(spark, path, lastBid)
+    if (dirs.isEmpty)
+      spark.range(0).select(lit("").as("fp"), lit(0L).as("bkt")).limit(0)
+    else
+      spark.read.schema("fp STRING, bkt BIGINT")
+        .option("basePath", fpPath(path)).parquet(dirs: _*)
+        .select("fp", "bkt")
+  }
+
+  private def committedFpDirs(spark: SparkSession, path: String,
+      lastBid: Long): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(fpPath(path))
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) Nil
+    else fs.listStatus(root).toSeq.map(_.getPath)
+      .filter { p =>
+        val n = p.getName
+        n.startsWith("bid=") && n.stripPrefix("bid=").toLongOption
+          .exists(_ <= lastBid)
+      }
+      .map(_.toString)
+  }
+
+  private def cleanOrphanFps(spark: SparkSession, path: String,
+      lastBid: Long): Unit = {
+    val root = new org.apache.hadoop.fs.Path(fpPath(path))
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(root)) fs.listStatus(root).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("bid=") && n.stripPrefix("bid=").toLongOption
+          .forall(_ > lastBid))
+        fs.delete(st.getPath, true)
+    }
+  }
+
+  /** Compact the sidecar's committed partitions into ONE `bid=<lastBid>`
+    * partition (still bucket-partitioned) — the small-files dial for a
+    * store that gains a partition directory per append. Re-attributing
+    * every fingerprint to the latest committed bid is sound: readers
+    * only ever ask "bid ≤ lastBid", and the replay discipline never
+    * re-writes a committed bid's partition. Whole-sidecar
+    * rewrite-then-swap, so a kill leaves the old or the new sidecar. */
+  def compactFingerprints(spark: SparkSession, path: String): Unit = {
+    graft.sources.ParquetCompaction.recover(spark, path)
+    val (_, _, _, lastBid) = readMeta(spark, path)
+    if (lastBid < 0L) return
+    graft.sources.ParquetCompaction.recover(spark, fpPath(path))
+    val all = storedFingerprints(spark, path, lastBid).localCheckpoint()
+    graft.sources.ParquetCompaction.rewrite(spark, fpPath(path)) { tmp =>
+      all.repartition(col("bkt"))
+        .write.partitionBy("bkt").parquet(s"$tmp/bid=$lastBid")
+    }
   }
 
   /** Per-probe false-positive rate of the stored filter, estimated from

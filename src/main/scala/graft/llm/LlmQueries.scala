@@ -493,13 +493,13 @@ object LlmQueries {
         stage(batch.filter(pmod(col("doc_id"), lit(9)) === 0), "b0")
         stage(batch.filter(pmod(col("doc_id"), lit(9)) === 3), "b1")
         graft.streaming.StreamingNightlyCuration.run(s, src, stores,
-          history, s"$root/ck")
+          s"$root/ck")
         // a later feed slice arrives mid-night and the SAME checkpoint
         // resumes staging (the q143 lifecycle discipline) — the fold
         // below must see all three slices or the oracle mismatches
         stage(batch.filter(pmod(col("doc_id"), lit(9)) === 6), "b2")
         graft.streaming.StreamingNightlyCuration.run(s, src, stores,
-          history, s"$root/ck")
+          s"$root/ck")
         val staged = graft.streaming.StreamingNightlyCuration
           .stagedAdmitted(s, stores).select("doc_id").localCheckpoint()
         graft.streaming.StreamingNightlyCuration.endOfNight(s, stores,
@@ -509,7 +509,7 @@ object LlmQueries {
         // checkpoint BEFORE appendAll: the admission plan probes the
         // stores, and the appends mutate them — a lazy re-evaluation
         // after the first append would admit against post-append state
-        val adm = NightlyCuration.admit(s, stores, history, batch,
+        val adm = NightlyCuration.admit(s, stores, batch,
           "doc_id", "text").localCheckpoint()
         NightlyCuration.appendAll(s, stores, adm,
           emb.join(adm.select(col("doc_id").as("vec_id")), "vec_id"),
@@ -523,17 +523,19 @@ object LlmQueries {
       // store hash-mismatches
       if (maintain) {
         val actions = NightlyCuration.maintenance(s, stores,
-          history.unionByName(admitted), "text", fpBudget = 0.0,
+          fpBudget = 0.0,
           maxShingleEpochs = 1, maxGraphDeltas = 1, maxDataFiles = 1)
-        require(actions.size >= 5,
+        require(actions.size >= 6,
           s"q147 expects every dial to trip, got: $actions")
       }
       // serve from every post-append store, tagged into one frame
       val pAdmit = admitted.select(lit("admit").as("part"),
         col("doc_id").as("a"), lit(0L).as("b"),
         size(TextOps.tokens(col("text"))).cast(DoubleType).as("v"))
+      // the store's sidecar IS history ∪ admitted after the fold — the
+      // serve needs no corpus frame
       val pBloom = BloomHistory.dedupFromStore(s, stores.bloom,
-          history.unionByName(admitted), batch, "doc_id", "text")
+          batch, "doc_id", "text")
         .select(lit("bloom").as("part"), col("doc_id").as("a"),
           lit(0L).as("b"), lit(0.0).as("v"))
       val pShingle = ShingleIndex.containmentAgainst(s, stores.shingle,
@@ -1772,7 +1774,7 @@ object LlmQueries {
       BloomHistory.init(s, p)
       BloomHistory.append(s, p, history.filter(col("doc_id") % 2 === 0), "text")
       BloomHistory.append(s, p, history.filter(col("doc_id") % 2 =!= 0), "text")
-      BloomHistory.dedupFromStore(s, p, history,
+      BloomHistory.dedupFromStore(s, p,
           docs.filter(pmod(col("doc_id"), lit(3)) === 0), "doc_id", "text")
         .orderBy("doc_id")
     },

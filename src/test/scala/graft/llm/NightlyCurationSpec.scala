@@ -65,7 +65,7 @@ class NightlyCurationSpec extends SparkTestBase {
     val stores = NightlyCuration.Stores(tmp("stores"))
     NightlyCuration.initStores(spark, stores, histDf, histEmb,
       "doc_id", "text", dim = dim, nCentroids = 4)
-    val admitted = NightlyCuration.admit(spark, stores, histDf, batchDf,
+    val admitted = NightlyCuration.admit(spark, stores, batchDf,
       "doc_id", "text").localCheckpoint()
     assert(admitted.select("doc_id").collect().map(_.getLong(0)).toSet
       == expected)
@@ -93,7 +93,7 @@ class NightlyCurationSpec extends SparkTestBase {
     // the Bloom store now knows every admitted doc: a re-probe of the
     // batch returns exactly (exact dups ∪ admitted)
     val reprobed = BloomHistory.dedupFromStore(spark, stores.bloom,
-        union, batchDf, "doc_id", "text")
+        batchDf, "doc_id", "text")
       .collect().map(_.getLong(0)).toSet
     val unionFps = (hist ++ batch.filter(b => expected(b._1)))
       .map { case (_, t) => toks(t).distinct.sorted }.toSet
@@ -145,16 +145,16 @@ class NightlyCurationSpec extends SparkTestBase {
     // maxDataFiles = 100: above the text index's 64 one-file-per-tb-dir
     // floor (so a compacted index does NOT re-trip) but below the
     // ~40-files-per-append growth five appends leave behind
-    val actions = NightlyCuration.maintenance(spark, stores, union,
-      "text", fpBudget = 0.01, maxDataFiles = 100)
+    val actions = NightlyCuration.maintenance(spark, stores,
+      fpBudget = 0.01, maxDataFiles = 100)
     assert(actions.exists(_.startsWith("shingle: compacted")), actions)
     assert(actions.exists(_.startsWith("graph: compacted")), actions)
     assert(actions.exists(_.startsWith("text: compacted")), actions)
     assert(actions.exists(_.startsWith("bloom: rebuilt")), actions)
     // dials reset: an immediate second slot is (almost) a no-op — the
     // tiny rebuilt filter may still be over budget, everything else idle
-    val again = NightlyCuration.maintenance(spark, stores, union,
-      "text", fpBudget = 0.01, maxDataFiles = 100)
+    val again = NightlyCuration.maintenance(spark, stores,
+      fpBudget = 0.01, maxDataFiles = 100)
     assert(again.forall(_.startsWith("bloom:")), again)
     // serves unchanged by maintenance
     val afterPairs = ShingleIndex.containmentSelf(spark, stores.shingle,
@@ -165,10 +165,75 @@ class NightlyCurationSpec extends SparkTestBase {
     assert(afterEdges == beforeEdges)
     // the rebuilt (doubled) filter still serves the exact dedup: every
     // union doc re-probes as a dup of itself
-    val reprobe = BloomHistory.dedupFromStore(spark, stores.bloom, union,
+    val reprobe = BloomHistory.dedupFromStore(spark, stores.bloom,
         union, "doc_id", "text")
       .collect().map(_.getLong(0)).toSet
     assert(reprobe == union.select("doc_id").collect()
       .map(_.getLong(0)).toSet)
+  }
+
+  test("the night is LAKE-SCAN-FREE: after bootstrap, the lake files are " +
+      "DELETED and admission, appends, maintenance (incl. the Bloom " +
+      "rebuild), and a second night all still run — from the stores alone") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(321)
+    val vocab = (0 until 50).map(i => s"w$i").toVector
+    def mkDoc(len: Int): String =
+      (0 until len).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val hist = (0L until 80L).map(i => (i, mkDoc(10 + rnd.nextInt(10))))
+    val batch1 =
+      (0 until 15).map(i => (1000L + i, mkDoc(10 + rnd.nextInt(8)))) ++
+      (0 until 5).map { i =>
+        val src = hist(rnd.nextInt(hist.size))._2.split(" ")
+        (1100L + i, rnd.shuffle(src.toSeq).mkString(" "))
+      }
+    val batch2 =
+      (0 until 10).map(i => (2000L + i, mkDoc(10 + rnd.nextInt(8)))) ++
+      batch1.take(4).map { case (i, t) => (2100L + i, t) } // night-1 dups
+    // the lake lives ON DISK; the history frame reads it lazily, so any
+    // post-deletion stage that still touched lake text would throw
+    val lakeDir = tmp("lake")
+    hist.toDF("doc_id", "text").write.mode("overwrite").parquet(lakeDir)
+    val histDf = spark.read.parquet(lakeDir)
+    val histEmb = hist.map { case (i, _) => (i, Seq.fill(8)(0.3f)) }
+      .toDF("vec_id", "embedding")
+    val emb = (hist ++ batch1 ++ batch2).map { case (i, _) =>
+      (i, Seq.fill(8)(0.1f + (i % 7) * 0.1f))
+    }.toDF("vec_id", "embedding").localCheckpoint()
+    val stores = NightlyCuration.Stores(tmp("lakefree"))
+    NightlyCuration.initStores(spark, stores, histDf, histEmb,
+      "doc_id", "text", dim = 8, nCentroids = 4)
+    val before = NightlyCuration.admit(spark, stores,
+      batch1.toDF("doc_id", "text"), "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // ---- burn the lake
+    val lakePath = new org.apache.hadoop.fs.Path(lakeDir)
+    val fs = lakePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(lakePath, true)
+    spark.catalog.refreshByPath(lakeDir)
+    // night 1, entirely from the stores
+    val adm = NightlyCuration.admit(spark, stores,
+      batch1.toDF("doc_id", "text"), "doc_id", "text").localCheckpoint()
+    assert(adm.select("doc_id").collect().map(_.getLong(0)).toSet == before)
+    NightlyCuration.appendAll(spark, stores, adm,
+      emb.join(adm.select(col("doc_id").as("vec_id")), "vec_id"),
+      "doc_id", "text", dim = 8)
+    // the maintenance slot — including the fp-rate rebuild, which now
+    // folds from the fingerprint sidecar, never the lake
+    val actions = NightlyCuration.maintenance(spark, stores,
+      fpBudget = 0.0, maxShingleEpochs = 1, maxGraphDeltas = 1,
+      maxDataFiles = 1)
+    assert(actions.exists(_.startsWith("bloom: rebuilt")), actions)
+    // night 2: the rebuilt+compacted stores still gate exactly — night-1
+    // admitted content (folded tonight, never on the lake) dedups
+    val adm2 = NightlyCuration.admit(spark, stores,
+      batch2.toDF("doc_id", "text"), "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val adm1Texts = batch1.filter { case (i, _) => before(i) }
+      .map(_._2).toSet
+    batch2.filter { case (i, t) => i >= 2100L && adm1Texts(t) }
+      .foreach { case (i, _) =>
+        assert(!adm2(i), s"doc $i duplicates night-1 admitted text") }
+    assert(adm2.exists(_ < 2100L), "fresh night-2 docs admit")
   }
 }

@@ -76,8 +76,7 @@ class StreamingBloomHistorySpec extends SparkTestBase {
     StreamingBloomHistory.processBatch(b0, 0L, dir)
     StreamingBloomHistory.processBatch(b1, 1L, dir)
     // maintenance slot: the fp-rate policy fires and rebuilds bigger
-    BloomHistory.rebuild(spark, dir, b0.unionByName(b1), "text",
-      newMBits = 1 << 17)
+    BloomHistory.rebuild(spark, dir, newMBits = 1 << 17)
     // a crash-replay of the last pre-rebuild batch is still a verified
     // no-op against the rebuilt store...
     val w = words(dir)

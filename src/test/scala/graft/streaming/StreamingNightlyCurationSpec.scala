@@ -73,7 +73,7 @@ class StreamingNightlyCurationSpec extends SparkTestBase {
     }.toDF("vec_id", "embedding").localCheckpoint()
     // batch cycle
     val bStores = mkStores(histDf, histEmb, "batch")
-    val admitted = NightlyCuration.admit(spark, bStores, histDf,
+    val admitted = NightlyCuration.admit(spark, bStores,
       batch.toDF("doc_id", "text"), "doc_id", "text").localCheckpoint()
     NightlyCuration.appendAll(spark, bStores, admitted,
       emb.join(admitted.select(col("doc_id").as("vec_id")), "vec_id"),
@@ -83,7 +83,7 @@ class StreamingNightlyCurationSpec extends SparkTestBase {
     val slices = batch.grouped((batch.size + 2) / 3).toSeq
     slices.zipWithIndex.foreach { case (sl, b) =>
       StreamingNightlyCuration.stageBatch(sl.toDF("doc_id", "text"),
-        b.toLong, sStores, histDf)
+        b.toLong, sStores)
     }
     val staged = StreamingNightlyCuration.stagedAdmitted(spark, sStores)
       .select("doc_id").collect().map(_.getLong(0)).toSet
@@ -109,21 +109,21 @@ class StreamingNightlyCurationSpec extends SparkTestBase {
     val stores = mkStores(histDf, histEmb, "replay")
     val b0 = batch.take(15).toDF("doc_id", "text")
     val b1 = batch.drop(15).toDF("doc_id", "text")
-    StreamingNightlyCuration.stageBatch(b0, 0L, stores, histDf)
-    StreamingNightlyCuration.stageBatch(b1, 1L, stores, histDf)
+    StreamingNightlyCuration.stageBatch(b0, 0L, stores)
+    StreamingNightlyCuration.stageBatch(b1, 1L, stores)
     val once = StreamingNightlyCuration.stagedAdmitted(spark, stores)
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet
     // replay of the in-flight batch: verified skip
-    StreamingNightlyCuration.stageBatch(b1, 1L, stores, histDf)
+    StreamingNightlyCuration.stageBatch(b1, 1L, stores)
     assert(StreamingNightlyCuration.stagedAdmitted(spark, stores)
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet == once)
     // same id, different rows: a reset checkpoint one batch behind
     val e1 = intercept[IllegalArgumentException](
-      StreamingNightlyCuration.stageBatch(b0, 1L, stores, histDf))
+      StreamingNightlyCuration.stageBatch(b0, 1L, stores))
     assert(e1.getMessage.contains("rows differ"))
     // older id: checkpoint and manifest out of sync
     val e2 = intercept[IllegalArgumentException](
-      StreamingNightlyCuration.stageBatch(b0, 0L, stores, histDf))
+      StreamingNightlyCuration.stageBatch(b0, 0L, stores))
     assert(e2.getMessage.contains("older"))
   }
 
@@ -140,14 +140,14 @@ class StreamingNightlyCurationSpec extends SparkTestBase {
     // clean reference
     val cStores = mkStores(histDf, histEmb, "clean")
     StreamingNightlyCuration.stageBatch(batch.toDF("doc_id", "text"), 0L,
-      cStores, histDf)
+      cStores)
     StreamingNightlyCuration.endOfNight(spark, cStores, emb, nightId = 1L,
       dim = 8)
     // crashed run: the first two appends of the fold land, then a kill —
     // simulated by performing them directly with the night's ids
     val kStores = mkStores(histDf, histEmb, "killed")
     StreamingNightlyCuration.stageBatch(batch.toDF("doc_id", "text"), 0L,
-      kStores, histDf)
+      kStores)
     val staged = StreamingNightlyCuration.stagedAdmitted(spark, kStores)
       .localCheckpoint()
     BloomHistory.append(spark, kStores.bloom, staged, "text",
@@ -167,18 +167,18 @@ class StreamingNightlyCurationSpec extends SparkTestBase {
     // batch's content is already in the stores — the continuous mode's
     // normal crash window)...
     StreamingNightlyCuration.stageBatch(batch.toDF("doc_id", "text"), 0L,
-      kStores, histDf)
+      kStores)
     assert(storeState(kStores) == before &&
       StreamingNightlyCuration.stagedAdmitted(spark, kStores).count() == 0L)
     // ...but DIFFERENT rows under a folded bid is a reset checkpoint —
     // recomputing admission would read post-fold stores, so it fails
     val e = intercept[IllegalArgumentException](
       StreamingNightlyCuration.stageBatch(batch.take(5)
-        .toDF("doc_id", "text"), 0L, kStores, histDf))
+        .toDF("doc_id", "text"), 0L, kStores))
     assert(e.getMessage.contains("folded"))
     // the next night's bids (above the floor) stage normally
     StreamingNightlyCuration.stageBatch(batch.take(5)
-      .toDF("doc_id", "text"), 1L, kStores, histDf)
+      .toDF("doc_id", "text"), 1L, kStores)
     assert(StreamingNightlyCuration.stagedAdmitted(spark, kStores)
       .count() >= 0L)
   }
@@ -213,7 +213,7 @@ class StreamingNightlyCurationSpec extends SparkTestBase {
       org.apache.hadoop.fs.FileUtil.copy(fs, p, fs, live, false, conf)
     }
     StreamingNightlyCuration.stageBatch(n1.toDF("doc_id", "text"), 0L,
-      stores, histDf)
+      stores)
     val snap1 = snapshotManifest("n1")
     StreamingNightlyCuration.endOfNight(spark, stores, emb, nightId = 1L,
       dim = 8)
@@ -231,17 +231,14 @@ class StreamingNightlyCurationSpec extends SparkTestBase {
     // night 2's first fresh bid when the bumped fold runs — only the
     // fresh bid may fold. endOfNight(2) above left no retired manifest
     // (GC), so rebuild the crash window from night 2's own fold below.
-    val lake2 = histDf.unionByName(
-      StreamingNightlyCuration.admittedLog(spark, stores)
-        .select("doc_id", "text")).localCheckpoint()
     StreamingNightlyCuration.stageBatch(n2.take(3).toDF("doc_id", "text"),
-      1L, stores, lake2)
+      1L, stores)
     val snap2 = snapshotManifest("n2a")
     StreamingNightlyCuration.endOfNight(spark, stores, emb, nightId = 3L,
       dim = 8)
     restoreManifest(snap2) // crash window again: floor=1, manifest has bid 1
     StreamingNightlyCuration.stageBatch(n2.drop(3).toDF("doc_id", "text"),
-      2L, stores, lake2) // fresh bid lands in the STALE manifest
+      2L, stores) // fresh bid lands in the STALE manifest
     StreamingNightlyCuration.endOfNight(spark, stores, emb, nightId = 4L,
       dim = 8) // folds ONLY bid 2
     // reference: the same three admission rounds run cleanly. Night 2's
@@ -249,15 +246,15 @@ class StreamingNightlyCurationSpec extends SparkTestBase {
     // staging composes (split invariance) — compare final store state.
     val cStores = mkStores(histDf, histEmb, "floorclean")
     StreamingNightlyCuration.stageBatch(n1.toDF("doc_id", "text"), 0L,
-      cStores, histDf)
+      cStores)
     StreamingNightlyCuration.endOfNight(spark, cStores, emb, nightId = 1L,
       dim = 8)
     StreamingNightlyCuration.stageBatch(n2.take(3).toDF("doc_id", "text"),
-      1L, cStores, lake2)
+      1L, cStores)
     StreamingNightlyCuration.endOfNight(spark, cStores, emb, nightId = 3L,
       dim = 8)
     StreamingNightlyCuration.stageBatch(n2.drop(3).toDF("doc_id", "text"),
-      2L, cStores, lake2)
+      2L, cStores)
     StreamingNightlyCuration.endOfNight(spark, cStores, emb, nightId = 4L,
       dim = 8)
     assert(storeState(stores) == storeState(cStores))
@@ -277,14 +274,12 @@ class StreamingNightlyCurationSpec extends SparkTestBase {
     val (n1, n2) = batch.splitAt(batch.size / 2)
     // reference: two sequential batch nights with a growing lake
     val bStores = mkStores(histDf, histEmb, "cont-batch")
-    val adm1 = NightlyCuration.admit(spark, bStores, histDf,
+    val adm1 = NightlyCuration.admit(spark, bStores,
       n1.toDF("doc_id", "text"), "doc_id", "text").localCheckpoint()
     NightlyCuration.appendAll(spark, bStores, adm1,
       emb.join(adm1.select(col("doc_id").as("vec_id")), "vec_id"),
       "doc_id", "text", dim = 8)
-    val lake2 = histDf.unionByName(adm1.select("doc_id", "text"))
-      .localCheckpoint()
-    val adm2 = NightlyCuration.admit(spark, bStores, lake2,
+    val adm2 = NightlyCuration.admit(spark, bStores,
       n2.toDF("doc_id", "text"), "doc_id", "text").localCheckpoint()
     NightlyCuration.appendAll(spark, bStores, adm2,
       emb.join(adm2.select(col("doc_id").as("vec_id")), "vec_id"),
@@ -305,7 +300,7 @@ class StreamingNightlyCurationSpec extends SparkTestBase {
     }
     post(n1, "b0")
     post(n2, "b1")
-    StreamingNightlyCuration.runContinuous(spark, src, sStores, histDf,
+    StreamingNightlyCuration.runContinuous(spark, src, sStores,
       emb, tmp("cont-ck"), dim = 8)
     assert(storeState(sStores) == storeState(bStores))
     // the admitted log holds exactly the two nights' admitted sets
@@ -328,29 +323,27 @@ class StreamingNightlyCurationSpec extends SparkTestBase {
       (i, Seq.fill(8)(0.1f + (i % 7) * 0.1f))
     }.toDF("vec_id", "embedding").localCheckpoint()
     val (n1, n2) = batch.splitAt(batch.size / 2)
-    // batch spelling: night 2's lake (the Bloom exact-verify side) is
-    // history ∪ night-1 admitted — the operator's nightly contract
+    // batch spelling: night 2 admits against the post-night-1 stores
+    // (the Bloom sidecar grew by night-1's admitted fps in appendAll)
     val bStores = mkStores(histDf, histEmb, "seq-batch")
-    val adm1 = NightlyCuration.admit(spark, bStores, histDf,
+    val adm1 = NightlyCuration.admit(spark, bStores,
       n1.toDF("doc_id", "text"), "doc_id", "text").localCheckpoint()
     NightlyCuration.appendAll(spark, bStores, adm1,
       emb.join(adm1.select(col("doc_id").as("vec_id")), "vec_id"),
       "doc_id", "text", dim = 8)
-    val lake2 = histDf.unionByName(adm1.select("doc_id", "text"))
-      .localCheckpoint()
-    val adm2 = NightlyCuration.admit(spark, bStores, lake2,
+    val adm2 = NightlyCuration.admit(spark, bStores,
       n2.toDF("doc_id", "text"), "doc_id", "text").localCheckpoint()
     NightlyCuration.appendAll(spark, bStores, adm2,
       emb.join(adm2.select(col("doc_id").as("vec_id")), "vec_id"),
       "doc_id", "text", dim = 8)
-    // streamed spelling: two staged nights, same slices, same lakes
+    // streamed spelling: two staged nights, same slices
     val sStores = mkStores(histDf, histEmb, "seq-stream")
     StreamingNightlyCuration.stageBatch(n1.toDF("doc_id", "text"), 0L,
-      sStores, histDf)
+      sStores)
     StreamingNightlyCuration.endOfNight(spark, sStores, emb, nightId = 1L,
       dim = 8)
     StreamingNightlyCuration.stageBatch(n2.toDF("doc_id", "text"), 1L,
-      sStores, lake2)
+      sStores)
     StreamingNightlyCuration.endOfNight(spark, sStores, emb, nightId = 2L,
       dim = 8)
     assert(storeState(sStores) == storeState(bStores))
