@@ -713,6 +713,60 @@ object LlmQueries {
         .orderBy("ida", "idb")
     },
 
+    // ---- SimHash near-dup CLUSTERING (the q154 pairs composed the way
+    // the Manku web-dedup use-case runs them): exact-dup collapse by
+    // token-set fingerprint first (replicas share the SAME simhash —
+    // it derives from the distinct token set — so the collapse loses
+    // nothing), hamming pairs among representatives only, connected
+    // components, every doc labeled with its component's min doc id.
+    // Cost is family-collapsed: a replica family is one node, not
+    // f(f-1)/2 pairs. The oracle replays the whole composition —
+    // fp families, per-rep simhash, brute-force hamming, recursive
+    // closure, replica attach — so a wrong family min, a missed pair,
+    // or a dropped singleton all hash-mismatch.
+    q("q155_simhash_clusters", {
+      val sums = (0 until 64).map { b =>
+        val k = b / 4 + 1
+        val div = 1 << (3 - (b % 4))
+        s"SUM(2 * ((CAST(strpos('0123456789abcdef', substr(md5(t), $k, 1)) - 1 AS INT) // $div) % 2) - 1) AS s$b"
+      }
+      val bits = (0 until 64).map(b => s"(CASE WHEN s$b >= 0 THEN '1' ELSE '0' END)")
+      s"""WITH RECURSIVE fp AS (
+         |  SELECT doc_id,
+         |    md5(array_to_string(list_sort(list_distinct($sqlToks)), ' ')) AS f
+         |  FROM documents),
+         |rep AS (SELECT f, MIN(doc_id) AS rep FROM fp GROUP BY f),
+         |docrep AS (SELECT fp.doc_id, rep.rep FROM fp JOIN rep USING (f)),
+         |sh AS (
+         |  SELECT doc_id, ${bits.mkString(" || ")} AS s FROM (
+         |    SELECT doc_id, ${sums.mkString(", ")}
+         |    FROM (SELECT doc_id, unnest(list_distinct($sqlToks)) AS t
+         |          FROM documents JOIN (SELECT rep FROM rep) r
+         |            ON doc_id = r.rep)
+         |    GROUP BY doc_id)),
+         |pr AS (SELECT a.doc_id AS ida, b.doc_id AS idb
+         |       FROM sh a, sh b WHERE a.doc_id < b.doc_id
+         |         AND len([i for i in range(1, 65)
+         |                  if substr(a.s, i, 1) != substr(b.s, i, 1)]) <= 3),
+         |edges AS (SELECT ida AS a, idb AS b FROM pr
+         |          UNION SELECT idb AS a, ida AS b FROM pr),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+         |),
+         |cc AS (SELECT a AS rep, least(a, MIN(b)) AS cluster
+         |       FROM reach GROUP BY a)
+         |SELECT d.doc_id, coalesce(cc.cluster, d.rep) AS cluster
+         |FROM docrep d LEFT JOIN cc USING (rep)
+         |ORDER BY doc_id NULLS FIRST""".stripMargin
+    }) { (s, dir) =>
+      TextOps.simhashNearDupClusters(T.documents(s, dir), "doc_id", "text",
+          maxHamming = 3)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    },
+
     // ---- exact cosine top-k for a bounded query batch: broadcast batch ×
     // corpus + per-query top-k window (the ANN baseline; ids only in the
     // output so float formatting never enters the compare).
@@ -2592,6 +2646,69 @@ object LlmQueries {
          |       THEN 'train' ELSE 'test' END AS split
          |FROM lab ORDER BY doc_id NULLS FIRST""".stripMargin) { (s, dir) =>
       SampleOps.leakageFreeSplit(T.documents(s, dir), "doc_id", "text",
+          Seq("train" -> 0.8, "test" -> 0.2))
+        .select("doc_id", "cluster", "split")
+        .orderBy("doc_id")
+    },
+
+    // ---- leakage-free split SERVED from the maintained similarity
+    // graph (VERDICT r13 #3): candidates are the SimGraphStore's edges
+    // (≥2 distinct rare shingles in common, built incrementally in two
+    // updates — the q136 lifecycle), each exact-Jaccard-verified on its
+    // true shingle sets, then the q153 closure + md5-range cluster
+    // split. Repeated splits on a curated lake cost a store read plus
+    // pair-bounded verify — no LSH rebuild. The oracle composes the
+    // q136 rare-pair predicate with the Jaccard filter and replays the
+    // recursive closure and the md5 threshold.
+    q("q156_leakage_free_split_store",
+      s"""WITH RECURSIVE shset AS (
+         |  SELECT doc_id, $sqlShingles AS shingles
+         |  FROM (SELECT doc_id, $sqlToks AS toks FROM documents)
+         |),
+         |sh AS (SELECT doc_id, unnest(shingles) AS s FROM shset),
+         |rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 50),
+         |p AS (SELECT doc_id, s FROM sh JOIN rare USING (s)),
+         |cand AS (
+         |  SELECT a.doc_id AS ida, b.doc_id AS idb
+         |  FROM p a JOIN p b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2 HAVING count(*) >= 2),
+         |pr AS (
+         |  SELECT ida, idb FROM cand
+         |  JOIN shset sa ON sa.doc_id = cand.ida
+         |  JOIN shset sb ON sb.doc_id = cand.idb
+         |  WHERE len(list_intersect(sa.shingles, sb.shingles)) * 2
+         |        >= len(list_distinct(list_concat(sa.shingles, sb.shingles)))
+         |),
+         |edges AS (SELECT ida AS a, idb AS b FROM pr
+         |          UNION SELECT idb AS a, ida AS b FROM pr),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+         |),
+         |cc AS (SELECT a AS doc_id, least(a, MIN(b)) AS cluster
+         |       FROM reach GROUP BY a),
+         |lab AS (SELECT d.doc_id, coalesce(cc.cluster, d.doc_id) AS cluster
+         |        FROM documents d LEFT JOIN cc USING (doc_id))
+         |SELECT doc_id, cluster,
+         |  CASE WHEN substr(md5(CAST(cluster AS VARCHAR)), 1, 4) < 'cccd'
+         |       THEN 'train' ELSE 'test' END AS split
+         |FROM lab ORDER BY doc_id NULLS FIRST""".stripMargin) { (s, dir) =>
+      import org.apache.hadoop.fs.Path
+      val p = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft-splitstore-" + dir.replaceAll("[^A-Za-z0-9]", "_"))
+        .getAbsolutePath
+      graft.sources.ParquetCompaction.recover(s, p)
+      val root = new Path(p)
+      val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(root)) fs.delete(root, true)
+      val docs = T.documents(s, dir)
+      SimGraphStore.init(s, p, n = 3, cap = 50L, minCommon = 2L)
+      SimGraphStore.update(s, p,
+        docs.filter(pmod(col("doc_id"), lit(5)) =!= 0), "doc_id", "text")
+      SimGraphStore.update(s, p,
+        docs.filter(pmod(col("doc_id"), lit(5)) === 0), "doc_id", "text")
+      SampleOps.leakageFreeSplitFromStore(s, p, docs, "doc_id", "text",
           Seq("train" -> 0.8, "test" -> 0.2))
         .select("doc_id", "cluster", "split")
         .orderBy("doc_id")

@@ -80,7 +80,8 @@ object SimGraphStore {
         "minCommon" -> minCommon.toString))
   }
 
-  private def readMeta(spark: SparkSession, path: String): (Int, Long, Long) = {
+  private[graft] def readMeta(spark: SparkSession,
+      path: String): (Int, Long, Long) = {
     import graft.sources.MetaSidecar._
     val txt = readText(spark, path, metaFile).getOrElse(
       throw new IllegalStateException(s"no simgraph store at $path"))

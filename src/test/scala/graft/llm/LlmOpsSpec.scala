@@ -180,6 +180,57 @@ class LlmOpsSpec extends SparkTestBase {
     }
   }
 
+  test("simhash clusters: replica families collapse to one node, labels " +
+      "are component min ids over reps ∪ replicas, pair decisions match " +
+      "the uncollapsed graph") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(56)
+    val vocab = (0 until 40).map(i => s"w$i").toVector
+    def mkDoc(len: Int): Seq[String] =
+      (0 until len).map(_ => vocab(rnd.nextInt(vocab.size)))
+    // replica families (token-permuted → same token SET → same rep),
+    // 1-edit near-dup families (distinct fps, small hamming), singles
+    val perms = (0 until 5).flatMap { f =>
+      val base = mkDoc(60)
+      (0 until 3).map(m =>
+        (100L + f * 10 + m, rnd.shuffle(base).mkString(" ")))
+    }
+    val fams = (0 until 8).flatMap { f =>
+      val base = mkDoc(100)
+      (0 until 3).map { m =>
+        val v = base.toArray; v(m) = s"x$f$m"
+        (300L + f * 10 + m, v.mkString(" "))
+      }
+    }
+    val docs = ((0L until 20L).map(i => (i, mkDoc(20).mkString(" ")))
+        ++ perms ++ fams)
+      .toDF("doc_id", "text").localCheckpoint()
+    val got = TextOps.simhashNearDupClusters(docs, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == docs.count())
+    // reference: brute-force clusters over the UNCOLLAPSED pair graph —
+    // replicas have identical fingerprints (hd=0 pairs), so collapsing
+    // them must not change any component
+    val pairs = TextOps.simhashNearDupPairs(docs, "doc_id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    got.foreach { case (id, c) =>
+      assert(c == find(id), s"doc $id: cluster $c != ${find(id)}") }
+    // every replica family really did share a cluster
+    (0 until 5).foreach { f =>
+      val cs = (0 until 3).map(m => got(100L + f * 10 + m)).distinct
+      assert(cs.size == 1, s"family $f split across clusters $cs")
+    }
+  }
+
   test("ann top-k agrees with brute-force ranking") {
     val emb = graft.T.embeddings(spark, sf)
     val got = AnnOps.topKForQueries(emb, emb.filter(col("vec_id") < 5), 3)

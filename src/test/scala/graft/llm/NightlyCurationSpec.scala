@@ -151,11 +151,13 @@ class NightlyCurationSpec extends SparkTestBase {
     assert(actions.exists(_.startsWith("graph: compacted")), actions)
     assert(actions.exists(_.startsWith("text: compacted")), actions)
     assert(actions.exists(_.startsWith("bloom: rebuilt")), actions)
-    // dials reset: an immediate second slot is (almost) a no-op — the
-    // tiny rebuilt filter may still be over budget, everything else idle
+    // ONE-SHOT sizing: the filter started 64 bits for ~90 items (driven
+    // far over budget) and a single slot must land it AT/UNDER budget —
+    // so the immediate second slot is a complete no-op, every dial idle
+    assert(BloomHistory.estimatedFpRate(spark, stores.bloom) <= 0.01)
     val again = NightlyCuration.maintenance(spark, stores,
       fpBudget = 0.01, maxDataFiles = 100)
-    assert(again.forall(_.startsWith("bloom:")), again)
+    assert(again.isEmpty, again)
     // serves unchanged by maintenance
     val afterPairs = ShingleIndex.containmentSelf(spark, stores.shingle,
         0.8).collect().map(r => (r.getLong(0), r.getLong(1))).toSet

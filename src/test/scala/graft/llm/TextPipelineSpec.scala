@@ -454,5 +454,28 @@ class TextPipelineSpec extends SparkTestBase {
         "cluster", splits)
       .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
     got.foreach { case (id, _, s) => assert(expected(id) == s) }
+
+    // STORE-SERVED == recomputed (VERDICT r13 #3): on this corpus every
+    // exact-Jaccard pair shares >= 2 rare shingles (precondition asserted
+    // below — the store's operating regime), so the SimGraphStore-served
+    // split must equal the LSH recompute row for row. The store is built
+    // INCREMENTALLY in two updates to exercise the maintained path.
+    val storeDir = java.nio.file.Files
+      .createTempDirectory("graft-splitstore-spec").toString + "/g"
+    SimGraphStore.init(spark, storeDir, n = 3, cap = 50L, minCommon = 2L)
+    SimGraphStore.update(spark, storeDir,
+      df.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+    SimGraphStore.update(spark, storeDir,
+      df.filter(col("doc_id") % 2 =!= 0), "doc_id", "text")
+    val storeEdges = SimGraphStore.edges(spark, storeDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    pairs.foreach { case (a, b) =>
+      assert(storeEdges.contains((math.min(a, b), math.max(a, b))),
+        s"precondition: Jaccard pair ($a,$b) must have a store edge") }
+    val served = SampleOps.leakageFreeSplitFromStore(spark, storeDir, df,
+        "doc_id", "text", splits)
+      .select("doc_id", "cluster", "split").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(served == got.toSet)
   }
 }
