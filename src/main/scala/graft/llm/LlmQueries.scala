@@ -319,6 +319,60 @@ object LlmQueries {
 
   /** Shared oracle of q144/q147 — the from-scratch nightly pipeline over
     * history ∪ admitted (see the q144 comment). */
+  /** Three SEQUENTIAL admission nights in one query (q157): night i's
+    * lake is history ∪ every earlier night's admitted set — the exact
+    * composition runContinuous's per-micro-batch stage+fold executes
+    * when the slice schedule is fixed. Each night unrolls the q144
+    * admission CTEs (quality → exact-dup vs the CURRENT lake →
+    * containment vs the CURRENT lake). */
+  private val continuousNightOracle: String = {
+    def night(i: Int): String = {
+      val bat = s"(SELECT doc_id FROM documents WHERE doc_id % 9 = ${3 * (i - 1)})"
+      s"""q$i AS (
+         |  SELECT t.doc_id FROM tok t JOIN $bat b USING (doc_id)
+         |  WHERE len(t.toks) >= 8
+         |    AND len(list_distinct(t.toks)) >= 0.3 * len(t.toks)),
+         |dup$i AS (
+         |  SELECT fb.doc_id FROM fp fb JOIN q$i USING (doc_id)
+         |  WHERE EXISTS (SELECT 1 FROM fp fh JOIN lake$i USING (doc_id)
+         |                WHERE fh.fp = fb.fp)),
+         |fresh$i AS (SELECT doc_id FROM q$i
+         |            WHERE doc_id NOT IN (SELECT doc_id FROM dup$i)),
+         |cont$i AS (
+         |  SELECT DISTINCT qa.doc_id
+         |  FROM (SELECT s.doc_id, s.shingles FROM sh s
+         |        JOIN fresh$i USING (doc_id)) qa,
+         |       (SELECT s.doc_id, s.shingles FROM sh s
+         |        JOIN lake$i USING (doc_id)) hb
+         |  WHERE len(qa.shingles) > 0 AND len(hb.shingles) > 0
+         |    AND qa.doc_id != hb.doc_id
+         |    AND CAST(len(list_intersect(qa.shingles, hb.shingles)) AS DOUBLE)
+         |        >= 0.8 * len(qa.shingles)),
+         |adm$i AS (SELECT doc_id FROM fresh$i
+         |          WHERE doc_id NOT IN (SELECT doc_id FROM cont$i)),
+         |lake${i + 1} AS (SELECT doc_id FROM lake$i
+         |                 UNION ALL SELECT doc_id FROM adm$i)""".stripMargin
+    }
+    s"""WITH tok AS (
+       |  SELECT doc_id, $sqlToks AS toks FROM documents),
+       |sh AS (
+       |  SELECT doc_id, $sqlShingles AS shingles
+       |  FROM (SELECT doc_id, $sqlToks AS toks FROM documents)),
+       |fp AS (
+       |  SELECT doc_id,
+       |    md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fp
+       |  FROM tok),
+       |lake1 AS (SELECT doc_id FROM documents WHERE doc_id % 3 != 0),
+       |${night(1)},
+       |${night(2)},
+       |${night(3)}
+       |SELECT doc_id, night FROM (
+       |  SELECT doc_id, CAST(1 AS BIGINT) AS night FROM adm1
+       |  UNION ALL SELECT doc_id, CAST(2 AS BIGINT) FROM adm2
+       |  UNION ALL SELECT doc_id, CAST(3 AS BIGINT) FROM adm3)
+       |ORDER BY doc_id NULLS FIRST""".stripMargin
+  }
+
   private val nightlyCurationOracle: String =
     s"""WITH tok AS (
          |  SELECT doc_id, $sqlToks AS toks FROM documents),
@@ -2123,6 +2177,51 @@ object LlmQueries {
     qm("q152_streaming_nightly_curation", nightlyCurationOracle)(
       (s, dir) => nightlyCurationGate(s, dir, "nightstream",
         maintain = false, streamed = true)),
+
+    // ---- the CONTINUOUS night's determinism boundary, DRIVER-GATED
+    // (VERDICT r13 #6): runContinuous's result is split-dependent by
+    // design (later slices dedup against earlier folds), so the mode as
+    // a whole is spec-pinned — but under a FIXED slice schedule its
+    // admitted_log lake-delta record IS deterministic: night i admits
+    // against history ∪ nights < i. The oracle unrolls exactly that —
+    // three sequential q144 admission nights, each against the grown
+    // lake — so a fold that leaks mid-night state into admission, a
+    // night attributed to the wrong commit id, or a lost/duplicated
+    // admitted row all hash-mismatch here while q152 stays green.
+    q("q157_continuous_night_log", continuousNightOracle) { (s, dir) =>
+      import org.apache.hadoop.fs.Path
+      val root = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft-contnight-" + dir.replaceAll("[^A-Za-z0-9]", "_"))
+        .getAbsolutePath
+      val stores = NightlyCuration.Stores(root)
+      val rootPath = new Path(root)
+      val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(rootPath)) fs.delete(rootPath, true)
+      val docs = T.documents(s, dir)
+      val emb = T.embeddings(s, dir)
+      val history = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+      NightlyCuration.initStores(s, stores, history,
+        emb.filter(pmod(col("vec_id"), lit(3)) =!= 0), "doc_id", "text")
+      // the fixed schedule: slice b = doc_id % 9 == 3b, one file each,
+      // drained in order by a real AvailableNow stream
+      val src = s"$root/feed"
+      (0 until 3).foreach { b =>
+        val tmp = s"$root/feed-stage-$b"
+        docs.filter(pmod(col("doc_id"), lit(9)) === 3 * b)
+          .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = fs.listStatus(new Path(tmp)).map(_.getPath)
+          .find(_.getName.endsWith(".parquet")).get
+        fs.mkdirs(new Path(src))
+        fs.rename(part, new Path(src, s"b$b.parquet"))
+        fs.delete(new Path(tmp), true)
+      }
+      graft.streaming.StreamingNightlyCuration.runContinuous(s, src,
+        stores, emb, s"$root/ck")
+      graft.streaming.StreamingNightlyCuration.admittedLog(s, stores)
+        .select(col("doc_id"), col("night"))
+        .orderBy("doc_id")
+    },
 
     // ---- per-node triangle counts on the doc-similarity graph (edges =
     // pairs sharing ≥2 distinct DISTINCTIVE 3-gram shingles, df ≤ 50):
