@@ -317,21 +317,37 @@ object TextOps {
     * shuffle. The per-row `array_contains` filters are O(len²) in doc
     * length — bounded by the longest document, not the corpus; a
     * million-token outlier should be chunked upstream ([[chunkForEmbedding]]).
-    * Window keys could be xxhash64-narrowed at lake scale; kept as text so
-    * the oracle compares the same rows. */
+    *
+    * `hashedGramKeys` (default true — the lake-scale dial, VERDICT r13
+    * #4): the window's shuffle key is xxhash64(gram) — 8 bytes per
+    * window across the duplicated-window groupBy and the coverage
+    * semi-join, instead of the full k-token gram STRING (~6·k bytes);
+    * at k=5 that is an ~4× cut in the two gram shuffles, which dominate
+    * the operator's bytes at corpus scale. A hash collision (2⁻⁶⁴ per
+    * window PAIR — at 10¹² windows the corpus-wide collision odds are
+    * ~3·10⁻²; union-bound, per-window, not per-doc) can only mark a
+    * unique window as duplicated, never unmark a real duplicate, so the
+    * failure mode is a conservatively over-scrubbed token run. Set
+    * false for the bitwise-guaranteed text-keyed spelling (identical
+    * output absent collisions — the q148 oracle compares the same rows
+    * either way, and the spec pins hashed == text on the gate corpus). */
   def substringSpanDedup(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 5, minDocs: Int = 2): DataFrame = {
+      k: Int = 5, minDocs: Int = 2,
+      hashedGramKeys: Boolean = true): DataFrame = {
     require(k >= 2, "a 1-token window dedups the vocabulary, not substrings")
     val base = df.select(col(idCol).as("doc_id"),
       tokens(col(textCol)).as("toks"))
     // slidingGrams: position i holds the k-gram starting at token i+1,
     // null past len−k+1 (and for docs shorter than k) — the null filter
     // after posexplode keeps exactly the real windows with their positions
+    val gkey: Column => Column =
+      if (hashedGramKeys) g => xxhash64(g) else identity
     val grams = base
       .select(col("doc_id"),
         posexplode(slidingGrams(col("toks"), k)).as(Seq("p0", "gram")))
       .filter(col("gram").isNotNull)
-      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("gram"))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"),
+        gkey(col("gram")).as("gram"))
     val dup = grams.groupBy("gram")
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= minDocs)

@@ -112,6 +112,31 @@ class SubstringDedupSpec extends SparkTestBase {
     }
   }
 
+  test("hashed gram keys (the lake-scale shuffle dial) produce the same " +
+      "output as text keys, on the gate corpus and the colliding fixture") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(43)
+    val vocab = Vector("a", "b", "c", "d")
+    val rand = (0L until 120L).map { i =>
+      val n = rnd.nextInt(25)
+      i -> (0 until n).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    val gate = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toSeq
+    for ((docs, name) <- Seq((rand, "colliding"), (gate, "gate"))) {
+      val df = docs.toDF("doc_id", "text")
+      def run(hashed: Boolean) =
+        TextOps.substringSpanDedup(df, "doc_id", "text", k = 5,
+            minDocs = 2, hashedGramKeys = hashed)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getLong(3), r.getString(4))).toSet
+      assert(run(true) == run(false), s"$name corpus diverged")
+    }
+  }
+
   // ------------------------------------------- hashed importance selection
 
   private def md5hex(s: String): String =
