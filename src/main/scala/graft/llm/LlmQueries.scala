@@ -2222,7 +2222,7 @@ object LlmQueries {
     // lake — so a fold that leaks mid-night state into admission, a
     // night attributed to the wrong commit id, or a lost/duplicated
     // admitted row all hash-mismatch here while q152 stays green.
-    q("q157_continuous_night_log", continuousNightOracle) { (s, dir) =>
+    qm("q157_continuous_night_log", continuousNightOracle) { (s, dir) =>
       import org.apache.hadoop.fs.Path
       val root = new java.io.File(sys.props("java.io.tmpdir"),
         "graft-contnight-" + dir.replaceAll("[^A-Za-z0-9]", "_"))
@@ -2790,7 +2790,7 @@ object LlmQueries {
     // pair-bounded verify — no LSH rebuild. The oracle composes the
     // q136 rare-pair predicate with the Jaccard filter and replays the
     // recursive closure and the md5 threshold.
-    q("q156_leakage_free_split_store",
+    qm("q156_leakage_free_split_store",
       s"""WITH RECURSIVE shset AS (
          |  SELECT doc_id, $sqlShingles AS shingles
          |  FROM (SELECT doc_id, $sqlToks AS toks FROM documents)

@@ -374,7 +374,19 @@ object SampleOps {
     * near-dups share most of their shingles, and most shingles are rare
     * by Zipf) the result coincides with [[leakageFreeSplit]], which the
     * spec pins on exactly such a corpus. The shingle width comes from
-    * the store's own meta, so candidate and verify always agree. */
+    * the store's own meta, so candidate and verify always agree.
+    *
+    * Operating regime (measured, 100× probe 2026-08-16): the served
+    * spelling's cost is candidate-bound — verify work ∝ |store edges|.
+    * On a CURATED lake (the nightly cycle admits ¬near-dup documents,
+    * so the maintained graph is sparse) that is a small fraction of the
+    * corpus and the store read wins. On a template-dense UNCURATED
+    * corpus the rare-shingle graph is itself dense — the synthetic 100×
+    * corpus carries 13.3M edges over 500k docs — and the banded-LSH
+    * recompute (whose candidates prune at J ≥ t recall, not at
+    * shares-rare-shingles) is the cheaper call: 22 s vs 116 s there.
+    * Pick by edge count: [[SimGraphStore.edges]].count() is an
+    * 11 s pair-table fold at that scale. */
   def leakageFreeSplitFromStore(spark: org.apache.spark.sql.SparkSession,
       storePath: String, df: DataFrame, idCol: String, textCol: String,
       splits: Seq[(String, Double)], threshold: Double = 0.5,
@@ -382,9 +394,31 @@ object SampleOps {
     val (n, _, _) = SimGraphStore.readMeta(spark, storePath)
     val cands = SimGraphStore.edges(spark, storePath)
       .select(col("a").as("ida"), col("b").as("idb"))
+    // shingle ONLY the docs that appear in some candidate pair (on a
+    // deduped lake: a small minority) — without the semi-join prune the
+    // two verify joins shuffle corpus-sized shingle ARRAYS for every
+    // document, and the served path measured 7× slower than the LSH
+    // recompute it exists to avoid (100× probe, 2026-08-16)
+    val candIds = cands.select(col("ida").as("__lfs_id"))
+      .unionByName(cands.select(col("idb").as("__lfs_id"))).distinct()
     val sh = df.select(col(idCol).cast("long").as("__lfs_id"),
-      TextOps.wordShingles(col(textCol), n).as("__lfs_sh"))
-    val verified = cands
+        TextOps.wordShingles(col(textCol), n).as("__lfs_sh"))
+      .join(candIds, Seq("__lfs_id"), "left_semi")
+      .select(col("__lfs_id"), col("__lfs_sh"),
+        size(col("__lfs_sh")).as("__lfs_n"))
+      .localCheckpoint() // two joins below — compute the shingles once
+    // Jaccard length prefilter FIRST, on 8-byte size payloads: J ≥ t
+    // forces t·|A| ≤ |B| ≤ |A|/t, so size-incompatible candidates never
+    // meet a shingle array at all; survivors join the arrays and verify
+    val sized = cands
+      .join(sh.select(col("__lfs_id").as("ida"), col("__lfs_n").as("na")),
+        "ida")
+      .join(sh.select(col("__lfs_id").as("idb"), col("__lfs_n").as("nb")),
+        "idb")
+      .filter(col("na") >= lit(threshold) * col("nb") &&
+        col("nb") >= lit(threshold) * col("na"))
+      .select("ida", "idb")
+    val verified = sized
       .join(sh.select(col("__lfs_id").as("ida"), col("__lfs_sh").as("sha")),
         "ida")
       .join(sh.select(col("__lfs_id").as("idb"), col("__lfs_sh").as("shb")),

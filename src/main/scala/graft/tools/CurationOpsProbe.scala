@@ -45,6 +45,65 @@ object CurationOpsProbe {
       TextOps.substringSpanDedup(docs, "doc_id", "text", k = 5, minDocs = 2)
         .filter(col("n_removed") > 0).count()
     }
+    if (on("substringAB")) {
+      // hashed vs text gram keys (VERDICT r13 #4): same answer, the
+      // shuffle carries 8 B hashes vs full gram strings — record wall
+      // AND shuffle-write bytes per variant via a stage listener
+      val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted)
+            : Unit =
+          shuffleBytes.addAndGet(
+            sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+      }
+      spark.sparkContext.addSparkListener(listener)
+      for (hashed <- Seq(true, false)) {
+        shuffleBytes.set(0L)
+        t(s"substringSpanDedup hashed=$hashed") {
+          TextOps.substringSpanDedup(docs, "doc_id", "text", k = 5,
+              minDocs = 2, hashedGramKeys = hashed)
+            .filter(col("n_removed") > 0).count()
+        }
+        // settle the async listener queue before reading the counter
+        Thread.sleep(2000)
+        println(f"  shuffle write: ${shuffleBytes.get / 1e6}%10.1f MB")
+      }
+      spark.sparkContext.removeSparkListener(listener)
+    }
+    if (on("simhashClusters")) t("simhashNearDupClusters (q155)") {
+      // the composed operator: exact-dup collapse → rep-only hamming
+      // pairs → CC → per-doc labels; output is n rows, cost should be
+      // candidate-bound (vs the pair-emitting q154 probe above)
+      TextOps.simhashNearDupClusters(docs, "doc_id", "text", maxHamming = 3)
+        .count()
+    }
+    if (on("splitStore")) {
+      // q156 at scale: one store build (the maintained-lake stand-in),
+      // then the split SERVED from it vs the LSH+CC recompute (q153)
+      import graft.llm.SimGraphStore
+      val p = java.nio.file.Files
+        .createTempDirectory("graft-splitstore-probe").toString + "/g"
+      t("splitStore: store build (once)") {
+        SimGraphStore.init(spark, p, n = 3, cap = 50L, minCommon = 2L)
+        SimGraphStore.update(spark, p, docs.select("doc_id", "text"),
+          "doc_id", "text")
+        1L
+      }
+      t("splitStore: store edge count") {
+        SimGraphStore.edges(spark, p).count()
+      }
+      t("splitStore: served split") {
+        SampleOps.leakageFreeSplitFromStore(spark, p, docs, "doc_id",
+          "text", Seq("train" -> 0.8, "test" -> 0.2))
+          .groupBy("split").count().collect().map(_.getLong(1)).sum
+      }
+      t("splitStore: LSH recompute") {
+        SampleOps.leakageFreeSplit(docs, "doc_id", "text",
+          Seq("train" -> 0.8, "test" -> 0.2))
+          .groupBy("split").count().collect().map(_.getLong(1)).sum
+      }
+    }
     if (on("importance")) t("hashedImportanceSelect") {
       SampleOps.hashedImportanceSelect(docs, "doc_id", "text",
         isTarget = col("source").isin("src0", "src1"),

@@ -18,6 +18,12 @@ object NightlyCurationProbe {
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/tmp/scaled100x")
+    // the simgraph df cap is THE pair-volume dial (edges ∝ Σ_rare df² ≤
+    // cap·|rare postings|): at 1000× on this box the default cap=50
+    // edge fold filled the 62 GB free disk mid-write — pass a smaller
+    // cap for decade-up rehearsals (production spreads the same volume
+    // across executor-local disks, but the Σdf² economics are identical)
+    val simCap = args.lift(1).map(_.toLong).getOrElse(50L)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
@@ -58,8 +64,8 @@ object NightlyCurationProbe {
         nCentroids = 16,
         centroids = Some(AnnOps.seedCentroids(historyEmb, 16, 64)))
     }
-    t("bootstrap simgraph (init+fold)") {
-      SimGraphStore.init(spark, stores.graph, n = 3, cap = 50L,
+    t(s"bootstrap simgraph (init+fold, cap=$simCap)") {
+      SimGraphStore.init(spark, stores.graph, n = 3, cap = simCap,
         minCommon = 2L)
       SimGraphStore.update(spark, stores.graph, history, "doc_id", "text")
     }
