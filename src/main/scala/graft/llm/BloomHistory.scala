@@ -265,6 +265,11 @@ object BloomHistory {
 
   private def committedFpDirs(spark: SparkSession, path: String,
       lastBid: Long): Seq[String] = {
+    // the ParquetCompaction invariant: recover before first touch — a
+    // compactFingerprints killed between root-delete and rename leaves
+    // the WHOLE sidecar in the READY temp, and a reader that skipped
+    // recovery would silently verify against nothing
+    graft.sources.ParquetCompaction.recover(spark, fpPath(path))
     val root = new org.apache.hadoop.fs.Path(fpPath(path))
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) Nil
@@ -279,6 +284,7 @@ object BloomHistory {
 
   private def cleanOrphanFps(spark: SparkSession, path: String,
       lastBid: Long): Unit = {
+    graft.sources.ParquetCompaction.recover(spark, fpPath(path))
     val root = new org.apache.hadoop.fs.Path(fpPath(path))
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(root)) fs.listStatus(root).foreach { st =>

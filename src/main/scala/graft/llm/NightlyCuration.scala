@@ -162,8 +162,13 @@ object NightlyCuration {
       AnnOps.compactIvfIndex(spark, stores.ivf)
       actions += "ivf: compacted (small files)"
     }
-    if (graft.sources.ParquetCompaction.dataFileCount(spark,
-        BloomHistory.fpPath(stores.bloom)) > maxDataFiles) {
+    // the sidecar exists only after the first append; guard the listing
+    val fpRoot = new org.apache.hadoop.fs.Path(
+      BloomHistory.fpPath(stores.bloom))
+    val fpFs = fpRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fpFs.exists(fpRoot) &&
+        graft.sources.ParquetCompaction.dataFileCount(spark,
+          BloomHistory.fpPath(stores.bloom)) > maxDataFiles) {
       BloomHistory.compactFingerprints(spark, stores.bloom)
       actions += "bloom-fp: compacted (small files)"
     }

@@ -177,4 +177,59 @@ class BloomHistorySpec extends SparkTestBase {
     assert(words(dir2) == words(ref) &&
       BloomHistory.readMeta(spark, dir2)._1 == (1 << 17))
   }
+  test("fingerprint sidecar: compaction folds committed bids into one, " +
+      "serving and rebuild are unchanged, and kills at both swap stages " +
+      "leave a whole sidecar (readers recover before first touch)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val history = docs.filter(col("doc_id") < 300)
+    val batch = docs.filter(col("doc_id") >= 300 && col("doc_id") < 400)
+    val dir = tmp("fpcompact")
+    BloomHistory.init(spark, dir, mBits = 1 << 16, k = 5)
+    BloomHistory.append(spark, dir, history.filter(col("doc_id") < 150),
+      "text", explicitBid = Some(0L))
+    BloomHistory.append(spark, dir, history.filter(col("doc_id") >= 150),
+      "text", explicitBid = Some(1L))
+    val before = BloomHistory.dedupFromStore(spark, dir,
+      docs.filter(col("doc_id") < 400), "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    assert(before.nonEmpty)
+    // clean compaction: one committed bid partition remains, serving
+    // identical, rebuild from the compacted sidecar still exact
+    BloomHistory.compactFingerprints(spark, dir)
+    val fpRoot = new org.apache.hadoop.fs.Path(BloomHistory.fpPath(dir))
+    val fs = fpRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bidDirs = fs.listStatus(fpRoot).map(_.getPath.getName)
+      .filter(_.startsWith("bid="))
+    assert(bidDirs.toSeq == Seq("bid=1"), bidDirs.toSeq)
+    assert(BloomHistory.dedupFromStore(spark, dir,
+      docs.filter(col("doc_id") < 400), "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet == before)
+    BloomHistory.rebuild(spark, dir, newMBits = 1 << 17)
+    val ref = tmp("fpcompact-ref")
+    BloomHistory.init(spark, ref, mBits = 1 << 17, k = 5)
+    BloomHistory.append(spark, ref, history, "text")
+    assert(words(dir) == words(ref))
+    // a replay-disciplined next append lands on the compacted sidecar
+    BloomHistory.append(spark, dir, batch, "text", explicitBid = Some(2L))
+    // kills at both swap stages of a sidecar compaction: reads after
+    // recovery see the full fingerprint multiset either way
+    val full = BloomHistory.dedupFromStore(spark, dir, docs,
+      "doc_id", "text").collect().map(_.getLong(0)).toSet
+    ParquetCompaction.crashHook =
+      p => if (p == "compact-ready") throw new RuntimeException("kill@ready")
+    try intercept[RuntimeException] {
+      BloomHistory.compactFingerprints(spark, dir)
+    } finally ParquetCompaction.crashHook = _ => ()
+    assert(BloomHistory.dedupFromStore(spark, dir, docs,
+      "doc_id", "text").collect().map(_.getLong(0)).toSet == full)
+    ParquetCompaction.crashHook = p =>
+      if (p == "compact-after-delete") throw new RuntimeException("kill@del")
+    try intercept[RuntimeException] {
+      BloomHistory.compactFingerprints(spark, dir)
+    } finally ParquetCompaction.crashHook = _ => ()
+    // NO manual recover here: dedupFromStore's own first-touch recovery
+    // must promote the READY temp
+    assert(BloomHistory.dedupFromStore(spark, dir, docs,
+      "doc_id", "text").collect().map(_.getLong(0)).toSet == full)
+  }
 }
