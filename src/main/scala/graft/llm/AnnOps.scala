@@ -345,17 +345,24 @@ object AnnOps {
 
   /** Cell assignment kernel: argmax cosine over the broadcast centroids,
     * first-wins on exact ties (centroids iterate in cid order). The
-    * resulting (cid, nid, nemb) frame IS the inverted index.
+    * resulting (cid, nid, nemb [, payload…]) frame IS the inverted index.
+    * `payloadCols` ride along unchanged — the inline-payload layout of a
+    * FILTERED vector search index (predicates on them push into the
+    * pruned cells scan instead of joining a side table per query).
     * private[graft]: the SemDedupProbe tool measures learned-cell
     * occupancy through the same kernel the operator uses. */
   private[graft] def ivfAssignments(corpus: DataFrame,
-      cents: Array[(Long, Array[Float], Double)], dim: Int): DataFrame = {
+      cents: Array[(Long, Array[Float], Double)], dim: Int,
+      payloadCols: Seq[String] = Nil): DataFrame = {
     val spark = corpus.sparkSession
     val centsB = spark.sparkContext.broadcast(cents)
+    val payloadFields = payloadCols.map(c => corpus.schema(c))
     val asgSchema = StructType(Seq(StructField("cid", LongType),
       StructField("nid", LongType),
-      StructField("nemb", ArrayType(FloatType))))
-    val asgRdd = corpus.select(col("vec_id"), col("embedding")).rdd
+      StructField("nemb", ArrayType(FloatType))) ++ payloadFields)
+    val inCols = Seq(col("vec_id"), col("embedding")) ++ payloadCols.map(col)
+    val nPayload = payloadCols.length
+    val asgRdd = corpus.select(inCols: _*).rdd
       .mapPartitions { rows =>
         val cs = centsB.value
         rows.map { r =>
@@ -373,7 +380,9 @@ object AnnOps {
             if (cos > bestCos) { bestCos = cos; bestCid = cid }
             j += 1
           }
-          org.apache.spark.sql.Row(bestCid, r.getLong(0), emb)
+          org.apache.spark.sql.Row.fromSeq(
+            Seq(bestCid, r.getLong(0), emb) ++
+              (0 until nPayload).map(p => r.get(2 + p)))
         }
       }
     spark.createDataFrame(asgRdd, asgSchema)
@@ -424,12 +433,13 @@ object AnnOps {
     * identical index for verification. */
   def buildIvfIndex(corpus: DataFrame, path: String, dim: Int = 64,
       nCentroids: Int = 16,
-      centroids: Option[Array[(Long, Array[Float], Double)]] = None): Unit = {
+      centroids: Option[Array[(Long, Array[Float], Double)]] = None,
+      payloadCols: Seq[String] = Nil): Unit = {
     val spark = corpus.sparkSession
     graft.functions.ArrayDotProduct.register(spark)
     val cents = centroids.getOrElse(
       kmeansParCentroids(corpus, nCentroids, dim))
-    ivfAssignments(corpus, cents, dim)
+    ivfAssignments(corpus, cents, dim, payloadCols)
       .write.mode("overwrite").partitionBy("cid").parquet(s"$path/cells")
     spark.createDataFrame(cents.toSeq.map { case (cid, ce, cn) =>
       (cid, ce.toSeq, cn)
@@ -471,7 +481,12 @@ object AnnOps {
           (r.getLong(0), r.getSeq[Float](1).toArray.map(_.toFloat),
             r.getDouble(2))
         }
-    ivfAssignments(newVectors, cents, dim)
+    // an index built with inline payload columns keeps them through
+    // appends: derive the payload list from the cells schema itself so
+    // callers can't desynchronize the layout
+    val payloadCols = spark.read.parquet(s"$path/cells").schema.fieldNames
+      .filterNot(Set("cid", "nid", "nemb")).toSeq
+    ivfAssignments(newVectors, cents, dim, payloadCols)
       .write.mode("append").partitionBy("cid").parquet(s"$path/cells")
     // occupancy check: cid is a partition column, so this aggregate reads
     // footers/partition values only — O(files) metadata work, zero data
@@ -510,9 +525,21 @@ object AnnOps {
     * metadata set (≤ nCentroids values, collected from the
     * |queries|·nProbe probe frame), so the scan plans with partition
     * pruning (PlanSpec asserts PartitionFilters) and the data read is
-    * ~nProbe/nCentroids of the corpus no matter the corpus size. */
+    * ~nProbe/nCentroids of the corpus no matter the corpus size.
+    *
+    * FILTERED search: `predicate` restricts candidates by the index's
+    * inline payload columns ([[buildIvfIndex]] `payloadCols`) BEFORE
+    * scoring — the pre-filter spelling of every production vector store.
+    * The predicate lands on the pruned cells scan, so a simple
+    * comparison/IN pushes into parquet (PushedFilters) and filtered
+    * rows never reach the dot-product kernel. Recall dial: a selective
+    * filter thins each probed cell's candidate pool, so callers raise
+    * `nProbe` as selectivity drops (k survivors need ~k/selectivity
+    * scored candidates); the exactness contract is unchanged — the
+    * result is the exact top-k among matching vectors in probed cells. */
   def ivfTopKFromIndex(spark: org.apache.spark.sql.SparkSession, path: String,
-      queries: DataFrame, k: Int, dim: Int = 64, nProbe: Int = 2): DataFrame = {
+      queries: DataFrame, k: Int, dim: Int = 64, nProbe: Int = 2,
+      predicate: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     graft.functions.ArrayDotProduct.register(spark)
     // finish any crashed compaction before reading (cheap when whole)
     graft.sources.ParquetCompaction.recover(spark, s"$path/cells")
@@ -527,8 +554,9 @@ object AnnOps {
     // the union of probed cids across the batch — bounded by nCentroids,
     // collected once so the cells scan gets a literal partition filter
     val probedCids = probes.select("cid").distinct().collect().map(_.getLong(0))
-    val index = spark.read.parquet(s"$path/cells")
+    val pruned = spark.read.parquet(s"$path/cells")
       .filter(col("cid").isin(probedCids.toSeq: _*))
+    val index = predicate.fold(pruned)(pruned.filter)
     ivfScore(index, probes, k, dim)
   }
 

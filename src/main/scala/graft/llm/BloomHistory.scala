@@ -17,9 +17,17 @@ import org.apache.spark.sql.types.LongType
   *    the fp-rate policy), lastBid (replay discipline).
   * and the FINGERPRINT SIDECAR at the sibling `path`__fp (outside the
   * swap root, so the filter's whole-store rewrite never has to copy it):
-  *  - `bid=<b>/bkt=<x>/` — each committed batch's token-set fingerprints
-  *    (the md5 strings the filter folded), hash-bucketed by
-  *    pmod(xxhash64(fp), 64) for partition-pruned verify reads.
+  *  - `bid=<b>/nb=<B>/bkt=<x>/` — each committed batch's token-set
+  *    fingerprints (the md5 strings the filter folded), hash-bucketed by
+  *    pmod(xxhash64(fp), B) for partition-pruned verify reads. B is
+  *    SIZED TO THE BATCH (next power of two of rows/8k, capped at 256):
+  *    a 5k-doc nightly append writes ONE bucket file instead of a fixed
+  *    64 (the r14 q141 bench mover — 64 tiny files per append was pure
+  *    fixed overhead at small SFs), while a lake-sized bootstrap fold
+  *    still fans out for pruned verify reads. Readers prune across
+  *    MIXED fan-outs because every B is a power of two dividing 256:
+  *    a hit hashing to bucket r under mod 256 lives in bucket r mod B
+  *    of a B-bucket partition (B | 256 ⇒ h ≡ r (mod B)).
   * The sidecar is the lake's fingerprint column as a store-owned dataset
   * (VERDICT r13 #1): [[probe]] hits verify against IT, so the nightly
   * admission gate never reads lake text — the verify scan is fp-bytes
@@ -69,10 +77,23 @@ object BloomHistory {
 
   private val metaFile = "_graft_bloom_meta.json"
 
-  /** Fingerprint-sidecar bucket fan-out (class doc): fixed so writer and
-    * reader always agree; 64 keeps the per-append file count moderate
-    * while letting a small hit set prune most of the verify scan. */
-  private val fpBuckets = 64
+  /** Max fingerprint-sidecar bucket fan-out (class doc). Every
+    * partition's own fan-out is a power of two dividing this, so readers
+    * derive any partition's bucket for a hit from the hit's residue mod
+    * this one modulus. */
+  private[graft] val maxFpBuckets = 256
+
+  /** Target fingerprint rows per sidecar bucket file (~32 B/row ⇒
+    * ~256 KB files); drives [[bucketsFor]]. */
+  private val fpBucketTargetRows = 8192L
+
+  /** Batch-sized bucket fan-out: next power of two of rows/target,
+    * clamped to [1, maxFpBuckets]. */
+  private[graft] def bucketsFor(rows: Long): Int = {
+    val want = math.max(1L, (rows + fpBucketTargetRows - 1) / fpBucketTargetRows)
+    math.min(maxFpBuckets.toLong,
+      java.lang.Long.highestOneBit(math.max(1L, 2 * want - 1))).toInt
+  }
 
   private[graft] def fpPath(path: String): String = s"${path}__fp"
 
@@ -128,21 +149,24 @@ object BloomHistory {
     // the sidecar write precedes the swap (class doc): orphans from a
     // crashed earlier attempt are exactly the partitions above lastBid
     cleanOrphanFps(spark, path, lastBid)
+    // fan-out sized to the batch (class doc); the count is a
+    // column-pruned pass, cheap next to the fingerprint+write pass
+    val nb = bucketsFor(batch.count())
     batch
       .select(TextOps.tokenSetFingerprint(col(textCol)).as("fp"))
-      .withColumn("bkt", pmod(xxhash64(col("fp")), lit(fpBuckets)))
+      .withColumn("bkt", pmod(xxhash64(col("fp")), lit(nb)))
       // repartition BY bkt first: without it every shuffle task writes
       // into every bucket directory — up to tasks×buckets tiny files per
       // append (measured 7.6 s vs 1.8 s for a 5k-doc batch at 100×)
       .repartition(col("bkt"))
       .write.partitionBy("bkt").mode("overwrite")
-      .parquet(s"${fpPath(path)}/bid=$bid")
+      .parquet(s"${fpPath(path)}/bid=$bid/nb=$nb")
     // fold the filter FROM the just-written sidecar partition: one read
     // of fp-bytes instead of re-tokenizing the batch text, and the
     // filter can never disagree with what the sidecar recorded
     // explicit schema: a 0-row batch writes no data files, and the fold
     // must still see an empty (fp, bkt) frame, not an inference failure
-    val folded = spark.read.schema("fp STRING, bkt BIGINT")
+    val folded = spark.read.schema("fp STRING, nb BIGINT, bkt BIGINT")
       .parquet(s"${fpPath(path)}/bid=$bid")
       .agg(call_function(graft.functions.BloomFilterAgg.name,
           xxhash64(col("fp")), lit(mBits), lit(k)).as("bw"),
@@ -238,29 +262,37 @@ object BloomHistory {
     // materialize the hits: they are read twice (bucket list + verify
     // join) and both reads must see the same filter state
     val hits = probe(spark, path, batch, idCol, textCol)
-      .withColumn("bkt", pmod(xxhash64(col("fp")), lit(fpBuckets)))
+      .withColumn("bkt", pmod(xxhash64(col("fp")), lit(maxFpBuckets)))
       .localCheckpoint()
-    // ≤ fpBuckets distinct values — a driver-bounded collect
-    val bkts = hits.select("bkt").distinct().collect().map(_.getLong(0))
-    if (bkts.isEmpty) return hits.select("doc_id").limit(0)
+    // hit residues mod the MAX fan-out — ≤ maxFpBuckets distinct
+    // values, a driver-bounded collect; each partition's own bucket for
+    // a hit is its residue mod that partition's nb (class doc)
+    val res = hits.select("bkt").distinct().collect().map(_.getLong(0))
+    if (res.isEmpty) return hits.select("doc_id").limit(0)
+    // one OR-of-ANDs over the 9 possible fan-outs: partition pruning
+    // keeps only (nb, bkt) dirs a hit can land in, absent nbs cost 0
+    val prune = (0 to 8).map(1L << _).map { b =>
+      col("nb") === b && col("bkt").isin(res.map(_ % b).distinct: _*)
+    }.reduce(_ || _)
     storedFingerprints(spark, path, lastBid)
-      .filter(col("bkt").isin(bkts: _*))
-      .join(broadcast(hits), Seq("fp", "bkt"))
+      .filter(prune)
+      .join(broadcast(hits.select("doc_id", "fp")), Seq("fp"))
       .select("doc_id").distinct()
   }
 
   /** Every committed fingerprint in the sidecar (bids ≤ `lastBid`; an
     * orphan partition above it is a crashed append's leftover). Columns
-    * (fp, bkt); empty frame when nothing has been appended. */
+    * (fp, nb, bkt); empty frame when nothing has been appended. */
   private def storedFingerprints(spark: SparkSession, path: String,
       lastBid: Long): DataFrame = {
     val dirs = committedFpDirs(spark, path, lastBid)
     if (dirs.isEmpty)
-      spark.range(0).select(lit("").as("fp"), lit(0L).as("bkt")).limit(0)
+      spark.range(0).select(lit("").as("fp"), lit(1L).as("nb"),
+        lit(0L).as("bkt")).limit(0)
     else
-      spark.read.schema("fp STRING, bkt BIGINT")
+      spark.read.schema("fp STRING, nb BIGINT, bkt BIGINT")
         .option("basePath", fpPath(path)).parquet(dirs: _*)
-        .select("fp", "bkt")
+        .select("fp", "nb", "bkt")
   }
 
   private def committedFpDirs(spark: SparkSession, path: String,
@@ -304,13 +336,19 @@ object BloomHistory {
     * rewrite-then-swap, so a kill leaves the old or the new sidecar. */
   def compactFingerprints(spark: SparkSession, path: String): Unit = {
     graft.sources.ParquetCompaction.recover(spark, path)
-    val (_, _, _, lastBid) = readMeta(spark, path)
+    val (_, _, nItems, lastBid) = readMeta(spark, path)
     if (lastBid < 0L) return
     graft.sources.ParquetCompaction.recover(spark, fpPath(path))
-    val all = storedFingerprints(spark, path, lastBid).localCheckpoint()
+    // fan-out re-sized to the WHOLE folded multiset (nItems counts every
+    // row the sidecar holds), buckets recomputed under it — the mixed
+    // per-append fan-outs collapse into one uniform partition
+    val nb = bucketsFor(nItems)
+    val all = storedFingerprints(spark, path, lastBid)
+      .select(col("fp"), pmod(xxhash64(col("fp")), lit(nb)).as("bkt"))
+      .localCheckpoint()
     graft.sources.ParquetCompaction.rewrite(spark, fpPath(path)) { tmp =>
       all.repartition(col("bkt"))
-        .write.partitionBy("bkt").parquet(s"$tmp/bid=$lastBid")
+        .write.partitionBy("bkt").parquet(s"$tmp/bid=$lastBid/nb=$nb")
     }
   }
 

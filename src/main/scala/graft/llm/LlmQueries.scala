@@ -30,7 +30,10 @@ object LlmQueries {
       val path = new java.io.File(sys.props("java.io.tmpdir"),
         "graft-ivf-" + dir.replaceAll("[^A-Za-z0-9]", "_")).getAbsolutePath
       AnnOps.buildIvfIndex(emb, path, dim = 64, nCentroids = 16,
-        centroids = Some(AnnOps.seedCentroids(emb, 16, 64)))
+        centroids = Some(AnnOps.seedCentroids(emb, 16, 64)),
+        // inline payload for the FILTERED probe path (q158); columnar
+        // parquet means unfiltered probes never read the extra column
+        payloadCols = Seq("label"))
       path
     })
 
@@ -284,13 +287,16 @@ object LlmQueries {
   // Oracle spelling of AnnOps.ivfTopKForQueries: same deterministic seed
   // centroids, same argmax-cosine cell assignment (ties to lowest cid),
   // same nProbe cell pruning, same exact top-k within probed cells.
-  private def annIvfOracle(nCentroids: Int, nProbe: Int, k: Int): String =
+  // `pred` (on alias `a`, the assigned corpus vector) is the FILTERED
+  // variant's candidate predicate — empty for the unfiltered entries.
+  private def annIvfOracle(nCentroids: Int, nProbe: Int, k: Int,
+      pred: String = ""): String =
     s"""WITH cent AS (
        |  SELECT vec_id AS cid, embedding AS ce FROM embeddings
        |  ORDER BY vec_id LIMIT $nCentroids),
        |asg AS (
-       |  SELECT nid, ne, cid FROM (
-       |    SELECT e.vec_id AS nid, e.embedding AS ne, c.cid,
+       |  SELECT nid, ne, label, cid FROM (
+       |    SELECT e.vec_id AS nid, e.embedding AS ne, e.label, c.cid,
        |      row_number() OVER (PARTITION BY e.vec_id
        |        ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
        |                                        CAST(c.ce AS DOUBLE[])) DESC,
@@ -309,7 +315,7 @@ object LlmQueries {
        |  SELECT pr.qid, a.nid,
        |    list_cosine_similarity(CAST(q.qe AS DOUBLE[]), CAST(a.ne AS DOUBLE[])) AS cos
        |  FROM probe pr JOIN asg a USING (cid) JOIN q USING (qid)
-       |  WHERE a.nid != pr.qid),
+       |  WHERE a.nid != pr.qid${if (pred.isEmpty) "" else s" AND $pred"}),
        |r AS (SELECT qid, nid,
        |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk
        |      FROM p)
@@ -1002,6 +1008,26 @@ object LlmQueries {
       val path = ivfIndexFor(dir, emb)
       AnnOps.ivfTopKFromIndex(s, path, emb.filter(col("vec_id") < 20),
           k = 3, dim = 64, nProbe = 2)
+        .orderBy("qid", "rk")
+    },
+
+    // ---- FILTERED vector search (the production "payload filter" probe:
+    // restrict candidates by metadata, THEN take the exact top-k among
+    // probed cells). The label payload lives INLINE in the persisted
+    // index cells, so the IN-predicate pushes into the already
+    // partition-pruned parquet scan — no per-query join against a
+    // metadata side table, filtered rows never reach the dot-product
+    // kernel. nProbe is doubled vs q76: a ~30%-selective filter thins
+    // each probed cell's pool, so the probe widens to keep candidate
+    // depth (the recall dial every vector store exposes; exactness
+    // within probed cells is unchanged and the oracle replays it).
+    q("q158_ann_filtered", annIvfOracle(nCentroids = 16, nProbe = 4, k = 3,
+        pred = "a.label IN (1, 4, 7)")) { (s, dir) =>
+      val emb = T.embeddings(s, dir)
+      val path = ivfIndexFor(dir, emb)
+      AnnOps.ivfTopKFromIndex(s, path, emb.filter(col("vec_id") < 20),
+          k = 3, dim = 64, nProbe = 4,
+          predicate = Some(col("label").isin(1, 4, 7)))
         .orderBy("qid", "rk")
     },
 

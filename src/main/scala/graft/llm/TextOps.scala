@@ -1577,8 +1577,15 @@ object TextOps {
     val positional =
       lit(1) + least(col("sza") - col("rna"), col("szb") - col("rnb")) >=
         ceil(lit(threshold) * col("sza"))
-    probe.join(target,
-        col("s") === col("s2") && col("ida") =!= col("idb") &&
+    // the join key is the shingle's 64-bit hash, not its text: the
+    // equi-join shuffle then moves 8 B/posting instead of the gram
+    // string (the q148 hashed-key dial, here unconditionally safe —
+    // equal strings always hash equal so no true candidate is lost, and
+    // a collision's false candidate dies in containmentVerify's exact
+    // stage-2, so the output is collision-PROOF, not just improbable)
+    probe.withColumn("kh", xxhash64(col("s"))).drop("s")
+      .join(target.withColumn("kh2", xxhash64(col("s2"))).drop("s2"),
+        col("kh") === col("kh2") && col("ida") =!= col("idb") &&
           col("szb").cast(DoubleType) >= lit(threshold) * col("sza").cast(DoubleType) &&
           (not(sameOrder) || positional))
       .select("ida", "idb").distinct()

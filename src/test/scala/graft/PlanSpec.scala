@@ -160,6 +160,23 @@ class PlanSpec extends SparkTestBase {
       Set(1000L, 1001L, 1002L))
   }
 
+  test("filtered vector search (q158): the cells scan is partition-pruned " +
+      "to probed cids AND the payload predicate pushes into parquet") {
+    // the inline-payload thesis: a filtered probe must not join a
+    // metadata side table or scan unfiltered rows — the label IN filter
+    // rides the already-pruned cells scan as a parquet PushedFilter
+    val plan = executedPlan("q158_ann_filtered")
+    val cellScans = plan.split("FileScan parquet").toSeq.tail
+      .filter(_.contains("cells"))
+    assert(cellScans.nonEmpty, s"expected a cells scan in:\n$plan")
+    assert(cellScans.forall(s =>
+      s.contains("PartitionFilters") && !s.contains("PartitionFilters: []")),
+      s"cells scan must stay partition-pruned by probed cid:\n$plan")
+    assert(cellScans.exists(_.contains("In(label")),
+      s"label predicate must push into the cells scan:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("persisted IVF-PQ index: the packed cells scan is partition-pruned " +
       "to probed cids (q145's dense side)") {
     // the deterministic IVF-PQ index behind q145, probed the way

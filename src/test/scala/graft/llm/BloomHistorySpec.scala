@@ -232,4 +232,55 @@ class BloomHistorySpec extends SparkTestBase {
     assert(BloomHistory.dedupFromStore(spark, dir, docs,
       "doc_id", "text").collect().map(_.getLong(0)).toSet == full)
   }
+
+  test("fingerprint sidecar fan-out is batch-sized: a small append writes " +
+      "ONE bucket, a large one fans out, and verify reads mixed fan-outs " +
+      "correctly") {
+    // the r14 q141 bench mover: a fixed 64-bucket fan-out cost every
+    // 5k-doc nightly append 64 tiny files of pure fixed overhead
+    assert(BloomHistory.bucketsFor(0L) == 1)
+    assert(BloomHistory.bucketsFor(8192L) == 1)
+    assert(BloomHistory.bucketsFor(8193L) == 2)
+    assert(BloomHistory.bucketsFor(495000L) == 64)
+    assert(BloomHistory.bucketsFor(Long.MaxValue / 2) == 256)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val dir = tmp("fanout")
+    BloomHistory.init(spark, dir, mBits = 1 << 16, k = 5)
+    BloomHistory.append(spark, dir, docs.filter(col("doc_id") < 200), "text")
+    val fs = new org.apache.hadoop.fs.Path(BloomHistory.fpPath(dir))
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def nbDirOf(bid: Long): String = {
+      val subs = fs.listStatus(new org.apache.hadoop.fs.Path(
+        BloomHistory.fpPath(dir), s"bid=$bid")).map(_.getPath.getName)
+        .filter(_.startsWith("nb="))
+      assert(subs.length == 1, subs.toSeq); subs(0)
+    }
+    assert(nbDirOf(0L) == "nb=1") // 200 rows << 8192 target
+    // a >8192-row append fans out to nb=2 — the sidecar now holds MIXED
+    // fan-outs, and the verify must prune each partition with its OWN
+    // modulus (residue mod 256 → mod nb)
+    import spark.implicits._
+    val big = spark.range(9000L)
+      .select((col("id") + 100000L).as("doc_id"),
+        concat(lit("synthetic filler line "), col("id")).as("text"))
+    BloomHistory.append(spark, dir, big, "text")
+    assert(nbDirOf(1L) == "nb=2")
+    // probe batch straddles both bids (+ fresh rows); served dedup over
+    // the mixed sidecar equals the non-persisted operator over the same
+    // history
+    val history = docs.filter(col("doc_id") < 200)
+      .select(col("doc_id"), col("text")).union(big)
+    val batch = docs.filter(col("doc_id") < 100)
+      .select(col("doc_id"), col("text"))
+      .union(big.filter(col("doc_id") < 100300L))
+      .union(docs.filter(col("doc_id") >= 400 && col("doc_id") < 450)
+        .select(col("doc_id") + 900000L, col("text")))
+    val got = BloomHistory.dedupFromStore(spark, dir, batch,
+      "doc_id", "text").collect().map(_.getLong(0)).toSet
+    val want = TextOps.dedupAgainstHistory(history, batch,
+      "doc_id", "text").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
 }
