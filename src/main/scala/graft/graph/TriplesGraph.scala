@@ -616,6 +616,9 @@ final class TriplesGraph(
   def save(path: String, nBuckets: Int = TriplesGraph.defaultSubjectBuckets): Unit = {
     val parts = slices.toSeq.flatMap { case (p, sl) => storeRows(p, sl, nBuckets) }
     parts.reduce(_.unionByName(_))
+      // align writers with the partition tree (the tiny-files trap: an
+      // unaligned union writes tasks x |p.kind.cls.sb| small files)
+      .repartition(col("p"), col("kind"), col("cls"), col("sb"))
       .write.mode("overwrite").partitionBy("p", "kind", "cls", "sb").parquet(path)
     // persist the layout contract next to the data: load() reads nBuckets
     // back from here instead of trusting its caller, so a store saved with
@@ -669,7 +672,8 @@ final class TriplesGraph(
     val parts = slices.toSeq.filter(kv => touched.contains(kv._1))
       .flatMap { case (p, sl) => storeRows(p, sl, nBuckets) }
     parts.reduceOption(_.unionByName(_)).foreach(
-      _.write.partitionBy("p", "kind", "cls", "sb").parquet(staging.toString))
+      _.repartition(col("p"), col("kind"), col("cls"), col("sb"))
+        .write.partitionBy("p", "kind", "cls", "sb").parquet(staging.toString))
     TriplesGraph.crashHook("after-staging")
     // 2. commit marker: predicates with staged content are swaps, touched
     // predicates with no staged rows (fully deleted) are drops

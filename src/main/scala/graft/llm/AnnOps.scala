@@ -440,6 +440,7 @@ object AnnOps {
     val cents = centroids.getOrElse(
       kmeansParCentroids(corpus, nCentroids, dim))
     ivfAssignments(corpus, cents, dim, payloadCols)
+      .repartition(col("cid")) // align writers with cells (tiny-files trap)
       .write.mode("overwrite").partitionBy("cid").parquet(s"$path/cells")
     spark.createDataFrame(cents.toSeq.map { case (cid, ce, cn) =>
       (cid, ce.toSeq, cn)
@@ -487,6 +488,7 @@ object AnnOps {
     val payloadCols = spark.read.parquet(s"$path/cells").schema.fieldNames
       .filterNot(Set("cid", "nid", "nemb")).toSeq
     ivfAssignments(newVectors, cents, dim, payloadCols)
+      .repartition(col("cid")) // one file per touched cell per append
       .write.mode("append").partitionBy("cid").parquet(s"$path/cells")
     // occupancy check: cid is a partition column, so this aggregate reads
     // footers/partition values only — O(files) metadata work, zero data
@@ -1263,6 +1265,7 @@ object AnnOps {
       trainIvfPq(corpus, dim, nCentroids, m, kCodes, lloydRounds)
     encoded.select(col("vec_id"), col("cid"),
         packCodes(col("codes"), m, kCodes).as("packed"))
+      .repartition(col("cid")) // align writers with cells (tiny-files trap)
       .write.mode("overwrite").partitionBy("cid").parquet(s"$path/cells")
     writeIvfPqModel(spark, path, model, nCentroids, m, kCodes)
   }
@@ -1341,6 +1344,7 @@ object AnnOps {
       }, encSchema)
     encoded.select(col("vec_id"), col("cid"),
         packCodes(col("codes"), m, kCodes).as("packed"))
+      .repartition(col("cid")) // align writers with cells (tiny-files trap)
       .write.mode("overwrite").partitionBy("cid").parquet(s"$path/cells")
     val zeros = Array.fill(nCentroids)(new Array[Double](dim))
     writeIvfPqModel(spark, path, IvfPqModel(dim, cents, zeros, pq),

@@ -121,8 +121,14 @@ object ShingleIndex {
     val ex = base.select(col("id"), size(col("sh")).as("sz"),
       explode(col("sh")).as("s"))
     val dfTab = ex.groupBy("s").agg(count(lit(1)).as("df"))
+    // repartition BY sb before every partitionBy write (the BloomHistory
+    // sidecar discipline): without it each of the shuffle's tasks opens a
+    // writer in every bucket directory — tasks×nBuckets small files whose
+    // per-file writer overhead dominates the whole build (measured 71.6 s
+    // vs 7.8 s for the same 2.6M-row postings frame at 50k docs)
     dfTab.withColumn("ep", lit(0L))
       .withColumn("sb", pmod(xxhash64(col("s")), lit(nBuckets)))
+      .repartition(col("sb"))
       .write.partitionBy("ep", "sb").parquet(s"$path/df")
     val w = Window.partitionBy("id").orderBy(col("df"), col("s"))
     ex.join(dfTab, "s")
@@ -130,6 +136,7 @@ object ShingleIndex {
       .select(col("id"), col("sz"), col("s"), col("rn"))
       .withColumn("ep", lit(0L))
       .withColumn("sb", pmod(xxhash64(col("s")), lit(nBuckets)))
+      .repartition(col("sb"))
       .write.partitionBy("ep", "sb").parquet(s"$path/postings")
     // marker BEFORE meta (ADVICE r12): meta is every entry point's
     // fail-fast probe, so it must be the LAST artifact a build writes —
@@ -206,16 +213,20 @@ object ShingleIndex {
       .select(col("s"),
         (coalesce(col("df0"), lit(0L)) + col("dd")).as("df"))
     val w = Window.partitionBy("id").orderBy(col("df"), col("s"))
+    // repartition BY sb before partitionBy (the build-path discipline):
+    // an unaligned append pays tasks×nBuckets writer opens per epoch
     ex.join(mergedDf, "s")
       .withColumn("rn", row_number().over(w))
       .select(col("id"), col("sz"), col("s"), col("rn"))
       .withColumn("ep", lit(ep))
       .withColumn("sb", pmod(xxhash64(col("s")), lit(nBuckets)))
+      .repartition(col("sb"))
       .write.mode("append").partitionBy("ep", "sb")
       .parquet(s"$path/postings")
     delta.select(col("s"), col("dd").as("df"))
       .withColumn("ep", lit(ep))
       .withColumn("sb", pmod(xxhash64(col("s")), lit(nBuckets)))
+      .repartition(col("sb"))
       .write.mode("append").partitionBy("ep", "sb").parquet(s"$path/df")
     base.withColumn("ep", lit(ep))
       .write.mode("append").partitionBy("ep").parquet(s"$path/sigs")

@@ -41,12 +41,20 @@ object TextIndex {
     val postings = base.groupBy("term", "doc_id", "dl")
       .agg(count(lit(1)).as("tf"))
       .withColumn("tb", pmod(xxhash64(col("term")), lit(nBuckets)))
-    postings.write.mode("overwrite").partitionBy("tb")
+    // repartition BY tb before partitionBy (the BloomHistory sidecar
+    // discipline): unaligned, every groupBy task opens a writer in every
+    // bucket dir — tasks×nBuckets files whose per-writer overhead
+    // dominates the build. Bucket skew stays bounded: terms spread
+    // uniformly by hash, and even a corpus-wide hot term adds ≤ nDocs
+    // rows to its one bucket (~2× the mean bucket, not a straggler).
+    postings.repartition(col("tb"))
+      .write.mode("overwrite").partitionBy("tb")
       .parquet(s"$path/postings")
     // df re-derives from the written postings (one Zipf-small agg) so the
     // two datasets can never disagree
     spark.read.parquet(s"$path/postings")
       .groupBy("tb", "term").agg(count(lit(1)).as("dfc"))
+      .repartition(col("tb"))
       .write.mode("overwrite").partitionBy("tb").parquet(s"$path/df")
     val Array(nDocs, totLen) = docs
       .select(col(idCol).cast(LongType).as("doc_id"), size(toks).as("dl"))
@@ -126,13 +134,15 @@ object TextIndex {
       .withColumn("tb", pmod(xxhash64(col("term")), lit(nBuckets)))
       .localCheckpoint()
     postings.select("term", "doc_id", "dl", "tf", "tb")
+      .repartition(col("tb")) // align writers with buckets (build-path note)
       .write.mode("append").partitionBy("tb").parquet(s"$path/postings")
     val batchDf = postings.groupBy("tb", "term").agg(count(lit(1)).as("dfc"))
     val merged = spark.read.parquet(s"$path/df")
       .select("tb", "term", "dfc").unionByName(batchDf)
       .groupBy("tb", "term").agg(sum("dfc").as("dfc"))
       .localCheckpoint() // materialize BEFORE overwriting its own input
-    merged.write.mode("overwrite").partitionBy("tb").parquet(s"$path/df")
+    merged.repartition(col("tb"))
+      .write.mode("overwrite").partitionBy("tb").parquet(s"$path/df")
     val Array(bDocs, bLen) = docs
       .select(col(idCol).cast(LongType).as("doc_id"), size(toks).as("dl"))
       .agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).collect()

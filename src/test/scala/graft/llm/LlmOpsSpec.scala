@@ -442,4 +442,33 @@ class LlmOpsSpec extends SparkTestBase {
     assert(AnnOps.appendToIvfIndex(spark, path,
       emb.filter(col("vec_id") < 4), dim = dim, skewFactor = 1.0))
   }
+
+  test("filtered IVF probe: inline payload survives appends and the " +
+      "predicate restricts exactly") {
+    val emb = graft.T.embeddings(spark, sf)
+    val dim = 64
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-ivf-filtered").toString
+    val first = emb.filter(col("vec_id") % 2 === 0)
+    val second = emb.filter(col("vec_id") % 2 === 1)
+    // payload declared at build; append must re-derive it from the cells
+    // schema (no payload argument) so the layout can't desynchronize
+    AnnOps.buildIvfIndex(first, path, dim = dim, nCentroids = 8,
+      payloadCols = Seq("label"))
+    AnnOps.appendToIvfIndex(spark, path, second, dim = dim)
+    val queries = emb.filter(col("vec_id") < 10)
+    // all-cells filtered probe == brute force over the label-filtered
+    // corpus (build + appended rows both carry the payload)
+    val exact = AnnOps.topKForQueries(
+        emb.filter(col("label").isin(2, 5, 8)), queries, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val viaIndex = AnnOps.ivfTopKFromIndex(spark, path, queries, k = 3,
+        dim = dim, nProbe = 8,
+        predicate = Some(col("label").isin(2, 5, 8))).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaIndex == exact,
+      "all-cells filtered probe must equal exact search over the " +
+        "filtered corpus")
+    assert(viaIndex.nonEmpty)
+  }
 }

@@ -169,6 +169,17 @@ class SparqlUpdateModelSpec extends SparkTestBase {
       .execute(s"PREFIX ex:<$ex> SELECT ?n WHERE { ?s ex:name ?n } ORDER BY ?n")
       .collect().map(_.getString(0)).toSeq
 
+    // the aligned-write discipline (round 14): save and saveDelta
+    // repartition by the partition columns, so a fresh store is BORN
+    // compact — exactly one data file per partition directory
+    assert(files().size ==
+      files().map(f => new java.io.File(f).getParent).distinct.size,
+      "save/saveDelta must land one file per partition directory")
+    // give compaction something real to collapse: fragment one leaf the
+    // way a pre-alignment writer (or an external tool) would have
+    val leaf = new java.io.File(files().head).getParent
+    val leafDf = spark.read.parquet(leaf).localCheckpoint()
+    leafDf.repartition(3).write.mode("overwrite").parquet(leaf)
     val beforeFiles = files().size
     val beforeNames = names()
     TriplesGraph.compact(spark, dir)
