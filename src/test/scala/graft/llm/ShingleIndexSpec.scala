@@ -342,4 +342,36 @@ class ShingleIndexSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(served == mem)
   }
+
+  test("aligned writes: build and append land one data file per " +
+      "(ep, sb) partition directory") {
+    // the round-14 write discipline: repartition by the bucket column
+    // before every partitionBy write — unaligned, each shuffle task
+    // opens a writer in every bucket dir (tasks×buckets small files,
+    // measured 71.6 s vs 7.8 s for the same frame); this guard pins the
+    // fix so a refactor can't silently reintroduce the fan-out
+    import spark.implicits._
+    val corpus = randCorpus(77, 300, Vector("a", "b", "c", "d", "e", "f"), 14)
+    val docs = corpus.toSeq.toDF("doc_id", "text")
+    val dir = tmp("aligned")
+    ShingleIndex.build(docs, "doc_id", "text", dir, n = 3, nBuckets = 16)
+    val batch = randCorpus(78, 120, Vector("a", "b", "c", "d", "e", "f"),
+      14, idOffset = 1000L).toSeq.toDF("doc_id", "text")
+    ShingleIndex.appendToIndex(spark, dir, batch, "doc_id", "text")
+    def filesPerDir(sub: String): Map[String, Int] = {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[java.io.File]
+      def walk(f: java.io.File): Unit =
+        if (f.isDirectory) f.listFiles().foreach(walk)
+        else if (f.getName.endsWith(".parquet")) buf += f
+      walk(new java.io.File(dir, sub))
+      buf.groupBy(_.getParent).view.mapValues(_.size).toMap
+    }
+    for (sub <- Seq("postings", "df")) {
+      val per = filesPerDir(sub)
+      assert(per.nonEmpty, s"$sub is empty")
+      assert(per.values.forall(_ == 1),
+        s"$sub has a fragmented partition dir: " +
+          per.filter(_._2 > 1).take(3))
+    }
+  }
 }
