@@ -484,9 +484,21 @@ object AnnOps {
         }
     // an index built with inline payload columns keeps them through
     // appends: derive the payload list from the cells schema itself so
-    // callers can't desynchronize the layout
-    val payloadCols = spark.read.parquet(s"$path/cells").schema.fieldNames
+    // callers can't desynchronize the layout — and require the batch's
+    // payload TYPES to match it (ADVICE r14: a mismatch would write
+    // mixed-type parquet into cells and only fail later, at read time,
+    // as a confusing schema-merge error)
+    val cellsSchema = spark.read.parquet(s"$path/cells").schema
+    val payloadCols = cellsSchema.fieldNames
       .filterNot(Set("cid", "nid", "nemb")).toSeq
+    payloadCols.foreach { c =>
+      val got = newVectors.schema(c).dataType
+      val want = cellsSchema(c).dataType
+      require(got == want,
+        s"appendToIvfIndex: payload column '$c' is $got in the batch " +
+          s"but $want in the index at $path — the inline-payload cells " +
+          "layout requires identical types")
+    }
     ivfAssignments(newVectors, cents, dim, payloadCols)
       .repartition(col("cid")) // one file per touched cell per append
       .write.mode("append").partitionBy("cid").parquet(s"$path/cells")

@@ -56,8 +56,9 @@ object NightlyCuration {
   def initStores(spark: SparkSession, stores: Stores, history: DataFrame,
       historyEmb: DataFrame, idCol: String, textCol: String, n: Int = 3,
       nBuckets: Int = 64, dim: Int = 64, nCentroids: Int = 16,
-      simGraphCap: Long = 50L, simGraphMinCommon: Long = 2L): Unit = {
-    BloomHistory.init(spark, stores.bloom)
+      simGraphCap: Long = 50L, simGraphMinCommon: Long = 2L,
+      bloomMBits: Int = 1 << 20): Unit = {
+    BloomHistory.init(spark, stores.bloom, mBits = bloomMBits)
     BloomHistory.append(spark, stores.bloom, history, textCol)
     ShingleIndex.build(history, idCol, textCol, stores.shingle, n, nBuckets)
     TextIndex.buildIndex(history, idCol, textCol, stores.text, nBuckets)
@@ -128,10 +129,17 @@ object NightlyCuration {
     *    [[BloomHistory.compactFingerprints]];
     *  - [[BloomHistory.estimatedFpRate]] past `fpBudget` →
     *    [[BloomHistory.rebuild]] from the fingerprint sidecar (fp-bytes,
-    *    never lake text), sized in ONE shot from the store's own nItems
-    *    at its fixed k: m = k·n/(-ln(1-p^(1/k))), next power of two — so
-    *    a filter driven arbitrarily far over budget lands under budget
-    *    in one slot (doubling once per slot could need many slots).
+    *    never lake text), sized in ONE shot from the store's own
+    *    per-shard items at its fixed k: m = k·n/(-ln(1-p^(1/k))), next
+    *    power of two — so a filter driven arbitrarily far over budget
+    *    lands under budget in one slot (doubling once per slot could
+    *    need many slots). When that sizing exceeds `maxFilterBits` (the
+    *    [[graft.functions.BloomFilterAgg]] single-filter buffer cap,
+    *    2^27 — VERDICT r14 #5: the old policy rebuilt the SAME-size
+    *    filter every slot forever once clamped there) the slot GROWS
+    *    THE SHARD COUNT instead: the smallest power-of-two shard count
+    *    whose per-shard sizing fits the cap, one sidecar-pass re-shard
+    *    rebuild — the fp budget stays real at any lake size.
     * Every action is individually crash-safe (rewrite-then-swap or
     * marker-committed), so a kill mid-slot leaves each store old or
     * new, never torn, and the next slot simply resumes. Serves are
@@ -141,7 +149,7 @@ object NightlyCuration {
   def maintenance(spark: SparkSession, stores: Stores,
       fpBudget: Double = 0.01,
       maxShingleEpochs: Int = 4, maxGraphDeltas: Int = 4,
-      maxDataFiles: Int = 64): Seq[String] = {
+      maxDataFiles: Int = 64, maxFilterBits: Long = 1L << 27): Seq[String] = {
     val actions = scala.collection.mutable.ArrayBuffer.empty[String]
     if (ShingleIndex.compactionDue(spark, stores.shingle,
         maxShingleEpochs)) {
@@ -174,19 +182,47 @@ object NightlyCuration {
     }
     if (BloomHistory.estimatedFpRate(spark, stores.bloom) > fpBudget) {
       val (mBits, k, nItems, _) = BloomHistory.readMeta(spark, stores.bloom)
+      val nShards = BloomHistory.readShards(spark, stores.bloom)
       // one-shot sizing (class doc) for the store's FIXED k (rebuild
       // preserves k): (1-e^(-kn/m))^k ≤ p ⟺ m ≥ k·n/(-ln(1-p^(1/k))) —
       // the optimal-k textbook formula undersizes slightly at fixed k.
       // Rounded up to a power of two, never shrinking below the current
-      // size, so one rebuild always lands at or under budget.
+      // size, so one rebuild always lands at or under budget. Sized per
+      // SHARD (each shard holds ~nItems/nShards of the fingerprints).
       val p = fpBudget.min(0.5).max(1e-9)
-      val ideal = math.ceil(
-        k * nItems.max(1L) / -math.log1p(-math.pow(p, 1.0 / k))).toLong
-      val newMBits = math.max(mBits.toLong,
-        java.lang.Long.highestOneBit(ideal.max(64L) * 2L - 1L))
-        .min(1L << 27).toInt
-      BloomHistory.rebuild(spark, stores.bloom, newMBits, newK = k)
-      actions += s"bloom: rebuilt at mBits=$newMBits (fp rate)"
+      def idealBits(n: Long): Long = math.ceil(
+        k * n.max(1L) / -math.log1p(-math.pow(p, 1.0 / k))).toLong
+      def pow2AtLeast(x: Long): Long =
+        java.lang.Long.highestOneBit(x.max(64L) * 2L - 1L)
+      def perShard(s: Long): Long = (nItems + s - 1) / s
+      val sized = pow2AtLeast(idealBits(perShard(nShards)))
+      if (sized > maxFilterBits) {
+        // per-shard sizing exceeds the single-filter cap — rebuilding
+        // at the clamped size every slot changes nothing (the r14
+        // loop-forever case); grow the shard count to the smallest
+        // power of two whose per-shard sizing fits the cap instead
+        var s2 = nShards.toLong * 2L
+        while (idealBits(perShard(s2)) > maxFilterBits) s2 *= 2L
+        val shardBits = pow2AtLeast(idealBits(perShard(s2)))
+          .min(maxFilterBits).toInt
+        BloomHistory.rebuild(spark, stores.bloom, shardBits, newK = k,
+          newNShards = Some(s2.toInt))
+        actions += ("bloom: fp budget unreachable at mBits=" +
+          s"$mBits x nShards=$nShards (cap $maxFilterBits) — " +
+          s"resharded to nShards=$s2 at mBits=$shardBits")
+      } else if (sized > mBits) {
+        BloomHistory.rebuild(spark, stores.bloom, sized.toInt, newK = k)
+        actions += s"bloom: rebuilt at mBits=$sized (fp rate)"
+      } else {
+        // the formula says the current layout already meets the budget
+        // yet the measured occupancy disagrees — an unreachable budget
+        // (e.g. 0) or estimate-vs-formula skew; a same-size rebuild
+        // would change nothing, so skip LOUDLY instead of looping
+        actions += (s"bloom: fp rate over budget $fpBudget at " +
+          s"already-sized mBits=$mBits x nShards=$nShards — rebuild " +
+          "skipped (budget unreachable at this sizing; correctness " +
+          "unaffected — hits re-verify exactly)")
+      }
     }
     actions.toSeq
   }

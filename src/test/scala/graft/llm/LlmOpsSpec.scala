@@ -470,5 +470,12 @@ class LlmOpsSpec extends SparkTestBase {
       "all-cells filtered probe must equal exact search over the " +
         "filtered corpus")
     assert(viaIndex.nonEmpty)
+    // a payload TYPE mismatch fails fast at append time (ADVICE r14),
+    // not later as a parquet schema-merge error on some unrelated read
+    val badTyped = second.withColumn("label", col("label").cast("string"))
+    val e = intercept[IllegalArgumentException] {
+      AnnOps.appendToIvfIndex(spark, path, badTyped, dim = dim)
+    }
+    assert(e.getMessage.contains("payload column 'label'"), e.getMessage)
   }
 }

@@ -174,6 +174,49 @@ class NightlyCurationSpec extends SparkTestBase {
       .map(_.getLong(0)).toSet)
   }
 
+  test("fp budget unreachable at the filter cap: the slot RESHARDS (never " +
+      "a same-size rebuild loop), lands under budget, and the next slot " +
+      "is bloom-idle") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val vocab = (0 until 40).map(i => s"c$i").toVector
+    def mkDoc(i: Long): String = // u<i> token ⇒ distinct fingerprints
+      (s"u$i" +: (0 until 8 + rnd.nextInt(8))
+        .map(_ => vocab(rnd.nextInt(vocab.size)))).mkString(" ")
+    val hist = (0L until 600L).map(i => (i, mkDoc(i)))
+    val histDf = hist.toDF("doc_id", "text")
+    val dim = 8
+    val histEmb = hist.take(20).map { case (i, _) =>
+      (i, Seq.fill(dim)(rnd.nextFloat() * 2f - 1f))
+    }.toDF("vec_id", "embedding")
+    val stores = NightlyCuration.Stores(tmp("cap"))
+    NightlyCuration.initStores(spark, stores, histDf, histEmb,
+      "doc_id", "text", dim = dim, nCentroids = 4)
+    // saturate a TINY filter: 600 items in 64 bits, rate ≈ 1 — and cap
+    // the rebuild at 4096 bits, below the 5917-bit one-shot sizing, so
+    // the old policy would rebuild the SAME clamped size forever
+    // (VERDICT r14 "What's wrong" #3)
+    BloomHistory.init(spark, stores.bloom, mBits = 64, k = 5)
+    BloomHistory.append(spark, stores.bloom, histDf, "text")
+    assert(BloomHistory.estimatedFpRate(spark, stores.bloom) > 0.5)
+    val actions = NightlyCuration.maintenance(spark, stores,
+      fpBudget = 0.01, maxDataFiles = 100, maxFilterBits = 4096L)
+    assert(actions.exists(a => a.contains("fp budget unreachable") &&
+      a.contains("resharded to nShards=2")), actions)
+    assert(BloomHistory.readShards(spark, stores.bloom) == 2)
+    assert(BloomHistory.estimatedFpRate(spark, stores.bloom) <= 0.01)
+    // next slot: budget met at the sharded layout — no bloom action
+    val again = NightlyCuration.maintenance(spark, stores,
+      fpBudget = 0.01, maxDataFiles = 100, maxFilterBits = 4096L)
+    assert(!again.exists(_.startsWith("bloom")), again)
+    // the sharded store still serves the exact dedup
+    val probeBatch = histDf.filter(col("doc_id") < 50)
+      .unionByName(Seq((9000L, mkDoc(9000L))).toDF("doc_id", "text"))
+    val got = BloomHistory.dedupFromStore(spark, stores.bloom,
+      probeBatch, "doc_id", "text").collect().map(_.getLong(0)).toSet
+    assert(got == (0L until 50L).toSet)
+  }
+
   test("the night is LAKE-SCAN-FREE: after bootstrap, the lake files are " +
       "DELETED and admission, appends, maintenance (incl. the Bloom " +
       "rebuild), and a second night all still run — from the stores alone") {
@@ -203,8 +246,12 @@ class NightlyCurationSpec extends SparkTestBase {
       (i, Seq.fill(8)(0.1f + (i % 7) * 0.1f))
     }.toDF("vec_id", "embedding").localCheckpoint()
     val stores = NightlyCuration.Stores(tmp("lakefree"))
+    // a 64-bit filter under ~100 fingerprints: genuinely undersized, so
+    // the maintenance slot's one-shot sizing REBUILDS (from the sidecar
+    // — the lake is gone by then); admission stays exact meanwhile
+    // because probe hits re-verify against the sidecar
     NightlyCuration.initStores(spark, stores, histDf, histEmb,
-      "doc_id", "text", dim = 8, nCentroids = 4)
+      "doc_id", "text", dim = 8, nCentroids = 4, bloomMBits = 64)
     val before = NightlyCuration.admit(spark, stores,
       batch1.toDF("doc_id", "text"), "doc_id", "text")
       .select("doc_id").collect().map(_.getLong(0)).toSet
@@ -223,7 +270,7 @@ class NightlyCurationSpec extends SparkTestBase {
     // the maintenance slot — including the fp-rate rebuild, which now
     // folds from the fingerprint sidecar, never the lake
     val actions = NightlyCuration.maintenance(spark, stores,
-      fpBudget = 0.0, maxShingleEpochs = 1, maxGraphDeltas = 1,
+      fpBudget = 0.01, maxShingleEpochs = 1, maxGraphDeltas = 1,
       maxDataFiles = 1)
     assert(actions.exists(_.startsWith("bloom: rebuilt")), actions)
     // night 2: the rebuilt+compacted stores still gate exactly — night-1

@@ -15,7 +15,8 @@ class StreamingBloomHistorySpec extends SparkTestBase {
     java.nio.file.Files.createTempDirectory(s"graft-bloomstream-$tag").toString
 
   private def words(dir: String): Seq[Long] =
-    spark.read.parquet(s"$dir/words").collect()(0).getSeq[Long](0)
+    spark.read.parquet(s"$dir/words").orderBy("shard").select("words")
+      .collect()(0).getSeq[Long](0)
 
   test("a real file stream folds to the same filter as one batch fold " +
       "of the same documents") {
