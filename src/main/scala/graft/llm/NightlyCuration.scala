@@ -52,20 +52,31 @@ object NightlyCuration {
   /** Bootstrap every store from the existing lake (one-time cost; the
     * nightly path never does this again). `historyEmb` rows are
     * (vec_id, embedding) aligned with `history`'s ids — documents
-    * without an embedding simply never enter the IVF index. */
+    * without an embedding simply never enter the IVF index.
+    *
+    * `simGraphEdgeBudget` (VERDICT r14 #3): when set, the similarity
+    * graph's df cap is DERIVED from this edge-row budget and the lake's
+    * own df histogram ([[SimGraphStore.capForEdgeBudget]] — the exact
+    * retained pair volume, which is also the fold's shuffle volume)
+    * instead of the hand-set `simGraphCap`; the 1000× rehearsal showed
+    * the hand-set default filling the disk on a corpus whose safe cap
+    * was data-dependent. */
   def initStores(spark: SparkSession, stores: Stores, history: DataFrame,
       historyEmb: DataFrame, idCol: String, textCol: String, n: Int = 3,
       nBuckets: Int = 64, dim: Int = 64, nCentroids: Int = 16,
       simGraphCap: Long = 50L, simGraphMinCommon: Long = 2L,
-      bloomMBits: Int = 1 << 20): Unit = {
+      bloomMBits: Int = 1 << 20,
+      simGraphEdgeBudget: Option[Long] = None): Unit = {
     BloomHistory.init(spark, stores.bloom, mBits = bloomMBits)
     BloomHistory.append(spark, stores.bloom, history, textCol)
     ShingleIndex.build(history, idCol, textCol, stores.shingle, n, nBuckets)
     TextIndex.buildIndex(history, idCol, textCol, stores.text, nBuckets)
     AnnOps.buildIvfIndex(historyEmb, stores.ivf, dim, nCentroids,
       centroids = Some(AnnOps.seedCentroids(historyEmb, nCentroids, dim)))
-    SimGraphStore.init(spark, stores.graph, n, simGraphCap,
-      simGraphMinCommon)
+    val cap = simGraphEdgeBudget.fold(simGraphCap)(b =>
+      SimGraphStore.capForEdgeBudget(
+        SimGraphStore.postingsOf(history, idCol, textCol, n), b))
+    SimGraphStore.init(spark, stores.graph, n, cap, simGraphMinCommon)
     SimGraphStore.update(spark, stores.graph, history, idCol, textCol)
   }
 

@@ -71,6 +71,50 @@ object SimGraphStore {
   private def dfSchema = StructType(Seq(StructField("s", StringType),
     StructField("df", LongType), StructField("bid", LongType)))
 
+  /** One row per (doc, DISTINCT shingle) — the postings frame [[update]]
+    * folds and [[capForEdgeBudget]] sizes against. */
+  def postingsOf(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    df.select(col(idCol).cast(LongType).as("d"),
+      explode(TextOps.wordShingles(col(textCol), n)).as("s"))
+
+  /** Derive the df cap from an EDGE-ROW BUDGET instead of hand-picking it
+    * (VERDICT r14 #3: the hand-set default 50 filled the disk at the
+    * 1000× rehearsal — the cap is THE pair-volume dial and its safe value
+    * is corpus-dependent). A fold over `postings` retains, for a cap c,
+    * exactly the shingles with df ≤ c, and each contributes C(df, 2)
+    * support rows (one +1 per doc pair per shared shingle — the
+    * pre-aggregation pair volume that is also the update's shuffle
+    * volume, i.e. the thing that actually fills disks). This computes the
+    * EXACT retained volume from the df histogram — one vocab-sized fold,
+    * then a ≤`maxCap`-row collect of (df, #shingles) pairs — and returns
+    * the largest cap whose volume fits `edgeBudget` rows. Zipf corpora
+    * put most volume in the hottest shingles, so the exact walk admits
+    * far larger caps than the worst-case cap·|postings|/2 bound would.
+    * Always ≥ 1 (df=1 shingles contribute zero pairs). */
+  def capForEdgeBudget(postings: DataFrame, edgeBudget: Long,
+      maxCap: Long = 1024L): Long = {
+    val hist = postings.groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") > 1L && col("df") <= maxCap)
+      .groupBy("df").agg(count(lit(1)).as("ns"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    // ascending walk, stopping at the FIRST df whose shingles overflow
+    // the budget: a cap of c retains every shingle with df ≤ c, so once
+    // a df is rejected no higher cap can be admitted (dfs absent from
+    // the histogram hold zero shingles and pass through for free)
+    var vol = 0L
+    var cap = 1L
+    var fits = true
+    hist.foreach { case (df, ns) =>
+      if (fits) {
+        val add = ns * df * (df - 1) / 2
+        if (vol + add <= edgeBudget) { vol += add; cap = df }
+        else fits = false
+      }
+    }
+    cap
+  }
+
   /** Create an empty store (meta only; datasets appear on first update). */
   def init(spark: SparkSession, path: String, n: Int = 3, cap: Long = 50L,
       minCommon: Long = 2L): Unit = {
@@ -177,9 +221,7 @@ object SimGraphStore {
         b
     }
     // batch postings: one row per (doc, DISTINCT shingle)
-    val bp = batch.select(col(idCol).cast(LongType).as("d"),
-        explode(TextOps.wordShingles(col(textCol), n)).as("s"))
-      .localCheckpoint()
+    val bp = postingsOf(batch, idCol, textCol, n).localCheckpoint()
     val delta = bp.groupBy("s").agg(count(lit(1)).as("dd"))
     val dfCur = committed(spark, path, "df", dfSchema)
       .groupBy("s").agg(sum("df").as("df0"))

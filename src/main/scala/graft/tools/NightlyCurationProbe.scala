@@ -18,12 +18,16 @@ object NightlyCurationProbe {
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/tmp/scaled100x")
-    // the simgraph df cap is THE pair-volume dial (edges ∝ Σ_rare df² ≤
-    // cap·|rare postings|): at 1000× on this box the default cap=50
-    // edge fold filled the 62 GB free disk mid-write — pass a smaller
-    // cap for decade-up rehearsals (production spreads the same volume
-    // across executor-local disks, but the Σdf² economics are identical)
-    val simCap = args.lift(1).map(_.toLong).getOrElse(50L)
+    // the simgraph df cap is THE pair-volume dial (edges ∝ Σ_rare df²):
+    // at 1000× on this box the hand-set 50 filled the 62 GB free disk
+    // mid-write (r14 rehearsal). DEFAULT IS NOW BUDGET-DERIVED
+    // (VERDICT r14 #3): SimGraphStore.capForEdgeBudget walks the lake's
+    // own df histogram and returns the largest cap whose exact retained
+    // pair volume fits the edge-row budget (arg 3, default 500M rows ≈
+    // low-tens-of-GB shuffle+store on this box). Pass a numeric arg 2 to
+    // force a cap; "auto" or absent derives.
+    val simCapArg = args.lift(1).filterNot(_ == "auto").map(_.toLong)
+    val edgeBudget = args.lift(2).map(_.toLong).getOrElse(500000000L)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
@@ -64,6 +68,13 @@ object NightlyCurationProbe {
         nCentroids = 16,
         centroids = Some(AnnOps.seedCentroids(historyEmb, 16, 64)))
     }
+    val simCap = simCapArg.getOrElse(t(
+        s"derive simgraph cap (edge budget $edgeBudget)") {
+      val c = SimGraphStore.capForEdgeBudget(
+        SimGraphStore.postingsOf(history, "doc_id", "text", 3), edgeBudget)
+      println(s"  derived cap: $c")
+      c
+    })
     t(s"bootstrap simgraph (init+fold, cap=$simCap)") {
       SimGraphStore.init(spark, stores.graph, n = 3, cap = simCap,
         minCommon = 2L)

@@ -233,4 +233,48 @@ class SimGraphStoreSpec extends SparkTestBase {
     SimGraphStore.compact(spark, dir) // folds the log to ONE committed id
     assert(!SimGraphStore.compactionDue(spark, dir, maxDeltaBatches = 3))
   }
+
+  test("capForEdgeBudget: the exact pair-volume walk over the df " +
+      "histogram, and a bootstrap at the derived cap stays within the " +
+      "edge budget") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // known histogram: 3 shingles at df=2 (1 pair each → vol 3), 2 at
+    // df=3 (3 each → 6), 1 at df=5 (10); cumulative 3 / 9 / 19
+    val postings = (
+      (for (s <- 0 until 3; d <- 0 until 2) yield (d.toLong, s"a$s")) ++
+      (for (s <- 0 until 2; d <- 0 until 3) yield (d.toLong, s"b$s")) ++
+      (for (d <- 0 until 5) yield (d.toLong, "c"))
+    ).toDF("d", "s")
+    assert(SimGraphStore.capForEdgeBudget(postings, 19L) == 5L)
+    assert(SimGraphStore.capForEdgeBudget(postings, 18L) == 3L)
+    assert(SimGraphStore.capForEdgeBudget(postings, 9L) == 3L)
+    assert(SimGraphStore.capForEdgeBudget(postings, 8L) == 2L)
+    assert(SimGraphStore.capForEdgeBudget(postings, 2L) == 1L)
+    assert(SimGraphStore.capForEdgeBudget(postings, 0L) == 1L)
+    // a REJECTED df bars every higher df even when the higher one would
+    // fit alone: cap=c retains ALL shingles with df ≤ c
+    assert(SimGraphStore.capForEdgeBudget(postings, 13L) == 3L)
+    // real corpus: bootstrap at the derived cap commits no more edge
+    // support rows than the budget (stored rows are the post-aggregation
+    // side of the volume the walk bounds)
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val budget = 20000L
+    val cap = SimGraphStore.capForEdgeBudget(
+      SimGraphStore.postingsOf(docs, "doc_id", "text", 3), budget)
+    assert(cap >= 2L, s"fixture corpus must admit a usable cap, got $cap")
+    val dir = tmp("budget")
+    SimGraphStore.init(spark, dir, n = 3, cap = cap, minCommon = 2L)
+    SimGraphStore.update(spark, dir, docs, "doc_id", "text")
+    val edgeRows = spark.read.parquet(s"$dir/edges").count()
+    assert(edgeRows <= budget, s"$edgeRows support rows > budget $budget")
+    // and the graph it serves equals the brute-force model at that cap
+    val served = SimGraphStore.edges(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val docMap = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(served == bruteEdges(docMap, n = 3, cap = cap.toInt,
+      minCommon = 2))
+  }
 }
