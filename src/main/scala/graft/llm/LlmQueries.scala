@@ -58,7 +58,10 @@ object LlmQueries {
       val path = new java.io.File(sys.props("java.io.tmpdir"),
         "graft-ivfpq-" + dir.replaceAll("[^A-Za-z0-9]", "_")).getAbsolutePath
       AnnOps.buildIvfPqIndexDeterministic(emb, path, dim = 64,
-        nCentroids = 16, m = 8, kCodes = 16)
+        nCentroids = 16, m = 8, kCodes = 16,
+        // inline payload for the FILTERED compressed probe (q159);
+        // columnar parquet means unfiltered probes never read it
+        payloadCols = Seq("label"))
       path
     })
 
@@ -1027,6 +1030,91 @@ object LlmQueries {
       val path = ivfIndexFor(dir, emb)
       AnnOps.ivfTopKFromIndex(s, path, emb.filter(col("vec_id") < 20),
           k = 3, dim = 64, nProbe = 4,
+          predicate = Some(col("label").isin(1, 4, 7)))
+        .orderBy("qid", "rk")
+    },
+
+    // ---- FILTERED vector search on the COMPRESSED path (VERDICT r14
+    // #6): q158's payload predicate served from the persisted IVF-PQ
+    // index — the 8 B/vector layout a lake-scale deployment actually
+    // queries. The label payload is INLINE in the packed cells, so the
+    // IN-predicate pushes into the partition-pruned cells scan
+    // (PlanSpec-asserted) and filtered rows never reach code unpacking
+    // or the ADC kernel. Deterministic build (seed cells, zero means,
+    // md5 hash codebooks — the q145 discipline), so the oracle rebuilds
+    // codebooks, unit vectors, routing, encoding, per-query ADC tables,
+    // and the FILTERED ranking from the same parquet.
+    q("q159_ann_filtered_pq",
+      s"""WITH cb AS (
+         |  SELECT j, c,
+         |    [(list_sum([(strpos('0123456789abcdef',
+         |        substr(md5('pq:' || CAST((j*16 + c)*8 + t + 1 AS VARCHAR)),
+         |          d, 1)) - 1) * power(16.0, 8 - d) for d in range(1, 9)])
+         |      / 2147483648.0 - 1) for t in range(0, 8)] AS cv
+         |  FROM range(0, 8) tj(j), range(0, 16) tc(c)),
+         |ue AS (
+         |  SELECT vec_id,
+         |    [x * (1.0 / sqrt(list_sum([y * y for y in e]))) for x in e] AS u
+         |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+         |        FROM embeddings)),
+         |cent AS (
+         |  SELECT vec_id AS cid, embedding AS ce FROM embeddings
+         |  ORDER BY vec_id LIMIT 16),
+         |asgc AS (
+         |  SELECT nid, label, cid FROM (
+         |    SELECT e.vec_id AS nid, e.label, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+         |                                        CAST(c.ce AS DOUBLE[])) DESC,
+         |                 c.cid) AS r
+         |    FROM embeddings e, cent c) WHERE r = 1),
+         |enc AS (
+         |  SELECT vec_id, j, c AS code FROM (
+         |    SELECT vec_id, j, c,
+         |      row_number() OVER (PARTITION BY vec_id, j
+         |        ORDER BY d2v, c) AS rn
+         |    FROM (SELECT s.vec_id, s.j, cb.c,
+         |            list_sum([(s.u[s.j*8 + t + 1] - cb.cv[t + 1])
+         |              * (s.u[s.j*8 + t + 1] - cb.cv[t + 1])
+         |              for t in range(0, 8)]) AS d2v
+         |          FROM (SELECT vec_id, u, j
+         |                FROM ue CROSS JOIN range(0, 8) tj(j)) s
+         |          JOIN cb USING (j)))
+         |  WHERE rn = 1),
+         |qv AS (SELECT vec_id AS qid FROM embeddings WHERE vec_id < 20),
+         |qprobe AS (
+         |  SELECT qid, cid FROM (
+         |    SELECT q.qid, c.cid,
+         |      row_number() OVER (PARTITION BY q.qid
+         |        ORDER BY list_cosine_similarity(
+         |            CAST(e.embedding AS DOUBLE[]),
+         |            CAST(c.ce AS DOUBLE[])) DESC, c.cid) AS r
+         |    FROM qv q JOIN embeddings e ON e.vec_id = q.qid, cent c)
+         |  WHERE r <= 4),
+         |qtab AS (
+         |  SELECT s.qid, s.j, cb.c,
+         |    list_sum([(s.u[s.j*8 + t + 1] - cb.cv[t + 1])
+         |      * (s.u[s.j*8 + t + 1] - cb.cv[t + 1])
+         |      for t in range(0, 8)]) AS d2
+         |  FROM (SELECT ue.vec_id AS qid, ue.u, j
+         |        FROM ue JOIN qv ON qv.qid = ue.vec_id
+         |        CROSS JOIN range(0, 8) tj(j)) s
+         |  JOIN cb USING (j)),
+         |scored AS (
+         |  SELECT p.qid, a.nid, list_sum(list(t.d2 ORDER BY t.j)) AS dist
+         |  FROM qprobe p JOIN asgc a USING (cid)
+         |       JOIN enc e ON e.vec_id = a.nid
+         |       JOIN qtab t ON t.qid = p.qid AND t.j = e.j AND t.c = e.code
+         |  WHERE a.nid != p.qid AND a.label IN (1, 4, 7)
+         |  GROUP BY p.qid, a.nid)
+         |SELECT qid, rk, nid FROM (
+         |  SELECT qid, nid, CAST(row_number() OVER (PARTITION BY qid
+         |      ORDER BY dist, nid) AS BIGINT) AS rk
+         |  FROM scored) WHERE rk <= 3
+         |ORDER BY qid NULLS FIRST, rk NULLS FIRST""".stripMargin) { (s, dir) =>
+      val emb = T.embeddings(s, dir)
+      AnnOps.ivfPqTopKFromIndex(s, ivfPqIndexFor(dir, emb),
+          emb.filter(col("vec_id") < 20), k = 3, nProbe = 4,
           predicate = Some(col("label").isin(1, 4, 7)))
         .orderBy("qid", "rk")
     },
@@ -2864,8 +2952,14 @@ object LlmQueries {
         docs.filter(pmod(col("doc_id"), lit(5)) =!= 0), "doc_id", "text")
       SimGraphStore.update(s, p,
         docs.filter(pmod(col("doc_id"), lit(5)) === 0), "doc_id", "text")
+      // the gate PINS the store-served branch (serveEdgeRatio = ∞): the
+      // synthetic corpus is template-dense, where the in-code dial would
+      // pick the LSH recompute — correct operationally, but this entry
+      // exists to drive the STORE path against the oracle; the dial's
+      // own both-branch behavior is spec-pinned (TextPipelineSpec)
       SampleOps.leakageFreeSplitFromStore(s, p, docs, "doc_id", "text",
-          Seq("train" -> 0.8, "test" -> 0.2))
+          Seq("train" -> 0.8, "test" -> 0.2),
+          serveEdgeRatio = Double.PositiveInfinity)
         .select("doc_id", "cluster", "split")
         .orderBy("doc_id")
     },

@@ -205,6 +205,37 @@ class PlanSpec extends SparkTestBase {
       s"packed cells scan must be partition-pruned by probed cid:\n$plan")
   }
 
+  test("filtered vector search on the COMPRESSED path (q159): the packed " +
+      "cells scan stays partition-pruned AND the payload predicate " +
+      "pushes into parquet") {
+    // the q158 inline-payload thesis on the 8 B/vector cells a lake-scale
+    // deployment serves from (VERDICT r14 #6): the label filter must ride
+    // the pruned packed scan as a PushedFilter, never a side-table join
+    import org.apache.spark.sql.functions.col
+    val dir = "/root/testdata/sf0.001"
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-planspec-ivfpq-filt").toString + "/idx"
+    graft.llm.AnnOps.buildIvfPqIndexDeterministic(emb, path, dim = 64,
+      nCentroids = 16, m = 8, kCodes = 16, payloadCols = Seq("label"))
+    val model = graft.llm.AnnOps.readIvfPqModel(spark, path)
+    val qRows = emb.filter(col("vec_id") < 10)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val cells = graft.llm.AnnOps.ivfPqProbedCells(spark, path, model,
+      qRows, nProbe = 4, predicate = Some(col("label").isin(1, 4, 7)))
+    val plan = cells.queryExecution.executedPlan.toString
+    val cellScans = plan.split("FileScan parquet").toSeq.tail
+      .filter(_.contains("cells"))
+    assert(cellScans.nonEmpty, s"expected a packed-cells scan:\n$plan")
+    assert(cellScans.forall(s =>
+      s.contains("PartitionFilters") && !s.contains("PartitionFilters: []")),
+      s"packed cells scan must stay partition-pruned by probed cid:\n$plan")
+    assert(cellScans.exists(_.contains("In(label")),
+      s"label predicate must push into the packed cells scan:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("persisted text index: the postings scan is partition-pruned to probed buckets") {
     // q120 serves BM25 from the tb-partitioned postings dataset; the scan
     // must carry a non-empty PartitionFilters on tb — unpruned, a 5-term

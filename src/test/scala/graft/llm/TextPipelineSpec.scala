@@ -477,5 +477,24 @@ class TextPipelineSpec extends SparkTestBase {
       .select("doc_id", "cluster", "split").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
     assert(served == got.toSet)
+
+    // the in-code regime dial (VERDICT r14 #1), BOTH branches on the
+    // same store. Forced-serve (ratio = ∞) must equal the default run
+    // above (this corpus is sparse: edges << 4·docs, so the default
+    // already served); forced-recompute (ratio = 0: any edge count
+    // trips the dense-graph branch) must equal leakageFreeSplit row
+    // for row — the recompute branch IS that operator, shingle width
+    // taken from the store meta
+    val forcedServe = SampleOps.leakageFreeSplitFromStore(spark, storeDir,
+        df, "doc_id", "text", splits,
+        serveEdgeRatio = Double.PositiveInfinity)
+      .select("doc_id", "cluster", "split").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(forcedServe == served)
+    val forcedRecompute = SampleOps.leakageFreeSplitFromStore(spark,
+        storeDir, df, "doc_id", "text", splits, serveEdgeRatio = 0.0)
+      .select("doc_id", "cluster", "split").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(forcedRecompute == got.toSet)
   }
 }
