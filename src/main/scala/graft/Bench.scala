@@ -165,11 +165,20 @@ object Bench {
       pass += 1
     }
     // the maintenance tail: same interleaved-median protocol, after every
-    // query sample is already taken
+    // query sample is already taken. AT LEAST TWO passes regardless of
+    // the wall-clock budget (VERDICT r14 #2a: a single-pass maintenance
+    // median hands any host stall straight to the per-entry numbers —
+    // the r14 artifact printed q152=181.6 s where the same code measured
+    // 42.0 s three hours earlier), and a calibration sample BEFORE each
+    // pass so a mid-run stall is visible in the artifact itself (#2c)
     val maintSamples = scala.collection.mutable.ArrayBuffer
       .empty[Seq[(Double, Boolean)]]
+    val maintCalibSamples = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val minMaintPasses = math.min(2, passes)
     pass = 0
-    while (pass < passes && (pass == 0 || withinBudget)) {
+    while (maintEntries.nonEmpty && pass < passes &&
+        (pass < minMaintPasses || withinBudget)) {
+      maintCalibSamples += calibrate()
       maintSamples += maintEntries.map(q => runOnce(q.fn))
       pass += 1
     }
@@ -226,18 +235,63 @@ object Bench {
     // 110.5 s = 1.22×) showed the mini-suite alone OVERSHOOTS the band
     // (ratio 1.47 — it is I/O/scheduler-heavier than the average
     // catalog entry) while the CPU loop alone is blind (1.06); their
-    // geometric mean hit 1.25, within 3% of the subtotal ratio —
-    // consistent with the catalog being a mix of the two resource
-    // axes. Validated on one pair so far (STATUS r13); re-validate on
-    // future A/A windows before trusting it harder than ±10%.
+    // geometric mean hit 1.25, within 3% of the subtotal ratio.
+    //
+    // SCOPE OF THE CLAIM (revised, VERDICT r14 #7): the blend tracks
+    // WITHIN-SESSION A/A pairs to ±10%; it does NOT make cross-session
+    // normalized subtotals comparable. Same-day same-code sessions on
+    // 2026-08-16 spanned NORMALIZED 227–336 (1.48×) because the blend's
+    // √ under-corrects when degradation is purely parallel-side (scalar
+    // calibration flat at ~0.86 while the mini-suite halved — the
+    // fleet's noisy-neighbor shape). Cross-round/-session comparisons
+    // should use PER-ENTRY RATIOS against the per-pass calibrations
+    // recorded below, not the normalized headline; value_queries_norm
+    // stays in the artifact as a same-session index only.
     val calibBlend = math.sqrt(calib * calibCpu)
     // calibration-normalized headline: query subtotal in units of the
-    // blended calibration — the number to compare across rounds (raw
-    // value_queries stays alongside it)
+    // blended calibration (same-session index — see scope note above)
     val totalQueriesNorm = if (calibBlend > 0) totalQueries / calibBlend
       else 0.0
+    // CALIBRATION BAND GATE (VERDICT r14 #2b: the r14 artifact was
+    // stamped in the day's worst window — blend 0.619 vs a same-day
+    // same-code 0.563/0.446 — and shipped as the round's performance
+    // record with nothing in the artifact saying so). The bench can't
+    // refuse to produce an artifact (the driver invokes it once,
+    // unattended), so it LABELS: this run's blend against the best
+    // same-sf blend in bench_history.jsonl; past 1.5× the artifact
+    // carries calibration_band="degraded" and readers treat per-entry
+    // numbers as upper bounds.
+    val calibBand: String = {
+      val hist = new java.io.File("bench_history.jsonl")
+      val best =
+        if (!hist.exists()) None
+        else {
+          val sfRe = ("\"sf\":\"" + java.util.regex.Pattern.quote(sfDir) +
+            "\"").r
+          val blendRe = "\"calibration_blend\":([0-9.]+)".r
+          val lines = scala.io.Source.fromFile(hist, "UTF-8")
+          try {
+            val blends = lines.getLines()
+              .filter(l => sfRe.findFirstIn(l).isDefined)
+              .flatMap(l => blendRe.findFirstMatchIn(l)
+                .flatMap(_.group(1).toDoubleOption))
+              .toSeq
+            if (blends.isEmpty) None else Some(blends.min)
+          } finally lines.close()
+        }
+      best match {
+        case None => "no-history"
+        case Some(b) if b <= 0 => "no-history"
+        case Some(b) =>
+          val ratio = calibBlend / b
+          if (ratio > 1.5) f"degraded:${ratio}%.2fx_vs_best_$b%.3f"
+          else f"ok:${ratio}%.2fx_vs_best_$b%.3f"
+      }
+    }
+    def passesJson(xs: Seq[Double]): String =
+      xs.map(x => f"$x%.3f").mkString("[", ",", "]")
     val full =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","value_queries":${f"$totalQueries%.3f"},"value_queries_norm":${f"$totalQueriesNorm%.1f"},"value_maint":${f"$totalMaint%.3f"},"value_min":${f"$totalMin%.3f"},"passes":${samples.size},"maint_passes":${maintSamples.size},"calibration":${f"$calib%.3f"},"calibration_cpu":${f"$calibCpu%.3f"},"calibration_blend":${f"$calibBlend%.3f"},"calibration_spread":$calibSpread,"queries":$qs,"spread":$spread,"ok":$status,"failed":$nFail,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","value_queries":${f"$totalQueries%.3f"},"value_queries_norm":${f"$totalQueriesNorm%.1f"},"value_maint":${f"$totalMaint%.3f"},"value_min":${f"$totalMin%.3f"},"passes":${samples.size},"maint_passes":${maintSamples.size},"calibration":${f"$calib%.3f"},"calibration_cpu":${f"$calibCpu%.3f"},"calibration_blend":${f"$calibBlend%.3f"},"calibration_band":"$calibBand","calibration_spread":$calibSpread,"calibration_passes":${passesJson(calibSamples.toSeq)},"calibration_cpu_passes":${passesJson(calibCpuSamples.toSeq)},"calibration_maint_passes":${passesJson(maintCalibSamples.toSeq)},"queries":$qs,"spread":$spread,"ok":$status,"failed":$nFail,"sf":"$sfDir"}"""
     Files.writeString(Paths.get("bench.json"), full + "\n")
     // Append-only history (VERDICT r10 "What's wrong" #2): bench.json is
     // overwritten every run and the driver's BENCH_rNN artifact keeps only
@@ -268,8 +322,10 @@ object Bench {
     println(s"""{"metric":"per_query","q":$perQ}""")
     // maint_passes rides on the parsed totals line too (ADVICE r12): a
     // single-sample maintenance median is visible in the artifact itself
+    // per-pass calibrations + band ride the PARSED totals line (VERDICT
+    // r14 #2: the round artifact must carry the window evidence itself)
     val line =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","value_queries":${f"$totalQueries%.3f"},"value_queries_norm":${f"$totalQueriesNorm%.1f"},"value_maint":${f"$totalMaint%.3f"},"value_min":${f"$totalMin%.3f"},"passes":${samples.size},"maint_passes":${maintSamples.size},"calibration":${f"$calib%.3f"},"calibration_cpu":${f"$calibCpu%.3f"},"calibration_blend":${f"$calibBlend%.3f"},"failed":$nFail,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","value_queries":${f"$totalQueries%.3f"},"value_queries_norm":${f"$totalQueriesNorm%.1f"},"value_maint":${f"$totalMaint%.3f"},"value_min":${f"$totalMin%.3f"},"passes":${samples.size},"maint_passes":${maintSamples.size},"calibration":${f"$calib%.3f"},"calibration_cpu":${f"$calibCpu%.3f"},"calibration_blend":${f"$calibBlend%.3f"},"calibration_band":"$calibBand","calibration_passes":${passesJson(calibSamples.toSeq)},"calibration_maint_passes":${passesJson(maintCalibSamples.toSeq)},"failed":$nFail,"sf":"$sfDir"}"""
     println(line)
     Console.out.flush()
   }

@@ -405,10 +405,11 @@ object SampleOps {
       splitCol: String = "split",
       serveEdgeRatio: Double = 4.0): DataFrame = {
     val (n, _, _) = SimGraphStore.readMeta(spark, storePath)
-    val edges = SimGraphStore.edges(spark, storePath)
-      .select(col("a").as("ida"), col("b").as("idb"))
-      .localCheckpoint() // counted for the dial, then re-read as cands
-    val nEdges = edges.count()
+    // the dial reads the edge COUNT without materializing the edge list:
+    // on the dense-graph branch the list is never needed (checkpointing
+    // 9M edges just to discard them measured ~25 s at 100×), and on the
+    // sparse branch re-folding the small delta log is cheap
+    val nEdges = SimGraphStore.edges(spark, storePath).count()
     val nDocs = df.count()
     if (nEdges > serveEdgeRatio * nDocs) {
       org.slf4j.LoggerFactory.getLogger(getClass).info(
@@ -418,7 +419,9 @@ object SampleOps {
       return leakageFreeSplit(df, idCol, textCol, splits, shingleN = n,
         threshold = threshold, splitCol = splitCol)
     }
-    val cands = edges
+    val cands = SimGraphStore.edges(spark, storePath)
+      .select(col("a").as("ida"), col("b").as("idb"))
+      .localCheckpoint() // read by two verify joins below
     // shingle ONLY the docs that appear in some candidate pair (on a
     // deduped lake: a small minority) — without the semi-join prune the
     // two verify joins shuffle corpus-sized shingle ARRAYS for every

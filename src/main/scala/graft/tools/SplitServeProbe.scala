@@ -27,13 +27,20 @@ import org.apache.spark.sql.functions._
   * crossover that `serveEdgeRatio` encodes: per-edge verify cost a vs
   * per-doc LSH cost b ⇒ crossover at b/a edges per doc.
   *
-  * Usage: runMain graft.tools.SplitServeProbe [dir] [alsoDense]
+  * Usage: runMain graft.tools.SplitServeProbe [dir] [dense]
+  *   [resume=<root>] [sparseOnly]
+  * `resume=` reuses a previous run's curated parquet + store (stages 1–2
+  * are expensive and deterministic); `sparseOnly` skips the stage-3
+  * dense-regime measurements and goes straight to the 2b sparse stage.
   */
 object SplitServeProbe {
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/tmp/scaled100x")
-    val alsoDense = args.lift(1).contains("dense")
+    val alsoDense = args.contains("dense")
+    val resumeRoot = args.find(_.startsWith("resume="))
+      .map(_.stripPrefix("resume="))
+    val sparseOnly = args.contains("sparseOnly")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
@@ -43,8 +50,10 @@ object SplitServeProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import graft.llm._
-    val root = java.nio.file.Files
-      .createTempDirectory("graft-splitprobe").toString
+    val root = resumeRoot.getOrElse(java.nio.file.Files
+      .createTempDirectory("graft-splitprobe").toString)
+    def exists(p: String): Boolean =
+      java.nio.file.Files.exists(java.nio.file.Paths.get(p))
     def t[A](tag: String)(f: => A): (A, Double) = {
       val t0 = System.nanoTime(); val a = f
       val secs = (System.nanoTime() - t0) / 1e9
@@ -60,7 +69,7 @@ object SplitServeProbe {
     // ---- 1. curate: collapse LSH near-dup clusters to their canonical
     // (minimum-id) member — the post-curation lake
     val curatedPath = s"$root/curated"
-    t("curate (LSH clusters -> canonicals)") {
+    if (!exists(curatedPath)) t("curate (LSH clusters -> canonicals)") {
       val pairs = TextOps.minhashLshPairs(docs, "doc_id", "text",
         shingleN = 3, numHashes = 128, rowsPerBand = 2, threshold = 0.5)
       val cc = TextOps.connectedComponents(
@@ -76,7 +85,7 @@ object SplitServeProbe {
 
     // ---- 2. maintained store on the curated lake
     val store = s"$root/graph"
-    t("store: init + 2 incremental folds") {
+    if (!exists(store)) t("store: init + 2 incremental folds") {
       SimGraphStore.init(spark, store, n = 3, cap = 50L, minCommon = 2L)
       SimGraphStore.update(spark, store,
         curated.filter(pmod(col("doc_id"), lit(2)) === 0), "doc_id", "text")
@@ -90,17 +99,118 @@ object SplitServeProbe {
 
     // ---- 3. the three measurements
     val splits = Seq("train" -> 0.8, "test" -> 0.2)
-    t("served split (dial forced to serve)") {
-      noop(SampleOps.leakageFreeSplitFromStore(spark, store, curated,
+    if (!sparseOnly) {
+      t("served split (dial forced to serve)") {
+        noop(SampleOps.leakageFreeSplitFromStore(spark, store, curated,
+          "doc_id", "text", splits,
+          serveEdgeRatio = Double.PositiveInfinity))
+      }
+      t("served split (dial on auto)") {
+        noop(SampleOps.leakageFreeSplitFromStore(spark, store, curated,
+          "doc_id", "text", splits))
+      }
+      t("LSH recompute (leakageFreeSplit)") {
+        noop(SampleOps.leakageFreeSplit(curated, "doc_id", "text", splits))
+      }
+    }
+
+    // ---- 2b. the NIGHTLY-GATE regime: the LSH curation above leaves the
+    // template corpus's sub-threshold near-dups (≥2 shared rare shingles
+    // but J < 0.5) in place, so the rare-shingle graph stays dense — but
+    // a lake maintained by the admission gate never ACCUMULATES those
+    // pairs in the first place (near-contained docs are rejected against
+    // the current lake). Manufacture that state directly: collapse the
+    // maintained graph's own components to canonicals and rebuild the
+    // store on the survivors — the graph a long-curated lake carries.
+    val curated2Path = s"$root/curated2"
+    if (!exists(curated2Path)) t("graph-curate (store CC -> canonicals)") {
+      val cc2 = TextOps.connectedComponents(
+        SimGraphStore.edges(spark, store)
+          .select(col("a").as("ida"), col("b").as("idb")))
+      val drop2 = cc2.filter(col("id") =!= col("cluster"))
+        .select(col("id").as("doc_id"))
+      curated.join(drop2, Seq("doc_id"), "left_anti")
+        .write.mode("overwrite").parquet(curated2Path)
+    }
+    val curated2 = spark.read.parquet(curated2Path)
+    val nCur2 = curated2.count()
+    println(s"graph-curated docs: $nCur2")
+    val store2 = s"$root/graph2"
+    if (!exists(store2)) t("store2: init + 2 incremental folds") {
+      SimGraphStore.init(spark, store2, n = 3, cap = 50L, minCommon = 2L)
+      SimGraphStore.update(spark, store2,
+        curated2.filter(pmod(col("doc_id"), lit(2)) === 0), "doc_id", "text")
+      SimGraphStore.update(spark, store2,
+        curated2.filter(pmod(col("doc_id"), lit(2)) =!= 0), "doc_id", "text")
+    }
+    val (nEdges2, _) = t("store2 edge count (the dial's read)") {
+      SimGraphStore.edges(spark, store2).count()
+    }
+    println(f"store2 edges/doc: ${nEdges2.toDouble / nCur2}%.3f")
+    t("sparse served split (dial forced to serve)") {
+      noop(SampleOps.leakageFreeSplitFromStore(spark, store2, curated2,
         "doc_id", "text", splits,
         serveEdgeRatio = Double.PositiveInfinity))
     }
-    t("served split (dial on auto)") {
-      noop(SampleOps.leakageFreeSplitFromStore(spark, store, curated,
+    t("sparse served split (dial on auto)") {
+      noop(SampleOps.leakageFreeSplitFromStore(spark, store2, curated2,
         "doc_id", "text", splits))
     }
-    t("LSH recompute (leakageFreeSplit)") {
-      noop(SampleOps.leakageFreeSplit(curated, "doc_id", "text", splits))
+    t("sparse LSH recompute (leakageFreeSplit)") {
+      noop(SampleOps.leakageFreeSplit(curated2, "doc_id", "text", splits))
+    }
+
+    // ---- 2c. the REALISTIC sparse lake at full scale. Stage 2b is
+    // degenerate on this synthetic corpus: the template replicas chain
+    // the ≥2-shared-rare-shingle graph into giant components, so CC
+    // collapse leaves ~1k canonicals — a toy corpus, not a measurement.
+    // A lake maintained by the admission gate on REAL data looks
+    // different: mostly unique content with a thin tail of lingering
+    // near-dups (same-night arrivals, borderline sub-threshold pairs).
+    // Manufacture exactly that at 500k docs: deterministic unique token
+    // streams (131k vocab — cross-doc shingle collisions are ~vocab⁻³),
+    // with 1 doc in 40 a near-duplicate of its predecessor (one token
+    // changed). Expected graph: ~0.025 edges/doc — the serve regime.
+    val nDocs3 = 500000L
+    val sparse3Path = s"$root/sparse3"
+    if (!exists(sparse3Path)) t("gen sparse lake (unique + 2.5% pairs)") {
+      val seed = when(pmod(col("doc_id"), lit(40)) === 1,
+        col("doc_id") - 1).otherwise(col("doc_id"))
+      val toks = transform(sequence(lit(0), lit(119)),
+        i => concat(lit("w"),
+          pmod(xxhash64(seed, i), lit(131072L))))
+      // near-dup partner differs in exactly one trailing doc-keyed token
+      val text = concat_ws(" ",
+        concat(slice(toks, 1, 119),
+          array(concat(lit("u"), col("doc_id")))))
+      spark.range(nDocs3).select(col("id").as("doc_id"))
+        .select(col("doc_id"), text.as("text"))
+        .write.mode("overwrite").parquet(sparse3Path)
+    }
+    val sparse3 = spark.read.parquet(sparse3Path)
+    val store3 = s"$root/graph3"
+    if (!exists(store3)) t("store3: init + 2 incremental folds") {
+      SimGraphStore.init(spark, store3, n = 3, cap = 50L, minCommon = 2L)
+      SimGraphStore.update(spark, store3,
+        sparse3.filter(pmod(col("doc_id"), lit(2)) === 0), "doc_id", "text")
+      SimGraphStore.update(spark, store3,
+        sparse3.filter(pmod(col("doc_id"), lit(2)) =!= 0), "doc_id", "text")
+    }
+    val (nEdges3, _) = t("store3 edge count (the dial's read)") {
+      SimGraphStore.edges(spark, store3).count()
+    }
+    println(f"store3 edges/doc: ${nEdges3.toDouble / nDocs3}%.4f")
+    t("realistic served split (dial forced to serve)") {
+      noop(SampleOps.leakageFreeSplitFromStore(spark, store3, sparse3,
+        "doc_id", "text", splits,
+        serveEdgeRatio = Double.PositiveInfinity))
+    }
+    t("realistic served split (dial on auto)") {
+      noop(SampleOps.leakageFreeSplitFromStore(spark, store3, sparse3,
+        "doc_id", "text", splits))
+    }
+    t("realistic LSH recompute (leakageFreeSplit)") {
+      noop(SampleOps.leakageFreeSplit(sparse3, "doc_id", "text", splits))
     }
 
     if (alsoDense) {
