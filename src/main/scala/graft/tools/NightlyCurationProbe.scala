@@ -11,13 +11,21 @@ import org.apache.spark.sql.functions._
   * the NIGHTLY stages are batch-sized (plus pruned index reads), never
   * corpus-sized; only the bootstrap pays the lake.
   *
-  * Run: runMain graft.tools.NightlyCurationProbe <docsDir>
+  * Run: runMain graft.tools.NightlyCurationProbe <docsDir> [cap|auto]
+  *   [edgeBudget] [resume=<root>]
   * e.g. `SPARK_DRIVER_MEM=56g sbt "runMain
-  *   graft.tools.NightlyCurationProbe /tmp/scaled100x"` */
+  *   graft.tools.NightlyCurationProbe /tmp/scaled100x"`
+  * `resume=` reuses a previous run's root: each bootstrap stage leaves a
+  * `.done-<stage>` marker and is skipped when the marker exists (the
+  * 1000× bootstrap is >1 h on this box and a host stall can kill the
+  * JVM mid-fold — delete the partial store dir of the unmarked stage
+  * before resuming). */
 object NightlyCurationProbe {
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/tmp/scaled100x")
+    val resumeRoot = args.find(_.startsWith("resume="))
+      .map(_.stripPrefix("resume="))
     // the simgraph df cap is THE pair-volume dial (edges ∝ Σ_rare df²):
     // at 1000× on this box the hand-set 50 filled the 62 GB free disk
     // mid-write (r14 rehearsal). DEFAULT IS NOW BUDGET-DERIVED
@@ -34,11 +42,21 @@ object NightlyCurationProbe {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "256")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // a 1000×-scale fold can push a full-heap GC pause (or a host
+      // stall) past the 120 s default; in local mode losing the
+      // heartbeat WEDGES the scheduler (observed 2026-08-17: a 138 s
+      // pause killed a 78-min bootstrap), and the heartbeat protects
+      // nothing single-JVM anyway
+      .config("spark.network.timeout", "600s")
+      .config("spark.executor.heartbeatInterval", "300s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import graft.llm._
-    val root = java.nio.file.Files
-      .createTempDirectory("graft-nightlyprobe").toString + "/stores"
+    val base = resumeRoot.getOrElse(java.nio.file.Files
+      .createTempDirectory("graft-nightlyprobe").toString)
+    val root = base + "/stores"
+    def marker(s: String) = java.nio.file.Paths.get(s"$base/.done-$s")
+    def doneStage(s: String) = java.nio.file.Files.exists(marker(s))
     val stores = NightlyCuration.Stores(root)
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), col("text"))
@@ -55,15 +73,18 @@ object NightlyCurationProbe {
       a
     }
     // ---- bootstrap (one-time, corpus-sized by design) — per store
-    t("bootstrap bloom (init+fold 99%)") {
+    def stage(s: String, tag: String)(f: => Unit): Unit =
+      if (doneStage(s)) println(s"$tag  [resumed: done]")
+      else { t(tag)(f); java.nio.file.Files.createFile(marker(s)) }
+    stage("bloom", "bootstrap bloom (init+fold 99%)") {
       BloomHistory.init(spark, stores.bloom, mBits = 1 << 24)
       BloomHistory.append(spark, stores.bloom, history, "text")
     }
-    t("bootstrap shingle build")(ShingleIndex.build(history, "doc_id",
-      "text", stores.shingle, n = 3, nBuckets = 64))
-    t("bootstrap text build")(TextIndex.buildIndex(history, "doc_id",
-      "text", stores.text, nBuckets = 64))
-    t("bootstrap ivf build") {
+    stage("shingle", "bootstrap shingle build")(ShingleIndex.build(
+      history, "doc_id", "text", stores.shingle, n = 3, nBuckets = 64))
+    stage("text", "bootstrap text build")(TextIndex.buildIndex(history,
+      "doc_id", "text", stores.text, nBuckets = 64))
+    stage("ivf", "bootstrap ivf build") {
       AnnOps.buildIvfIndex(historyEmb, stores.ivf, dim = 64,
         nCentroids = 16,
         centroids = Some(AnnOps.seedCentroids(historyEmb, 16, 64)))
@@ -75,7 +96,7 @@ object NightlyCurationProbe {
       println(s"  derived cap: $c")
       c
     })
-    t(s"bootstrap simgraph (init+fold, cap=$simCap)") {
+    stage("simgraph", s"bootstrap simgraph (init+fold, cap=$simCap)") {
       SimGraphStore.init(spark, stores.graph, n = 3, cap = simCap,
         minCommon = 2L)
       SimGraphStore.update(spark, stores.graph, history, "doc_id", "text")

@@ -213,6 +213,48 @@ object SplitServeProbe {
       noop(SampleOps.leakageFreeSplit(sparse3, "doc_id", "text", splits))
     }
 
+    // ---- 2d. the CROSSOVER point: same recipe but near-dup CLIQUES of
+    // ten (each block of 10 consecutive docs shares a seed, each member
+    // one unique trailing token) → C(10,2)/10 = 4.5 edges/doc, right at
+    // the dial's default serveEdgeRatio = 4. Unlike the template corpus
+    // (where most candidate edges fail the Jaccard verify), every edge
+    // here verifies — the per-edge work is the same either way, so this
+    // brackets the default from the regime where serving is HONEST work.
+    val sparse4Path = s"$root/sparse4"
+    if (!exists(sparse4Path)) t("gen clique lake (blocks of 10)") {
+      val seed = col("doc_id") - pmod(col("doc_id"), lit(10))
+      val toks = transform(sequence(lit(0), lit(119)),
+        i => concat(lit("w"),
+          pmod(xxhash64(seed, i), lit(131072L))))
+      val text = concat_ws(" ",
+        concat(slice(toks, 1, 119),
+          array(concat(lit("u"), col("doc_id")))))
+      spark.range(nDocs3).select(col("id").as("doc_id"))
+        .select(col("doc_id"), text.as("text"))
+        .write.mode("overwrite").parquet(sparse4Path)
+    }
+    val sparse4 = spark.read.parquet(sparse4Path)
+    val store4 = s"$root/graph4"
+    if (!exists(store4)) t("store4: init + 2 incremental folds") {
+      SimGraphStore.init(spark, store4, n = 3, cap = 50L, minCommon = 2L)
+      SimGraphStore.update(spark, store4,
+        sparse4.filter(pmod(col("doc_id"), lit(2)) === 0), "doc_id", "text")
+      SimGraphStore.update(spark, store4,
+        sparse4.filter(pmod(col("doc_id"), lit(2)) =!= 0), "doc_id", "text")
+    }
+    val (nEdges4, _) = t("store4 edge count (the dial's read)") {
+      SimGraphStore.edges(spark, store4).count()
+    }
+    println(f"store4 edges/doc: ${nEdges4.toDouble / nDocs3}%.4f")
+    t("crossover served split (dial forced to serve)") {
+      noop(SampleOps.leakageFreeSplitFromStore(spark, store4, sparse4,
+        "doc_id", "text", splits,
+        serveEdgeRatio = Double.PositiveInfinity))
+    }
+    t("crossover LSH recompute (leakageFreeSplit)") {
+      noop(SampleOps.leakageFreeSplit(sparse4, "doc_id", "text", splits))
+    }
+
     if (alsoDense) {
       // the r14 dense-regime measurement, re-run for the record: store
       // over the UNCURATED corpus, served vs recompute
