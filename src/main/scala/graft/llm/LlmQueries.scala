@@ -543,15 +543,41 @@ object LlmQueries {
     }
     /** Copy the fixture to `root` (deleted first). The Bloom fingerprint
       * sidecar lives at `<root>/bloom__fp`, inside the tree, so one
-      * recursive copy moves the whole store state. */
+      * recursive copy moves the whole store state. The tree is thousands
+      * of small bucket files (five partitioned stores), so the copy runs
+      * file-parallel on a small pool — FileUtil.copy walked it
+      * single-threaded and the per-entry copy was pure latency (guide
+      * §2.6's overlap idiom applied to driver-side fs work). */
     def copyTo(s: SparkSession, dir: String, root: String): Unit = {
       import org.apache.hadoop.fs.{FileUtil, Path}
+      val conf = s.sparkContext.hadoopConfiguration
       val src = new Path(fixtureFor(s, dir))
       val dst = new Path(root)
-      val fs = dst.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val fs = dst.getFileSystem(conf)
       if (fs.exists(dst)) fs.delete(dst, true)
-      FileUtil.copy(fs, src, fs, dst, false,
-        s.sparkContext.hadoopConfiguration)
+      // collect (srcFile, dstFile) pairs; create dirs up front (cheap)
+      val files = scala.collection.mutable.ArrayBuffer.empty[(Path, Path)]
+      def walk(p: Path, d: Path): Unit = {
+        val st = fs.getFileStatus(p)
+        if (st.isDirectory) {
+          fs.mkdirs(d)
+          fs.listStatus(p).foreach(c =>
+            walk(c.getPath, new Path(d, c.getPath.getName)))
+        } else files += ((p, d))
+      }
+      walk(src, dst)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(16)
+      try {
+        val futs = files.map { case (f, t) =>
+          pool.submit(new java.util.concurrent.Callable[Unit] {
+            def call(): Unit = { FileUtil.copy(fs, f, fs, t, false, conf); () }
+          })
+        }
+        try futs.foreach(_.get())
+        catch {
+          case e: java.util.concurrent.ExecutionException => throw e.getCause
+        }
+      } finally pool.shutdown()
       s.catalog.refreshByPath(root)
     }
   }
@@ -625,36 +651,43 @@ object LlmQueries {
         require(actions.size >= 6,
           s"q147 expects every dial to trip, got: $actions")
       }
-      // serve from every post-append store, tagged into one frame
-      val pAdmit = admitted.select(lit("admit").as("part"),
-        col("doc_id").as("a"), lit(0L).as("b"),
-        size(TextOps.tokens(col("text"))).cast(DoubleType).as("v"))
-      // the store's sidecar IS history ∪ admitted after the fold — the
-      // serve needs no corpus frame
-      val pBloom = BloomHistory.dedupFromStore(s, stores.bloom,
-          batch, "doc_id", "text")
-        .select(lit("bloom").as("part"), col("doc_id").as("a"),
-          lit(0L).as("b"), lit(0.0).as("v"))
-      val pShingle = ShingleIndex.containmentAgainst(s, stores.shingle,
-          docs.filter(pmod(col("doc_id"), lit(15)) === 1), "doc_id",
-          "text", 0.8)
-        .select(lit("shingle").as("part"), col("ida").as("a"),
-          col("idb").as("b"), col("containment").as("v"))
-      val pText = TextIndex.bm25FromIndex(s, stores.text,
-          terms = Seq("sort", "stream", "hash"), k1 = 1.2, b = 0.75,
-          topK = 10)
-        .select(concat(lit("text:"), col("term")).as("part"),
-          col("rank").cast(LongType).as("a"), col("doc_id").as("b"),
-          col("score").as("v"))
-      val pIvf = AnnOps.ivfTopKFromIndex(s, stores.ivf,
-          emb.filter(col("vec_id") < 10), k = 10, dim = 64, nProbe = 2)
-        .select(lit("ivf").as("part"), col("qid").as("a"),
-          col("nid").as("b"), col("rk").cast(DoubleType).as("v"))
-      val pGraph = SimGraphStore.edges(s, stores.graph)
-        .select(lit("graph").as("part"), col("a"), col("b"),
-          lit(0.0).as("v"))
-      pAdmit.unionByName(pBloom).unionByName(pShingle).unionByName(pText)
-        .unionByName(pIvf).unionByName(pGraph)
+      // serve from every post-append store, tagged into one frame. The
+      // six parts read disjoint post-append stores, and three of them do
+      // EAGER work while constructing their frame (dedupFromStore's hit
+      // materialization + bucket collect, containmentAgainst's signature
+      // checkpoint + bucket collect, ivfTopKFromIndex's centroid/probe
+      // collects) — construct them CONCURRENTLY (guide §2.6) so those
+      // driver-sequenced jobs overlap; the union plan itself is lazy and
+      // unchanged.
+      val parts = graft.sources.ParJobs.map[DataFrame](Seq(
+        () => admitted.select(lit("admit").as("part"),
+          col("doc_id").as("a"), lit(0L).as("b"),
+          size(TextOps.tokens(col("text"))).cast(DoubleType).as("v")),
+        // the store's sidecar IS history ∪ admitted after the fold — the
+        // serve needs no corpus frame
+        () => BloomHistory.dedupFromStore(s, stores.bloom,
+            batch, "doc_id", "text")
+          .select(lit("bloom").as("part"), col("doc_id").as("a"),
+            lit(0L).as("b"), lit(0.0).as("v")),
+        () => ShingleIndex.containmentAgainst(s, stores.shingle,
+            docs.filter(pmod(col("doc_id"), lit(15)) === 1), "doc_id",
+            "text", 0.8)
+          .select(lit("shingle").as("part"), col("ida").as("a"),
+            col("idb").as("b"), col("containment").as("v")),
+        () => TextIndex.bm25FromIndex(s, stores.text,
+            terms = Seq("sort", "stream", "hash"), k1 = 1.2, b = 0.75,
+            topK = 10)
+          .select(concat(lit("text:"), col("term")).as("part"),
+            col("rank").cast(LongType).as("a"), col("doc_id").as("b"),
+            col("score").as("v")),
+        () => AnnOps.ivfTopKFromIndex(s, stores.ivf,
+            emb.filter(col("vec_id") < 10), k = 10, dim = 64, nProbe = 2)
+          .select(lit("ivf").as("part"), col("qid").as("a"),
+            col("nid").as("b"), col("rk").cast(DoubleType).as("v")),
+        () => SimGraphStore.edges(s, stores.graph)
+          .select(lit("graph").as("part"), col("a"), col("b"),
+            lit(0.0).as("v"))))
+      parts.reduce(_.unionByName(_))
         .orderBy("part", "a", "b", "v")
   }
 

@@ -821,32 +821,39 @@ object TextOps {
       "blocks need >= 4 bits each for useful bucketing")
     val nb = maxHamming + 1
     val w = 64 / nb
-    // reused by both candidate sides and both verify sides — checkpoint
-    // so the per-partition simhash kernel runs once
+    // reused by both candidate sides — checkpoint so the per-partition
+    // simhash kernel runs once
     val sh = simhash(df, idCol, textCol)
       .select(col(idCol).cast(LongType).as("id"), col("simhash"))
       .localCheckpoint()
     val blockArr = array((0 until nb).map { i =>
       substring(col("simhash"), i * w + 1, if (i == nb - 1) 64 - i * w else w)
     }: _*)
-    val blocks = sh.select(col("id"), posexplode(blockArr).as(Seq("blk", "key")))
-    val cands = blocks.select(col("id").as("ida"), col("blk"), col("key"))
-      .join(blocks.select(col("id").as("idb"), col("blk").as("b2"),
-          col("key").as("k2")),
-        col("blk") === col("b2") && col("key") === col("k2") &&
-          col("ida") < col("idb"))
-      .select("ida", "idb").distinct()
     def half(c: Column, off: Int): Column =
       conv(substring(c, off, 32), 2, 10).cast(LongType)
-    cands
-      .join(sh.select(col("id").as("ida"), col("simhash").as("sa")), "ida")
-      .join(sh.select(col("id").as("idb"), col("simhash").as("sb")), "idb")
+    // each block row CARRIES its fingerprint as two packed 64-bit halves,
+    // so the hamming verify computes INLINE in the block join — the old
+    // shape deduped bare (ida, idb) candidates and then re-attached the
+    // fingerprints with two more joins (two extra exchanges of the
+    // candidate set; guide §2.4 — remove shuffles outright). 16 extra
+    // bytes per block row through the first shuffle buys the candidate
+    // set never shuffling again, and the dedup now runs on verified
+    // near-dup pairs (≤ the candidates) after a cheap codegen'd
+    // xor+bit_count per candidate occurrence.
+    val blocks = sh.select(col("id"),
+      half(col("simhash"), 1).as("h1"), half(col("simhash"), 33).as("h2"),
+      posexplode(blockArr).as(Seq("blk", "key")))
+    blocks.select(col("id").as("ida"), col("h1").as("h1a"),
+        col("h2").as("h2a"), col("blk"), col("key"))
+      .join(blocks.select(col("id").as("idb"), col("h1").as("h1b"),
+          col("h2").as("h2b"), col("blk").as("b2"), col("key").as("k2")),
+        col("blk") === col("b2") && col("key") === col("k2") &&
+          col("ida") < col("idb"))
       .withColumn("hd",
-        (bit_count(half(col("sa"), 1).bitwiseXOR(half(col("sb"), 1))) +
-          bit_count(half(col("sa"), 33).bitwiseXOR(half(col("sb"), 33))))
-          .cast(LongType))
+        (bit_count(col("h1a").bitwiseXOR(col("h1b"))) +
+          bit_count(col("h2a").bitwiseXOR(col("h2b")))).cast(LongType))
       .filter(col("hd") <= maxHamming)
-      .select(col("ida"), col("idb"), col("hd"))
+      .select(col("ida"), col("idb"), col("hd")).distinct()
   }
 
   /** SimHash near-dup CLUSTERING — the composition the Manku web-dedup

@@ -193,38 +193,47 @@ object StreamingNightlyCuration {
     }
     val admitted =
       stagedAdmitted(spark, stores, aboveBid = floor).localCheckpoint()
-    // id-disciplined stores: the night's explicit commit id makes a
-    // re-run a verified replay skip
-    BloomHistory.append(spark, stores.bloom, admitted, "text",
-      explicitBid = Some(nightId))
-    ShingleIndex.appendToIndex(spark, stores.shingle, admitted, "doc_id",
-      "text", explicitEp = Some(nightId))
-    SimGraphStore.update(spark, stores.graph, admitted, "doc_id", "text",
-      explicitBid = Some(nightId))
-    // anti-join-disciplined stores: drop what a crashed earlier run of
-    // THIS night already appended (doc identity is the replay key)
-    val textFresh = admitted.join(
-      spark.read.parquet(s"${stores.text}/postings")
-        .select("doc_id").distinct(),
-      Seq("doc_id"), "left_anti").localCheckpoint()
-    if (!textFresh.isEmpty)
-      TextIndex.appendToIndex(spark, stores.text, textFresh, "doc_id",
-        "text")
-    val admittedEmb = emb
-      .join(admitted.select(col("doc_id").as("vec_id")), "vec_id")
-    val ivfFresh = admittedEmb.join(
-      spark.read.parquet(s"${stores.ivf}/cells")
-        .select(col("nid").as("vec_id")).distinct(),
-      Seq("vec_id"), "left_anti").localCheckpoint()
-    if (!ivfFresh.isEmpty)
-      AnnOps.appendToIvfIndex(spark, stores.ivf, ivfFresh, dim)
-    // the lake delta record: the night's admitted rows under a night-id
-    // partition (overwrite = idempotent on a re-run) — what a production
-    // deployment merges into the lake table, and what [[admittedLog]] /
-    // [[runContinuous]] read back as lake growth
-    admitted.select(col("doc_id").cast("long").as("doc_id"), col("text"))
-      .write.mode("overwrite")
-      .parquet(s"${stores.root}/admitted_log/night=$nightId")
+    // the six folds below touch disjoint directories and share only the
+    // checkpointed `admitted` — run them CONCURRENTLY (guide §2.6:
+    // overlap independent jobs), same as [[NightlyCuration.appendAll]]
+    graft.sources.ParJobs.run(Seq(
+      // id-disciplined stores: the night's explicit commit id makes a
+      // re-run a verified replay skip
+      () => BloomHistory.append(spark, stores.bloom, admitted, "text",
+        explicitBid = Some(nightId)): Unit,
+      () => ShingleIndex.appendToIndex(spark, stores.shingle, admitted,
+        "doc_id", "text", explicitEp = Some(nightId)): Unit,
+      () => SimGraphStore.update(spark, stores.graph, admitted, "doc_id",
+        "text", explicitBid = Some(nightId)): Unit,
+      // anti-join-disciplined stores: drop what a crashed earlier run of
+      // THIS night already appended (doc identity is the replay key)
+      () => {
+        val textFresh = admitted.join(
+          spark.read.parquet(s"${stores.text}/postings")
+            .select("doc_id").distinct(),
+          Seq("doc_id"), "left_anti").localCheckpoint()
+        if (!textFresh.isEmpty)
+          TextIndex.appendToIndex(spark, stores.text, textFresh, "doc_id",
+            "text")
+      },
+      () => {
+        val admittedEmb = emb
+          .join(admitted.select(col("doc_id").as("vec_id")), "vec_id")
+        val ivfFresh = admittedEmb.join(
+          spark.read.parquet(s"${stores.ivf}/cells")
+            .select(col("nid").as("vec_id")).distinct(),
+          Seq("vec_id"), "left_anti").localCheckpoint()
+        if (!ivfFresh.isEmpty)
+          AnnOps.appendToIvfIndex(spark, stores.ivf, ivfFresh, dim): Unit
+      },
+      // the lake delta record: the night's admitted rows under a night-id
+      // partition (overwrite = idempotent on a re-run) — what a production
+      // deployment merges into the lake table, and what [[admittedLog]] /
+      // [[runContinuous]] read back as lake growth
+      () => admitted
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+        .write.mode("overwrite")
+        .parquet(s"${stores.root}/admitted_log/night=$nightId")))
     // preserve each folded bid's staging signature, then advance the
     // night floor, BEFORE retiring the manifest: a stream checkpoint
     // that later replays a folded bid verifies against the preserved
