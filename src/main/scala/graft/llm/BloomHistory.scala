@@ -334,8 +334,11 @@ object BloomHistory {
       .localCheckpoint()
     // hit residues mod the MAX fan-out — ≤ maxFpBuckets distinct
     // values, a driver-bounded collect; each partition's own bucket for
-    // a hit is its residue mod that partition's nb (class doc)
-    val res = hits.select("bkt").distinct().collect().map(_.getLong(0))
+    // a hit is its residue mod that partition's nb (class doc). One
+    // grouped aggregate yields the residue list AND the hit count the
+    // broadcast gate below needs — two jobs folded into one.
+    val bktCounts = hits.groupBy("bkt").count().collect()
+    val res = bktCounts.map(_.getLong(0))
     if (res.isEmpty) return hits.select("doc_id").limit(0)
     // one OR-of-ANDs over the possible fan-outs (1, 2, …, maxFpBuckets —
     // derived, ADVICE r14, so a fan-out cap change can't silently miss
@@ -348,7 +351,7 @@ object BloomHistory {
     // broadcast only a fitting hit set (class doc): ~64 B/row in the
     // build-side hash table (32-char fp + id + object overhead)
     val bcastThreshold = spark.sessionState.conf.autoBroadcastJoinThreshold
-    val hitRows = hits.count()
+    val hitRows = bktCounts.map(_.getLong(1)).sum
     val verify = hits.select("doc_id", "fp")
     val verifySide =
       if (bcastThreshold > 0 && hitRows * 64L <= bcastThreshold)

@@ -114,9 +114,16 @@ object NightlyCuration {
       idCol: String, textCol: String,
       minTokens: Int = 8, minUniqueRatio: Double = 0.3,
       containmentThreshold: Double = 0.8): DataFrame = {
-    val toks = TextOps.tokens(col(textCol))
-    val quality = batch.filter(size(toks) >= minTokens &&
-      size(array_distinct(toks)) >= lit(minUniqueRatio) * size(toks))
+    // tokenize ONCE into a projected column: the filter predicate
+    // references tokens three times, and FilterExec codegen does not
+    // common-subexpression-eliminate — three split() passes per document
+    // otherwise (guide §1.2: per-task work, don't compute twice)
+    val quality = batch
+      .withColumn("__q_toks", TextOps.tokens(col(textCol)))
+      .filter(size(col("__q_toks")) >= minTokens &&
+        size(array_distinct(col("__q_toks"))) >=
+          lit(minUniqueRatio) * size(col("__q_toks")))
+      .drop("__q_toks")
     val exactDups = BloomHistory.dedupFromStore(spark, stores.bloom,
       quality, idCol, textCol)
       .withColumnRenamed("doc_id", idCol)

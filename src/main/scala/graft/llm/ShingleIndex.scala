@@ -116,28 +116,35 @@ object ShingleIndex {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(root)) fs.delete(root, true)
     val base = TextOps.shingleSigs(docs, idCol, textCol, n).localCheckpoint()
-    base.withColumn("ep", lit(0L))
-      .write.partitionBy("ep").parquet(s"$path/sigs")
     val ex = base.select(col("id"), size(col("sh")).as("sz"),
       explode(col("sh")).as("s"))
-    val dfTab = ex.groupBy("s").agg(count(lit(1)).as("df"))
+    // checkpoint the vocab-sized df table: the df write AND the postings
+    // ranking join both consume it — lazily it was computed twice (one
+    // full explode+agg pass each; guide §1.2, don't compute twice)
+    val dfTab = ex.groupBy("s").agg(count(lit(1)).as("df")).localCheckpoint()
+    val w = Window.partitionBy("id").orderBy(col("df"), col("s"))
     // repartition BY sb before every partitionBy write (the BloomHistory
     // sidecar discipline): without it each of the shuffle's tasks opens a
     // writer in every bucket directory — tasks×nBuckets small files whose
     // per-file writer overhead dominates the whole build (measured 71.6 s
-    // vs 7.8 s for the same 2.6M-row postings frame at 50k docs)
-    dfTab.withColumn("ep", lit(0L))
-      .withColumn("sb", pmod(xxhash64(col("s")), lit(nBuckets)))
-      .repartition(col("sb"))
-      .write.partitionBy("ep", "sb").parquet(s"$path/df")
-    val w = Window.partitionBy("id").orderBy(col("df"), col("s"))
-    ex.join(dfTab, "s")
-      .withColumn("rn", row_number().over(w))
-      .select(col("id"), col("sz"), col("s"), col("rn"))
-      .withColumn("ep", lit(0L))
-      .withColumn("sb", pmod(xxhash64(col("s")), lit(nBuckets)))
-      .repartition(col("sb"))
-      .write.partitionBy("ep", "sb").parquet(s"$path/postings")
+    // vs 7.8 s for the same 2.6M-row postings frame at 50k docs).
+    // The three sub-dataset writes are independent (the epoch-0 marker is
+    // the commit) and land in disjoint directories — run them
+    // CONCURRENTLY (guide §2.6).
+    graft.sources.ParJobs.run(Seq(
+      () => base.withColumn("ep", lit(0L))
+        .write.partitionBy("ep").parquet(s"$path/sigs"),
+      () => dfTab.withColumn("ep", lit(0L))
+        .withColumn("sb", pmod(xxhash64(col("s")), lit(nBuckets)))
+        .repartition(col("sb"))
+        .write.partitionBy("ep", "sb").parquet(s"$path/df"),
+      () => ex.join(dfTab, "s")
+        .withColumn("rn", row_number().over(w))
+        .select(col("id"), col("sz"), col("s"), col("rn"))
+        .withColumn("ep", lit(0L))
+        .withColumn("sb", pmod(xxhash64(col("s")), lit(nBuckets)))
+        .repartition(col("sb"))
+        .write.partitionBy("ep", "sb").parquet(s"$path/postings")))
     // marker BEFORE meta (ADVICE r12): meta is every entry point's
     // fail-fast probe, so it must be the LAST artifact a build writes —
     // a crash between the two leaves a store readMeta rejects loudly,
@@ -214,22 +221,25 @@ object ShingleIndex {
         (coalesce(col("df0"), lit(0L)) + col("dd")).as("df"))
     val w = Window.partitionBy("id").orderBy(col("df"), col("s"))
     // repartition BY sb before partitionBy (the build-path discipline):
-    // an unaligned append pays tasks×nBuckets writer opens per epoch
-    ex.join(mergedDf, "s")
-      .withColumn("rn", row_number().over(w))
-      .select(col("id"), col("sz"), col("s"), col("rn"))
-      .withColumn("ep", lit(ep))
-      .withColumn("sb", pmod(xxhash64(col("s")), lit(nBuckets)))
-      .repartition(col("sb"))
-      .write.mode("append").partitionBy("ep", "sb")
-      .parquet(s"$path/postings")
-    delta.select(col("s"), col("dd").as("df"))
-      .withColumn("ep", lit(ep))
-      .withColumn("sb", pmod(xxhash64(col("s")), lit(nBuckets)))
-      .repartition(col("sb"))
-      .write.mode("append").partitionBy("ep", "sb").parquet(s"$path/df")
-    base.withColumn("ep", lit(ep))
-      .write.mode("append").partitionBy("ep").parquet(s"$path/sigs")
+    // an unaligned append pays tasks×nBuckets writer opens per epoch.
+    // Three independent writes into disjoint epoch partitions — the
+    // marker is the commit, so they run CONCURRENTLY (guide §2.6).
+    graft.sources.ParJobs.run(Seq(
+      () => ex.join(mergedDf, "s")
+        .withColumn("rn", row_number().over(w))
+        .select(col("id"), col("sz"), col("s"), col("rn"))
+        .withColumn("ep", lit(ep))
+        .withColumn("sb", pmod(xxhash64(col("s")), lit(nBuckets)))
+        .repartition(col("sb"))
+        .write.mode("append").partitionBy("ep", "sb")
+        .parquet(s"$path/postings"),
+      () => delta.select(col("s"), col("dd").as("df"))
+        .withColumn("ep", lit(ep))
+        .withColumn("sb", pmod(xxhash64(col("s")), lit(nBuckets)))
+        .repartition(col("sb"))
+        .write.mode("append").partitionBy("ep", "sb").parquet(s"$path/df"),
+      () => base.withColumn("ep", lit(ep))
+        .write.mode("append").partitionBy("ep").parquet(s"$path/sigs")))
     commitEpoch(spark, path, ep, Some(batchSig(batch, idCol, textCol)))
     ep
   }
@@ -343,16 +353,18 @@ object ShingleIndex {
       .select(col("id"), col("sz"), col("s"), col("rn"))
       .localCheckpoint()
     graft.sources.ParquetCompaction.rewrite(spark, path) { tmp =>
-      sigs.withColumn("ep", lit(keep))
-        .write.partitionBy("ep").parquet(s"$tmp/sigs")
-      dfAll.withColumn("ep", lit(keep))
-        .withColumn("sb", pmod(xxhash64(col("s")), lit(nBuckets)))
-        .repartition(col("sb"))
-        .write.partitionBy("ep", "sb").parquet(s"$tmp/df")
-      ranked.withColumn("ep", lit(keep))
-        .withColumn("sb", pmod(xxhash64(col("s")), lit(nBuckets)))
-        .repartition(col("sb"))
-        .write.partitionBy("ep", "sb").parquet(s"$tmp/postings")
+      // three checkpointed folds into disjoint temp sub-dirs (guide §2.6)
+      graft.sources.ParJobs.run(Seq(
+        () => sigs.withColumn("ep", lit(keep))
+          .write.partitionBy("ep").parquet(s"$tmp/sigs"),
+        () => dfAll.withColumn("ep", lit(keep))
+          .withColumn("sb", pmod(xxhash64(col("s")), lit(nBuckets)))
+          .repartition(col("sb"))
+          .write.partitionBy("ep", "sb").parquet(s"$tmp/df"),
+        () => ranked.withColumn("ep", lit(keep))
+          .withColumn("sb", pmod(xxhash64(col("s")), lit(nBuckets)))
+          .repartition(col("sb"))
+          .write.partitionBy("ep", "sb").parquet(s"$tmp/postings")))
       graft.sources.MetaSidecar.write(spark, tmp, metaFile,
         Seq("nBuckets" -> nBuckets.toString, "n" -> n.toString,
           "v" -> "2"))

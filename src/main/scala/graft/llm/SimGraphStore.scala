@@ -257,13 +257,18 @@ object SimGraphStore {
     val inc = crossPairs.union(withinPairs)
       .groupBy("a", "b").agg(count(lit(1)).as("c"))
     // appends into this batch's own bid= partition (orphaned on a crash —
-    // invisible until the marker commits, wiped by the retry's cleanup)
-    dec.union(inc).withColumn("bid", lit(bid))
-      .write.mode("append").partitionBy("bid").parquet(s"$path/edges")
-    j.select(col("s"), col("dd").as("df")).withColumn("bid", lit(bid))
-      .write.mode("append").partitionBy("bid").parquet(s"$path/df")
-    bpr.withColumn("bid", lit(bid))
-      .write.mode("append").partitionBy("bid").parquet(s"$path/post")
+    // invisible until the marker commits, wiped by the retry's cleanup).
+    // The three sub-dataset writes are independent until the marker (the
+    // commit point), so they run CONCURRENTLY (guide §2.6) — their
+    // inputs are checkpointed (j, bpr) or derived from them plus the
+    // committed store, and they land in disjoint directories.
+    graft.sources.ParJobs.run(Seq(
+      () => dec.union(inc).withColumn("bid", lit(bid))
+        .write.mode("append").partitionBy("bid").parquet(s"$path/edges"),
+      () => j.select(col("s"), col("dd").as("df")).withColumn("bid", lit(bid))
+        .write.mode("append").partitionBy("bid").parquet(s"$path/df"),
+      () => bpr.withColumn("bid", lit(bid))
+        .write.mode("append").partitionBy("bid").parquet(s"$path/post")))
     // the marker carries the batch's replay signature (the ShingleIndex
     // discipline, ADVICE r12): the replay skip verifies it
     val marker = new Path(s"$path/_batches", bid.toString)
@@ -363,9 +368,11 @@ object SimGraphStore {
       val livePost = committed(spark, path, "post", postSchema)
         .select("d", "s").join(rare, "s").select(col("d"), col("s"))
         .withColumn("bid", lit(keepBid))
-      mergedEdges.write.partitionBy("bid").parquet(s"$tmp/edges")
-      mergedDf.write.partitionBy("bid").parquet(s"$tmp/df")
-      livePost.write.partitionBy("bid").parquet(s"$tmp/post")
+      // three disjoint sub-datasets of the rewrite temp (guide §2.6)
+      graft.sources.ParJobs.run(Seq(
+        () => mergedEdges.write.partitionBy("bid").parquet(s"$tmp/edges"),
+        () => mergedDf.write.partitionBy("bid").parquet(s"$tmp/df"),
+        () => livePost.write.partitionBy("bid").parquet(s"$tmp/post")))
       graft.sources.MetaSidecar.write(spark, tmp, metaFile,
         Seq("n" -> n.toString, "cap" -> cap.toString,
           "minCommon" -> minCommon.toString))

@@ -20,7 +20,7 @@ object EntryProfile {
     val names = args(1).split(",").map(_.trim).filter(_.nonEmpty).toSeq
     val passes = args.lift(2).map(_.toInt).getOrElse(2)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
@@ -29,7 +29,14 @@ object EntryProfile {
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
         sys.env.getOrElse("SPARK_GRAFT_INIT_PARTS", "256"))
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .getOrCreate()
+    // conf A/B seam: SPARK_GRAFT_CONF="key=value;key=value" overlays any
+    // session conf, so a config experiment (guide §1.2 step 3) runs the
+    // same binary twice instead of editing session builders
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      builder.config(k.trim, v.trim)
+    })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     final case class Rec(id: Int, site: String, var startNs: Long,
@@ -39,8 +46,16 @@ object EntryProfile {
       new java.util.ArrayList[Rec]())
     val listener = new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit = {
+        // prefer an explicit description; else the first graft.* frame in
+        // the job's last stage's stack-trace details (SQL jobs don't set
+        // callSite.short as a local property)
         val site = Option(js.properties)
-          .flatMap(p => Option(p.getProperty("callSite.short")))
+          .flatMap(p => Option(p.getProperty("spark.job.description")))
+          .orElse {
+            js.stageInfos.lastOption.flatMap(_.details.linesIterator
+              .find(l => l.contains("graft.") && !l.contains("EntryProfile"))
+              .map(_.trim.stripPrefix("at ")))
+          }
           .getOrElse("?")
         val r = Rec(js.jobId, site, System.nanoTime(), -1L)
         jobs.put(js.jobId, r)

@@ -455,4 +455,18 @@ class PlanSpec extends SparkTestBase {
       plan.contains("GreaterThanOrEqual(ts"),
       s"time filter must be pushed into the provider's parquet scan:\n$plan")
   }
+
+  test("q154 simhash pairs: ONE join — the hamming verify rides the " +
+      "block join instead of re-attaching fingerprints") {
+    // r15: each block row carries its fingerprint as two packed longs, so
+    // the candidate set never shuffles again after the block self-join
+    // (the old shape deduped bare pairs and paid two more joins). A
+    // regression re-introduces candidate-set-sized exchanges.
+    val plan = executedPlan("q154_simhash_neardup")
+    val joins = ("(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin|" +
+      "CartesianProduct|BroadcastNestedLoopJoin)").r
+      .findAllIn(plan).size
+    assert(joins == 1, s"expected exactly 1 join in the q154 plan, got " +
+      s"$joins:\n$plan")
+  }
 }
