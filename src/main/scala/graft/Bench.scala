@@ -308,18 +308,33 @@ object Bench {
     // TWO stdout lines, printed LAST (after spark.stop()), inside the
     // driver's bounded (~2 KB) stdout tail:
     //  1. a COMPACT per-query map — keys are the catalog qNN numbers
-    //    ("134" = q134_…), values 2-decimal medians (~11 B/entry, so ~145
-    //    entries fit where the full-name 3-decimal map (~4 KB) overflowed
-    //    the window since r4). This makes the driver's BENCH_rNN.json
-    //    self-contained (VERDICT r11 #4c): the map rides in the captured
-    //    tail even though the driver parses only the totals line.
+    //    ("134" = q134_…), values integer CENTISECONDS (~9 B/entry; the
+    //    2-decimal seconds spelling was ~11 B/entry and still truncated
+    //    mid-map in the r14 AND r15 artifacts — see the unit note below).
+    //    This makes the driver's BENCH_rNN.json self-contained (VERDICT
+    //    r11 #4c): the map rides WHOLE in the captured tail even though
+    //    the driver parses only the totals line.
     //  2. the totals line LAST — the one the driver parses; if a future
     //    catalog outgrows the window, the compact line loses its head
     //    first and the totals line still parses.
-    val perQ = results.map { case (k, med, _, _, _) =>
-      "\"" + k.drop(1).takeWhile(_.isDigit) + "\":" + f"$med%.2f"
+    // INTEGER CENTISECONDS ("unit":"cs", r16 — VERDICT r15 #2/#6): the
+    // former 2-decimal SECONDS map was arithmetically too long to ever
+    // survive — the driver stores (and parses from) only a ~2000-char
+    // stdout tail, and seconds-map (~1.7 KB) + totals line (~0.4 KB) +
+    // sbt's trailing success line cannot all fit, so r14 AND r15 both
+    // shipped the map truncated mid-JSON and PERF per_query came back
+    // empty. The cs map measures ~1.43 KB for 159 entries; cs line +
+    // totals + success ≈ 1.91 KB fits the window whole, and exactly ONE
+    // complete per_query line sits in the tail (printing the seconds
+    // line too would leave its truncated torso as broken JSON right
+    // above this line). Same 10-ms precision; the full-name 3-decimal
+    // SECONDS map still lands in bench.json and bench_history.jsonl
+    // every run, and the parsed totals line is unchanged.
+    val perQCs = results.map { case (k, med, _, _, _) =>
+      "\"" + k.drop(1).takeWhile(_.isDigit) + "\":" +
+        math.round(med * 100).toString
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"per_query","q":$perQ}""")
+    println(s"""{"metric":"per_query","unit":"cs","q":$perQCs}""")
     // maint_passes rides on the parsed totals line too (ADVICE r12): a
     // single-sample maintenance median is visible in the artifact itself
     // per-pass calibrations + band ride the PARSED totals line (VERDICT

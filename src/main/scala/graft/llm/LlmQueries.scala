@@ -575,7 +575,15 @@ object LlmQueries {
         }
         try futs.foreach(_.get())
         catch {
-          case e: java.util.concurrent.ExecutionException => throw e.getCause
+          case e: java.util.concurrent.ExecutionException =>
+            // stop mutating the destination tree before the caller sees
+            // the failure: cancel what hasn't started, wait out what has
+            // (shutdown() alone would let copies keep landing behind an
+            // already-thrown error)
+            futs.foreach(_.cancel(false))
+            pool.shutdown()
+            pool.awaitTermination(60, java.util.concurrent.TimeUnit.SECONDS)
+            throw e.getCause
         }
       } finally pool.shutdown()
       s.catalog.refreshByPath(root)
@@ -615,14 +623,23 @@ object LlmQueries {
         }
         stage(batch.filter(pmod(col("doc_id"), lit(9)) === 0), "b0")
         stage(batch.filter(pmod(col("doc_id"), lit(9)) === 3), "b1")
+        // maxFilesPerTrigger=2: drain the currently-available slices in
+        // ONE micro-batch (guide §1.2/§2 — fewer fixed-cost micro-batch
+        // rounds, and the admission gate's store-probe scans run once
+        // per trigger, not once per file). Legitimate ONLY because
+        // staged admission is split-invariant: every batch admits
+        // against the PRE-NIGHT store state (class scaladoc), so the
+        // staged union — and q144's shared oracle — is identical for
+        // any file-to-trigger packing. r15 ran one file per trigger;
+        // the A/B is in OPTIMIZATION_r16.md.
         graft.streaming.StreamingNightlyCuration.run(s, src, stores,
-          s"$root/ck")
+          s"$root/ck", maxFilesPerTrigger = 2)
         // a later feed slice arrives mid-night and the SAME checkpoint
         // resumes staging (the q143 lifecycle discipline) — the fold
         // below must see all three slices or the oracle mismatches
         stage(batch.filter(pmod(col("doc_id"), lit(9)) === 6), "b2")
         graft.streaming.StreamingNightlyCuration.run(s, src, stores,
-          s"$root/ck")
+          s"$root/ck", maxFilesPerTrigger = 2)
         val staged = graft.streaming.StreamingNightlyCuration
           .stagedAdmitted(s, stores).select("doc_id").localCheckpoint()
         graft.streaming.StreamingNightlyCuration.endOfNight(s, stores,
@@ -2345,7 +2362,9 @@ object LlmQueries {
         maintain = true)),
 
     // ---- the STREAMED nightly cycle (q152): tonight's feed arrives as
-    // a real file stream (three micro-batches), each staged through the
+    // a real file stream (three slices over two stream starts — the
+    // available slices batch into one trigger, the late slice resumes
+    // the same checkpoint), each micro-batch staged through the
     // admission gate into a marker-committed manifest, and ONE
     // end-of-night fold appends the union into all five stores
     // (StreamingNightlyCuration). Admission reads only pre-night store

@@ -118,6 +118,9 @@ object NightlyCuration {
     // references tokens three times, and FilterExec codegen does not
     // common-subexpression-eliminate — three split() passes per document
     // otherwise (guide §1.2: per-task work, don't compute twice)
+    require(!batch.columns.contains("__q_toks"),
+      "admission batch already carries a __q_toks column — withColumn " +
+        "would silently clobber it")
     val quality = batch
       .withColumn("__q_toks", TextOps.tokens(col(textCol)))
       .filter(size(col("__q_toks")) >= minTokens &&

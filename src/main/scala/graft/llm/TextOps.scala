@@ -1438,8 +1438,9 @@ object TextOps {
     *
     * Scale (100 TB): the bigram/unigram count tables are the only shuffles
     * — both partial-aggregated map-side and Zipf-sublinear in the corpus;
-    * scoring joins the exploded bigram stream back on those tables
-    * (broadcast when they fit) and re-aggregates per doc. No windows, no
+    * the two tables join into one per-bigram score table (count-table-
+    * sized, broadcast when it fits) so the exploded bigram stream joins
+    * back exactly ONCE and re-aggregates per doc. No windows, no
     * collects; V is one scalar attached as a 1-row broadcast.
     *
     * Determinism: counts and V are integers; each bigram's log-probability
@@ -1463,13 +1464,21 @@ object TextOps {
       .groupBy("w1").agg(count(lit(1)).as("c1"))
     val v = uni.agg(count(lit(1)).as("vsz"))
     val bc = big.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
-    val term = big
-      .join(bc, Seq("w1", "w2"))
-      .join(uni, "w1")
+    // per-bigram score table FIRST (guide §2.3/§2.4): t is a pure
+    // function of (w1, w2) — joining uni+V onto the bigram COUNT table
+    // (Zipf-sublinear) instead of onto the exploded corpus-sized bigram
+    // stream removes one stream-sized shuffle: the stream then joins
+    // once on (w1, w2) rather than once on (w1, w2) and again on w1.
+    // Bit-identical: every stream row finds exactly one (c2, c1, vsz)
+    // triple either way, and the rounded fixed-point arithmetic is
+    // unchanged.
+    val bs = bc.join(uni, "w1")
       .crossJoin(broadcast(v))
-      .select(col("doc_id"),
+      .select(col("w1"), col("w2"),
         round(log((col("c2") + lit(1.0)) / (col("c1") + col("vsz"))) *
           lit(1000000)).cast(LongType).as("t"))
+    val term = big.join(bs, Seq("w1", "w2"))
+      .select(col("doc_id"), col("t"))
     term.groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
         round(sum(col("t")).cast(DoubleType) /

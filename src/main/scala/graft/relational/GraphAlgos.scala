@@ -88,8 +88,15 @@ object GraphAlgos {
     require(iterations >= 1 && iterations <= 50, "iterations in [1, 50]")
     val e = edges.select(col("s").cast("long").as("s"),
       col("d").cast("long").as("d")).localCheckpoint()
-    val nodes = e.select(col("s").as("v"))
-      .union(e.select(col("d").as("v"))).distinct()
+    // one aggregation yields the node set AND each node's has-in-edges
+    // flag: the former spelling ran a distinct for `nodes` plus a
+    // node-sized LEFT ANTI join for `noIn` below — two materializations
+    // where one shuffle of the same union carries both (guide §1.2/§2.4;
+    // max(isIn) over the same union is the same node set bit-for-bit,
+    // and hasIn = 1 iff the node has an in-edge)
+    val nodes = e.select(col("s").as("v"), lit(0).as("isIn"))
+      .union(e.select(col("d").as("v"), lit(1).as("isIn")))
+      .groupBy("v").agg(max(col("isIn")).as("hasIn"))
       .localCheckpoint()
     val n = nodes.count()
     val bcast = n <= broadcastNodesBelow
@@ -134,9 +141,10 @@ object GraphAlgos {
     // contrib ∪ constant-rank sinks-of-in-degree-0 — computed once here.
     // This replaces the former per-round node-sized LEFT JOIN with a
     // union: one fewer shuffle per iteration, bit-identical results.
-    val noIn = nodes.join(e.select(col("d").as("v")).distinct(),
-        Seq("v"), "left_anti")
-      .select(col("v"), lit(base).as("r")).localCheckpoint()
+    // noIn reads the checkpointed hasIn flag — a map-only filter, no
+    // anti-join materialization of its own (see the nodes agg above).
+    val noIn = nodes.filter(col("hasIn") === 0)
+      .select(col("v"), lit(base).as("r"))
     var ranks = nodes.select(col("v"), lit(scale / n).as("r"))
     for (k <- 1 to iterations) {
       val rs = ranks.withColumnRenamed("v", "s")

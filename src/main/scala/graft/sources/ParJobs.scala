@@ -53,10 +53,19 @@ object ParJobs {
         pool.submit(new java.util.concurrent.Callable[A] {
           def call(): A = t()
         }))
-      try futs.map(_.get())
-      catch {
-        case e: java.util.concurrent.ExecutionException => throw e.getCause
+      // same wait-all-then-rethrow discipline as [[run]]: collect every
+      // result (or failure) BEFORE propagating the first error, so no
+      // sibling task is still mutating its store directory while the
+      // caller unwinds into cleanup/recovery (shutdown() does not cancel
+      // in-flight tasks)
+      val outcomes = futs.map { f =>
+        try Right(f.get())
+        catch {
+          case e: java.util.concurrent.ExecutionException => Left(e.getCause)
+        }
       }
+      outcomes.collectFirst { case Left(e) => e }.foreach(throw _)
+      outcomes.collect { case Right(a) => a }
     } finally pool.shutdown()
   }
 }
