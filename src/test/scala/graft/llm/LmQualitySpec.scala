@@ -56,6 +56,26 @@ class LmQualitySpec extends SparkTestBase {
       s"template docs should outscore word salad ($tAvg vs $sAvg)")
   }
 
+  test("the corpus-sized bigram stream joins exactly ONCE (r16: the " +
+      "count tables merge into a per-bigram score table first)") {
+    import spark.implicits._
+    val docs = (1L to 10L).map(i => (i, "a b c a b")).toDF("doc_id", "text")
+    val df = TextOps.bigramLmDocScores(docs, "doc_id", "text")
+    // in the optimized plan only the doc-scored stream carries doc_id;
+    // a join with doc_id in scope is therefore a stream-sized join. The
+    // pre-r16 shape had THREE (stream⋈bc, then ⋈uni, then ⋈V) — two
+    // stream-sized shuffles more than necessary at table scale.
+    val joins = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    val streamJoins = joins.count(j =>
+      (j.left.output ++ j.right.output).exists(_.name == "doc_id"))
+    assert(streamJoins == 1,
+      s"expected exactly 1 join touching the bigram stream, got " +
+        s"$streamJoins of ${joins.size} joins:\n" +
+        df.queryExecution.optimizedPlan)
+  }
+
   test("determinism: identical scores under different partitionings") {
     import spark.implicits._
     val rnd = new scala.util.Random(17)

@@ -27,6 +27,19 @@ class ParJobsSpec extends AnyFunSuite {
     assert(done.get() == 2, "non-failing tasks must have completed")
   }
 
+  test("map propagates the first task failure unwrapped, after letting " +
+      "the others finish (VERDICT r15 #7: a failed slot must not return " +
+      "while sibling store writes are still running)") {
+    val done = new java.util.concurrent.atomic.AtomicInteger(0)
+    val e = intercept[IllegalStateException](ParJobs.map[Int](Seq(
+      () => throw new IllegalStateException("boom"),
+      () => { Thread.sleep(50); done.incrementAndGet() },
+      () => { Thread.sleep(50); done.incrementAndGet() })))
+    assert(e.getMessage == "boom")
+    assert(done.get() == 2, "non-failing tasks must have completed " +
+      "before the failure propagates")
+  }
+
   test("empty and single-task inputs run inline") {
     ParJobs.run(Seq.empty)
     var ran = false
