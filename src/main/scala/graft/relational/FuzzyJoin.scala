@@ -48,12 +48,21 @@ object FuzzyJoin {
     // the hash match but BEFORE the banded DP runs (a length check is a
     // handful of instructions; the DP is the block's quadratic kernel).
     // Sound because |len(a) − len(b)| > k forces distance > k.
+    //
+    // The DP itself runs ABOVE the join, under an explode-of-1-element
+    // barrier (r16; the q150 Generate discipline): spelled as a
+    // withColumn + filter, Catalyst inlined the alias and pushed
+    // `dist ≤ k` INTO the join condition AHEAD of the cheap conjuncts —
+    // the observed q119 plan ran the DP on every raw block pair
+    // (including the ida>idb mirror halves) and then RE-computed it in
+    // the output projection: ~3× the necessary evaluations. A filter on
+    // a generator output cannot cross its Generate, so the DP now runs
+    // exactly ONCE per cheap-filtered candidate.
     a.join(b, blockEq && col("ida") < col("idb") &&
         abs(length(col("sa")) - length(col("sb"))) <= maxDist)
-      .withColumn("dist",
-        call_function(graft.functions.BoundedLevenshtein.name,
-          col("sa"), col("sb"), lit(maxDist)))
+      .select(col("ida"), col("idb"),
+        explode(array(call_function(graft.functions.BoundedLevenshtein.name,
+          col("sa"), col("sb"), lit(maxDist)))).as("dist"))
       .filter(col("dist") <= maxDist)
-      .select(col("ida"), col("idb"), col("dist"))
   }
 }

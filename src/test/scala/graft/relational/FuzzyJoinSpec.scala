@@ -60,6 +60,23 @@ class FuzzyJoinSpec extends SparkTestBase {
     }
   }
 
+  test("the banded DP evaluates exactly ONCE, above the cheap join " +
+      "conditions (r16: the explode barrier keeps dist<=k out of the join)") {
+    import spark.implicits._
+    val df = (0L until 100L).map(i => (i, s"name$i", i % 7))
+      .toDF("id", "name", "blk")
+    val out = FuzzyJoin.blockedLevenshtein(df, "id", "name", Seq("blk"), 2)
+    out.collect() // finalize the adaptive plan
+    // AQE's toString prints the Final AND Initial plans — count in the
+    // final section only
+    val plan = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val n = "boundedlevenshtein".r.findAllIn(plan).size
+    assert(n == 1, s"expected exactly one boundedlevenshtein evaluation " +
+      s"in the plan (pre-r16: once per raw join pair in the condition + " +
+      s"once in the output projection), got $n:\n$plan")
+  }
+
   test("plan is a blocked equi-join, never a cross product") {
     import spark.implicits._
     val df = (0L until 100L).map(i => (i, s"name$i", i % 7)).toDF("id", "name", "blk")
